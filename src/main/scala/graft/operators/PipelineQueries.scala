@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextAnalysis
+import graft.functions.TextAnalysis._
+
+/** SparkEntry wiring + DuckDB oracles for the LLM-training-data pipeline
+  * operators (dedup, text analysis, similarity search, multimodal) over
+  * the driver's `documents` and `embeddings` tables.
+  *
+  * Oracle-parity strategy: every randomized algorithm is derandomized
+  * through md5 (computable identically in DuckDB), every float pipeline
+  * folds sequentially so doubles match bitwise, and every output is
+  * fully ordered. See each oracle string for the DuckDB mirror.
+  */
+object PipelineQueries {
+
+  private val ShingleN = 5
+
+  // ---- dedup ----
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(documents(s, d), "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), col("n_copies"), col("text"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactOracle: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  def dedupFingerprint(s: SparkSession, d: String): DataFrame =
+    Dedup.byFingerprint(documents(s, d), "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), col("n_copies"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  val dedupFingerprintOracle: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+      |FROM documents
+      |GROUP BY fp ORDER BY doc_id""".stripMargin
+
+  /** Shared DuckDB shingle CTE: distinct word 5-grams per doc. */
+  private val shingleCte: String =
+    """ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ngram FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)-3),
+      |                 i -> array_to_string(w[i:i+4], ' '))) AS ngram
+      |  FROM ws))""".stripMargin
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", ShingleN, 0.2)
+      .orderBy(col("d1"), col("d2"))
+
+  val dedupNgramJaccardOracle: String =
+    s"""WITH $shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       round(CAST(c AS DOUBLE)/(s1.n_sh + s2.n_sh - c), 4) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = d1
+       |JOIN sz s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE)/(s1.n_sh + s2.n_sh - c) >= 0.2
+       |ORDER BY d1, d2""".stripMargin
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        n = ShingleN, numHashes = 16, bands = 4)
+      .orderBy(col("d1"), col("d2"))
+
+  val dedupMinhashLshOracle: String =
+    s"""WITH $shingleCte,
+       |hx AS (
+       |  SELECT doc_id, seed, min(md5(seed || '|' || ngram)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bd AS (
+       |  SELECT doc_id, seed // 4 AS band, string_agg(mh, '' ORDER BY seed) AS sig
+       |  FROM hx GROUP BY doc_id, band)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+      .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("d1"), col("d2"))
+
+  val dedupSimhashOracle: String = {
+    val bits = Dedup.SimhashBits
+    val sums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val assemble = (0 until bits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM tok),
+       |ss AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       |f AS (SELECT doc_id, $assemble AS sim FROM ss),
+       |b AS (SELECT doc_id, sim, band_i, (sim >> (15*band_i)) & 32767 AS band_v
+       |      FROM f CROSS JOIN (SELECT unnest(range(0,4)) AS band_i) bi)
+       |SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+       |       CAST(bit_count(xor(a.sim, b2.sim)) AS INTEGER) AS hamming
+       |FROM b a JOIN b b2 ON a.band_i = b2.band_i AND a.band_v = b2.band_v
+       |                   AND a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.sim, b2.sim)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // ---- text analysis ----
+
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nw = size(words(t))
+    documents(s, d).select(
+        col("doc_id"),
+        nw.as("n_words"),
+        round(length(translate(t, " ", "")).cast("double") / nw, 4).as("avg_word_len"),
+        round(stopwordCount(words(t), enStop).cast("double") / nw, 4).as("stop_ratio"),
+        round(qualityScore(t), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stopListSql = TextAnalysis.enStop.map(w => s"'$w'").mkString(", ")
+
+  val textStatsOracle: String =
+    s"""SELECT doc_id,
+       | CAST(len(string_split(text,' ')) AS INTEGER) AS n_words,
+       | round(CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')), 4) AS avg_word_len,
+       | round(CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopListSql))) AS DOUBLE)
+       |       / len(string_split(text,' ')), 4) AS stop_ratio,
+       | round(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)
+       |       - 0.5 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopListSql))) AS DOUBLE)
+       |                / len(string_split(text,' '))), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val (se, ss_, sd, sf) = (stopwordCount(ws, enStop), stopwordCount(ws, esStop),
+                             stopwordCount(ws, deStop), stopwordCount(ws, frStop))
+    documents(s, d).select(
+        col("doc_id"),
+        se.as("s_en"), ss_.as("s_es"), sd.as("s_de"), sf.as("s_fr"),
+        langGuess(se, ss_, sd, sf).as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def stopSql(l: Seq[String]) = l.map(w => s"'$w'").mkString(", ")
+
+  val textLangIdOracle: String = {
+    def cnt(l: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text,' '), w -> w IN (${stopSql(l)}))) AS INTEGER)"
+    val (e, es, de, fr) = (cnt(TextAnalysis.enStop), cnt(TextAnalysis.esStop),
+                           cnt(TextAnalysis.deStop), cnt(TextAnalysis.frStop))
+    s"""SELECT doc_id, $e AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+       | CASE WHEN $e >= $es AND $e >= $de AND $e >= $fr THEN 'en'
+       |      WHEN $es >= $de AND $es >= $fr THEN 'es'
+       |      WHEN $de >= $fr THEN 'de'
+       |      ELSE 'fr' END AS lang_guess
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def textTokens(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    documents(s, d).select(
+        col("doc_id"),
+        wsTokenCount(t).as("ws_tokens"),
+        bpeTokenCount(t).as("bpe_tokens"),
+        charEstTokenCount(t).as("est_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textTokensOracle: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text,' ')) AS INTEGER) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
+      | CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) AS est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- similarity search ----
+
+  /** DuckDB mirror of VectorOps.dot: cast to double, multiply, sum. */
+  private def duckDot(a: String, b: String) =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def duckCos(a: String, b: String) =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val simTopKOracle: String = {
+    val cos = duckCos("q.embedding", "c.embedding")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cos AS cos
+       |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |  WHERE q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT qid, cid, round(cos, 4) AS cos, rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** DuckDB mirror of VectorOps.signBand: width sign bits packed LSB-first. */
+  private def duckBand(emb: String, bandVar: String, width: Int) =
+    (0 until width)
+      .map(k => s"(CASE WHEN $emb[$bandVar*$width + $k + 1] >= 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString(" + ")
+
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.signLshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        nBands = 8, width = 8)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val simAnnLshOracle: String = {
+    val cos = duckCos("c.embedding", "q.embedding")
+    s"""WITH banded AS (
+       |  SELECT vec_id, embedding, band_i, ${duckBand("embedding", "band_i", 8)} AS band_v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0,8)) AS band_i) bi),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+       |         q.embedding AS qe, c.embedding AS ce
+       |  FROM banded c JOIN (SELECT * FROM banded WHERE vec_id < 5) q
+       |    ON c.band_i = q.band_i AND c.band_v = q.band_v AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, ${duckCos("qe", "ce")} AS cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |              ORDER BY ${duckCos("qe", "ce")} DESC, cid) AS INTEGER) AS rnk
+       |  FROM cand)
+       |SELECT qid, cid, round(cos, 4) AS cos, rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
+  def embedNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(embeddings(s, d), threshold = 0.8,
+        nBands = 4, width = 8)
+      .orderBy(col("id1"), col("id2"))
+
+  val embedNearDupOracle: String = {
+    val cos = duckCos("a.embedding", "b.embedding")
+    s"""WITH banded AS (
+       |  SELECT vec_id, embedding, band_i, ${duckBand("embedding", "band_i", 8)} AS band_v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0,4)) AS band_i) bi),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |         a.embedding AS ea, b.embedding AS eb
+       |  FROM banded a JOIN banded b
+       |    ON a.band_i = b.band_i AND a.band_v = b.band_v AND a.vec_id < b.vec_id)
+       |SELECT id1, id2, round(${duckCos("ea", "eb")}, 4) AS cos
+       |FROM cand WHERE ${duckCos("ea", "eb")} >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ---- multimodal ----
+
+  def multimodalInspect(s: SparkSession, d: String): DataFrame =
+    Multimodal.inspect(Multimodal.attachBinary(documents(s, d)))
+      .orderBy(col("doc_id"))
+
+  val multimodalInspectOracle: String =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      | md5(text) AS content_md5,
+      | lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+      | CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+      | CAST(48 + (doc_id % 5) * 16 AS INTEGER) AS height,
+      | CAST(3 AS INTEGER) AS channels,
+      | 'fake/' || CAST(doc_id % 3 AS VARCHAR) AS codec
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact"         -> (dedupExact _),
+    "p02_dedup_fingerprint"   -> (dedupFingerprint _),
+    "p03_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "p04_dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "p05_dedup_simhash"       -> (dedupSimhash _),
+    "p06_text_stats"          -> (textStats _),
+    "p07_text_langid"         -> (textLangId _),
+    "p08_text_tokens"         -> (textTokens _),
+    "p09_sim_topk"            -> (simTopK _),
+    "p10_sim_ann_lsh"         -> (simAnnLsh _),
+    "p11_embed_neardup"       -> (embedNearDup _),
+    "p12_multimodal_inspect"  -> (multimodalInspect _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p01_dedup_exact"         -> dedupExactOracle,
+    "p02_dedup_fingerprint"   -> dedupFingerprintOracle,
+    "p03_dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "p04_dedup_minhash_lsh"   -> dedupMinhashLshOracle,
+    "p05_dedup_simhash"       -> dedupSimhashOracle,
+    "p06_text_stats"          -> textStatsOracle,
+    "p07_text_langid"         -> textLangIdOracle,
+    "p08_text_tokens"         -> textTokensOracle,
+    "p09_sim_topk"            -> simTopKOracle,
+    "p10_sim_ann_lsh"         -> simAnnLshOracle,
+    "p11_embed_neardup"       -> embedNearDupOracle,
+    "p12_multimodal_inspect"  -> multimodalInspectOracle,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k, the correctness baseline.
+  *  - [[signLshTopK]] / [[nearDupPairs]]: bit-sampling LSH (sign pattern
+  *    of embedding dimensions = random-hyperplane LSH specialized to the
+  *    axis-aligned family) to bucket candidates first — the 100 TB path,
+  *    where the exact rerank only runs inside buckets.
+  *
+  * The sign-bit family is chosen deliberately over random Gaussian
+  * hyperplanes: bucket ids involve zero arithmetic (pure sign reads),
+  * making them bitwise-reproducible across engines/runs — no stored
+  * model, no RNG, and the DuckDB differential oracle can replay them.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * Scale: the query side is small by construction (a probe set), so it
+    * is broadcast; the corpus side streams through one scan — a
+    * broadcast nested-loop with per-partition top-k maintained by the
+    * rank window. For large k×queries, switch to per-partition heap
+    * aggregation; for huge query sets, use [[signLshTopK]].
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+              cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Attach `nBands` bit-sampling LSH band ids (each `width` sign bits
+    * over consecutive dimensions) — one row per (vector, band).
+    */
+  def withSignBands(df: DataFrame, nBands: Int, width: Int): DataFrame =
+    df.withColumn("band_i", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_v",
+        (0 until nBands).foldLeft(lit(-1)) { (acc, b) =>
+          when(col("band_i") === b, signBand(col("embedding"), b * width, width))
+            .otherwise(acc)
+        })
+
+  /** ANN top-k: candidates = vectors sharing at least one sign band with
+    * the query, exact cosine rerank inside the candidate set.
+    *
+    * Scale: hash join on (band_i, band_v) — shuffle O(n × bands); the
+    * O(n²) rerank never materializes. Recall tunes with bands/width
+    * (more, narrower bands → higher recall, more candidates); the
+    * recall-vs-brute-force property is asserted in SimilaritySpec.
+    */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nBands: Int = 8, width: Int = 8): DataFrame = {
+    val cb = withSignBands(corpus, nBands, width)
+    val qb = withSignBands(queries, nBands, width)
+    val cand = cb.as("c").join(broadcast(qb.as("q")),
+        col("c.band_i") === col("q.band_i") && col("c.band_v") === col("q.band_v") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+              col("q.embedding").as("qe"), col("c.embedding").as("ce"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs (cosine >= threshold, id1 < id2),
+    * blocked by sign bands so only bucket-mates are compared.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   nBands: Int = 4, width: Int = 8): DataFrame = {
+    val b = withSignBands(corpus, nBands, width)
+    b.as("a").join(b.as("b"),
+        col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+              col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+      .distinct()
+      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+  }
+}

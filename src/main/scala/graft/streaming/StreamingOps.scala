@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming echo of the batch operators (SURVEY.md §7.2 M5):
+  * the same event-table semantics expressed over an unbounded source.
+  *
+  * Scale notes: watermarks bound state (late events beyond the watermark
+  * are dropped, state for closed windows is evicted); the stateful
+  * sessionizer keys state by user so it shards across executors with the
+  * shuffle; checkpointing makes both exactly-once in a real deployment.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming form of Relational.q15HourlyEvents. Append-mode safe:
+    * a window emits once its end passes the watermark.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hr"), col("event_type"),
+              col("n"), col("total_value"))
+
+  /** Streaming existence detection — the reference's Q_ref over an
+    * unbounded stream: emit each window in which a matching event type
+    * was seen (existence per window instead of per corpus).
+    */
+  def existenceByWindow(events: DataFrame, needleType: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(col("event_type") === needleType)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("window.start").as("hr"), col("hits"))
+
+  /** Custom per-key state: running count/total per user via
+    * mapGroupsWithState (the KeyValueGroupedDataset state API the
+    * survey's M5 calls for). State is one small case class per user —
+    * bounded, shardable, timeout-evictable in production.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+          GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(uid, n, math.rint(v * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // doc 1 = exact dup of 0; doc 2 = near-dup of 0 (last word changed);
+  // doc 3 = permuted+repeated tokens of 0 (fingerprint dup, not exact);
+  // doc 4 = unrelated; doc 5 = near-dup of 4 (one word changed mid-doc)
+  val docs = Seq(
+    (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+    (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+    (2L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+    (3L, "juliett india hotel golf foxtrot echo delta charlie bravo alpha alpha"),
+    (4L, "lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three four five"),
+    (5L, "lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three four CHANGED")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("keep_id") === 0L)
+    assert(r.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("fingerprint dedup catches permutation+repetition variants") {
+    val fp = Dedup.byFingerprint(docs, "doc_id", "text")
+    val cluster = fp.filter($"n_copies" >= 3).collect()
+    // docs 0,1,3 share the sorted-distinct token set
+    assert(cluster.length === 1 && cluster.head.getAs[Long]("keep_id") === 0L
+      && cluster.head.getAs[Long]("n_copies") === 3L)
+  }
+
+  test("ngram jaccard finds near-dup pairs with exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // docs 0/2 (10 words): 6 5-grams each, 5 shared -> 5/7
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 2L && math.abs(j - 0.7143) < 1e-9 })
+    // identical docs 0/1: jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+    // near-dup long docs 4/5 share most shingles
+    assert(pairs.exists { case (a, b, _) => a == 4L && b == 5L })
+    // unrelated docs never pair
+    assert(!pairs.exists { case (a, b, _) => a <= 3L && b >= 4L })
+  }
+
+  test("minhash LSH surfaces true near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))   // identical: all bands collide
+    assert(pairs.contains((4L, 5L)))   // 15/16 shingles shared
+    assert(!pairs.exists { case (a, b) => a <= 3L && b >= 4L })
+  }
+
+  test("simhash: near-identical docs land within hamming threshold") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val zeroOne = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(zeroOne.nonEmpty && zeroOne.get._3 === 0) // identical docs: distance 0
+    val fourFive = pairs.find(p => p._1 == 4L && p._2 == 5L)
+    assert(fourFive.nonEmpty && fourFive.get._3 <= 10) // 1 of 20 words changed
+  }
+
+  test("simhash signature is deterministic across runs") {
+    val a = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    val b = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(a === b)
+  }
+}

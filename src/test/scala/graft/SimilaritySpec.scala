@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorOps
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  val dim = 64
+
+  /** Seeded clustered corpus: 10 centers, 10 members each with small
+    * noise — gives real nearest-neighbor structure for recall tests.
+    */
+  lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = for (c <- centers.indices; m <- 0 until 10) yield {
+      val v = centers(c).map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      ((c * 10 + m).toLong, v.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label").cache()
+  }
+
+  test("cosine column matches a driver-side computation") {
+    val two = Seq((0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val c = two.as("a").crossJoin(two.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select(VectorOps.cosine($"a.embedding", $"b.embedding"))
+      .head().getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms sqrt(2)*sqrt(2)
+  }
+
+  test("brute-force top-k returns same-cluster neighbors in cosine order") {
+    val queries = corpus.filter($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(corpus, queries, 9).collect()
+    assert(top.length === 9)
+    // all 9 nearest of vec 0 are its 9 cluster-mates (ids 1..9)
+    assert(top.map(_.getAs[Long]("cid")).toSet === (1L to 9L).toSet)
+    // scores descending
+    val scores = top.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sign-LSH ANN recall vs brute force is high on clustered data") {
+    val queries = corpus.filter($"vec_id" % 10 === 0L) // one per cluster
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val approx = Similarity.signLshTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("near-dup pairs finds cluster-mates above threshold, no cross-cluster pairs") {
+    val pairs = Similarity.nearDupPairs(corpus, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos")))
+    assert(pairs.nonEmpty)
+    // same cluster iff same id/10
+    assert(pairs.forall { case (a, b, _) => a / 10 === b / 10 })
+    assert(pairs.forall { case (_, _, c) => c >= 0.9 })
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, UserRunning}
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  def ts(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  val batch1 = Seq(
+    Event(0L, ts("00:10"), 1L, "error", 10.0),
+    Event(1L, ts("00:20"), 2L, "signup", 5.0),
+    Event(2L, ts("01:05"), 1L, "error", 2.5))
+  val batch2 = Seq(
+    Event(3L, ts("01:45"), 1L, "purchase", 1.0),
+    Event(4L, ts("02:15"), 2L, "error", 4.0))
+
+  test("tumbling-window counts match the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete")
+      .start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val got = spark.table("hourly")
+        .orderBy($"hr", $"event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val exp = (batch1 ++ batch2).toDF()
+        .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"hr", $"event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === exp.toSeq)
+    } finally q.stop()
+  }
+
+  test("windowed existence detection emits only windows containing the needle") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.existenceByWindow(ms.toDF(), "error")
+      .writeStream.format("memory").queryName("needle").outputMode("complete")
+      .start()
+    try {
+      ms.addData(batch1 ++ batch2); q.processAllAvailable()
+      val hrs = spark.table("needle").orderBy($"hr")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(hrs.toSeq === Seq(("2024-01-01 00:00:00.0", 1L),
+        ("2024-01-01 01:00:00.0", 1L), ("2024-01-01 02:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update")
+      .start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // last update per user reflects all 5 events
+      val last = spark.table("running").groupBy($"user_id")
+        .agg(max(struct($"n_events", $"total_value")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last === Set((1L, 3L, 13.5), (2L, 2L, 9.0)))
+    } finally q.stop()
+  }
+}
