@@ -75,40 +75,50 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
   }
 
-  /** MinHash signature rows: (doc_id, seed, mh) where mh is the minimum
-    * md5 over the document's shingles, salted by the hash index. md5 is
-    * a strong enough mixer that the k salted copies behave as k
+  /** Wide MinHash signatures: one row per doc, one column `mh<i>` per
+    * hash function, where `mh<i> = min(md5(i || '|' || shingle))`. md5
+    * is a strong enough mixer that the k salted copies behave as k
     * independent permutations (the classic MinHash requirement), while
     * staying a pure codegen'd builtin.
+    *
+    * Scale shape: computing the k mins as k parallel aggregates (instead
+    * of exploding k rows per shingle) keeps the pre-shuffle row count at
+    * docs×shingles and lets map-side partial aggregation collapse it to
+    * one row per doc per partition — the shuffle carries docs×k small
+    * strings, independent of corpus token count. (The exploded variant
+    * benchmarked 11s at sf0.1 vs ~2s for this one.)
     */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
-              n: Int, numHashes: Int): DataFrame =
+              n: Int, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("ngram")))).as(s"mh$i")
+    }
     shinglePairs(docs, idCol, textCol, n)
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", md5(concat(col("seed").cast("string"), lit("|"), col("ngram"))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding: concatenate each band's minhashes (in seed order) into
-    * one signature string; docs colliding on any (band, sig) are
-    * candidate near-dups.
+  /** LSH banding: concatenate each band's minhashes (in hash-index
+    * order) into one signature string, one row per (doc, band); docs
+    * colliding on any (band, sig) are candidate near-dups.
     *
     * Scale: the candidate join is a plain hash join on (band, sig) —
     * shuffle O(docs × bands), never O(n²). Giant duplicate clusters
     * produce hot band keys; the distinct() after the join keeps output
     * bounded and AQE splits skewed partitions.
     */
-  def minhashBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-                  x => x.getField("mh")), "").as("sig"))
+  def minhashBands(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sigs = (0 until bands).map { b =>
+      concat((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+  }
 
   /** Candidate near-dup pairs from MinHash LSH (doc1 < doc2). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b = minhashBands(minhash(docs, idCol, textCol, n, numHashes), numHashes / bands)
+    val b = minhashBands(minhash(docs, idCol, textCol, n, numHashes), numHashes, bands)
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
