@@ -55,10 +55,11 @@ object PipelineQueries {
 
   val dedupNgramJaccardOracle: String =
     s"""WITH $shingleCte,
-       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shh AS (SELECT doc_id, CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS ng FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       |  FROM shh a JOIN shh b ON a.ng = b.ng AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2,
        |       round(CAST(c AS DOUBLE)/(s1.n_sh + s2.n_sh - c), 4) AS jaccard
@@ -75,12 +76,18 @@ object PipelineQueries {
 
   val dedupMinhashLshOracle: String =
     s"""WITH $shingleCte,
+       |hh AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(ngram), 1, 7) AS BIGINT) AS h1,
+       |         CAST('0x' || substr(md5(ngram), 8, 7) AS BIGINT) AS h2
+       |  FROM sh),
        |hx AS (
-       |  SELECT doc_id, seed, min(md5(seed || '|' || ngram)) AS mh
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS seed) seeds
+       |  SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+       |  FROM hh CROSS JOIN (SELECT unnest(range(0,16)) AS seed) seeds
        |  GROUP BY doc_id, seed),
        |bd AS (
-       |  SELECT doc_id, seed // 4 AS band, string_agg(mh, '' ORDER BY seed) AS sig
+       |  SELECT doc_id, seed // 4 AS band,
+       |         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
        |  FROM hx GROUP BY doc_id, band)
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -30,7 +30,9 @@ object Similarity {
     * aggregation; for huge query sets, use [[signLshTopK]].
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
+    val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .as("c")
       .crossJoin(broadcast(queries.as("q")))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
@@ -45,7 +47,8 @@ object Similarity {
     * over consecutive dimensions) — one row per (vector, band).
     */
   def withSignBands(df: DataFrame, nBands: Int, width: Int): DataFrame =
-    df.withColumn("band_i", explode(sequence(lit(0), lit(nBands - 1))))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("band_i", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_v",
         (0 until nBands).foldLeft(lit(-1)) { (acc, b) =>
           when(col("band_i") === b, signBand(col("embedding"), b * width, width))
@@ -64,15 +67,18 @@ object Similarity {
                   nBands: Int = 8, width: Int = 8): DataFrame = {
     val cb = withSignBands(corpus, nBands, width)
     val qb = withSignBands(queries, nBands, width)
+    // cosine is computed BEFORE the distinct: a candidate colliding in
+    // several bands is scored redundantly (cheap, codegen'd, identical
+    // doubles) but the dedup shuffle then carries (int, int, double)
+    // rows instead of two 64-float arrays per row.
     val cand = cb.as("c").join(broadcast(qb.as("q")),
         col("c.band_i") === col("q.band_i") && col("c.band_v") === col("q.band_v") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
-              col("q.embedding").as("qe"), col("c.embedding").as("ce"))
+              cosine(col("q.embedding"), col("c.embedding")).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    cand.withColumn("cos", cosine(col("qe"), col("ce")))
-      .withColumn("rnk", row_number().over(w))
+    cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
@@ -83,13 +89,14 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    nBands: Int = 4, width: Int = 8): DataFrame = {
     val b = withSignBands(corpus, nBands, width)
+    // Same cos-before-distinct trick as signLshTopK: the dedup shuffle
+    // carries scalars, not embedding arrays.
     b.as("a").join(b.as("b"),
         col("a.band_i") === col("b.band_i") && col("a.band_v") === col("b.band_v") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-              col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+              cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .distinct()
-      .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
