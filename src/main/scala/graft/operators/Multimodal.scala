@@ -59,13 +59,18 @@ object Multimodal {
   /** "Frame sampling": every strideBytes-th 4-byte window of the payload
     * (stands in for keyframe extraction — same slicing plumbing).
     */
-  def frameSample(withBin: DataFrame, strideBytes: Int, maxFrames: Int): DataFrame =
+  def frameSample(withBin: DataFrame, strideBytes: Int, maxFrames: Int): DataFrame = {
+    val lastFrame = least(lit(maxFrames - 1),
+      floor(length(col("payload")) / strideBytes).cast("int") - 1)
+    // guard: sequence(0, -1) would be a DESCENDING range, not empty —
+    // payloads shorter than one stride must yield zero frames.
     withBin.select(col("doc_id"),
-      transform(
-        sequence(lit(0), least(lit(maxFrames - 1),
-          floor(length(col("payload")) / strideBytes).cast("int") - 1)),
-        i => lower(hex(substring(col("payload"), i * strideBytes + 1, lit(4)))))
+      when(lastFrame >= 0,
+        transform(sequence(lit(0), lastFrame),
+          i => lower(hex(substring(col("payload"), i * strideBytes + 1, lit(4))))))
+        .otherwise(array().cast("array<string>"))
         .as("frames"))
+  }
 
   /** STUB decode kernel =========================================== STUB
     * A real deployment decodes image/audio bytes with a codec library

@@ -271,6 +271,41 @@ object PipelineQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ---- IVF similarity ----
+
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCells = 8, nProbe = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val simIvfOracle: String = {
+    val ccos = duckCos("e.embedding", "c.ce")
+    val cos = duckCos("p.qe", "a.ce2")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS cid_, embedding AS ce2, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS qe, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 2),
+       |ranked AS (
+       |  SELECT p.qid, a.cid_ AS cid, $cos AS cos,
+       |         CAST(row_number() OVER (PARTITION BY p.qid
+       |              ORDER BY $cos DESC, a.cid_) AS INTEGER) AS rnk
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND p.qid <> a.cid_)
+       |SELECT qid, cid, round(cos, 4) AS cos, rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---- multimodal ----
 
   def multimodalInspect(s: SparkSession, d: String): DataFrame =
@@ -288,6 +323,32 @@ object PipelineQueries {
       | 'fake/' || CAST(doc_id % 3 AS VARCHAR) AS codec
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over the binary payload, exploded to scalar rows
+    * (driver compare is row-oriented; arrays stay out of the output).
+    */
+  def frameSampleQ(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(Multimodal.attachBinary(documents(s, d)),
+        strideBytes = 64, maxFrames = 8)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_i", "frame_hex")))
+      .orderBy(col("doc_id"), col("frame_i"))
+
+  val frameSampleOracle: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_i,
+      |       lower(hex(encode(substr(text, i*64 + 1, 4)))) AS frame_hex
+      |FROM documents,
+      |     unnest(range(0, least(8, octet_length(encode(text)) // 64))) AS t(i)
+      |ORDER BY doc_id, frame_i""".stripMargin
+
+  /** Decode stub through the real mapPartitions plumbing; exploded to
+    * scalar (doc_id, feature_i, value) rows. No SQL oracle — the byte
+    * histogram is not SQL-expressible; the driver's rows-only check
+    * applies, and MultimodalSpec pins the values.
+    */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeStub(s, Multimodal.attachBinary(documents(s, d)))
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_i", "value")))
+      .orderBy(col("doc_id"), col("feature_i"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact"         -> (dedupExact _),
     "p02_dedup_fingerprint"   -> (dedupFingerprint _),
@@ -301,6 +362,9 @@ object PipelineQueries {
     "p10_sim_ann_lsh"         -> (simAnnLsh _),
     "p11_embed_neardup"       -> (embedNearDup _),
     "p12_multimodal_inspect"  -> (multimodalInspect _),
+    "p13_sim_ivf"             -> (simIvf _),
+    "p14_frame_sample"        -> (frameSampleQ _),
+    "p15_multimodal_decode"   -> (multimodalDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -316,5 +380,9 @@ object PipelineQueries {
     "p10_sim_ann_lsh"         -> simAnnLshOracle,
     "p11_embed_neardup"       -> embedNearDupOracle,
     "p12_multimodal_inspect"  -> multimodalInspectOracle,
+    "p13_sim_ivf"             -> simIvfOracle,
+    "p14_frame_sample"        -> frameSampleOracle,
+    // p15_multimodal_decode: no oracle (mapPartitions decode stub is not
+    // SQL-expressible) — rows-only check.
   )
 }

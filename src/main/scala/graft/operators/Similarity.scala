@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps._
@@ -79,6 +79,59 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the other standard scale path next
+    * to LSH: partition the corpus into cells around centroids, probe
+    * only the `nProbe` cells nearest each query, exact rerank inside.
+    *
+    * Centroids are the first `nCells` vectors by id — a deterministic
+    * coreset stand-in for a k-means fit (the "training" step of real
+    * IVF; swapping in k-means changes only this seq). They are collected
+    * once (tiny model, like any ANN index) and embedded as literals, so
+    * CELL ASSIGNMENT IS MAP-ONLY: one pass over the corpus, zero
+    * shuffle, argmax computed per row via an in-row struct-array max.
+    * At 100 TB this is the textbook IVF build: broadcast the centroid
+    * table, write the corpus back partitioned by cell; queries then
+    * touch nProbe/nCells of the data.
+    *
+    * Ties (two centroids at identical cosine) break to the lower cell
+    * id on both engines: the struct compares (cos, -cid) descending.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val cents: Array[(Int, Seq[Float])] = corpus
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map { case Row(id: Int, e: scala.collection.Seq[_]) =>
+        (id, e.asInstanceOf[scala.collection.Seq[Float]].toSeq) }
+      .sortBy(_._1)
+    def cellScores(emb: Column): Column = array(cents.map { case (cid, ce) =>
+      struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+
+    val assigned = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("best", array_max(cellScores(col("embedding"))))
+      .select(col("vec_id").as("cid_"), col("embedding").as("ce"),
+              (-col("best.ncid")).as("cell"))
+
+    val probes = queries
+      .withColumn("sc", slice(reverse(array_sort(cellScores(col("embedding")))), 1, nProbe))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              explode(col("sc")).as("p"))
+      .select(col("qid"), col("qe"), (-col("p.ncid")).as("cell"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_").as("cid"),
+              cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }

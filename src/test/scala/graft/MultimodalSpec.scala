@@ -39,4 +39,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val hw = frames(0).getSeq[String](1) // 11 bytes, stride 4 -> 2 frames
     assert(hw.length === 2 && hw.head === "68656c6c")
   }
+
+  test("frame sampling yields an empty frame list for sub-stride payloads") {
+    val frames = Multimodal.frameSample(Multimodal.attachBinary(docs), 64, 8)
+      .orderBy($"doc_id").collect()
+    assert(frames.forall(_.getSeq[String](1).isEmpty)) // all docs < 64 bytes
+  }
 }

@@ -54,6 +54,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF ANN recall vs brute force is high on clustered data") {
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val approx = Similarity.ivfTopK(corpus, queries, 5, nCells = 10, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("IVF probes fewer candidates than brute force scores") {
+    val queries = corpus.filter($"vec_id" === 0L)
+    val res = Similarity.ivfTopK(corpus, queries, 5, nCells = 10, nProbe = 2).collect()
+    assert(res.length <= 5 && res.nonEmpty)
+    // self is never its own neighbor
+    assert(!res.exists(r => r.getAs[Long]("cid") == 0L))
+  }
+
   test("near-dup pairs finds cluster-mates above threshold, no cross-cluster pairs") {
     val pairs = Similarity.nearDupPairs(corpus, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos")))
