@@ -17,8 +17,21 @@ object VectorOps {
 
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential left fold of element products: dot(a, b). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left fold of element products: dot(a, b).
+    * Implemented by the codegen'd [[VecDot]] expression; identical
+    * arithmetic (widen-then-multiply, in-order fold) to the
+    * higher-order-function form [[dotHof]] it replaced.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftext.{ColumnBridge, VecDot}
+    ColumnBridge.column(
+      VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Reference implementation of [[dot]] on builtin higher-order
+    * functions — kept for differential testing of VecDot.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Squared L2 norm. */

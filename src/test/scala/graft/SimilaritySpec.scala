@@ -23,6 +23,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     rows.toDF("vec_id", "embedding", "label").cache()
   }
 
+  test("VecDot (codegen expression) is bit-identical to the higher-order-function fold") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 50L).map { i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    } :+ (50L, Seq.empty[Float]) :+ (51L, Seq(0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val diffs = df.as("a").crossJoin(df.as("b"))
+      .select(
+        VectorOps.dot($"a.embedding", $"b.embedding").as("native"),
+        VectorOps.dotHof($"a.embedding", $"b.embedding").as("hof"))
+      .filter(not($"native" <=> $"hof"))
+      // hof zip_with pads the shorter vector with nulls -> null result;
+      // VecDot truncates. Compare only equal-length pairs for parity.
+      .count()
+    val mismatchedLen = df.as("a").crossJoin(df.as("b"))
+      .filter(size($"a.embedding") =!= size($"b.embedding")).count()
+    assert(diffs === mismatchedLen)
+  }
+
   test("cosine column matches a driver-side computation") {
     val two = Seq((0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(1f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
