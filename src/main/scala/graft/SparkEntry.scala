@@ -10,9 +10,11 @@ object SparkEntry {
     operators.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Relational2.queries ++ operators.PipelineQueries.queries
+    operators.Relational.queries ++ operators.Relational2.queries ++
+      operators.Relational3.queries ++ operators.PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Relational2.oracles ++ operators.PipelineQueries.oracles
+    operators.Relational.oracles ++ operators.Relational2.oracles ++
+      operators.Relational3.oracles ++ operators.PipelineQueries.oracles
 }

@@ -101,12 +101,15 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(words(c))), " "))
 
   /** Rolling polynomial hash over tokens (order-sensitive fingerprint;
-    * pure fold, codegen'd). The accumulator stays below 2^30 so the
-    * multiply never exceeds 2^50 — safe under ANSI overflow checking.
+    * pure fold, no shuffle). Word hashes are md5-derived 28-bit values
+    * so any engine reproduces them; the accumulator stays below 2^30 so
+    * the multiply never exceeds 2^50 — safe under ANSI overflow
+    * checking (and DuckDB's checked BIGINT arithmetic).
     */
   def rollingHash(c: Column): Column = {
     val m = lit(1073741824L) // 2^30
     aggregate(words(c), lit(0L),
-      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), m), m))
+      (acc, w) => pmod(acc * lit(1000003L) +
+        conv(substring(md5(w), 1, 7), 16, 10).cast("long"), m))
   }
 }
