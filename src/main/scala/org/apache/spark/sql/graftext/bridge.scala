@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Imperative twin of `graft.GraftExtensions` for sessions that were
+    * built without the extensions conf (e.g. a caller-owned session):
+    * registers the custom SQL functions directly in the session's
+    * function registry. Idempotent — re-registration overwrites.
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.descriptions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
