@@ -43,6 +43,39 @@ object StreamingOps {
       .agg(count(lit(1)).as("hits"))
       .select(col("window.start").as("hr"), col("hits"))
 
+  /** Streaming exact dedup — the unbounded form of the batch
+    * p01_dedup_exact: keep the first occurrence of each content hash.
+    * dropDuplicatesWithinWatermark bounds the state store: a hash seen
+    * again after the watermark passes is admitted as new, the explicit
+    * tradeoff every streaming dedup makes to avoid unbounded state on
+    * an infinite corpus.
+    */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-stream interval join — the unbounded form of the batch
+    * as-of/range joins (q32/q33): each click joined to same-user
+    * purchases at most 1 hour older. Both sides carry watermarks so
+    * the join state for expired intervals is evicted; the time-range
+    * predicate is what bounds buffering (Spark requires it).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+              col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Custom per-key state: running count/total per user via
     * mapGroupsWithState (the KeyValueGroupedDataset state API the
     * survey's M5 calls for). State is one small case class per user —

@@ -57,6 +57,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  test("streaming dedup keeps first occurrence per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = StreamingOps.streamingDedup(ms.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .start()
+    try {
+      ms.addData(Seq(
+        Doc(0L, "alpha beta", ts("00:10")),
+        Doc(1L, "alpha beta", ts("00:20")),   // dup within watermark
+        Doc(2L, "gamma", ts("00:30"))))
+      q.processAllAvailable()
+      ms.addData(Seq(Doc(3L, "gamma", ts("00:40")))) // dup, second batch
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select($"doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(0L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with recent purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("sjoin").outputMode("append")
+      .start()
+    try {
+      purchases.addData(Seq(
+        Event(10L, ts("00:30"), 1L, "purchase", 9.0),
+        Event(11L, ts("02:00"), 1L, "purchase", 7.0)))
+      clicks.addData(Seq(
+        Event(20L, ts("01:00"), 1L, "click", 0.0),  // matches 00:30 only
+        Event(21L, ts("04:00"), 1L, "click", 0.0))) // matches nothing (>1h)
+      q.processAllAvailable()
+      val got = spark.table("sjoin")
+        .select($"click_id", $"purchase_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === Set((20L, 9.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
