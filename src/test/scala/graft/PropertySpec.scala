@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.{TextAnalysis, VectorOps}
+
+/** Property-based checks (SURVEY.md §5.3): algebraic invariants of the
+  * dedup/text/vector operators over generated inputs. Generators are
+  * bounded small — each property round-trips through Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling: n draws from fixed seeds, so
+    * failures reproduce exactly.
+    */
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default.withSize(8), Seed(i.toLong)))
+    }
+
+  private val word = Gen.choose(1, 6).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val doc = Gen.choose(1, 20).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val corpus = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, doc))
+
+  test("exact dedup: every text keeps its minimum doc_id and total copies") {
+    forAll(corpus) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.exact(df, "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val exp = docs.zipWithIndex.groupBy(_._1).map { case (t, g) =>
+        (t, g.map(_._2.toLong).min, g.size.toLong) }.toSet
+      assert(got === exp)
+    }
+  }
+
+  test("jaccard pairs: symmetric bound (0, 1] and d1 < d2") {
+    forAll(corpus) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.forall { case (a, b, j) => a < b && j > 0.0 && j <= 1.0 })
+    }
+  }
+
+  test("identical docs always collide in MinHash LSH") {
+    forAll(doc.suchThat(_.split(" ").length >= 6)) { t =>
+      val df = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+      val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSeq === Seq((0L, 1L)))
+    }
+  }
+
+  test("simhash of identical docs is identical; hamming to itself is 0") {
+    forAll(doc) { t =>
+      val df = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+      val sigs = Dedup.simhash(df, "doc_id", "text")
+        .collect().map(_.getLong(1)).distinct
+      assert(sigs.length === 1)
+    }
+  }
+
+  test("rollingHash is order-sensitive and deterministic") {
+    forAll(corpus.suchThat(_.nonEmpty)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val a = df.select(TextAnalysis.rollingHash($"text")).collect().map(_.getLong(0))
+      val b = df.select(TextAnalysis.rollingHash($"text")).collect().map(_.getLong(0))
+      assert(a.toSeq === b.toSeq)
+      assert(a.forall(h => h >= 0 && h < (1L << 30)))
+    }
+  }
+
+  test("VecDot equals the in-memory dot product") {
+    val vec = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 10.0f)))
+    forAll(vec) { v =>
+      val df = Seq((0L, v)).toDF("vec_id", "embedding")
+      val got = df.select(VectorOps.dot($"embedding", $"embedding")).head().getDouble(0)
+      val exp = v.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(got - exp) < 1e-9)
+    }
+  }
+}
