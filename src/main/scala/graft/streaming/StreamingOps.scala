@@ -43,6 +43,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("hits"))
       .select(col("window.start").as("hr"), col("hits"))
 
+  /** Session windows — the streaming twin of the batch sessionizer
+    * (q18): per-user sessions close after `gap` of inactivity. State is
+    * one open session per user, evicted once the watermark passes the
+    * session end.
+    */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — the unbounded form of the batch
     * p01_dedup_exact: keep the first occurrence of each content hash.
     * dropDuplicatesWithinWatermark bounds the state store: a hash seen

@@ -57,6 +57,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("session windows split on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.sessionCounts(ms.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete")
+      .start()
+    try {
+      ms.addData(Seq(
+        Event(0L, ts("00:00"), 1L, "view", 1.0),
+        Event(1L, ts("00:10"), 1L, "view", 2.0),  // same session
+        Event(2L, ts("01:00"), 1L, "view", 3.0),  // gap > 30m -> new session
+        Event(3L, ts("00:05"), 2L, "view", 4.0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"user_id", $"n_events", $"total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
   test("streaming dedup keeps first occurrence per content hash") {
