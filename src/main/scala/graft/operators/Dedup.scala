@@ -71,20 +71,32 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // Join on a 60-bit md5-derived key, not the shingle text: the
-    // inverted-index shuffle then carries one long per (doc, shingle)
-    // instead of an up-to-n-word string. Collisions (~2^-60) merge two
-    // shingles and are deterministic, so the differential oracle (which
-    // hashes identically) still matches bit-for-bit.
-    val sh = shinglePairs(docs, idCol, textCol, n)
+    // Three shape decisions, all shuffle-minimizing:
+    //  1. Per-doc shingle counts come from a map-only projection
+    //     (size of the shingle array) — no aggregation branch.
+    //  2. The shingle stream is keyed by a 60-bit md5-derived long, so
+    //     the inverted-index shuffle carries one long per (doc,
+    //     shingle), not an n-word string. Collisions (~2^-60) are
+    //     deterministic and mirrored by the oracle.
+    //  3. Pair counting is ONE groupBy(ngram) + in-bucket pair
+    //     expansion + groupBy(pair) — the shingle pipeline executes
+    //     once, where a self-join would run it per side. "Stop
+    //     shingles" (boilerplate shared by thousands of docs) blow up
+    //     a bucket quadratically; at corpus scale cap document
+    //     frequency (filter size(ids) <= cap) before expansion, which
+    //     drops only boilerplate-induced candidates.
+    val sizes = rebalance(docs)
+      .select(col(idCol).as("doc_id"),
+              size(shingles(col(textCol), n)).as("n_sh"))
+    val inter = shinglePairs(docs, idCol, textCol, n)
       .select(col("doc_id"),
               conv(substring(md5(col("ngram")), 1, 15), 16, 10)
                 .cast("long").as("ngram"))
-      .cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("ngram"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("d1"), col("p.b").as("d2"))
       .agg(count(lit(1)).as("c"))
     val jac = col("c").cast("double") /
       (col("s1.n_sh") + col("s2.n_sh") - col("c"))

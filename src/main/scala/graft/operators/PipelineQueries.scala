@@ -56,7 +56,7 @@ object PipelineQueries {
   val dedupNgramJaccardOracle: String =
     s"""WITH $shingleCte,
        |shh AS (SELECT doc_id, CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS ng FROM sh),
-       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
        |  FROM shh a JOIN shh b ON a.ng = b.ng AND a.doc_id < b.doc_id
