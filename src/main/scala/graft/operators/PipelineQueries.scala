@@ -365,6 +365,7 @@ object PipelineQueries {
     "p13_sim_ivf"             -> (simIvf _),
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
+    "p16_approx_stats"        -> (Sketches.approxStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,5 +385,8 @@ object PipelineQueries {
     "p14_frame_sample"        -> frameSampleOracle,
     // p15_multimodal_decode: no oracle (mapPartitions decode stub is not
     // SQL-expressible) — rows-only check.
+    // p16_approx_stats: no oracle (HLL++/percentile_approx estimates are
+    // algorithm-specific; DuckDB's sketches differ) — rows-only check;
+    // SketchesSpec pins the error envelope against exact twins.
   )
 }

@@ -127,11 +127,41 @@ object Relational3 {
       |   (a, b) -> (a * 1000003 + b) % 1073741824) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Top-k per group through the custom bounded-heap aggregate
+    * ([[org.apache.spark.sql.graftext.TopK]]): top-3 customers by
+    * balance per market segment. Unlike the window form (q07), the
+    * heap buffer caps each map-side partial at k rows per group before the
+    * shuffle; results are identical because the struct ordering
+    * (balance, custkey) is total.
+    */
+  def q36TopkAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftext.TopK
+    customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(TopK.topk(struct(col("c_acctbal"), col("c_custkey")), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("c_mktsegment"), (col("i") + 1).cast("int").as("rnk"),
+              col("t.c_custkey").as("c_custkey"),
+              round(col("t.c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  val q36Oracle: String =
+    """SELECT c_mktsegment, CAST(rn AS INTEGER) AS rnk, c_custkey,
+      |       round(c_acctbal, 2) AS c_acctbal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |              ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_asof_join"    -> (q32AsofJoin _),
     "q33_range_join"   -> (q33RangeJoin _),
     "q34_salted_agg"   -> (q34SaltedAgg _),
     "q35_rolling_hash" -> (q35RollingHash _),
+    "q36_topk_agg"     -> (q36TopkAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +169,6 @@ object Relational3 {
     "q33_range_join"   -> q33Oracle,
     "q34_salted_agg"   -> q34Oracle,
     "q35_rolling_hash" -> q35Oracle,
+    "q36_topk_agg"     -> q36Oracle,
   )
 }
