@@ -156,12 +156,36 @@ object Relational3 {
       |  FROM customer)
       |WHERE rn <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
 
+  /** Fact-to-dim broadcast join + aggregation (TPC-H Q14 flavor):
+    * lineitem joined to part on partkey, revenue stats per brand. The
+    * part dim broadcasts (hinted; it stays dim-sized at any SF), so the
+    * lineitem scan streams once with zero shuffle before aggregation.
+    */
+  def q37PartRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  val q37Oracle: String =
+    """SELECT p_brand,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_asof_join"    -> (q32AsofJoin _),
     "q33_range_join"   -> (q33RangeJoin _),
     "q34_salted_agg"   -> (q34SaltedAgg _),
     "q35_rolling_hash" -> (q35RollingHash _),
     "q36_topk_agg"     -> (q36TopkAgg _),
+    "q37_part_revenue" -> (q37PartRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,5 +194,6 @@ object Relational3 {
     "q34_salted_agg"   -> q34Oracle,
     "q35_rolling_hash" -> q35Oracle,
     "q36_topk_agg"     -> q36Oracle,
+    "q37_part_revenue" -> q37Oracle,
   )
 }
