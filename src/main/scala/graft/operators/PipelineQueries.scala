@@ -349,6 +349,81 @@ object PipelineQueries {
       .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_i", "value")))
       .orderBy(col("doc_id"), col("feature_i"))
 
+  /** Regex redaction pass — the PII-scrub shape: per-row regexp
+    * rewrite, no shuffle, scales with the scan. Patterns here are
+    * email/phone/long-digit-run stand-ins.
+    */
+  def redact(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+        col("doc_id"),
+        substring(
+          regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>"), 1, 60).as("scrubbed"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .as("n_digits"))
+      .orderBy(col("doc_id"))
+
+  val redactOracle: String =
+    """SELECT doc_id,
+      | substring(regexp_replace(regexp_replace(text,
+      |     '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |     '[0-9]{6,}', '<NUM>', 'g'), 1, 60) AS scrubbed,
+      | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER)
+      |   AS n_digits
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash sampling — the reproducible replacement for
+    * rand() sampling in data pipelines: membership depends only on the
+    * row key, so the sample is stable across reruns, engines, and
+    * cluster layouts, and composes with incremental ingestion. Keeps
+    * ~10% (md5-derived 28-bit hash mod 100 < 10); map-only.
+    */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long"), lit(100L)))
+      .filter(col("h") < 10)
+      .select(col("doc_id"), col("h").cast("int").as("bucket"))
+      .orderBy(col("doc_id"))
+
+  val hashSampleOracle: String =
+    """SELECT doc_id,
+      | CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100
+      |   AS INTEGER) AS bucket
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token-budget packing: take documents in a deterministic order
+    * until a token budget is filled (the training-mix assembly step).
+    * The running sum is a window over the hash-shuffled order; at
+    * corpus scale this is done per shard with a per-shard budget (a
+    * single global cumsum would serialize), which this models with the
+    * deterministic hash order making shards reproducible.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("cum_tokens") <= 3000)
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetOracle: String =
+    """SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+      |  SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+      |   sum(CAST(len(string_split(text,' ')) AS BIGINT))
+      |     OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |     AS cum_tokens
+      |  FROM documents)
+      |WHERE cum_tokens <= 3000
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact"         -> (dedupExact _),
     "p02_dedup_fingerprint"   -> (dedupFingerprint _),
@@ -366,6 +441,9 @@ object PipelineQueries {
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
     "p16_approx_stats"        -> (Sketches.approxStats _),
+    "p17_redact"              -> (redact _),
+    "p18_hash_sample"         -> (hashSample _),
+    "p19_token_budget"        -> (tokenBudget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +466,8 @@ object PipelineQueries {
     // p16_approx_stats: no oracle (HLL++/percentile_approx estimates are
     // algorithm-specific; DuckDB's sketches differ) — rows-only check;
     // SketchesSpec pins the error envelope against exact twins.
+    "p17_redact"              -> redactOracle,
+    "p18_hash_sample"         -> hashSampleOracle,
+    "p19_token_budget"        -> tokenBudgetOracle,
   )
 }
