@@ -29,7 +29,7 @@ object Dedup {
     * semantics identical modulo md5 collisions.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    rebalance(docs).groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Fingerprint dedup: canonical form = sorted distinct token set.

@@ -30,7 +30,12 @@ object Multimodal {
     * can re-derive it.
     */
   def attachBinary(docs: DataFrame): DataFrame =
-    docs.select(
+    // rebalance BEFORE payload construction (the shuffle carries source
+    // text, never blobs) — single-file test inputs otherwise pin the
+    // whole encode/inspect pipeline to one core; many-split production
+    // inputs make this a cheap near-no-op.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
