@@ -192,9 +192,12 @@ object Dedup {
 
   /** Per-document 60-bit SimHash over tokens (with multiplicity):
     * bit j of the signature is the sign of the sum over tokens of
-    * (2·bit_j(md5(token)) − 1). Computed as 60 parallel aggregates —
-    * one shuffle keyed by doc_id, map-side partial aggregation keeps
-    * the shuffle proportional to docs, not tokens.
+    * (2·bit_j(md5(token)) − 1). Computed as 60 parallel codegen'd
+    * aggregates — one shuffle keyed by doc_id, map-side partial
+    * aggregation keeps the shuffle proportional to docs, not tokens.
+    * (An array-buffer TypedImperativeAggregate variant benchmarked 2×
+    * slower on first execution: ObjectHashAggregate's interpreted
+    * update loses more than the narrower generated code saves.)
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = rebalance(docs).select(col(idCol).as("doc_id"),
