@@ -184,6 +184,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup cluster resolution: connected components over a near-dup
+    * pair graph, labeling every document with its cluster's minimum
+    * doc id (the canonical survivor). Pairs → clusters is what turns
+    * pairwise near-dup detection into an actionable keep/drop set.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * vertex takes the min label among itself and its neighbors; done
+    * when a round changes nothing (≤ graph diameter rounds; near-dup
+    * clusters are shallow). Each round is one join + one aggregate, and
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N−1. At larger diameters switch to the
+    * large-star/small-star contraction, which converges in O(log n)
+    * rounds with the same per-round join shape.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var lbl = docs.select(col(idCol).as("doc_id"))
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbr = e.join(lbl, e("b") === lbl("doc_id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nl"))
+      val next = lbl.join(nbr, lbl("doc_id") === nbr("a"), "left")
+        .select(lbl("doc_id"),
+                least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(lbl.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      lbl = next
+      iter += 1
+    }
+    lbl.withColumnRenamed("lbl", "canonical")
+  }
+
   /** Number of simhash bits (60 = 15 hex chars of md5, fits a signed
     * long in every engine — deliberately under 64 so the oracle can use
     * a plain BIGINT hex cast).

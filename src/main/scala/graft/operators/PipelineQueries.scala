@@ -120,6 +120,44 @@ object PipelineQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Near-dup clusters from the MinHash-LSH pair graph: every doc
+    * labeled with its cluster's canonical (minimum) doc id.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = ShingleN, numHashes = 16, bands = 4)
+    Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |hh AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(ngram), 1, 7) AS BIGINT) AS h1,
+       |         CAST('0x' || substr(md5(ngram), 8, 7) AS BIGINT) AS h2
+       |  FROM sh),
+       |hx AS (
+       |  SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+       |  FROM hh CROSS JOIN (SELECT unnest(range(0,16)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bd AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+       |  FROM hx GROUP BY doc_id, band),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS canonical
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- text analysis ----
 
   def textStats(s: SparkSession, d: String): DataFrame = {
@@ -444,6 +482,7 @@ object PipelineQueries {
     "p17_redact"              -> (redact _),
     "p18_hash_sample"         -> (hashSample _),
     "p19_token_budget"        -> (tokenBudget _),
+    "p20_dedup_clusters"      -> (dedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,5 +508,6 @@ object PipelineQueries {
     "p17_redact"              -> redactOracle,
     "p18_hash_sample"         -> hashSampleOracle,
     "p19_token_budget"        -> tokenBudgetOracle,
+    "p20_dedup_clusters"      -> dedupClustersOracle,
   )
 }

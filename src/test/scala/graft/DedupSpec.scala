@@ -65,6 +65,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(fourFive.nonEmpty && fourFive.get._3 <= 10) // 1 of 20 words changed
   }
 
+  test("dedupClusters resolves chains and leaves singletons canonical") {
+    import spark.implicits._
+    val vs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // chain 0-1-2-3 (diameter 3, needs multiple propagation rounds),
+    // pair 5-7, singletons 4,6,8,9
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 7L)).toDF("d1", "d2")
+    val got = Dedup.dedupClusters(vs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 6L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("simhash signature is deterministic across runs") {
     val a = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(_.getLong(1)).toSeq
