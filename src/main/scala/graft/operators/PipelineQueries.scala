@@ -483,6 +483,7 @@ object PipelineQueries {
     "p18_hash_sample"         -> (hashSample _),
     "p19_token_budget"        -> (tokenBudget _),
     "p20_dedup_clusters"      -> (dedupClusters _),
+    "p21_typed_stats"         -> (TypedStats.corpusStatsByLen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -509,5 +510,6 @@ object PipelineQueries {
     "p18_hash_sample"         -> hashSampleOracle,
     "p19_token_budget"        -> tokenBudgetOracle,
     "p20_dedup_clusters"      -> dedupClustersOracle,
+    "p21_typed_stats"         -> TypedStats.corpusStatsOracle,
   )
 }

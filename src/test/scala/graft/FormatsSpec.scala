@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Source/sink format matrix: every format the engine reads/writes
+  * round-trips losslessly (schema via explicit read schema for the
+  * schemaless formats). Parquet is exercised everywhere else; this
+  * pins csv, json, and text.
+  */
+class FormatsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  val df = Seq((1L, "alpha beta", 1.5), (2L, "gamma, with comma", -0.25),
+    (3L, "", 0.0)).toDF("id", "txt", "score")
+
+  test("csv round-trip with header and quoting") {
+    val dir = Files.createTempDirectory("fmt_csv").toString + "/out"
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("id LONG, txt STRING, score DOUBLE").csv(dir)
+      .na.fill("", Seq("txt")) // csv writes empty string as null
+      .orderBy($"id")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === df.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq)
+  }
+
+  test("json lines round-trip") {
+    val dir = Files.createTempDirectory("fmt_json").toString + "/out"
+    df.write.json(dir)
+    val back = spark.read.schema("id LONG, txt STRING, score DOUBLE").json(dir)
+      .orderBy($"id")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === df.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq)
+  }
+
+  test("text round-trip (single value column, the wordlist format)") {
+    val dir = Files.createTempDirectory("fmt_text").toString + "/out"
+    val words = Seq("apple", "banana", "cherry").toDF("value")
+    words.write.text(dir)
+    val back = spark.read.textFile(dir).toDF()
+    assert(back.collect().map(_.getString(0)).sorted.toSeq
+      === Seq("apple", "banana", "cherry"))
+  }
+}
