@@ -204,6 +204,10 @@ object Dedup {
       .localCheckpoint()
     var lbl = docs.select(col(idCol).as("doc_id"))
       .withColumn("lbl", col("doc_id")).localCheckpoint()
+    // One propagation round per materialization: every round has the
+    // same plan shape, so generated code compiles once and every later
+    // round hits the codegen cache (a 3-rounds-per-checkpoint batch
+    // benchmarked slower — the deeper fused plan recompiles).
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
