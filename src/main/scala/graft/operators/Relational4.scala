@@ -109,11 +109,34 @@ object Relational4 {
       |FROM part WHERE p_partkey <= 200
       |ORDER BY p_partkey""".stripMargin
 
+  /** Hash / binary-encoding family: md5, sha2-256, base64, hex —
+    * the content-addressing primitives of the dedup/integrity layer.
+    */
+  def q42HashFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"),
+        base64(encode(substring(col("text"), 1, 12), "UTF-8")).as("head_b64"),
+        lower(hex(encode(substring(col("text"), 1, 6), "UTF-8"))).as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  val q42Oracle: String =
+    """SELECT doc_id,
+      | md5(text) AS h_md5,
+      | sha256(text) AS h_sha256,
+      | to_base64(encode(substring(text, 1, 12))) AS head_b64,
+      | lower(hex(encode(substring(text, 1, 6)))) AS head_hex
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_histogram"    -> (q38Histogram _),
     "q39_stats_family" -> (q39StatsFamily _),
     "q40_set_all"      -> (q40SetAll _),
     "q41_string_funcs" -> (q41StringFuncs _),
+    "q42_hash_funcs"   -> (q42HashFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,5 +144,6 @@ object Relational4 {
     "q39_stats_family" -> q39Oracle,
     "q40_set_all"      -> q40Oracle,
     "q41_string_funcs" -> q41Oracle,
+    "q42_hash_funcs"   -> q42Oracle,
   )
 }
