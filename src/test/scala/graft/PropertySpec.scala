@@ -79,6 +79,28 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TopK aggregate equals the sort-take reference on random groups") {
+    val grouped = Gen.choose(5, 30).flatMap(n => Gen.listOfN(n,
+      for {
+        g <- Gen.choose(0, 3)
+        v <- Gen.choose(-1000, 1000)
+      } yield (g, v.toDouble)))
+    forAll(grouped) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val got = df.groupBy($"g")
+        .agg(org.apache.spark.sql.graftext.TopK.topk(struct($"v", $"id"), 3).as("top"))
+        .select($"g", explode($"top").as("t"))
+        .collect().map(r => (r.getInt(0), r.getStruct(1).getDouble(0),
+          r.getStruct(1).getLong(1))).toSet
+      val exp = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).flatMap { case (_, grp) =>
+          grp.sortBy(t => (-t._2, -t._3)).take(3)
+        }.toSet
+      assert(got === exp)
+    }
+  }
+
   test("VecDot equals the in-memory dot product") {
     val vec = Gen.choose(1, 16).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 10.0f)))
