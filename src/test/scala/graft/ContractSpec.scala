@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: every oracle key has a query, the
+  * flagship entry returns rows, and names stay well-formed. A wiring
+  * mistake here would silently zero a whole round's correctness score.
+  */
+class ContractSpec extends AnyFunSuite with SparkTestBase {
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("query map is non-empty and names are unique across batches") {
+    val all = Seq(operators.Relational.queries, operators.Relational2.queries,
+      operators.Relational3.queries, operators.Relational4.queries,
+      operators.PipelineQueries.queries)
+    assert(all.map(_.size).sum === SparkEntry.queries.size,
+      "duplicate query name across batches (map merge dropped one)")
+    assert(SparkEntry.queries.size >= 60)
+  }
+
+  test("rows-only queries (no oracle) are the documented exceptions only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === Set("p15_multimodal_decode", "p16_approx_stats"))
+  }
+
+  test("flagship entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("Engine facade: wordlist existence end-to-end") {
+    import graft.operators.WordlistSearch._
+    val ranges = Seq(ChunkRange(1, 'a', 'm'), ChunkRange(2, 'm', 'z'))
+    val dir = java.nio.file.Files.createTempDirectory("eng_wl").toString
+    writeBucketed(Seq("alpha", "zulu"), ranges, dir)
+    assert(Engine.exists(spark, dir, ranges, "alpha"))
+    assert(!Engine.exists(spark, dir, ranges, "beta"))
+    assert(Engine.find(spark, dir, ranges, "zulu").count() === 1)
+  }
+}
