@@ -131,12 +131,48 @@ object Relational4 {
       |FROM documents WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  /** Moving time-window aggregate via a RANGE frame: per user, the
+    * rolling 1-hour event-value sum and count — ordered by epoch
+    * seconds so the frame bound is engine-portable. One shuffle by
+    * user + an ordered frame scan: the batch form of a sliding-window
+    * stream aggregation.
+    */
+  def q43RangeWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600L, 0L)
+    val wr = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(sum(col("value")).over(w), 2).as("sum_1h"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(percent_rank().over(wr), 6).as("pr"),
+        (dense_rank().over(wr)).cast("long").as("dr"))
+      .orderBy(col("event_id"))
+  }
+
+  val q43Oracle: String =
+    """SELECT event_id, user_id, ts, value,
+      | round(sum(value) OVER w1h, 2) AS sum_1h,
+      | count(*) OVER w1h AS n_1h,
+      | round(percent_rank() OVER wr, 6) AS pr,
+      | CAST(dense_rank() OVER wr AS BIGINT) AS dr
+      |FROM events
+      |WINDOW
+      | w1h AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+      | wr AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_histogram"    -> (q38Histogram _),
     "q39_stats_family" -> (q39StatsFamily _),
     "q40_set_all"      -> (q40SetAll _),
     "q41_string_funcs" -> (q41StringFuncs _),
     "q42_hash_funcs"   -> (q42HashFuncs _),
+    "q43_range_window" -> (q43RangeWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +181,6 @@ object Relational4 {
     "q40_set_all"      -> q40Oracle,
     "q41_string_funcs" -> q41Oracle,
     "q42_hash_funcs"   -> q42Oracle,
+    "q43_range_window" -> q43Oracle,
   )
 }
