@@ -166,6 +166,34 @@ object Relational4 {
       | wr AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Z-order clustering key over (custkey, price-bucket): rows sorted
+    * by this key cluster in both dimensions, so row-group min/max
+    * stats prune range predicates on either column after a
+    * sort-by-morton write ([[graft.functions.ZOrder]]).
+    */
+  def q44Zorder(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrder
+    orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        ZOrder.morton16(col("o_custkey"),
+          floor(col("o_totalprice") / 1000).cast("long")).as("zkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q44Oracle: String = {
+    def spread(v: String): String = {
+      val a = s"(($v | ($v << 8)) & 16711935)"
+      val b = s"(($a | ($a << 4)) & 252645135)"
+      val c = s"(($b | ($b << 2)) & 858993459)"
+      s"(($c | ($c << 1)) & 1431655765)"
+    }
+    val sx = spread("(o_custkey & 65535)")
+    val sy = spread("(CAST(floor(o_totalprice / 1000) AS BIGINT) & 65535)")
+    s"""SELECT o_orderkey, ($sx | ($sy << 1)) AS zkey
+       |FROM orders WHERE o_orderkey <= 2000
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_histogram"    -> (q38Histogram _),
     "q39_stats_family" -> (q39StatsFamily _),
@@ -173,6 +201,7 @@ object Relational4 {
     "q41_string_funcs" -> (q41StringFuncs _),
     "q42_hash_funcs"   -> (q42HashFuncs _),
     "q43_range_window" -> (q43RangeWindow _),
+    "q44_zorder"       -> (q44Zorder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +211,6 @@ object Relational4 {
     "q41_string_funcs" -> q41Oracle,
     "q42_hash_funcs"   -> q42Oracle,
     "q43_range_window" -> q43Oracle,
+    "q44_zorder"       -> q44Oracle,
   )
 }
