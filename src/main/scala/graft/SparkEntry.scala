@@ -11,10 +11,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
-      operators.Relational3.queries ++ operators.Relational4.queries ++ operators.PipelineQueries.queries
+      operators.Relational3.queries ++ operators.Relational4.queries ++
+      operators.Relational5.queries ++ operators.PipelineQueries.queries ++ operators.Pipeline2.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
-      operators.Relational3.oracles ++ operators.Relational4.oracles ++ operators.PipelineQueries.oracles
+      operators.Relational3.oracles ++ operators.Relational4.oracles ++
+      operators.Relational5.oracles ++ operators.PipelineQueries.oracles ++ operators.Pipeline2.oracles
 }
