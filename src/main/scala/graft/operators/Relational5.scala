@@ -125,13 +125,127 @@ object Relational5 {
       |         AS median_latency_s
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** Extended window-function family: quartile bucketing (ntile),
+    * cumulative distribution, lead, and nth_value — one shuffle on the
+    * partition key, one ordered scan. cume_dist is a ratio of exact
+    * integers, so its double output is bit-identical on any engine —
+    * no rounding needed (or wanted: round() half-boundary behavior is
+    * engine-specific).
+    */
+  def q47WindowFamily2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q47Oracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      | cume_dist() OVER w AS cd,
+      | coalesce(lead(o_orderkey) OVER w, -1) AS next_key,
+      | nth_value(o_orderkey, 2) OVER w AS second_key
+      |FROM orders WHERE o_orderkey <= 4000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Per-user z-score anomaly detection. Values are quantized to
+    * integer 1e-4 units up front, so per-user sum / sum-of-squares are
+    * EXACT integers; mean, sample variance, and z are then derived
+    * through the same IEEE expression on both engines → bit-identical
+    * doubles, allowing a raw (unrounded) float predicate z > 3 and raw
+    * float output columns. Shape: one shuffle to per-user moments, then
+    * a join back to the event scan — left to AQE, since the stats dim
+    * is one row per user and only broadcast-able when the user universe
+    * is small relative to executor memory.
+    */
+  def q48Anomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 10000).cast("long").as("vq"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("s1"),
+           sum(col("vq") * col("vq")).as("s2"))
+      .filter(col("n") >= 3)
+      .select(col("user_id"),
+        (col("s1").cast("double") / col("n")).as("mean_q"),
+        sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n"))
+          / (col("n") - 1)).as("sd_q"))
+    ev.join(stats, Seq("user_id"))
+      .withColumn("z", (col("vq").cast("double") - col("mean_q")) / col("sd_q"))
+      .filter(col("z") > 3.0)
+      .select(col("event_id"), col("user_id"),
+        (col("vq").cast("double") / 10000.0).as("v"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val q48Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |         CAST(floor(value * 10000) AS BIGINT) AS vq
+      |  FROM events),
+      |stats AS (
+      |  SELECT user_id,
+      |         CAST(sum(vq) AS BIGINT) AS s1,
+      |         CAST(sum(vq * vq) AS BIGINT) AS s2,
+      |         count(*) AS n
+      |  FROM ev GROUP BY 1 HAVING count(*) >= 3),
+      |zs AS (
+      |  SELECT e.event_id, e.user_id,
+      |         CAST(e.vq AS DOUBLE) / 10000.0 AS v,
+      |         (CAST(e.vq AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+      |           / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+      |                  / (s.n - 1)) AS z
+      |  FROM ev e JOIN stats s USING (user_id))
+      |SELECT event_id, user_id, v, z FROM zs
+      |WHERE z > 3.0 ORDER BY event_id""".stripMargin
+
+  /** First-order Markov transitions of the per-user event sequence:
+    * lag over (user, time) then a count per (prev, cur) pair — the
+    * sequence-mining primitive behind session-flow and next-action
+    * models. One shuffle for the lag window, one for the transition
+    * aggregate (5×5 output partials combine map-side).
+    */
+  def q49Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1, "START").over(w))
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val q49Oracle: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |         coalesce(lag(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id), 'START') AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*) AS n
+      |FROM t GROUP BY 1, 2
+      |ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q45_gapfill" -> (q45GapFill _),
-    "q46_funnel"  -> (q46Funnel _),
+    "q45_gapfill"        -> (q45GapFill _),
+    "q46_funnel"         -> (q46Funnel _),
+    "q47_window_family2" -> (q47WindowFamily2 _),
+    "q48_anomaly"        -> (q48Anomaly _),
+    "q49_transitions"    -> (q49Transitions _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q45_gapfill" -> q45Oracle,
-    "q46_funnel"  -> q46Oracle,
+    "q45_gapfill"        -> q45Oracle,
+    "q46_funnel"         -> q46Oracle,
+    "q47_window_family2" -> q47Oracle,
+    "q48_anomaly"        -> q48Oracle,
+    "q49_transitions"    -> q49Oracle,
   )
 }
