@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 3: dataset profiling and distribution
+  * repair — the "look before you train" steps of a curation pipeline.
+  */
+object Pipeline3 {
+
+  /** Column profiler (the SUMMARIZE / ANALYZE TABLE analog): one
+    * long-form row per column with null count, distinct count, and
+    * min/max (numeric columns as doubles — exact data values, so
+    * engine-portable; string/date columns via their total order).
+    * Shape: one aggregate per column unioned — on columnar storage
+    * each branch scans ONLY its column (ReadSchema pruning), so total
+    * IO equals a single all-column pass, and each branch is a
+    * shuffle-free partial+final global aggregate.
+    */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val t = orders(s, d)
+    def num(c: String): DataFrame = t.agg(
+      lit(c).as("col_name"), count(lit(1)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_num"),
+      max(col(c)).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(c: String, toS: Column => Column = identity): DataFrame = t.agg(
+      lit(c).as("col_name"), count(lit(1)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      toS(min(col(c))).cast("string").as("min_str"),
+      toS(max(col(c))).cast("string").as("max_str"))
+    Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        str("o_orderstatus"), str("o_orderpriority"),
+        str("o_orderdate", c => date_format(c, "yyyy-MM-dd HH:mm:ss")))
+      .reduce(_ unionAll _)
+      .orderBy(col("col_name"))
+  }
+
+  val profileOracle: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         | count(*) - count($c) AS n_null,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def str(c: String, fmt: String => String = identity) =
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         | count(*) - count($c) AS n_null,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         | CAST(${fmt(s"min($c)")} AS VARCHAR) AS min_str,
+         | CAST(${fmt(s"max($c)")} AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        str("o_orderstatus"), str("o_orderpriority"),
+        str("o_orderdate", e => s"strftime($e, '%Y-%m-%d %H:%M:%S')"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Winsorization: clip a heavy-tailed metric to its [p05, p95]
+    * band. The band is a 1-row exact-percentile aggregate broadcast
+    * against the scan (same two-pass shape at any scale); clipping is
+    * a codegen'd least/greatest. Exact interpolated percentiles match
+    * DuckDB's quantile_cont (proven by q25); the rounded output
+    * absorbs any last-ULP interpolation difference.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val b = orders(s, d).agg(
+      percentile(col("o_totalprice"), lit(0.05)).as("lo"),
+      percentile(col("o_totalprice"), lit(0.95)).as("hi"))
+    orders(s, d).filter(col("o_orderkey") <= 2000)
+      .crossJoin(broadcast(b))
+      .select(col("o_orderkey"),
+        round(least(greatest(col("o_totalprice"), col("lo")), col("hi")), 2).as("v_w"),
+        round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val winsorizeOracle: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+      |         quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |       round(least(greatest(o_totalprice, lo), hi), 2) AS v_w,
+      |       round(lo, 2) AS lo, round(hi, 2) AS hi
+      |FROM orders, b WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_profile"   -> (profile _),
+    "p25_winsorize" -> (winsorize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p24_profile"   -> profileOracle,
+    "p25_winsorize" -> winsorizeOracle,
+  )
+}
