@@ -95,13 +95,51 @@ object Pipeline3 {
       |FROM orders, b WHERE o_orderkey <= 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Per-vector symmetric int8 quantization — the compression step in
+    * front of an ANN index (4× smaller than float32, SIMD-friendly
+    * dot products). scale = 127/max|x|; elements are floor-quantized
+    * (floor, not round: floor of an IEEE product is bit-deterministic
+    * on any engine). Emitted as a per-vector checksum + params rather
+    * than the raw int8 array so the oracle comparison stays scalar.
+    * Purely map-side — no shuffle, embeddings never leave their
+    * partition.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    embeddings(s, d).filter(col("vec_id") < 500)
+      .withColumn("scale",
+        lit(127.0) / aggregate(transform(col("embedding"), x => abs(x)),
+          lit(0.0d), (acc, x) => greatest(acc, x.cast("double"))))
+      .select(col("vec_id"),
+        floor(col("scale") * 10000).cast("long").as("scale_q"),
+        aggregate(transform(col("embedding"),
+            x => floor(x.cast("double") * col("scale")).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qsum"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeOracle: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |         127.0 / list_aggregate(list_transform(embedding,
+      |                  x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+      |  FROM embeddings WHERE vec_id < 500)
+      |SELECT vec_id,
+      |       CAST(floor(scale * 10000) AS BIGINT) AS scale_q,
+      |       CAST(list_sum(list_transform(embedding,
+      |              x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT))) AS BIGINT) AS qsum,
+      |       CAST(len(embedding) AS INTEGER) AS dim
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p24_profile"   -> (profile _),
-    "p25_winsorize" -> (winsorize _),
+    "p24_profile"        -> (profile _),
+    "p25_winsorize"      -> (winsorize _),
+    "p26_embed_quantize" -> (embedQuantize _),
   )
 
   val oracles: Map[String, String] = Map(
-    "p24_profile"   -> profileOracle,
-    "p25_winsorize" -> winsorizeOracle,
+    "p24_profile"        -> profileOracle,
+    "p25_winsorize"      -> winsorizeOracle,
+    "p26_embed_quantize" -> embedQuantizeOracle,
   )
 }
