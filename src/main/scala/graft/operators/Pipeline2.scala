@@ -90,13 +90,73 @@ object Pipeline2 {
       |WHERE rn <= 20
       |ORDER BY lang, source, rn""".stripMargin
 
+  /** Bigram collocations by pointwise mutual information: which word
+    * pairs co-occur more than chance predicts. Adjacent pairs come
+    * from an array-zip inside the row (no positional self-join — the
+    * classic Hadoop formulation shuffles every (doc,pos) twice; this
+    * shuffles only (w1,w2) pair partials). Unigram counts join back as
+    * a broadcast-able dictionary. PMI is emitted floor-quantized to
+    * 1e-4 (ln ULP differences between engines sit ~10 orders of
+    * magnitude below the quantum).
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"),
+      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("l"))
+    val uni = toks.select(explode(col("l")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nTok = uni.agg(sum(col("n_w")).as("n_tok"))
+    val pairs = toks
+      .select(explode(transform(slice(col("l"), lit(1), size(col("l")) - 1),
+        (t, i) => struct(t.as("w1"), get(col("l"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    val nBig = big.agg(sum(col("n_xy")).as("n_big"))
+    big.filter(col("n_xy") >= 5)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_x")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_y")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        floor(log(col("n_xy").cast("double") * col("n_tok") * col("n_tok")
+          / (col("n_big").cast("double") * col("n_x") * col("n_y"))) * 10000)
+          .cast("long").as("pmi_q"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val collocationsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                     x -> x != '') AS l
+      |  FROM documents),
+      |uni AS (
+      |  SELECT t.w, count(*) AS n_w
+      |  FROM toks, unnest(l) AS t(w) GROUP BY 1),
+      |n1 AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tok FROM uni),
+      |pairs AS (
+      |  SELECT l[i] AS w1, l[i + 1] AS w2
+      |  FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)),
+      |big AS (SELECT w1, w2, count(*) AS n_xy FROM pairs GROUP BY 1, 2),
+      |n2 AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_big FROM big)
+      |SELECT w1, w2, n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+      |       CAST(floor(ln(CAST(n_xy AS DOUBLE) * n_tok * n_tok
+      |              / (CAST(n_big AS DOUBLE) * ux.n_w * uy.n_w)) * 10000) AS BIGINT)
+      |         AS pmi_q
+      |FROM big
+      |JOIN uni ux ON big.w1 = ux.w
+      |JOIN uni uy ON big.w2 = uy.w
+      |CROSS JOIN n1 CROSS JOIN n2
+      |WHERE n_xy >= 5
+      |ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_tfidf"             -> (tfIdf _),
     "p23_stratified_sample" -> (stratifiedSample _),
+    "p27_collocations"      -> (collocations _),
   )
 
   val oracles: Map[String, String] = Map(
     "p22_tfidf"             -> tfIdfOracle,
     "p23_stratified_sample" -> stratifiedSampleOracle,
+    "p27_collocations"      -> collocationsOracle,
   )
 }

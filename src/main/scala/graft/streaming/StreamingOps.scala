@@ -111,4 +111,40 @@ object StreamingOps {
           next
       }
   }
+
+  /** Per-key Welford running moments (mean + M2), the streaming form
+    * of q48's batch anomaly detector. State per user is three numbers
+    * — O(1) regardless of stream length — and each arriving event is
+    * flagged against the statistics of everything seen BEFORE it, so
+    * the op is causally consistent (an outlier can't mask itself).
+    * flatMapGroupsWithState because a batch of k events emits k
+    * verdicts, not one state row.
+    */
+  case class Moments(n: Long, mean: Double, m2: Double)
+  case class Flagged(event_id: Long, user_id: Long, value: Double,
+                     z: Double, anomalous: Boolean)
+
+  def streamingAnomalies(events: Dataset[Event], zThreshold: Double = 3.0,
+                         minHistory: Long = 3): Dataset[Flagged] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Moments, Flagged](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Moments]) =>
+          var st = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
+          // events within a micro-batch are not ordered by Spark; order
+          // here so "statistics of the past" is well-defined
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val sd = if (st.n >= 2) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val z = if (st.n >= minHistory && sd > 0) (e.value - st.mean) / sd else 0.0
+            val d = e.value - st.mean
+            val mean2 = st.mean + d / (st.n + 1)
+            st = Moments(st.n + 1, mean2, st.m2 + d * (e.value - mean2))
+            Flagged(e.event_id, uid, e.value, z, math.abs(z) > zThreshold)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -138,4 +138,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(last === Set((1L, 3L, 13.5), (2L, 2L, 9.0)))
     } finally q.stop()
   }
+
+  test("streaming Welford anomaly: spike flagged against pre-spike history") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.streamingAnomalies(ms.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode("update")
+      .start()
+    try {
+      // batch 1: stable history for user 7 (mean ~10.4, sd ~0.55)
+      ms.addData(Seq(10.0, 11.0, 10.0, 11.0, 10.0).zipWithIndex.map {
+        case (v, i) => Event(i.toLong, ts(f"00:0$i"), 7L, "view", v)
+      })
+      q.processAllAvailable()
+      // batch 2: a 30.0 spike, then a normal 11.0 after it
+      ms.addData(Seq(Event(10L, ts("01:00"), 7L, "view", 30.0),
+                     Event(11L, ts("01:01"), 7L, "view", 11.0)))
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+      assert(rows.size === 7)
+      // warm-up rows (history < 3) are never flagged
+      (0L to 2L).foreach(i => assert(!rows(i)._2, s"warm-up event $i flagged"))
+      assert(rows(10L)._2, s"spike not flagged: z=${rows(10L)._1}")
+      assert(rows(10L)._1 > 10.0)
+      // the post-spike normal value is judged against history that now
+      // includes the spike — still not anomalous
+      assert(!rows(11L)._2, s"normal event flagged: z=${rows(11L)._1}")
+      (3L to 4L).foreach(i => assert(!rows(i)._2, s"stable event $i flagged"))
+    } finally q.stop()
+  }
 }

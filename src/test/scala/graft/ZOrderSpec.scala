@@ -28,6 +28,34 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("morton-sorted layout skips row groups for a y-only predicate; x-sorted cannot") {
+    import java.nio.file.Files
+    val rows = for { x <- 0 until 256; y <- 0 until 256 } yield (x.toLong, y.toLong)
+    val df = rows.toDF("x", "y").withColumn("zkey", ZOrder.morton16($"x", $"y"))
+    def writeSorted(sortCol: String): String = {
+      val p = Files.createTempDirectory(s"zorder_$sortCol").toString
+      df.repartitionByRange(16, col(sortCol)).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    // rows actually READ from parquet (post row-group skip, pre-Filter)
+    def rowsScanned(path: String): Long = {
+      val q = spark.read.parquet(path).filter($"y" < 16)
+      assert(q.count() === 256 * 16) // same answer either layout
+      val qe = q.queryExecution
+      qe.executedPlan.executeCollect()
+      qe.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numOutputRows").value
+    }
+    val zScanned = rowsScanned(writeSorted("zkey"))
+    val xScanned = rowsScanned(writeSorted("x"))
+    // x-sorted files each span the full y domain → stats can't skip any
+    assert(xScanned === 256L * 256L, s"x-sorted unexpectedly skipped: $xScanned")
+    // morton-sorted files are 64x64 tiles → only the bottom tile row survives
+    assert(zScanned <= xScanned / 2, s"zorder read $zScanned of $xScanned")
+  }
+
   test("sorting by morton key bounds both dimensions per block") {
     // 32x32 grid sorted by z-key, cut into 64 blocks of 16: each block's
     // x-range and y-range must span at most half the domain — the
