@@ -86,4 +86,23 @@ object Engine {
     */
   def registerSql(spark: SparkSession): Unit =
     org.apache.spark.sql.graftext.ColumnBridge.registerFunctions(spark)
+
+  // ---- SQL front door ----
+
+  /** Register every test-data table of `dir` as a temp view (plus the
+    * graft SQL functions), making the whole engine reachable from SQL
+    * strings. Views are lazy — nothing is scanned until queried.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    registerSql(spark)
+    Tables.loaders.foreach { case (n, load) =>
+      load(spark, dir).createOrReplaceTempView(n)
+    }
+  }
+
+  /** One-call SQL entry point over the registered tables. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(query)
+  }
 }

@@ -233,7 +233,59 @@ object Relational5 {
       |FROM t GROUP BY 1, 2
       |ORDER BY prev_type, event_type""".stripMargin
 
+  /** MERGE / CDC upsert: apply a change set (inserts, updates,
+    * deletes — derived deterministically from the base table so the
+    * oracle sees identical inputs) to a base table. The distributed
+    * shape is the canonical one (what Delta/Iceberg MERGE INTO plans
+    * to): an anti join drops deletes, a left join applies updates,
+    * inserts union on — every join keyed on the merge key, so the
+    * whole op is hash-partitioned with no data movement beyond the
+    * key shuffle, and AQE broadcasts the change set when it's small.
+    * Delete wins over update on conflicting keys.
+    */
+  def q50MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 1000.0).as("new_price"), lit("upd").as("utag"))
+    val del = base.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"))
+    val ins = base.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit(42.0).as("price"), lit("ins").as("tag"))
+    base.join(del, Seq("o_orderkey"), "left_anti")
+      .join(upd, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        coalesce(col("utag"), lit("keep")).as("tag"))
+      .unionAll(ins)
+      .filter(col("o_orderkey") <= 3000
+        || (col("o_orderkey") >= 10000000L && col("o_orderkey") <= 10003000L))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q50Oracle: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_totalprice + 1000.0 AS new_price, 'upd' AS utag
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, 42.0 AS price, 'ins' AS tag
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |merged AS (
+      |  SELECT o.o_orderkey,
+      |         coalesce(u.new_price, o.o_totalprice) AS price,
+      |         coalesce(u.utag, 'keep') AS tag
+      |  FROM orders o
+      |  LEFT JOIN upd u USING (o_orderkey)
+      |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.o_orderkey = o.o_orderkey)
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT * FROM merged
+      |WHERE o_orderkey <= 3000
+      |   OR (o_orderkey >= 10000000 AND o_orderkey <= 10003000)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_merge_upsert"   -> (q50MergeUpsert _),
     "q45_gapfill"        -> (q45GapFill _),
     "q46_funnel"         -> (q46Funnel _),
     "q47_window_family2" -> (q47WindowFamily2 _),
@@ -242,6 +294,7 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_merge_upsert"   -> q50Oracle,
     "q45_gapfill"        -> q45Oracle,
     "q46_funnel"         -> q46Oracle,
     "q47_window_family2" -> q47Oracle,

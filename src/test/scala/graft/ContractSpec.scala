@@ -32,6 +32,18 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Engine.sql: SQL strings over registered tables, graft functions included") {
+    val df = Engine.sql(spark, "/root/testdata/sf0.001",
+      """SELECT o.o_orderkey, count(*) AS n
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1 LIMIT 5""".stripMargin)
+    assert(df.count() === 5)
+    // injected function surface reachable from SQL
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").collect()(0)
+    assert(math.abs(dot.getDouble(0) - 11.0) < 1e-9)
+  }
+
   test("Engine facade: wordlist existence end-to-end") {
     import graft.operators.WordlistSearch._
     val ranges = Seq(ChunkRange(1, 'a', 'm'), ChunkRange(2, 'm', 'z'))

@@ -44,4 +44,16 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
     assert(back.collect().map(_.getString(0)).sorted.toSeq
       === Seq("apple", "banana", "cherry"))
   }
+
+  test("parquet schema evolution: old files readable after a column is added") {
+    val dir = Files.createTempDirectory("fmt_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "txt").write.parquet(dir)
+    Seq((2L, "b", 0.5)).toDF("id", "txt", "score")
+      .write.mode("append").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir).orderBy($"id")
+    assert(back.columns.toSeq === Seq("id", "txt", "score"))
+    val rows = back.collect()
+    assert(rows(0).isNullAt(2), "old-file row must surface null for the new column")
+    assert(rows(1).getDouble(2) === 0.5)
+  }
 }
