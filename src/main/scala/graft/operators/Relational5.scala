@@ -284,7 +284,39 @@ object Relational5 {
       |   OR (o_orderkey >= 10000000 AND o_orderkey <= 10003000)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Correlated aggregate subquery — "orders above their customer's
+    * average" — in its decorrelated form (per-key aggregate joined
+    * back), which is exactly what Catalyst's RewriteCorrelatedScalarSubquery
+    * produces. The comparison is done in exact integer cents
+    * (`v*n > Σv` instead of `v > Σv/n`), so the predicate has no
+    * float-division drift on any engine.
+    */
+  def q51AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("vq"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
+    o.join(per, Seq("o_custkey"))
+      .filter(col("vq") * col("n") > col("sv"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q51Oracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS vq
+      |  FROM orders),
+      |per AS (
+      |  SELECT o_custkey, CAST(sum(vq) AS BIGINT) AS sv, count(*) AS n
+      |  FROM o GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_custkey
+      |FROM o JOIN per USING (o_custkey)
+      |WHERE o.vq * per.n > per.sv
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_above_avg"      -> (q51AboveAvg _),
     "q50_merge_upsert"   -> (q50MergeUpsert _),
     "q45_gapfill"        -> (q45GapFill _),
     "q46_funnel"         -> (q46Funnel _),
@@ -294,6 +326,7 @@ object Relational5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_above_avg"      -> q51Oracle,
     "q50_merge_upsert"   -> q50Oracle,
     "q45_gapfill"        -> q45Oracle,
     "q46_funnel"         -> q46Oracle,

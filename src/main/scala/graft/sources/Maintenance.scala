@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators: the file-layout jobs every long-lived
+  * 100 TB table needs between queries.
+  *
+  * The reference's analog is its static chunk layout + `chunksinfo.txt`
+  * metadata (`/root/reference/chunksinfo.txt:1-6`, `server.go:376-391`):
+  * a hand-maintained file manifest with per-chunk key ranges. These
+  * operators produce the same two artifacts — a right-sized file layout
+  * and a per-file min/max index — as Spark jobs over any parquet table.
+  */
+object Maintenance {
+
+  /** Out-of-place compaction of a small-files table: rewrite `src` to
+    * `dst` with ~`targetRowsPerFile` rows per output file, clustered
+    * by `sortCol` (range-partitioned, so file min/max ranges don't
+    * overlap and stay skippable). Out-of-place is the safe pattern at
+    * scale — readers keep using `src` until the atomic catalog/path
+    * swap; nothing here blocks the table.
+    */
+  def compact(spark: SparkSession, src: String, dst: String,
+              targetRowsPerFile: Long, sortCol: String): Long = {
+    val df = spark.read.parquet(src)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dst)
+    n
+  }
+
+  /** Per-file statistics manifest: (file, rows, min, max) of `keyCol`
+    * for every parquet file of the table — the file-skipping index the
+    * reference keeps in `chunksinfo.txt`, derived instead of
+    * hand-maintained. One distributed pass; `input_file_name()` keys
+    * the aggregation so partials combine map-side per file.
+    */
+  def fileStats(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+           min(col(keyCol)).as("lo"),
+           max(col(keyCol)).as("hi"))
+
+  /** Which files can serve `lo <= key <= hi`? The pruning decision the
+    * reference makes in `getRequiredChunks` (`server.go:399-411`),
+    * over the derived manifest. Parquet readers do this internally;
+    * materializing it makes layout quality observable and testable.
+    */
+  def filesInRange(stats: DataFrame, lo: Any, hi: Any): DataFrame =
+    stats.filter(lit(lo) <= col("hi") && lit(hi) >= col("lo"))
+}
