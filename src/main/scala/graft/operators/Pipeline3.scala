@@ -131,15 +131,53 @@ object Pipeline3 {
       |       CAST(len(embedding) AS INTEGER) AS dim
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Canonical survivor selection — the step AFTER duplicate grouping:
+    * per fingerprint group, keep the best document (longest, ties to
+    * lowest id) and report the group size. One shuffle on the
+    * fingerprint; rank + group-count share the same window partition,
+    * so there is no second aggregate-join pass. (p01/p02 keep min-id;
+    * this is the quality-aware variant real curation pipelines use.)
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
+      graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+    docs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"), col("n_chars"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY fp
+      |           ORDER BY n_chars DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY fp) AS n_copies
+      |  FROM f)
+      |SELECT doc_id, fp, n_chars, n_copies FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p24_profile"        -> (profile _),
-    "p25_winsorize"      -> (winsorize _),
-    "p26_embed_quantize" -> (embedQuantize _),
+    "p24_profile"         -> (profile _),
+    "p25_winsorize"       -> (winsorize _),
+    "p26_embed_quantize"  -> (embedQuantize _),
+    "p28_dedup_keep_best" -> (dedupKeepBest _),
   )
 
   val oracles: Map[String, String] = Map(
-    "p24_profile"        -> profileOracle,
-    "p25_winsorize"      -> winsorizeOracle,
-    "p26_embed_quantize" -> embedQuantizeOracle,
+    "p24_profile"         -> profileOracle,
+    "p25_winsorize"       -> winsorizeOracle,
+    "p26_embed_quantize"  -> embedQuantizeOracle,
+    "p28_dedup_keep_best" -> dedupKeepBestOracle,
   )
 }
