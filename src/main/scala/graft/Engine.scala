@@ -87,6 +87,56 @@ object Engine {
   def registerSql(spark: SparkSession): Unit =
     org.apache.spark.sql.graftext.ColumnBridge.registerFunctions(spark)
 
+  // ---- composed curation pipeline ----
+
+  /** The end-to-end curation DAG a training-data team runs, composed
+    * from this library's operators in the canonical order:
+    *
+    *   1. dedup — keep the longest doc per canonical fingerprint;
+    *   2. redact — PII-pattern scrub of the surviving text;
+    *   3. language filter — stopword-evidence language ID;
+    *   4. quality gate — composite quality score threshold;
+    *   5. budget pack — best-quality-first greedy fill of a token
+    *      budget (cumulative-sum window over the quality ordering).
+    *
+    * Shuffle ledger at scale: one hash shuffle on the fingerprint (1),
+    * map-only stages for (2)–(4), one range shuffle for the global
+    * quality ordering (5) — the cheapest order: every map-only filter
+    * runs BEFORE the global sort, so the sort sees only survivors.
+    * Returns the curated corpus with per-doc provenance columns.
+    */
+  def curate(docs: DataFrame, lang: String = "en",
+             minQuality: Double = 0.0, tokenBudget: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ta = graft.functions.TextAnalysis
+    val byFp = Window.partitionBy(col("fp"))
+    val deduped = docs
+      .withColumn("fp", ta.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        byFp.orderBy(length(col("text")).desc, col("doc_id"))))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .filter(col("rn") === 1).drop("rn")
+    val scrubbed = deduped.withColumn("text",
+      regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>"))
+    val ws = ta.words(col("text"))
+    val gated = scrubbed
+      .withColumn("lang_guess", ta.langGuess(
+        ta.stopwordCount(ws, ta.enStop), ta.stopwordCount(ws, ta.esStop),
+        ta.stopwordCount(ws, ta.deStop), ta.stopwordCount(ws, ta.frStop)))
+      .filter(col("lang_guess") === lang)
+      .withColumn("quality", ta.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("n_tokens", ta.wsTokenCount(col("text")).cast("long"))
+    val byQuality = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gated
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byQuality))
+      .filter(col("cum_tokens") <= tokenBudget)
+  }
+
   // ---- SQL front door ----
 
   /** Register every test-data table of `dir` as a temp view (plus the
