@@ -74,10 +74,14 @@ object Dedup {
     // Three shape decisions, all shuffle-minimizing:
     //  1. Per-doc shingle counts come from a map-only projection
     //     (size of the shingle array) — no aggregation branch.
-    //  2. The shingle stream is keyed by a 60-bit md5-derived long, so
-    //     the inverted-index shuffle carries one long per (doc,
-    //     shingle), not an n-word string. Collisions (~2^-60) are
-    //     deterministic and mirrored by the oracle.
+    //  2. The shingle stream is keyed by a 64-bit hash, so the
+    //     inverted-index shuffle carries one long per (doc, shingle),
+    //     not an n-word string. The hash choice is NOT part of the
+    //     semantics (only bucket identity matters and the output is
+    //     hash-free), so Spark uses codegen'd xxhash64 while the
+    //     oracle buckets by md5 — both collision-free at any
+    //     realistic corpus (~2^-64 per pair), and a collision would
+    //     surface as a differential-check mismatch.
     //  3. Pair counting is ONE groupBy(ngram) + in-bucket pair
     //     expansion + groupBy(pair) — the shingle pipeline executes
     //     once, where a self-join would run it per side. "Stop
@@ -89,9 +93,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
               size(shingles(col(textCol), n)).as("n_sh"))
     val inter = shinglePairs(docs, idCol, textCol, n)
-      .select(col("doc_id"),
-              conv(substring(md5(col("ngram")), 1, 15), 16, 10)
-                .cast("long").as("ngram"))
+      .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
       .groupBy(col("ngram"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
