@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: these queries were tuned to a
+  * specific distributed shape (broadcast side, pushdown, single
+  * shuffle); a silent planner regression here costs more at 100 TB
+  * than any local test could show. Assertions use stable plan markers,
+  * not full golden text, so Spark-version noise doesn't break them.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03: dim side broadcasts (no sort-merge join in the star join)") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q05/q06: semi and anti joins plan as such (no plain-join + distinct)") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    // simple-mode plan text may truncate the list; only require that it
+    // starts non-empty
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      "no non-empty pushed filter list on scan")
+  }
+
+  test("p28: rank and group-count share one fingerprint shuffle") {
+    val p = plan("p28_dedup_keep_best")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected 1 hash shuffle, saw $shuffles")
+  }
+
+  test("q51: decorrelated aggregate joins back without a third shuffle") {
+    val p = plan("q51_above_avg")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 hash shuffles, saw $shuffles")
+  }
+
+  test("q44: z-order key projection is shuffle-free up to the output sort") {
+    val p = plan("q44_zorder")
+    assert(!p.contains("Exchange hashpartitioning"), "unexpected hash shuffle")
+  }
+}
