@@ -28,6 +28,25 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** 3-D reference: interleave bit-by-bit, x at positions ≡ 0 (mod 3). */
+  private def morton3Ref(x: Long, y: Long, z: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (3 * i)) |
+        (((y >> i) & 1L) << (3 * i + 1)) | (((z >> i) & 1L) << (3 * i + 2))
+    }
+
+  test("morton16x3 equals bit-by-bit reference interleave") {
+    val pts = Seq((0L, 0L, 0L), (65535L, 65535L, 65535L), (1L, 2L, 4L),
+      (12345L, 54321L, 4242L), (65536L + 7L, 1L, 1L))
+    val got = pts.toDF("x", "y", "z")
+      .select(ZOrder.morton16x3($"x", $"y", $"z").as("m"), $"x", $"y", $"z")
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === morton3Ref(
+        r.getLong(1) & 65535L, r.getLong(2) & 65535L, r.getLong(3) & 65535L))
+    }
+  }
+
   test("morton-sorted layout skips row groups for a y-only predicate; x-sorted cannot") {
     import java.nio.file.Files
     val rows = for { x <- 0 until 256; y <- 0 until 256 } yield (x.toLong, y.toLong)
