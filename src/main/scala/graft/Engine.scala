@@ -100,9 +100,13 @@ object Engine {
     *      budget (cumulative-sum window over the quality ordering).
     *
     * Shuffle ledger at scale: one hash shuffle on the fingerprint (1),
-    * map-only stages for (2)–(4), one range shuffle for the global
-    * quality ordering (5) — the cheapest order: every map-only filter
-    * runs BEFORE the global sort, so the sort sees only survivors.
+    * map-only stages for (2)–(4), one hash shuffle on the quality-shard
+    * key for (5) — the cheapest order: every map-only filter runs
+    * BEFORE the cumulative stage, so it sees only survivors. The
+    * global cumulative sum is two-level: a deterministic shard key
+    * monotone in the quality ordering, per-shard window cumsums that
+    * run in parallel, and a shard-count-sized offset table broadcast
+    * back — no single-partition global window anywhere.
     * Returns the curated corpus with per-doc provenance columns.
     */
   def curate(docs: DataFrame, lang: String = "en",
@@ -130,11 +134,31 @@ object Engine {
       .withColumn("quality", ta.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
       .withColumn("n_tokens", ta.wsTokenCount(col("text")).cast("long"))
-    val byQuality = Window.orderBy(col("quality").desc, col("doc_id"))
+    // Two-level global cumsum over (quality desc, doc_id): the shard key
+    // is monotone non-decreasing in quality, so quality ties never
+    // straddle shards and descending shard id == descending quality
+    // between shards. Each shard's window runs on its own task; the
+    // offset table has one row per occupied shard (<= 2*shards after
+    // clamping), so its own window is data-size independent.
+    val shards = 96
+    val sharded = gated.withColumn("shard",
+      least(greatest(floor(col("quality") * shards), lit(-shards.toLong)),
+            lit(shards.toLong - 1)).cast("int"))
+    val inShard = Window.partitionBy(col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gated
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(byQuality))
+    val local = sharded.withColumn("cum_in_shard", sum(col("n_tokens")).over(inShard))
+    val priorShards = Window.orderBy(col("shard").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_tokens")).over(priorShards), lit(0L)))
+      .select(col("shard"), col("shard_offset"))
+    local.join(broadcast(offsets), "shard")
+      .withColumn("cum_tokens", col("shard_offset") + col("cum_in_shard"))
       .filter(col("cum_tokens") <= tokenBudget)
+      .drop("shard", "cum_in_shard", "shard_offset")
   }
 
   // ---- SQL front door ----

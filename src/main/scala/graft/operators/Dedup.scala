@@ -200,7 +200,8 @@ object Dedup {
     * large-star/small-star contraction, which converges in O(log n)
     * rounds with the same per-round join shape.
     */
-  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    maxRounds: Int = 50): DataFrame = {
     val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint()
@@ -212,7 +213,7 @@ object Dedup {
     // benchmarked slower — the deeper fused plan recompiles).
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed > 0 && iter < maxRounds) {
       val nbr = e.join(lbl, e("b") === lbl("doc_id"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nl"))
       val next = lbl.join(nbr, lbl("doc_id") === nbr("a"), "left")
@@ -224,6 +225,15 @@ object Dedup {
         .filter(col("n.lbl") =!= col("o.lbl")).count()
       lbl = next
       iter += 1
+    }
+    // Unconverged labels are silently wrong (a >maxRounds-diameter chain
+    // would split one cluster into several) — fail loudly instead.
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $maxRounds min-label rounds " +
+        s"($changed labels still changing); the pair graph has a component " +
+        "with diameter > maxRounds — raise maxRounds or pre-contract the " +
+        "graph (large-star/small-star) before labeling")
     }
     lbl.withColumnRenamed("lbl", "canonical")
   }

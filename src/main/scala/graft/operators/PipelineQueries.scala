@@ -436,10 +436,13 @@ object PipelineQueries {
 
   /** Token-budget packing: take documents in a deterministic order
     * until a token budget is filled (the training-mix assembly step).
-    * The running sum is a window over the hash-shuffled order; at
-    * corpus scale this is done per shard with a per-shard budget (a
-    * single global cumsum would serialize), which this models with the
-    * deterministic hash order making shards reproducible.
+    *
+    * SCALE NOTE: `Window.orderBy` with no partitionBy plans as a
+    * single-partition sort — acceptable here only because this entry
+    * is the oracle-checkable model of the semantics. The production
+    * path is `Engine.curate`'s budget stage, which computes the same
+    * global cumulative sum two-level (parallel per-shard windows + a
+    * broadcast shard-offset table) with no single-partition stage.
     */
   def tokenBudget(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

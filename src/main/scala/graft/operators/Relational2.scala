@@ -106,22 +106,24 @@ object Relational2 {
       | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** arg-max per group with a deterministic composite tie-break
-    * (balance then key, packed into one exactly-representable double).
+  /** arg-max per group with a deterministic composite tie-break: max over
+    * struct(balance, custkey) compares lexicographically in both engines, so
+    * top_custkey always belongs to a row holding the group's max balance
+    * (largest custkey among balance ties) — no arithmetic packing that could
+    * let a huge custkey outweigh a real balance difference.
     */
-  def q24ArgMax(s: SparkSession, d: String): DataFrame = {
-    val rankVal = col("c_acctbal") * 1000000 + col("c_custkey")
+  def q24ArgMax(s: SparkSession, d: String): DataFrame =
     customer(s, d)
       .groupBy(col("c_mktsegment"))
-      .agg(max_by(col("c_custkey"), rankVal).as("top_custkey"),
+      .agg(max(struct(col("c_acctbal").as("bal"), col("c_custkey").as("key")))
+             .getField("key").as("top_custkey"),
            round(max(col("c_acctbal")), 2).as("max_bal"),
            count(lit(1)).as("n"))
       .orderBy(col("c_mktsegment"))
-  }
 
   val q24Oracle: String =
     """SELECT c_mktsegment,
-      | arg_max(c_custkey, c_acctbal * 1000000 + c_custkey) AS top_custkey,
+      | max(struct_pack(bal := c_acctbal, key := c_custkey)).key AS top_custkey,
       | round(max(c_acctbal), 2) AS max_bal,
       | count(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin

@@ -106,9 +106,10 @@ object StreamingOps {
           val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
             case ((cn, cv), e) => (cn + 1, cv + e.value)
           }
-          val next = UserRunning(uid, n, math.rint(v * 100) / 100)
-          state.update(next)
-          next
+          // State keeps the UNROUNDED total (re-rounding each micro-batch
+          // would compound error across batches); round only in the output.
+          state.update(UserRunning(uid, n, v))
+          UserRunning(uid, n, math.rint(v * 100) / 100)
       }
   }
 

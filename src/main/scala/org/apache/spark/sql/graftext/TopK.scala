@@ -7,8 +7,9 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData, TypeUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-heap top-k aggregate: `topk(expr, k)` keeps the k largest
   * values of any orderable expression (typically a struct whose leading
@@ -49,14 +50,20 @@ case class TopK(
   override def update(buf: mutable.PriorityQueue[Any],
                       input: InternalRow): mutable.PriorityQueue[Any] = {
     val v = child.eval(input)
-    if (v != null) {
-      val copied = v match {
-        case r: InternalRow => r.copy()
-        case other => other
-      }
-      insert(buf, copied)
-    }
+    if (v != null) insert(buf, deepCopy(v))
     buf
+  }
+
+  /** Evaluated values may point into Spark's reused input row buffer, and
+    * GenericInternalRow.copy()/GenericArrayData.copy() are shallow (string
+    * fields inside still alias the buffer). Round-tripping container values
+    * through an UnsafeProjection materializes them into self-owned bytes.
+    */
+  private def deepCopy(v: Any): Any = v match {
+    case s: UTF8String => s.copy()
+    case _: InternalRow | _: ArrayData | _: MapData =>
+      proj(InternalRow(v)).copy().get(0, child.dataType)
+    case other => other
   }
 
   override def merge(buf: mutable.PriorityQueue[Any],
