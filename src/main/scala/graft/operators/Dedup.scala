@@ -89,6 +89,14 @@ object Dedup {
     //     a bucket quadratically; at corpus scale cap document
     //     frequency (filter size(ids) <= cap) before expansion, which
     //     drops only boilerplate-induced candidates.
+    //  4. The per-doc size side is a SECOND projection of the corpus
+    //     rather than data carried through the inverted index: a
+    //     single-pass variant that rides struct(doc_id, n_sh) through
+    //     explode→collect_list→array_sort benchmarked 2× slower end to
+    //     end (struct values fall out of codegen into interpreted
+    //     compares on the docs×shingles stream, which outweighs the
+    //     saved O(docs) map-only re-shingle at every scale ratio —
+    //     both costs grow with token count).
     val sizes = rebalance(docs)
       .select(col(idCol).as("doc_id"),
               size(shingles(col(textCol), n)).as("n_sh"))
