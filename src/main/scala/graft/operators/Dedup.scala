@@ -246,6 +246,72 @@ object Dedup {
     lbl.withColumnRenamed("lbl", "canonical")
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): O(log n) rounds
+    * on ANY pair graph, vs diameter rounds for `dedupClusters`'s
+    * min-label propagation — the scale path when near-dup chains can
+    * be long (boilerplate gradients, crawl mirrors). Same output
+    * contract: every doc labeled with its component's minimum id.
+    *
+    * Per round: large-star links every strictly-larger neighbor of u
+    * to m(u) = min(Γ(u) ∪ {u}); small-star then links every
+    * smaller-or-equal neighbor (and u itself) to the min of that set.
+    * Both steps are one groupBy(min) + one join on the symmetrized
+    * edge list — the same shuffle shape each round, so codegen
+    * compiles once. The fixed point is a forest of stars centered at
+    * component minima. Convergence is detected by edge-set equality
+    * (two anti-joins); at extreme scale swap it for a cheaper
+    * monotone invariant (sum of endpoint mins) checked per round.
+    */
+  def dedupClustersLogN(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        maxRounds: Int = 40): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+                greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxRounds) {
+      val s = sym(edges)
+      val mLarge = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("lu"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = canon(
+        s.filter(col("v") > col("u"))
+          .join(mLarge, col("u") === col("lu"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint()
+      val smaller = sym(afterLarge).filter(col("v") < col("u"))
+      val mSmall = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = canon(
+        smaller.join(mSmall, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mSmall.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      changed = afterSmall.except(edges).count() + edges.except(afterSmall).count()
+      edges = afterSmall
+      iter += 1
+    }
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"dedupClustersLogN did not reach its star fixed point after " +
+        s"$maxRounds rounds — raise maxRounds (O(log n) rounds suffice " +
+        "for any graph, so this indicates n far beyond the configured cap)")
+    }
+    val lbl = sym(edges).groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"),
+              least(col("u"), col("mn")).as("canonical"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("canonical"), col("doc_id")).as("canonical"))
+  }
+
   /** Number of simhash bits (60 = 15 hex chars of md5, fits a signed
     * long in every engine — deliberately under 64 so the oracle can use
     * a plain BIGINT hex cast).
