@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 5: shingle-novelty scoring, incremental
+  * (snapshot-delta) dedup, and provenance-preserving corpus merge —
+  * the corpus-maintenance operations that run on every refresh of a
+  * training set, as opposed to the one-shot curation of batches 1–4.
+  */
+object Pipeline5 {
+
+  private val ShingleN = 5
+
+  /** Shingle novelty: per document, how much of its 5-gram content is
+    * unique in the corpus (document frequency 1) — the inverse-
+    * boilerplate signal; mirrors and template spam score near 0, fresh
+    * prose near 1e6. Fully integer: counts plus a floor-quantized
+    * ratio (one IEEE multiply+divide+floor, bit-identical anywhere).
+    *
+    * Scale shape: two hash shuffles keyed by shingle (distinct
+    * doc-shingle pairs, then document frequency) and one keyed by
+    * doc_id for the final roll-up. The df table is joined back on the
+    * shingle key — co-partitioned with the pairs by construction, so
+    * the join reuses the same hash exchange. Documents shorter than
+    * the shingle width surface with zero counts via the left join.
+    */
+  def shingleNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sh = Dedup.shinglePairs(docs, "doc_id", "text", ShingleN)
+    val df = sh.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "ngram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(floor(lit(1e6) * col("n_unique").cast("double") / col("n_shingles")),
+                 lit(0L)).as("novelty_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val shingleNoveltyOracle: String =
+    """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ngram FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)-3),
+      |                 i -> array_to_string(w[i:i+4], ' '))) AS ngram
+      |  FROM ws)),
+      |df AS (SELECT ngram, count(*) AS df FROM sh GROUP BY ngram),
+      |per AS (SELECT doc_id, count(*) AS n_shingles,
+      |               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |                 AS n_unique
+      |        FROM sh JOIN df USING (ngram) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(n_shingles, 0) AS n_shingles,
+      |       coalesce(n_unique, 0) AS n_unique,
+      |       coalesce(CAST(floor(1e6 * CAST(n_unique AS DOUBLE) / n_shingles)
+      |                     AS BIGINT), 0) AS novelty_q
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Incremental dedup: admit only those documents of an incoming
+    * batch (modeled as odd doc_ids) whose exact fingerprint is absent
+    * from the base snapshot (even doc_ids), deduplicating within the
+    * batch as well (first doc_id wins). This is the steady-state shape
+    * of corpus refresh — the base is never rescanned per document,
+    * just anti-joined on its fingerprint index.
+    *
+    * Scale shape: one hash shuffle of each side on the fingerprint;
+    * the anti join and the survivor window reuse that same
+    * partitioning. The base side would be a bucketed fingerprint
+    * index in production (sources.Bucketed), making refresh map-side.
+    */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    inc.join(base, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupOracle: String =
+    """WITH base AS (SELECT DISTINCT md5(text) AS fp FROM documents
+      |              WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |        WHERE doc_id % 2 = 1),
+      |surv AS (SELECT doc_id, fp,
+      |                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM inc WHERE fp NOT IN (SELECT fp FROM base))
+      |SELECT doc_id, fp FROM surv WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Provenance-preserving merge: collapse exact-duplicate documents
+    * corpus-wide, keeping for each surviving text the canonical id,
+    * the copy count, and the sorted set of sources and languages the
+    * copies came from — the lineage a curation audit needs ("this doc
+    * appears in src0, src3, src7"). Sets are emitted as sorted
+    * comma-joined strings (deterministic, engine-portable, and
+    * column-stats friendly at rest).
+    *
+    * Scale shape: one hash shuffle on the fingerprint; collect_set
+    * buffers only the distinct provenance values per group (bounded
+    * by source/lang cardinality, not copies).
+    */
+  def provenanceMerge(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+           count(lit(1)).as("n_copies"),
+           array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+           array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy(col("canonical_id"))
+
+  val provenanceMergeOracle: String =
+    """SELECT md5(text) AS fp,
+      |       min(doc_id) AS canonical_id,
+      |       count(*) AS n_copies,
+      |       array_to_string(list_sort(list_distinct(list(source))), ',')
+      |         AS sources,
+      |       array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY canonical_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p34_shingle_novelty"  -> (shingleNovelty _),
+    "p35_incremental_dedup" -> (incrementalDedup _),
+    "p36_provenance_merge" -> (provenanceMerge _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p34_shingle_novelty"  -> shingleNoveltyOracle,
+    "p35_incremental_dedup" -> incrementalDedupOracle,
+    "p36_provenance_merge" -> provenanceMergeOracle,
+  )
+}
