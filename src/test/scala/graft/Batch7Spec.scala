@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Pipeline4, Pipeline5, PipelineQueries, Relational6, Relational7}
+
+/** Semantic identities of the round-2 batches: each distributed
+  * rewrite (salting, envelope prefilter, two-level rank/cumsum,
+  * star-contraction components) must produce EXACTLY the rows of its
+  * naive single-shuffle/single-partition formulation — the rewrites
+  * change the physical shape, never the relation.
+  */
+class Batch7Spec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q52: salt-replicated join equals the plain join") {
+    val salted = Relational6.q52SaltedJoin(spark, dir)
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+             .cast("long")).as("rev_c"),
+           count(lit(1)).as("n"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("q53: envelope-prefiltered join equals the plain filtered join") {
+    val got = Relational6.q53SemiJoinReduction(spark, dir)
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plain = Tables.lineitem(spark, dir)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+             .cast("long")).as("rev_c"),
+           count(lit(1)).as("n"))
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
+  test("q57: two-level rank equals the global-window row_number") {
+    val twoLevel = Relational7.q57GlobalRank(spark, dir)
+      .select(col("doc_id"), col("rn"))
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val naive = Tables.documents(spark, dir)
+      .select(col("doc_id"), row_number().over(w).cast("long").as("rn"))
+    assert(twoLevel.exceptAll(naive).isEmpty && naive.exceptAll(twoLevel).isEmpty)
+  }
+
+  test("p19: sharded token-budget cumsum equals the global-window cumsum") {
+    val twoLevel = PipelineQueries.tokenBudget(spark, dir)
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              graft.functions.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("cum_tokens") <= 3000)
+    assert(twoLevel.exceptAll(naive).isEmpty && naive.exceptAll(twoLevel).isEmpty)
+  }
+
+  test("p33: star-contraction labels equal min-label-propagation labels") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4)
+    val logn = Dedup.dedupClustersLogN(docs, "doc_id", pairs)
+    val prop = Dedup.dedupClusters(docs, "doc_id", pairs)
+    assert(logn.exceptAll(prop).isEmpty && prop.exceptAll(logn).isEmpty)
+  }
+
+  test("q54: every surviving event gap exceeds the debounce threshold") {
+    val out = Relational7.q54Debounce(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val g = r.getLong(3); g == -1L || g > 5000000L
+    })
+  }
+
+  test("p34: novelty counts are consistent and bounded") {
+    val rows = Pipeline5.shingleNovelty(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u, q) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u >= 0 && u <= n)
+      assert(q >= 0 && q <= 1000000L)
+      if (n > 0) assert(q === math.floor(1e6 * u.toDouble / n).toLong)
+    }
+  }
+
+  test("p35: admitted batch has no base fingerprint and no internal dupes") {
+    val docs = Tables.documents(spark, dir)
+    val baseFps = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("fp"))
+    val out = Pipeline5.incrementalDedup(spark, dir)
+    assert(out.join(baseFps, Seq("fp"), "left_semi").isEmpty,
+      "a surviving doc's fingerprint exists in the base snapshot")
+    val fps = out.select("fp").collect().map(_.getString(0))
+    assert(fps.length === fps.distinct.length, "duplicate fp admitted")
+  }
+
+  test("p36: provenance merge partitions the corpus exactly") {
+    val docs = Tables.documents(spark, dir)
+    val merged = Pipeline5.provenanceMerge(spark, dir)
+    val total = docs.count()
+    val copies = merged.agg(sum(col("n_copies"))).head.getLong(0)
+    assert(copies === total, s"n_copies sum $copies != corpus size $total")
+    val canon = merged.select("canonical_id").collect().map(_.getLong(0))
+    assert(canon.length === canon.distinct.length)
+  }
+
+  test("p32: rebalance keeps exactly ceil(n/5) per stratum") {
+    val kept = Pipeline4.mixRebalance(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("k"), max(col("n_strat")).as("n"))
+      .collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val (k, n) = (r.getLong(2), r.getLong(3))
+      assert(k === (n + 4) / 5, s"stratum kept $k of $n")
+    }
+  }
+}
