@@ -38,7 +38,11 @@ object Relational6 {
     val dim = orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-    fact.join(dim,
+    // shuffle_hash hint: the replicated dim must NOT be broadcast (AQE
+    // would happily build a |dim|*S broadcast at small SF, which is both
+    // slow here and impossible at scale — the whole point of salting is
+    // to spread a hash-partitioned join).
+    fact.join(dim.hint("shuffle_hash"),
         fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("n"))

@@ -148,4 +148,31 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Sliding 3-hour window advancing hourly — the streaming echo of
+    * the batch sliding-distinct (Relational7.q58). Uses
+    * approx_count_distinct deliberately: exact sliding distinct would
+    * hold per-user presence per open window (state ∝ users × 3), while
+    * HLL sketches merge across partial aggregates and bound state per
+    * window at sketch size — the scale-correct choice the batch
+    * operator's scaladoc points to.
+    */
+  def slidingUserActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
+           count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+              col("n_users_approx"), col("n_events"))
+
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension, broadcast so the streaming side never shuffles. The
+    * static side is re-planned per batch (so a refreshed dim parquet is
+    * picked up); no streaming state is created — this is the stateless
+    * dimension-lookup stage every event pipeline starts with.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

@@ -168,4 +168,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (3L to 4L).foreach(i => assert(!rows(i)._2, s"stable event $i flagged"))
     } finally q.stop()
   }
+
+  test("sliding 3h/1h windows match the batch sliding aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.slidingUserActivity(ms.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("complete")
+      .start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val got = spark.table("sliding").orderBy($"w_start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(3)))
+      val exp = (batch1 ++ batch2).toDF()
+        .groupBy(window($"ts", "3 hours", "1 hour"))
+        .agg(approx_count_distinct($"user_id").as("u"), count(lit(1)).as("n"))
+        .select($"window.start", $"u", $"n").orderBy($"start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === exp.toSeq)
+      // every event covers exactly 3 sliding windows
+      assert(got.map(_._3).sum === 3L * (batch1.size + batch2.size))
+    } finally q.stop()
+  }
+
+  test("stream-static enrich joins the dim without streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.enrichWithDim(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"event_id", $"tier").orderBy($"event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((0L, "gold"), (1L, "basic"), (2L, "gold")))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty, "unexpected streaming state")
+    } finally q.stop()
+  }
 }
