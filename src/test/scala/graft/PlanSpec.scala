@@ -50,4 +50,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("q44_zorder")
     assert(!p.contains("Exchange hashpartitioning"), "unexpected hash shuffle")
   }
+
+  test("q52: salted join stays a shuffled hash join (replicated dim never broadcast)") {
+    val p = plan("q52_salted_join")
+    assert(p.contains("ShuffledHashJoin"), "salted join lost its shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"),
+      "AQE broadcast the S-times-replicated dim — salting is then a no-op " +
+      "locally and impossible at scale")
+  }
+
+  test("p30: the benchmark shingle index broadcasts (corpus side never shuffles to the join)") {
+    val p = plan("p30_contamination")
+    assert(p.contains("BroadcastHashJoin"), "bench index should broadcast")
+  }
 }
