@@ -294,11 +294,19 @@ object Dedup {
       val s = sym(edges)
       val mLarge = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u").as("lu"), least(col("mn"), col("u")).as("m"))
-      val afterLarge = canon(
+      // Large-star output keeps duplicates (they are harmless to the
+      // small-star groupBy-min and join, and the round-final distinct
+      // removes them) — skipping the mid-round distinct saves one
+      // shuffle per round. It IS checkpointed: the subtree feeds the
+      // small-star twice and recomputing it measured slower than the
+      // materialization.
+      val afterLarge =
         s.filter(col("v") > col("u"))
           .join(mLarge, col("u") === col("lu"))
-          .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint()
+          .filter(col("v") =!= col("m"))
+          .select(least(col("v"), col("m")).as("u"),
+                  greatest(col("v"), col("m")).as("v"))
+          .localCheckpoint()
       val smaller = sym(afterLarge).filter(col("v") < col("u"))
       val mSmall = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
       val afterSmall = canon(

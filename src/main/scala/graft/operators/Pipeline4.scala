@@ -44,6 +44,12 @@ object Pipeline4 {
     */
   def qualityRepetition(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // Two lean explode branches joined on doc_id. The "obvious" fusion
+    // (one tagged struct explode + conditional-agg pivot, saving a scan
+    // and two shuffles) measured ~50% SLOWER at sf0.1: the per-term
+    // struct allocation and the wider shuffle rows cost more than the
+    // extra narrow branch — same finding as the rejected single-pass
+    // n-gram Jaccard variant.
     val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
     val ws = wc.groupBy(col("doc_id"))
