@@ -132,15 +132,52 @@ object Pipeline5 {
       |GROUP BY md5(text)
       |ORDER BY canonical_id""".stripMargin
 
+  /** Corpus-health report: per source, how much of its content is
+    * duplicated elsewhere in the corpus — doc counts, docs whose exact
+    * fingerprint occurs more than once corpus-wide, and the
+    * floor-quantized duplication rate. This is the dashboard number
+    * that decides which crawl/source gets dedup attention first.
+    *
+    * Scale shape: one hash shuffle on the fingerprint (window count —
+    * keyed, parallel), one on the source for the roll-up. No joins.
+    */
+  def dupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val byFp = Window.partitionBy(md5(col("text")))
+    documents(s, d)
+      .withColumn("copies", count(lit(1)).over(byFp))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        floor(lit(1e6) * col("n_dup_docs").cast("double") / col("n_docs"))
+          .as("dup_rate_q"))
+      .orderBy(col("source"))
+  }
+
+  val dupRateBySourceOracle: String =
+    """WITH c AS (
+      |  SELECT source,
+      |         count(*) OVER (PARTITION BY md5(text)) AS copies
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_docs,
+      |       CAST(floor(1e6 * CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |                             AS DOUBLE) / count(*)) AS BIGINT)
+      |         AS dup_rate_q
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
+    "p37_dup_rate_by_source" -> (dupRateBySource _),
   )
 
   val oracles: Map[String, String] = Map(
     "p34_shingle_novelty"  -> shingleNoveltyOracle,
     "p35_incremental_dedup" -> incrementalDedupOracle,
     "p36_provenance_merge" -> provenanceMergeOracle,
+    "p37_dup_rate_by_source" -> dupRateBySourceOracle,
   )
 }

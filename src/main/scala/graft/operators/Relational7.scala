@@ -197,12 +197,40 @@ object Relational7 {
       |SELECT eh, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM x GROUP BY eh ORDER BY eh""".stripMargin
 
+  /** Batched multi-needle substring search — the scale form of the
+    * reference's one-password-per-connection existence query
+    * (`/root/reference/client.go:61`, `slave.go:85`): N probes share
+    * ONE corpus scan instead of N scans. The needle set broadcasts
+    * (probe lists are tiny by nature); the corpus side streams map-only
+    * through a BroadcastNestedLoopJoin whose per-row work is k
+    * substring tests — O(n·k) with n scanned once, exactly what the
+    * reference's master would do if its protocol could batch.
+    */
+  def q59MultiNeedle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val needles = Seq("merge batch", "window scan", "sort table")
+      .toDF("needle")
+    documents(s, d)
+      .join(broadcast(needles), col("text").contains(col("needle")))
+      .select(col("doc_id"), col("needle"))
+      .orderBy(col("doc_id"), col("needle"))
+  }
+
+  val q59Oracle: String =
+    """SELECT doc_id, needle
+      |FROM documents
+      |JOIN (VALUES ('merge batch'), ('window scan'), ('sort table'))
+      |  AS n(needle)
+      |  ON contains(text, needle)
+      |ORDER BY doc_id, needle""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_debounce"         -> (q54Debounce _),
     "q55_moments"          -> (q55Moments _),
     "q56_division"         -> (q56Division _),
     "q57_global_rank"      -> (q57GlobalRank _),
     "q58_sliding_distinct" -> (q58SlidingDistinct _),
+    "q59_multi_needle"     -> (q59MultiNeedle _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +239,6 @@ object Relational7 {
     "q56_division"         -> q56Oracle,
     "q57_global_rank"      -> q57Oracle,
     "q58_sliding_distinct" -> q58Oracle,
+    "q59_multi_needle"     -> q59Oracle,
   )
 }
