@@ -44,6 +44,40 @@ object Engine {
     Dedup.simhashPairs(docs, id, text, maxHamming)
   def dedupClusters(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     Dedup.dedupClusters(docs, id, pairs)
+  /** O(log n)-round cluster resolution — use when near-dup chains can
+    * be long (crawl mirrors, boilerplate gradients). */
+  def dedupClustersLogN(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    Dedup.dedupClustersLogN(docs, id, pairs)
+
+  /** Incremental corpus refresh: rows of `incoming` whose exact text
+    * fingerprint is absent from `base`, deduplicated within the batch
+    * (lowest id wins). The anti-join shape of Pipeline5
+    * .incrementalDedup, parameterized over arbitrary frames.
+    */
+  def admitNew(base: DataFrame, incoming: DataFrame,
+               id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val baseFps = base.select(md5(col(text)).as("fp")).distinct()
+    val w = Window.partitionBy(col("fp")).orderBy(col(id))
+    incoming.withColumn("fp", md5(col(text)))
+      .join(baseFps, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "fp")
+  }
+
+  /** Batched multi-needle substring search over any text column — N
+    * probes share one corpus scan (broadcast needles); the generalized
+    * form of the reference's one-password existence query.
+    */
+  def searchAll(corpus: DataFrame, textCol: String,
+                needles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpus.join(broadcast(needles.toDF("needle")),
+                col(textCol).contains(col("needle")))
+  }
 
   // ---- similarity search ----
 

@@ -11,7 +11,10 @@ trait SparkTestBase {
 
 object SparkTestBase {
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    // local[4, 2]: 4 task slots, 2 task attempts — retries on, so
+    // FailureRecoverySpec can prove lineage recompute (the intentional
+    // divergence from the reference's lossy failure handling, SURVEY Q6).
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
