@@ -53,12 +53,20 @@ object Engine {
     * fingerprint is absent from `base`, deduplicated within the batch
     * (lowest id wins). The anti-join shape of Pipeline5
     * .incrementalDedup, parameterized over arbitrary frames.
+    *
+    * If `base` already carries a precomputed `fp` column it is used
+    * as-is — so a base stored bucketed by `fp` (sources.Bucketed)
+    * keeps its layout visible to the planner and the whole refresh
+    * shuffles ONLY the incoming batch (BucketingSpec proves it). At
+    * 100 TB that is the difference between re-shuffling the corpus
+    * per refresh and a map-side admit.
     */
   def admitNew(base: DataFrame, incoming: DataFrame,
                id: String, text: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val baseFps = base.select(md5(col(text)).as("fp")).distinct()
+    val baseFps = (if (base.columns.contains("fp")) base.select(col("fp"))
+                   else base.select(md5(col(text)).as("fp"))).distinct()
     val w = Window.partitionBy(col("fp")).orderBy(col(id))
     incoming.withColumn("fp", md5(col(text)))
       .join(baseFps, Seq("fp"), "left_anti")

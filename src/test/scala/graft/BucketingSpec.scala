@@ -46,4 +46,35 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_agg")
     }
   }
+
+  test("incremental admit against a fingerprint-bucketed base shuffles only the batch") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("fp", md5(col("text")))
+    Bucketed.writeBucketed(base, "graft_base_fp", "fp", 8)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val admitted = Engine.admitNew(
+        spark.table("graft_base_fp"), incoming, "doc_id", "text")
+      // same rows as the self-contained operator on the raw frames
+      val expect = graft.operators.Pipeline5.incrementalDedup(spark, dir)
+        .select("doc_id")
+      assert(admitted.select("doc_id").exceptAll(expect).isEmpty &&
+             expect.exceptAll(admitted.select("doc_id")).isEmpty)
+      // only the incoming batch crosses the wire: the bucketed base
+      // side plans with NO exchange, so the whole refresh has exactly
+      // one (the incoming side's hash shuffle, reused by the window).
+      // String-count, not TreeNode.collect: AQE wraps the tree in
+      // AdaptiveSparkPlanExec, which collect does not descend into.
+      val planStr = admitted.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(planStr).size
+      assert(shuffles === 1,
+        s"expected 1 exchange (incoming only), got $shuffles:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS graft_base_fp")
+    }
+  }
 }
