@@ -167,11 +167,39 @@ object Pipeline5 {
       |         AS dup_rate_q
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Overlapping chunking: split every document into fixed-width
+    * character windows (width 100, stride 80 → 20-char overlap) with
+    * explicit offsets — the context-window preprocessing every
+    * RAG / training pipeline runs before embedding or packing. Chunk
+    * boundaries are pure integer arithmetic on n_chars; the text slice
+    * is a substring, so the op is one map-side explode — no shuffle at
+    * all until the output sort, and none in production where chunks
+    * stream straight into the embedder.
+    */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        explode(sequence(lit(0L), expr("(n_chars - 1) DIV 80"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * 80).as("start"),
+        expr("substring(text, CAST(chunk_idx * 80 + 1 AS INT), 100)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkOverlapOracle: String =
+    """SELECT doc_id, i AS chunk_idx, i * 80 AS start,
+      |       substr(text, CAST(i * 80 + 1 AS INTEGER), 100) AS chunk,
+      |       CAST(length(substr(text, CAST(i * 80 + 1 AS INTEGER), 100))
+      |            AS INTEGER) AS chunk_len
+      |FROM documents, unnest(range(0, (n_chars - 1) // 80 + 1)) AS t(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
     "p37_dup_rate_by_source" -> (dupRateBySource _),
+    "p38_chunk_overlap"    -> (chunkOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,5 +207,6 @@ object Pipeline5 {
     "p35_incremental_dedup" -> incrementalDedupOracle,
     "p36_provenance_merge" -> provenanceMergeOracle,
     "p37_dup_rate_by_source" -> dupRateBySourceOracle,
+    "p38_chunk_overlap"    -> chunkOverlapOracle,
   )
 }
