@@ -110,6 +110,56 @@ class Batch7Spec extends AnyFunSuite with SparkTestBase {
     assert(canon.length === canon.distinct.length)
   }
 
+  test("p38: chunks reassemble to the original document exactly") {
+    // stride 80 / width 100: the non-overlapping prefix (80 chars) of
+    // every chunk except the last, plus the full last chunk, must
+    // concatenate back to the document byte-for-byte.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Pipeline5.chunkOverlap(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.size === docs.size)
+    chunks.foreach { case (id, rows) =>
+      val ordered = rows.sortBy(_.getLong(1)).map(_.getString(3))
+      val rebuilt = ordered.dropRight(1).map(_.take(80)).mkString + ordered.last
+      assert(rebuilt === docs(id), s"doc $id did not reassemble")
+    }
+  }
+
+  test("q55: moments satisfy variance >= 0 and Pearson kurtosis bound") {
+    val rows = Relational7.q55Moments(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("variance"))
+      val sk = r.getDouble(r.fieldIndex("skew"))
+      val ku = r.getDouble(r.fieldIndex("kurt"))
+      assert(v >= 0.0, s"negative variance $v")
+      // for any distribution: kurtosis >= skewness^2 + 1
+      assert(ku >= sk * sk + 1.0 - 1e-9, s"kurt $ku < skew^2+1 (${sk * sk + 1})")
+    }
+  }
+
+  test("q56: division returns exactly the customers covering every priority") {
+    val o = Tables.orders(spark, dir)
+    val total = o.select(col("o_orderpriority")).distinct().count()
+    val direct = o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("k"))
+      .filter(col("k") === total).select(col("o_custkey"))
+    val got = Relational7.q56Division(spark, dir).select(col("o_custkey"))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+  }
+
+  test("q58: every trailing-3h window dominates its own hour's distinct count") {
+    val perHour = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) DIV 3600000000").as("eh"), col("user_id"))
+      .groupBy(col("eh")).agg(countDistinct(col("user_id")).as("u1"))
+    val windows = Relational7.q58SlidingDistinct(spark, dir)
+    val viol = windows.join(perHour, Seq("eh"))
+      .filter(col("n_users") < col("u1"))
+    assert(viol.isEmpty, "a 3h window counted fewer users than its last hour alone")
+  }
+
   test("p32: rebalance keeps exactly ceil(n/5) per stratum") {
     val kept = Pipeline4.mixRebalance(spark, dir)
       .groupBy(col("lang"), col("source"))
