@@ -208,4 +208,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         q.lastProgress.stateOperators.isEmpty, "unexpected streaming state")
     } finally q.stop()
   }
+
+  test("aggregation state survives a query restart via the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[Event]
+    def start(name: String) = StreamingOps.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start("ckpt_run1")
+    try { ms.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart: the new query never sees batch1's rows (offsets are
+    // committed), yet its output must still include them — the window
+    // state comes back from the state store, not from reprocessing.
+    val q2 = start("ckpt_run2")
+    try {
+      ms.addData(batch2); q2.processAllAvailable()
+      val got = spark.table("ckpt_run2")
+        .orderBy($"hr", $"event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val exp = (batch1 ++ batch2).toDF()
+        .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"hr", $"event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq === exp.toSeq,
+        "restarted query lost pre-restart aggregation state")
+    } finally q2.stop()
+  }
 }
