@@ -27,6 +27,19 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
       === df.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq)
   }
 
+  test("orc round-trip with predicate pushdown") {
+    val dir = Files.createTempDirectory("fmt_orc").toString + "/out"
+    df.write.orc(dir)
+    val back = spark.read.orc(dir).orderBy($"id")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === df.orderBy($"id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq)
+    // filters reach the ORC scan just like parquet
+    val plan = spark.read.orc(dir).filter($"id" > 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      "no pushed filter on ORC scan")
+  }
+
   test("json lines round-trip") {
     val dir = Files.createTempDirectory("fmt_json").toString + "/out"
     df.write.json(dir)
