@@ -74,6 +74,40 @@ object Engine {
       .filter(col("rn") === 1).drop("rn", "fp")
   }
 
+  /** Generic as-of join: for every left row, the LATEST right row of
+    * the same key with right ts <= left ts, as a nullable `asof`
+    * struct (left-outer semantics — no match leaves it null). The
+    * union + last(ignoreNulls) running-window shape of q32: ONE hash
+    * shuffle on the key and a per-key merge-scan — never the
+    * nested-loop a raw inequality join would plan, which is the
+    * difference between feasible and not at event-log scale. Ties
+    * (equal timestamps) match, like `ON l.ts >= r.ts`.
+    */
+  def asofJoin(lhs: DataFrame, rhs: DataFrame,
+               key: String, ts: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+    val lType = StructType(lhs.schema.fields)
+    val rType = StructType(rhs.schema.fields.filterNot(_.name == key))
+    val lSide = lhs.select(col(key), col(ts).as("__ts"),
+      struct(lhs.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"), lit(0).as("__is_r"))
+    val rSide = rhs.select(col(key), col(ts).as("__ts"),
+      lit(null).cast(lType).as("__l"),
+      struct(rhs.columns.filterNot(_ == key).map(col): _*).as("__r"),
+      lit(1).as("__is_r"))
+    // right rows sort before left at equal ts so ties are visible
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("__m", last(when(col("__is_r") === 1, col("__r")),
+        ignoreNulls = true).over(w))
+      .filter(col("__is_r") === 0)
+      .select(col("__l.*"), col("__m").as("asof"))
+  }
+
   /** Batched multi-needle substring search over any text column — N
     * probes share one corpus scan (broadcast needles); the generalized
     * form of the reference's one-password existence query.

@@ -160,6 +160,21 @@ class Batch7Spec extends AnyFunSuite with SparkTestBase {
     assert(viol.isEmpty, "a 3h window counted fewer users than its last hour alone")
   }
 
+  test("Engine.asofJoin reproduces the q32 as-of join rows") {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val got = Engine.asofJoin(clicks, purchases, "user_id", "ts")
+      .filter(col("asof").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("asof.ts").as("purchase_ts"),
+              col("asof.value").as("purchase_value"))
+    val expect = graft.operators.Relational3.q32AsofJoin(spark, dir)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("p32: rebalance keeps exactly ceil(n/5) per stratum") {
     val kept = Pipeline4.mixRebalance(spark, dir)
       .groupBy(col("lang"), col("source"))
