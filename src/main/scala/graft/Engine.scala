@@ -74,6 +74,21 @@ object Engine {
       .filter(col("rn") === 1).drop("rn", "fp")
   }
 
+  /** Global row_number over (shardCol, tieCols...) with no global
+    * sort — TwoLevel's parallel two-level scheme. shardCol must be
+    * non-negative integral.
+    */
+  def globalRank(df: DataFrame, shardCol: String, tieCols: Seq[String],
+                 outCol: String): DataFrame =
+    operators.TwoLevel.withGlobalRank(df, shardCol, tieCols, outCol)
+
+  /** Global running sum of `valueCol` over (shardCol, tieCols...) with
+    * no global sort — TwoLevel's parallel two-level scheme.
+    */
+  def globalCumsum(df: DataFrame, shardCol: String, tieCols: Seq[String],
+                   valueCol: String, outCol: String): DataFrame =
+    operators.TwoLevel.withGlobalCumsum(df, shardCol, tieCols, valueCol, outCol)
+
   /** Generic as-of join: for every left row, the LATEST right row of
     * the same key with right ts <= left ts, as a nullable `asof`
     * struct (left-outer semantics — no match leaves it null). The

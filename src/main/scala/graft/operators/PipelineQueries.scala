@@ -436,37 +436,16 @@ object PipelineQueries {
 
   /** Token-budget packing: take documents in a deterministic order
     * until a token budget is filled (the training-mix assembly step).
-    *
-    * The global cumulative sum over doc_id order is computed two-level
-    * so no stage ever sees all rows in one partition: shard =
-    * doc_id DIV W with W derived from max(doc_id) (so the shard key is
-    * monotone in the ordering and the shard count stays ~96 at any
-    * corpus size), a per-shard window cumsum that parallelizes across
-    * shards, and a broadcast shard-offset table whose own window runs
-    * over <= 97 rows — data-size independent. Output is identical to
-    * the naive single-partition `Window.orderBy(doc_id)` formulation
-    * (the oracle below IS that formulation).
+    * The global running sum over doc_id order goes through
+    * TwoLevel.withGlobalCumsum — parallel per-shard windows plus a
+    * broadcast offset table, no single-partition stage anywhere.
+    * Output is identical to the naive `Window.orderBy(doc_id)`
+    * formulation (the oracle below IS that formulation).
     */
   def tokenBudget(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = documents(s, d)
       .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
-    val width = base.agg((expr("max(doc_id) DIV 96") + 1).as("w"))
-    val sharded = base.crossJoin(broadcast(width))
-      .withColumn("shard", expr("doc_id DIV w")).drop("w")
-    val inShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prior = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = sharded.withColumn("cum_in_shard",
-      sum(col("n_tokens").cast("long")).over(inShard))
-    val offsets = local.groupBy(col("shard"))
-      .agg(sum(col("n_tokens").cast("long")).as("shard_tokens"))
-      .withColumn("shard_offset",
-        coalesce(sum(col("shard_tokens")).over(prior), lit(0L)))
-      .select(col("shard"), col("shard_offset"))
-    local.join(broadcast(offsets), "shard")
-      .withColumn("cum_tokens", col("shard_offset") + col("cum_in_shard"))
+    TwoLevel.withGlobalCumsum(base, "doc_id", Nil, "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= 3000)
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))

@@ -125,35 +125,19 @@ object Relational7 {
       |       (SELECT count(DISTINCT o_orderpriority) FROM orders)
       |ORDER BY o_custkey""".stripMargin
 
-  /** Global rank + decile WITHOUT a global single-partition sort: the
-    * same two-level scheme as the token-budget cumsum — a shard key
-    * monotone in the sort order (n_chars DIV W, W sized off
-    * max(n_chars) so the shard count stays ~96 at any corpus size),
-    * per-shard row_number windows that parallelize, and a broadcast
-    * shard-offset table (counts, not tokens) whose own window is
-    * shard-count-sized. Equal sort keys can never straddle shards, so
-    * offset + local rank IS the global row_number over
-    * (n_chars, doc_id). The decile is derived arithmetically from the
-    * rank and the broadcast total — not ntile(), whose remainder rule
-    * would need the same machinery for no added value.
+  /** Global rank + decile WITHOUT a global single-partition sort, via
+    * TwoLevel.withGlobalRank (shard key monotone in the sort order,
+    * parallel per-shard windows, broadcast shard-offset table — see
+    * that scaladoc for the full argument). The decile is derived
+    * arithmetically from the rank and the broadcast total — not
+    * ntile(), whose remainder rule would need the same machinery for
+    * no added value.
     */
   def q57GlobalRank(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("n_chars"))
-    val stats = base.agg((expr("max(n_chars) DIV 96") + 1).as("w"),
-                         count(lit(1)).as("n_total"))
-    val sharded = base.crossJoin(broadcast(stats))
-      .withColumn("shard", expr("n_chars DIV w")).drop("w")
-    val inShard = Window.partitionBy(col("shard"))
-      .orderBy(col("n_chars"), col("doc_id"))
-    val prior = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = sharded.withColumn("rn_local", row_number().over(inShard))
-    val offsets = local.groupBy(col("shard"))
-      .agg(count(lit(1)).as("shard_n"))
-      .withColumn("off", coalesce(sum(col("shard_n")).over(prior), lit(0L)))
-      .select(col("shard"), col("off"))
-    local.join(broadcast(offsets), "shard")
-      .withColumn("rn", col("off") + col("rn_local"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    TwoLevel.withGlobalRank(base, "n_chars", Seq("doc_id"), "rn")
+      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_chars"), col("rn"),
               (expr("((rn - 1) * 10) DIV n_total") + 1).as("decile"))
       .orderBy(col("doc_id"))
