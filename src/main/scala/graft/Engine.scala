@@ -123,6 +123,32 @@ object Engine {
       .select(col("__l.*"), col("__m").as("asof"))
   }
 
+  /** Generic lookback range join: every (lhs, rhs) pair of the same
+    * key with rhs ts strictly inside (lhs ts - lookback, lhs ts). The
+    * interval predicate is turned into an equi-join on (key, bucket)
+    * with bucket width = the lookback (each lhs row probes its own and
+    * the previous bucket — an interval never spans more), and the
+    * precise filter runs post-join; q33's shape, generalized. Shuffle
+    * is O(|lhs|·2 + |rhs|), never the nested loop a raw inequality
+    * join plans. rhs payload arrives as a `matched` struct.
+    */
+  def rangeJoin(lhs: DataFrame, rhs: DataFrame, key: String,
+                lhsTs: String, rhsTs: String, lookbackSec: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val bkt = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / lookbackSec)
+    val r = rhs.select(col(key),
+      struct(rhs.columns.filterNot(_ == key).map(col): _*).as("matched"),
+      bkt(col(rhsTs)).as("__b"), col(rhsTs).as("__rts"))
+    lhs.withColumn("__b",
+        explode(array(bkt(col(lhsTs)) - 1, bkt(col(lhsTs)))))
+      .join(r, Seq(key, "__b"))
+      .filter(col("__rts") > col(lhsTs) - expr(s"INTERVAL $lookbackSec SECONDS") &&
+              col("__rts") < col(lhsTs))
+      .drop("__b", "__rts")
+  }
+
   /** Batched multi-needle substring search over any text column — N
     * probes share one corpus scan (broadcast needles); the generalized
     * form of the reference's one-password existence query.

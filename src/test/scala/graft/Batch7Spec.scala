@@ -175,6 +175,20 @@ class Batch7Spec extends AnyFunSuite with SparkTestBase {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("Engine.rangeJoin reproduces the q33 lookback counts") {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val pairs = Engine.rangeJoin(clicks,
+      ev.select(col("user_id"), col("ts")), "user_id", "ts", "ts", 600L)
+    val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    val got = clicks.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              coalesce(col("n"), lit(0L)).as("n_prev_10m"))
+    val expect = graft.operators.Relational3.q33RangeJoin(spark, dir)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("p32: rebalance keeps exactly ceil(n/5) per stratum") {
     val kept = Pipeline4.mixRebalance(spark, dir)
       .groupBy(col("lang"), col("source"))
