@@ -123,6 +123,47 @@ object Engine {
       .select(col("__l.*"), col("__m").as("asof"))
   }
 
+  /** Bloom prefilter: drop fact rows whose join key CANNOT be in
+    * `keys` before the join shuffle — the hash-shaped complement of
+    * q53's min/max envelope (which needs clustered keys; a bloom works
+    * for any key distribution). No false negatives, so
+    * prefilter-then-join equals the plain join exactly; false
+    * positives only cost pass-through rows the join drops anyway.
+    *
+    * Build is distributed: k bit positions per key, bit_or-aggregated
+    * into 64-bit words (one shuffle of |keys|·k longs, output
+    * bits/64 rows). The word table is then embedded as a LITERAL
+    * array in the probe predicate, so the fact side filters map-side
+    * inside whole-stage codegen — no join, no broadcast variable. At
+    * a billion distinct keys, size `bits` accordingly (or probe via a
+    * broadcast join on word index instead of a literal).
+    */
+  def bloomPrefilter(fact: DataFrame, factKey: String,
+                     keys: DataFrame, keyCol: String,
+                     bits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    val posOf = (c: org.apache.spark.sql.Column, i: Int) =>
+      pmod(xxhash64(lit(i), c), lit(bits.toLong))
+    val words = keys.select(
+        explode(array((0 until k).map(i => posOf(col(keyCol), i)): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("idx"),
+              call_function("shiftleft", lit(1L),
+                (col("pos") % 64).cast("int")).as("bit"))
+      .groupBy(col("idx")).agg(bit_or(col("bit")).as("word"))
+      .collect().foldLeft(new Array[Long](bits / 64)) { (arr, r) =>
+        arr(r.getInt(0)) = r.getLong(1); arr
+      }
+    val bloom = lit(words)
+    val mightContain = (0 until k).map { i =>
+      val pos = posOf(col(factKey), i)
+      element_at(bloom, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (pos % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    fact.filter(mightContain)
+  }
+
   /** Generic lookback range join: every (lhs, rhs) pair of the same
     * key with rhs ts strictly inside (lhs ts - lookback, lhs ts). The
     * interval predicate is turned into an equi-join on (key, bucket)

@@ -189,6 +189,25 @@ class Batch7Spec extends AnyFunSuite with SparkTestBase {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("Engine.bloomPrefilter: no false negatives, real reduction, join-identical") {
+    val li = Tables.lineitem(spark, dir)
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pre = Engine.bloomPrefilter(li, "l_orderkey", dim, "o_orderkey")
+    // superset of true matches (no false negatives)
+    val trueMatches = li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(trueMatches.exceptAll(pre).isEmpty,
+      "bloom dropped a fact row whose key IS in the dim (false negative)")
+    // selective enough to matter
+    val (nFact, nPre) = (li.count(), pre.count())
+    assert(nPre < nFact, s"no reduction: $nPre of $nFact")
+    // prefilter-then-join equals the plain join
+    val plain = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val reduced = pre.join(dim, col("l_orderkey") === col("o_orderkey"))
+    assert(reduced.exceptAll(plain).isEmpty && plain.exceptAll(reduced).isEmpty)
+  }
+
   test("p32: rebalance keeps exactly ceil(n/5) per stratum") {
     val kept = Pipeline4.mixRebalance(spark, dir)
       .groupBy(col("lang"), col("source"))
