@@ -111,4 +111,45 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(got - exp) < 1e-9)
     }
   }
+
+  private val longRows = Gen.choose(1, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 9L))))
+
+  test("TwoLevel global rank/cumsum equal the naive global window on arbitrary data") {
+    import org.apache.spark.sql.expressions.Window
+    forAll(longRows) { rows =>
+      // unique tie-break id per row; shard key deliberately collides
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val rk = operators.TwoLevel.withGlobalRank(df, "k", Seq("id"), "rn")
+        .select(col("id"), col("rn"))
+      val rkNaive = df.select(col("id"),
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long").as("rn"))
+      assert(rk.exceptAll(rkNaive).isEmpty && rkNaive.exceptAll(rk).isEmpty)
+      val cs = operators.TwoLevel
+        .withGlobalCumsum(df, "k", Seq("id"), "v", "cum")
+        .select(col("id"), col("cum"))
+      val w = Window.orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val csNaive = df.select(col("id"), sum(col("v")).over(w).as("cum"))
+      assert(cs.exceptAll(csNaive).isEmpty && csNaive.exceptAll(cs).isEmpty)
+    }
+  }
+
+  test("bloomPrefilter: never a false negative on arbitrary key sets") {
+    forAll(longRows) { rows =>
+      val fact = rows.zipWithIndex
+        .map { case ((k, _), i) => (i.toLong, k) }.toDF("id", "key")
+      val dim = rows.map(_._1).distinct.filter(_ % 3 == 0).toDF("key")
+      if (dim.head(1).nonEmpty) {
+        val pre = Engine.bloomPrefilter(fact, "key", dim, "key", bits = 1 << 12)
+          .select(col("id"), col("key"))
+        val trueMatch = fact.join(dim, Seq("key"), "left_semi")
+          .select(col("id"), col("key"))
+        assert(trueMatch.exceptAll(pre).isEmpty,
+          "bloom dropped a row whose key is present")
+      }
+    }
+  }
 }
