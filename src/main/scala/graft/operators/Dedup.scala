@@ -64,13 +64,22 @@ object Dedup {
     * Scale shape: inverted-index self-join — only documents sharing at
     * least one shingle ever meet, so the candidate set is sparse, not
     * O(n²). Hazard: ultra-frequent shingles ("stop shingles") create
-    * quadratic hot keys; at corpus scale drop shingles with document
-    * frequency above a cap before the join (one extra groupBy), which
-    * only removes candidates that share boilerplate. AQE skew-join
-    * handles residual imbalance.
+    * quadratic hot keys; the `maxDf` cap drops them at the bucket
+    * filter (no extra pass), which only removes candidates that share
+    * boilerplate. AQE skew-join handles residual imbalance.
+    */
+  /** @param maxDf document-frequency cap: shingles shared by more than
+    *   this many docs are dropped BEFORE pair expansion (bounds the
+    *   worst bucket at maxDf²/2 pairs). Default unbounded. Capping is
+    *   the standard recall/precision trade at corpus scale: removed
+    *   shingles are boilerplate, but their absence from the
+    *   intersection count can only LOWER a pair's computed Jaccard, so
+    *   the capped pair set is a subset of the uncapped one (pinned by
+    *   DedupSpec).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     // Three shape decisions, all shuffle-minimizing:
     //  1. Per-doc shingle counts come from a map-only projection
     //     (size of the shingle array) — no aggregation branch.
@@ -104,7 +113,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
       .groupBy(col("ngram"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
       .select(explode(unorderedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("d1"), col("p.b").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -183,12 +192,18 @@ object Dedup {
     * corpus scale cap bucket width (slice the id list) or pre-sample
     * known boilerplate, and keep exact-dedup upstream of near-dedup.
     */
+  /** @param maxBucket LSH bucket-width cap: buckets wider than this are
+    *   dropped before pair expansion (a bucket of a million mirror
+    *   copies would otherwise emit 5·10¹¹ pairs on one task). Default
+    *   unbounded; capped candidates are a subset of the uncapped set.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                      n: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val b = minhashBands(minhash(docs, idCol, textCol, n, numHashes), numHashes, bands)
     b.groupBy(col("band"), col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(unorderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("d1"), col("p.b").as("d2"))
       .distinct()

@@ -84,4 +84,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(1)).toSeq
     assert(a === b)
   }
+
+  test("maxDf / maxBucket caps only SHRINK the candidate pair sets") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacAll = pairSet(
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.1))
+    val jacCap = pairSet(
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.1,
+        maxDf = 3))
+    assert(jacCap.subsetOf(jacAll), "capped Jaccard pairs are not a subset")
+    val lshAll = pairSet(Dedup.minhashLshPairs(corpus, "doc_id", "text"))
+    val lshCap = pairSet(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      maxBucket = 2))
+    assert(lshCap.subsetOf(lshAll), "capped LSH candidates are not a subset")
+    assert(lshCap.size < lshAll.size || lshAll.isEmpty,
+      "cap of 2 should bite on a corpus with wider buckets")
+  }
 }
