@@ -106,11 +106,11 @@ object Engine {
     val lType = StructType(lhs.schema.fields)
     val rType = StructType(rhs.schema.fields.filterNot(_.name == key))
     val lSide = lhs.select(col(key), col(ts).as("__ts"),
-      struct(lhs.columns.map(col): _*).as("__l"),
+      struct(lhs.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"), lit(0).as("__is_r"))
     val rSide = rhs.select(col(key), col(ts).as("__ts"),
       lit(null).cast(lType).as("__l"),
-      struct(rhs.columns.filterNot(_ == key).map(col): _*).as("__r"),
+      struct(rhs.columns.toIndexedSeq.filterNot(_ == key).map(col): _*).as("__r"),
       lit(1).as("__is_r"))
     // right rows sort before left at equal ts so ties are visible
     val w = Window.partitionBy(col(key))
@@ -180,7 +180,7 @@ object Engine {
     val bkt = (c: org.apache.spark.sql.Column) =>
       floor(unix_timestamp(c) / lookbackSec)
     val r = rhs.select(col(key),
-      struct(rhs.columns.filterNot(_ == key).map(col): _*).as("matched"),
+      struct(rhs.columns.toIndexedSeq.filterNot(_ == key).map(col): _*).as("matched"),
       bkt(col(rhsTs)).as("__b"), col(rhsTs).as("__rts"))
     lhs.withColumn("__b",
         explode(array(bkt(col(lhsTs)) - 1, bkt(col(lhsTs)))))

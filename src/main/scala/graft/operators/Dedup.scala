@@ -67,8 +67,8 @@ object Dedup {
     * quadratic hot keys; the `maxDf` cap drops them at the bucket
     * filter (no extra pass), which only removes candidates that share
     * boilerplate. AQE skew-join handles residual imbalance.
-    */
-  /** @param maxDf document-frequency cap: shingles shared by more than
+    *
+    * @param maxDf document-frequency cap: shingles shared by more than
     *   this many docs are dropped BEFORE pair expansion (bounds the
     *   worst bucket at maxDf²/2 pairs). Default unbounded. Capping is
     *   the standard recall/precision trade at corpus scale: removed
@@ -297,7 +297,7 @@ object Dedup {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))

@@ -110,8 +110,9 @@ object Similarity {
       .map { case Row(id: Int, e: scala.collection.Seq[_]) =>
         (id, e.asInstanceOf[scala.collection.Seq[Float]].toSeq) }
       .sortBy(_._1)
-    def cellScores(emb: Column): Column = array(cents.map { case (cid, ce) =>
-      struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
+    def cellScores(emb: Column): Column = array(cents.toIndexedSeq.map {
+      case (cid, ce) =>
+        struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
 
     val assigned = corpus
