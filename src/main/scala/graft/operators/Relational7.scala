@@ -208,6 +208,39 @@ object Relational7 {
       |  ON contains(text, needle)
       |ORDER BY doc_id, needle""".stripMargin
 
+  /** Bloom-prefiltered dim join — the hash-shaped semi-join reduction
+    * (q53 is the min/max-envelope form, which needs clustered keys;
+    * the bloom works for any key distribution). The prefilter is a
+    * sound superset, so the oracle is the PLAIN join: what is being
+    * exercised is that fact rows outside the dim's key set never enter
+    * the join shuffle, not new semantics.
+    */
+  def q60BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d)
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = graft.Engine.bloomPrefilter(
+      lineitem(s, d).select(
+        col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c")),
+      "l_orderkey", dim.select(col("o_orderkey")), "o_orderkey",
+      bits = 1 << 18)
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("n"))
+      .orderBy(col("yr"))
+  }
+
+  val q60Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+      |   AS BIGINT) AS rev_c,
+      | count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '2-HIGH'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_debounce"         -> (q54Debounce _),
     "q55_moments"          -> (q55Moments _),
@@ -215,6 +248,7 @@ object Relational7 {
     "q57_global_rank"      -> (q57GlobalRank _),
     "q58_sliding_distinct" -> (q58SlidingDistinct _),
     "q59_multi_needle"     -> (q59MultiNeedle _),
+    "q60_bloom_join"       -> (q60BloomJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +258,6 @@ object Relational7 {
     "q57_global_rank"      -> q57Oracle,
     "q58_sliding_distinct" -> q58Oracle,
     "q59_multi_needle"     -> q59Oracle,
+    "q60_bloom_join"       -> q60Oracle,
   )
 }

@@ -23,7 +23,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline5.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 97)
+    assert(SparkEntry.queries.size >= 98)
   }
 
   test("rows-only queries (no oracle) are the documented exceptions only") {
