@@ -229,8 +229,15 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     maxRounds: Int = 50): DataFrame = {
-    val e = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // materialize the pair pipeline before the symmetrizing union
+    // consumes it twice. Locally this measures at parity (ReusedExchange
+    // already shares the identical subtree under both branches), but the
+    // checkpoint makes run-once deterministic rather than a planner
+    // courtesy — the candidate generation upstream is the expensive
+    // part, and the pair list being materialized is tiny.
+    val p = pairs.localCheckpoint()
+    val e = p.select(col("d1").as("a"), col("d2").as("b"))
+      .union(p.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint()
     var lbl = docs.select(col(idCol).as("doc_id"))
       .withColumn("lbl", col("doc_id")).localCheckpoint()
