@@ -106,8 +106,12 @@ object Pipeline4 {
     * is hash-free, so the oracle can join raw strings).
     */
   def contamination(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the two consumers filter DIFFERENT slices (bench vs
+    // corpus), so no exchange reuse is possible — without
+    // materialization the scan+shingle expansion would run twice
     val sh = Dedup.shinglePairs(documents(s, d), "doc_id", "text", ShingleN)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ng"))
+      .localCheckpoint()
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("ng"), col("doc_id").as("bench_id")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)

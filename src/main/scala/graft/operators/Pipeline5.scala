@@ -29,7 +29,11 @@ object Pipeline5 {
     */
   def shingleNovelty(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // checkpoint: sh feeds both the df aggregation and the join probe;
+    // materializing hashed longs guarantees the expansion runs once
     val sh = Dedup.shinglePairs(docs, "doc_id", "text", ShingleN)
+      .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
+      .localCheckpoint()
     val df = sh.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
     val per = sh.join(df, "ngram")
       .groupBy(col("doc_id"))
