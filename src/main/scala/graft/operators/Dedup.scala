@@ -245,29 +245,40 @@ object Dedup {
     // same plan shape, so generated code compiles once and every later
     // round hits the codegen cache (a 3-rounds-per-checkpoint batch
     // benchmarked slower — the deeper fused plan recompiles).
-    var changed = 1L
+    // Convergence detection: labels only ever decrease, so consecutive
+    // label tables are equal iff their (bit_xor of xxhash64(doc, lbl))
+    // fingerprints agree — one tiny aggregate over the checkpointed
+    // table instead of a self-join + count per round (same device as
+    // dedupClustersLogN; a 2^-64 collision would stall one round early
+    // and surface in the differential oracle).
+    def sig(df: DataFrame): Long = {
+      val r = df.agg(bit_xor(xxhash64(col("doc_id"), col("lbl")))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var cur = sig(lbl)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxRounds) {
+    while (!converged && iter < maxRounds) {
       val nbr = e.join(lbl, e("b") === lbl("doc_id"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nl"))
       val next = lbl.join(nbr, lbl("doc_id") === nbr("a"), "left")
         .select(lbl("doc_id"),
                 least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(lbl.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      val nsig = sig(next)
+      converged = nsig == cur
+      cur = nsig
       lbl = next
       iter += 1
     }
     // Unconverged labels are silently wrong (a >maxRounds-diameter chain
     // would split one cluster into several) — fail loudly instead.
-    if (changed > 0) {
+    if (!converged) {
       throw new IllegalStateException(
-        s"dedupClusters did not converge after $maxRounds min-label rounds " +
-        s"($changed labels still changing); the pair graph has a component " +
-        "with diameter > maxRounds — raise maxRounds or pre-contract the " +
-        "graph (large-star/small-star) before labeling")
+        s"dedupClusters did not converge after $maxRounds min-label rounds; " +
+        "the pair graph has a component with diameter > maxRounds — raise " +
+        "maxRounds or pre-contract the graph (large-star/small-star) " +
+        "before labeling")
     }
     lbl.withColumnRenamed("lbl", "canonical")
   }
