@@ -54,19 +54,26 @@ object Engine {
     * (lowest id wins). The anti-join shape of Pipeline5
     * .incrementalDedup, parameterized over arbitrary frames.
     *
-    * If `base` already carries a precomputed `fp` column it is used
-    * as-is — so a base stored bucketed by `fp` (sources.Bucketed)
-    * keeps its layout visible to the planner and the whole refresh
-    * shuffles ONLY the incoming batch (BucketingSpec proves it). At
-    * 100 TB that is the difference between re-shuffling the corpus
-    * per refresh and a map-side admit.
+    * Pass `baseFpCol` to name a PRECOMPUTED md5(text) fingerprint
+    * column on `base` — a base stored bucketed by that column
+    * (sources.Bucketed) then keeps its layout visible to the planner
+    * and the whole refresh shuffles ONLY the incoming batch
+    * (BucketingSpec proves it). The opt-in is explicit because the
+    * column's format cannot be validated cheaply: a non-md5(text)
+    * column here silently re-admits duplicates. At 100 TB this is the
+    * difference between re-shuffling the corpus per refresh and a
+    * map-side admit. `incoming` must not already use column names
+    * `fp`/`rn` (they are scratch here and dropped).
     */
   def admitNew(base: DataFrame, incoming: DataFrame,
-               id: String, text: String): DataFrame = {
+               id: String, text: String,
+               baseFpCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val baseFps = (if (base.columns.contains("fp")) base.select(col("fp"))
-                   else base.select(md5(col(text)).as("fp"))).distinct()
+    val baseFps = baseFpCol
+      .map(c => base.select(col(c).as("fp")))
+      .getOrElse(base.select(md5(col(text)).as("fp")))
+      .distinct()
     val w = Window.partitionBy(col("fp")).orderBy(col(id))
     incoming.withColumn("fp", md5(col(text)))
       .join(baseFps, Seq("fp"), "left_anti")
@@ -96,7 +103,12 @@ object Engine {
     * shuffle on the key and a per-key merge-scan — never the
     * nested-loop a raw inequality join would plan, which is the
     * difference between feasible and not at event-log scale. Ties
-    * (equal timestamps) match, like `ON l.ts >= r.ts`.
+    * (equal timestamps) match, like `ON l.ts >= r.ts`; among several
+    * right rows sharing (key, ts) the winner is chosen by payload
+    * hash — arbitrary but DETERMINISTIC across runs and cluster
+    * layouts, per the engine-wide reproducibility contract.
+    * Reserved scratch names: inputs must not use `__ts`/`__l`/`__r`/
+    * `__is_r`/`__m`, and lhs must not already have an `asof` column.
     */
   def asofJoin(lhs: DataFrame, rhs: DataFrame,
                key: String, ts: String): DataFrame = {
@@ -112,9 +124,11 @@ object Engine {
       lit(null).cast(lType).as("__l"),
       struct(rhs.columns.toIndexedSeq.filterNot(_ == key).map(col): _*).as("__r"),
       lit(1).as("__is_r"))
-    // right rows sort before left at equal ts so ties are visible
+    // right rows sort before left at equal ts so ties are visible; the
+    // payload-hash key makes the pick among equal-(key, ts) right rows
+    // stable run to run
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__is_r").desc)
+      .orderBy(col("__ts"), col("__is_r").desc, xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("__m", last(when(col("__is_r") === 1, col("__r")),
@@ -137,6 +151,12 @@ object Engine {
     * inside whole-stage codegen — no join, no broadcast variable. At
     * a billion distinct keys, size `bits` accordingly (or probe via a
     * broadcast join on word index instead of a literal).
+    *
+    * NOTE: unlike the other (lazy) facade methods, this one runs the
+    * keys-side build — a Spark job ending in a driver collect — at
+    * CALL time, because the word table must exist before the probe
+    * predicate can be constructed. Plan-only tooling over a query
+    * using it will trigger that job.
     */
   def bloomPrefilter(fact: DataFrame, factKey: String,
                      keys: DataFrame, keyCol: String,
@@ -171,7 +191,8 @@ object Engine {
     * the previous bucket — an interval never spans more), and the
     * precise filter runs post-join; q33's shape, generalized. Shuffle
     * is O(|lhs|·2 + |rhs|), never the nested loop a raw inequality
-    * join plans. rhs payload arrives as a `matched` struct.
+    * join plans. rhs payload arrives as a `matched` struct. Reserved
+    * scratch names: inputs must not use `__b`/`__rts`/`matched`.
     */
   def rangeJoin(lhs: DataFrame, rhs: DataFrame, key: String,
                 lhsTs: String, rhsTs: String, lookbackSec: Long): DataFrame = {
@@ -298,6 +319,11 @@ object Engine {
     // between shards. Each shard's window runs on its own task; the
     // offset table has one row per occupied shard (<= 2*shards after
     // clamping), so its own window is data-size independent.
+    // (Deliberately NOT operators.TwoLevel: that utility shards on a
+    // non-negative integral column sorted ASCENDING; this stage needs a
+    // quantized-double shard key and a DESCENDING quality order, and
+    // generalizing the utility to arbitrary sort directions would
+    // weaken its monotonicity precondition for every other caller.)
     val shards = 96
     val sharded = gated.withColumn("shard",
       least(greatest(floor(col("quality") * shards), lit(-shards.toLong)),

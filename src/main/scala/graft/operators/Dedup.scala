@@ -337,10 +337,11 @@ object Dedup {
       // shuffle per round. It IS checkpointed: the subtree feeds the
       // small-star twice and recomputing it measured slower than the
       // materialization.
+      // no v === m guard needed: m = least(min(Γ(u)), u) <= u < v, so
+      // the emitted pair can never be a self-loop
       val afterLarge =
         s.filter(col("v") > col("u"))
           .join(mLarge, col("u") === col("lu"))
-          .filter(col("v") =!= col("m"))
           .select(least(col("v"), col("m")).as("u"),
                   greatest(col("v"), col("m")).as("v"))
           .localCheckpoint()

@@ -137,8 +137,10 @@ object Pipeline4 {
     * sequences (256 tokens) by concatenation order, sharded so the
     * cumulative sum never serializes: shard = doc_id % 8, documents
     * packed in doc_id order within their shard, bins namespaced by
-    * shard. Integer arithmetic end to end (window cumsum, DIV, %) —
-    * nothing float touches the output.
+    * shard (shard · 2⁴⁰ — collision-free until a single shard exceeds
+    * 2⁴⁰ bins ≈ 280 T tokens, far past any real shard). Integer
+    * arithmetic end to end (window cumsum, DIV, %) — nothing float
+    * touches the output.
     *
     * Scale shape: one hash shuffle on the shard key; each shard's
     * running sum is an independent window. More shards = more
@@ -153,7 +155,7 @@ object Pipeline4 {
               wsTokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("shard") * 1000000 + expr("cum_prev DIV 256")).as("bin_id"),
+        (col("shard") * 1099511627776L + expr("cum_prev DIV 256")).as("bin_id"),
         (col("cum_prev") % 256).as("offset_in_bin"))
       .orderBy(col("doc_id"))
   }
@@ -171,7 +173,7 @@ object Pipeline4 {
       |           AS cum_prev
       |  FROM t)
       |SELECT doc_id, shard, n_tokens,
-      |       shard * 1000000 + cum_prev // 256 AS bin_id,
+      |       shard * 1099511627776 + cum_prev // 256 AS bin_id,
       |       cum_prev % 256 AS offset_in_bin
       |FROM c ORDER BY doc_id""".stripMargin
 

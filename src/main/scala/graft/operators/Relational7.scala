@@ -190,15 +190,11 @@ object Relational7 {
     * substring tests — O(n·k) with n scanned once, exactly what the
     * reference's master would do if its protocol could batch.
     */
-  def q59MultiNeedle(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val needles = Seq("merge batch", "window scan", "sort table")
-      .toDF("needle")
-    documents(s, d)
-      .join(broadcast(needles), col("text").contains(col("needle")))
+  def q59MultiNeedle(s: SparkSession, d: String): DataFrame =
+    graft.Engine.searchAll(documents(s, d), "text",
+        Seq("merge batch", "window scan", "sort table"))
       .select(col("doc_id"), col("needle"))
       .orderBy(col("doc_id"), col("needle"))
-  }
 
   val q59Oracle: String =
     """SELECT doc_id, needle

@@ -25,8 +25,17 @@ object TwoLevel {
   private def sharded(df: DataFrame, shardCol: String, shards: Int)
     : DataFrame = {
     val stats = df.agg((expr(s"max($shardCol) DIV $shards") + 1).as("__w"))
+    // Precondition enforced IN the plan, not silently: a null or
+    // negative shard key would otherwise vanish through the offsets
+    // join (null never equi-joins) or zero out W — raise_error makes
+    // the violation fail the job loudly instead of dropping rows.
     df.crossJoin(broadcast(stats))
-      .withColumn("__shard", expr(s"$shardCol DIV __w")).drop("__w")
+      .withColumn("__shard",
+        when(col(shardCol).isNull || col(shardCol) < 0,
+          raise_error(lit(s"TwoLevel: $shardCol must be non-negative and " +
+            "non-null")).cast("long"))
+        .otherwise(expr(s"$shardCol DIV __w")))
+      .drop("__w")
   }
 
   private def orderCols(shardCol: String, tieCols: Seq[String]): Seq[Column] =

@@ -57,7 +57,8 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val admitted = Engine.admitNew(
-        spark.table("graft_base_fp"), incoming, "doc_id", "text")
+        spark.table("graft_base_fp"), incoming, "doc_id", "text",
+        baseFpCol = Some("fp"))
       // same rows as the self-contained operator on the raw frames
       val expect = graft.operators.Pipeline5.incrementalDedup(spark, dir)
         .select("doc_id")

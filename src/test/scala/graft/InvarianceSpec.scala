@@ -19,6 +19,20 @@ class InvarianceSpec extends AnyFunSuite with SparkTestBase {
     Seq("q57_global_rank", "p19_token_budget", "p31_pack_sequences",
         "p32_mix_rebalance")
 
+  test("TwoLevel fails loudly on a negative shard key instead of dropping rows") {
+    import spark.implicits._
+    val bad = Seq((1L, -5L), (2L, 3L)).toDF("id", "k")
+    val ex = intercept[Exception] {
+      graft.operators.TwoLevel.withGlobalRank(bad, "k", Seq("id"), "rn")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("non-negative")),
+      s"expected the TwoLevel precondition error, got: $ex")
+  }
+
   test("two-level/sharded operators are invariant to shuffle partition count") {
     val alt = spark.newSession()
     alt.conf.set("spark.sql.shuffle.partitions", "7")
