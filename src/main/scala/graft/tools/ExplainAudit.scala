@@ -18,12 +18,21 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
+      // drive THIS DataFrame's own query execution so AQE finalizes —
+      // df.count() would build a separate QueryExecution and leave this
+      // plan at isFinalPlan=false (hiding runtime join strategy changes
+      // and every WholeStageCodegen annotation)
+      df.collect()
+      // the finalized AdaptiveSparkPlan prints "final +- == Initial
+      // Plan ==" — count features in the final section only
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       def c(p: String) = p.r.findAllIn(plan).size
       println(f"$n%-24s exch=${c("Exchange hashpartitioning")}%2d " +
         f"sort_exch=${c("Exchange rangepartitioning")}%2d bcast=${c("BroadcastExchange")}%2d " +
         f"bnlj=${c("BroadcastNestedLoop")}%2d scans=${c("FileScan|Scan parquet")}%2d " +
-        f"wsc=${c("WholeStageCodegen")}%2d pushed=${c("PushedFilters: \\[[^\\]]")}%2d")
+        f"wsc=${"""\*\(\d+\)""".r.findAllIn(plan).toSet.size}%2d " +
+        f"pushed=${c("PushedFilters: \\[[^\\]]")}%2d")
     }
     spark.stop()
   }
