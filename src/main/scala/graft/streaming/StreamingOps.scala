@@ -166,6 +166,26 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
               col("n_users_approx"), col("n_events"))
 
+  /** Idempotent micro-batch parquet writer for `foreachBatch`: lands
+    * each batch under `path/batch=<id>` only if that directory is not
+    * already present, so a batch RE-DELIVERED after a failure-and-
+    * restart (foreachBatch's at-least-once contract) writes nothing
+    * the second time — at-least-once delivery + idempotent write =
+    * exactly-once output. The check-and-write races only with itself
+    * across restarts of the SAME query, which Structured Streaming
+    * serializes via the checkpoint, so no lock is needed.
+    *
+    * Usage: `df.writeStream.foreachBatch(idempotentParquetBatch(path) _)`.
+    */
+  def idempotentParquetBatch(path: String)(batch: DataFrame, id: Long): Unit = {
+    val out = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
+    val fs = out.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(out)) {
+      batch.write.mode("overwrite").parquet(out.toString)
+    }
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension, broadcast so the streaming side never shuffles. The
     * static side is re-planned per batch (so a refreshed dim parquet is

@@ -209,6 +209,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("idempotent batch sink: re-delivered micro-batch writes nothing twice") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val write = StreamingOps.idempotentParquetBatch(dir) _
+    write(batch1.toDF(), 0L)
+    val firstRows = spark.read.parquet(s"$dir/batch=0").count()
+    assert(firstRows === batch1.size)
+    // simulate foreachBatch re-delivery of the SAME batch id with
+    // different (partial) content after a crash-restart: must be a no-op
+    write(batch1.take(1).toDF(), 0L)
+    assert(spark.read.parquet(s"$dir/batch=0").count() === firstRows)
+    // a NEW batch id still lands
+    write(batch2.toDF(), 1L)
+    assert(spark.read.parquet(s"$dir/batch=1").count() === batch2.size)
+  }
+
   test("aggregation state survives a query restart via the checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
