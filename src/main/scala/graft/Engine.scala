@@ -184,6 +184,39 @@ object Engine {
     fact.filter(mightContain)
   }
 
+  /** Lazy variant of [[bloomPrefilter]]: the word table stays a
+    * DataFrame and each of the k bit probes is a map-side broadcast
+    * hash join on the word index — no driver collect, no job at
+    * construction time, and the word table may be arbitrarily large
+    * (billion-key dims with `bits` sized to match). Identical
+    * filtering semantics to the literal-array variant (same hashes,
+    * same bits — PropertySpec pins the equivalence); trade-off is k
+    * broadcast joins in the plan instead of one codegen'd predicate.
+    */
+  def bloomPrefilterLazy(fact: DataFrame, factKey: String,
+                         keys: DataFrame, keyCol: String,
+                         bits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    val posOf = (c: org.apache.spark.sql.Column, i: Int) =>
+      pmod(xxhash64(lit(i), c), lit(bits.toLong))
+    val words = keys.select(
+        explode(array((0 until k).map(i => posOf(col(keyCol), i)): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("__widx"),
+              call_function("shiftleft", lit(1L),
+                (col("pos") % 64).cast("int")).as("bit"))
+      .groupBy(col("__widx")).agg(bit_or(col("bit")).as("__word"))
+    (0 until k).foldLeft(fact) { (df, i) =>
+      val pos = posOf(col(factKey), i)
+      df.withColumn("__p", pos)
+        .join(broadcast(words), (col("__p") / 64).cast("int") === col("__widx"))
+        .filter(col("__word")
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (col("__p") % 64).cast("int"))) =!= 0L)
+        .drop("__p", "__widx", "__word")
+    }
+  }
+
   /** Generic lookback range join: every (lhs, rhs) pair of the same
     * key with rhs ts strictly inside (lhs ts - lookback, lhs ts). The
     * interval predicate is turned into an equi-join on (key, bucket)

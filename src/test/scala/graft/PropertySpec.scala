@@ -149,6 +149,12 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
           .select(col("id"), col("key"))
         assert(trueMatch.exceptAll(pre).isEmpty,
           "bloom dropped a row whose key is present")
+        // the lazy broadcast-join probe keeps IDENTICAL semantics
+        val lazyPre = Engine
+          .bloomPrefilterLazy(fact, "key", dim, "key", bits = 1 << 12)
+          .select(col("id"), col("key"))
+        assert(lazyPre.exceptAll(pre).isEmpty && pre.exceptAll(lazyPre).isEmpty,
+          "lazy bloom variant disagrees with the literal-array variant")
       }
     }
   }
