@@ -104,7 +104,7 @@ class Batch7Spec extends AnyFunSuite with SparkTestBase {
     val docs = Tables.documents(spark, dir)
     val merged = Pipeline5.provenanceMerge(spark, dir)
     val total = docs.count()
-    val copies = merged.agg(sum(col("n_copies"))).head.getLong(0)
+    val copies = merged.agg(sum(col("n_copies"))).head().getLong(0)
     assert(copies === total, s"n_copies sum $copies != corpus size $total")
     val canon = merged.select("canonical_id").collect().map(_.getLong(0))
     assert(canon.length === canon.distinct.length)

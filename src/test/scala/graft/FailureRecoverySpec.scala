@@ -29,9 +29,9 @@ class FailureRecoverySpec extends AnyFunSuite with SparkTestBase {
 
   test("aggregate survives an injected task failure with the exact answer") {
     val docs = Tables.documents(spark, dir)
-    val expected = docs.agg(count(lit(1)), sum(col("doc_id"))).head
+    val expected = docs.agg(count(lit(1)), sum(col("doc_id"))).head()
     val got = docs.withColumn("doc_id", flaky(col("doc_id")))
-      .agg(count(lit(1)), sum(col("doc_id"))).head
+      .agg(count(lit(1)), sum(col("doc_id"))).head()
     assert(got.getLong(0) === expected.getLong(0))
     assert(got.getLong(1) === expected.getLong(1))
   }
@@ -43,7 +43,7 @@ class FailureRecoverySpec extends AnyFunSuite with SparkTestBase {
     val docs = Tables.documents(spark, dir)
       .withColumn("doc_id", flaky(col("doc_id")))
     val needle = Tables.documents(spark, dir)
-      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
     assert(!docs.filter(col("text") === needle).isEmpty,
       "transient task failure produced a false notfound — reference quirk Q6")
   }
