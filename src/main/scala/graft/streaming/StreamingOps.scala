@@ -167,22 +167,36 @@ object StreamingOps {
               col("n_users_approx"), col("n_events"))
 
   /** Idempotent micro-batch parquet writer for `foreachBatch`: lands
-    * each batch under `path/batch=<id>` only if that directory is not
-    * already present, so a batch RE-DELIVERED after a failure-and-
-    * restart (foreachBatch's at-least-once contract) writes nothing
-    * the second time — at-least-once delivery + idempotent write =
-    * exactly-once output. The check-and-write races only with itself
-    * across restarts of the SAME query, which Structured Streaming
-    * serializes via the checkpoint, so no lock is needed.
+    * each batch under `path/batch=<id>` guarded by a commit marker, so
+    * a batch RE-DELIVERED after a failure-and-restart (foreachBatch's
+    * at-least-once contract) writes nothing the second time —
+    * at-least-once delivery + idempotent write = exactly-once output.
+    *
+    * The guard is a marker file (`_GRAFT_COMMITTED`) created only
+    * AFTER the parquet job commits — NOT the directory itself, because
+    * FileOutputCommitter creates `path/batch=<id>/_temporary` at job
+    * START: a crash mid-write leaves the directory present but the
+    * data absent, and a directory-existence check would then skip the
+    * re-delivered batch and lose it permanently. A marker-absent
+    * directory is instead overwritten. (An own marker rather than the
+    * committer's `_SUCCESS` so the guarantee survives
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`; the
+    * leading underscore keeps it invisible to parquet readers.)
+    *
+    * The check-and-write races only with itself across restarts of the
+    * SAME query, which Structured Streaming serializes via the
+    * checkpoint, so no lock is needed.
     *
     * Usage: `df.writeStream.foreachBatch(idempotentParquetBatch(path) _)`.
     */
   def idempotentParquetBatch(path: String)(batch: DataFrame, id: Long): Unit = {
     val out = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
+    val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_COMMITTED")
     val fs = out.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(out)) {
+    if (!fs.exists(marker)) {
       batch.write.mode("overwrite").parquet(out.toString)
+      fs.create(marker, true).close()
     }
   }
 

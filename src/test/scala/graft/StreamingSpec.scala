@@ -224,6 +224,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/batch=1").count() === batch2.size)
   }
 
+  test("idempotent batch sink: crash mid-write (dir present, no marker) is overwritten, not skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    // Simulate FileOutputCommitter state after a crash mid-job: the
+    // batch directory exists (with _temporary debris) but the job never
+    // committed — no marker. The re-delivered batch MUST land.
+    val debris = new java.io.File(s"$dir/batch=0/_temporary/0")
+    assert(debris.mkdirs())
+    val write = StreamingOps.idempotentParquetBatch(dir) _
+    write(batch1.toDF(), 0L)
+    assert(spark.read.parquet(s"$dir/batch=0").count() === batch1.size)
+    assert(new java.io.File(s"$dir/batch=0/_GRAFT_COMMITTED").exists())
+    // and now that it committed, a second re-delivery is a no-op
+    write(batch1.take(1).toDF(), 0L)
+    assert(spark.read.parquet(s"$dir/batch=0").count() === batch1.size)
+  }
+
   test("aggregation state survives a query restart via the checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
