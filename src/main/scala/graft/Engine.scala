@@ -187,8 +187,12 @@ object Engine {
   /** Lazy variant of [[bloomPrefilter]]: the word table stays a
     * DataFrame and each of the k bit probes is a map-side broadcast
     * hash join on the word index — no driver collect, no job at
-    * construction time, and the word table may be arbitrarily large
-    * (billion-key dims with `bits` sized to match). Identical
+    * construction time. The KEY table may be arbitrarily large (it is
+    * folded into the bitmap by a distributed aggregate, never
+    * materialized); what is broadcast is the folded bitmap itself —
+    * `bits/64` rows ≈ bits/8 bytes — so `bits` is bounded by Spark's
+    * ~8 GB broadcast-relation limit (~2^36 bits), not arbitrary.
+    * Identical
     * filtering semantics to the literal-array variant (same hashes,
     * same bits — PropertySpec pins the equivalence); trade-off is k
     * broadcast joins in the plan instead of one codegen'd predicate.
@@ -261,12 +265,17 @@ object Engine {
 
   def topKExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceTopK(corpus, queries, k)
-  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    Similarity.signLshTopK(corpus, queries, k)
+  /** @param maxBucket LSH bucket-width cap (see
+    *   [[graft.operators.Similarity.signLshTopK]]) — set it at corpus
+    *   scale; degenerate buckets are quadratic in pair emission. */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+              maxBucket: Int = Int.MaxValue): DataFrame =
+    Similarity.signLshTopK(corpus, queries, k, maxBucket = maxBucket)
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Similarity.ivfTopK(corpus, queries, k)
-  def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame =
-    Similarity.nearDupPairs(corpus, threshold)
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    Similarity.nearDupPairs(corpus, threshold, maxBucket = maxBucket)
 
   // ---- text analysis (Column functions, composable in any select) ----
 
@@ -346,36 +355,21 @@ object Engine {
       .withColumn("quality", ta.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
       .withColumn("n_tokens", ta.wsTokenCount(col("text")).cast("long"))
-    // Two-level global cumsum over (quality desc, doc_id): the shard key
-    // is monotone non-decreasing in quality, so quality ties never
-    // straddle shards and descending shard id == descending quality
-    // between shards. Each shard's window runs on its own task; the
-    // offset table has one row per occupied shard (<= 2*shards after
-    // clamping), so its own window is data-size independent.
-    // (Deliberately NOT operators.TwoLevel: that utility shards on a
-    // non-negative integral column sorted ASCENDING; this stage needs a
-    // quantized-double shard key and a DESCENDING quality order, and
-    // generalizing the utility to arbitrary sort directions would
-    // weaken its monotonicity precondition for every other caller.)
+    // Two-level global cumsum over (quality desc, doc_id), delegated to
+    // operators.TwoLevel's expert form. Contract discharge: the shard
+    // key floor(quality*96) (clamped to [-96, 95]) is integral,
+    // non-null, <= 192 distinct values, monotone NON-INCREASING along
+    // the quality-descending order (higher quality -> higher shard id,
+    // so descending = true), and equal qualities always quantize to the
+    // same shard — ties never straddle shards.
     val shards = 96
-    val sharded = gated.withColumn("shard",
-      least(greatest(floor(col("quality") * shards), lit(-shards.toLong)),
-            lit(shards.toLong - 1)).cast("int"))
-    val inShard = Window.partitionBy(col("shard"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sharded.withColumn("cum_in_shard", sum(col("n_tokens")).over(inShard))
-    val priorShards = Window.orderBy(col("shard").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("shard"))
-      .agg(sum(col("n_tokens")).as("shard_tokens"))
-      .withColumn("shard_offset",
-        coalesce(sum(col("shard_tokens")).over(priorShards), lit(0L)))
-      .select(col("shard"), col("shard_offset"))
-    local.join(broadcast(offsets), "shard")
-      .withColumn("cum_tokens", col("shard_offset") + col("cum_in_shard"))
+    val shardKey = least(
+        greatest(floor(col("quality") * shards), lit(-shards.toLong)),
+        lit(shards.toLong - 1)).cast("int")
+    graft.operators.TwoLevel.withGlobalCumsumBy(gated, shardKey,
+        order = Seq(col("quality").desc, col("doc_id")),
+        value = col("n_tokens"), outCol = "cum_tokens", descending = true)
       .filter(col("cum_tokens") <= tokenBudget)
-      .drop("shard", "cum_in_shard", "shard_offset")
   }
 
   // ---- SQL front door ----

@@ -179,11 +179,18 @@ object Pipeline5 {
     * is a substring, so the op is one map-side explode — no shuffle at
     * all until the output sort, and none in production where chunks
     * stream straight into the embedder.
+    *
+    * The chunk count is `greatest(n_chars - 1, 0) DIV 80 + 1` — the
+    * greatest() clamp keeps the n_chars=0 edge engine-portable: Spark's
+    * DIV truncates toward zero ((0-1) DIV 80 = 0) while DuckDB's //
+    * floors ((0-1)//80 = -1), so without the clamp an empty document
+    * yields one empty chunk here but vanishes from the oracle. Clamped,
+    * both engines emit exactly one empty chunk per empty document.
     */
   def chunkOverlap(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars"),
-        explode(sequence(lit(0L), expr("(n_chars - 1) DIV 80"))).as("chunk_idx"))
+        explode(sequence(lit(0L), expr("greatest(n_chars - 1, 0) DIV 80"))).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * 80).as("start"),
         expr("substring(text, CAST(chunk_idx * 80 + 1 AS INT), 100)").as("chunk"))
@@ -195,7 +202,7 @@ object Pipeline5 {
       |       substr(text, CAST(i * 80 + 1 AS INTEGER), 100) AS chunk,
       |       CAST(length(substr(text, CAST(i * 80 + 1 AS INTEGER), 100))
       |            AS INTEGER) AS chunk_len
-      |FROM documents, unnest(range(0, (n_chars - 1) // 80 + 1)) AS t(i)
+      |FROM documents, unnest(range(0, greatest(n_chars - 1, 0) // 80 + 1)) AS t(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

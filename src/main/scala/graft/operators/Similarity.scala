@@ -21,6 +21,40 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
+  /** Repartition only when the input has fewer splits than the session's
+    * parallelism. The local test parquet is a single row-group (1 split),
+    * so the CPU-heavy cosine/band work would otherwise run one-core; an
+    * already-parallel input — the 100 TB case, where the scan yields
+    * thousands of splits — passes through untouched, avoiding a
+    * gratuitous full shuffle of the embedding arrays.
+    */
+  private def ensureParallel(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Drop LSH buckets wider than `maxBucket` before pair expansion.
+    *
+    * Pair emission inside a bucket is quadratic; with `width` sign bits
+    * the band space is only 2^width values, so a degenerate bucket (all
+    * zero vectors, boilerplate embeddings) concentrates ~n/2^width rows
+    * on one task and emits its square. The oversized-bucket LIST is tiny
+    * by construction (at most 2^width × bands rows), so it broadcasts and
+    * the drop is a map-side anti-join — no extra shuffle of embeddings.
+    * Capped candidates are a strict subset of the uncapped set
+    * (SimilaritySpec pins the subset-monotonicity property).
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val over = banded
+        .groupBy(col("band_i"), col("band_v"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBucket)
+        .select(col("band_i"), col("band_v"))
+      banded.join(broadcast(over), Seq("band_i", "band_v"), "left_anti")
+    }
+
   /** Exact cosine top-k neighbors for each query vector.
     *
     * Scale: the query side is small by construction (a probe set), so it
@@ -30,8 +64,7 @@ object Similarity {
     * aggregation; for huge query sets, use [[signLshTopK]].
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = ensureParallel(corpus)
       .as("c")
       .crossJoin(broadcast(queries.as("q")))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
@@ -45,10 +78,12 @@ object Similarity {
 
   /** Attach `nBands` bit-sampling LSH band ids (each `width` sign bits
     * over consecutive dimensions) — one row per (vector, band).
+    * Pure map-side (no repartition here): callers parallelize the corpus
+    * side once via [[ensureParallel]]; the broadcast query side must NOT
+    * be shuffled at all.
     */
   def withSignBands(df: DataFrame, nBands: Int, width: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("band_i", explode(sequence(lit(0), lit(nBands - 1))))
+    df.withColumn("band_i", explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_v",
         (0 until nBands).foldLeft(lit(-1)) { (acc, b) =>
           when(col("band_i") === b, signBand(col("embedding"), b * width, width))
@@ -62,10 +97,18 @@ object Similarity {
     * O(n²) rerank never materializes. Recall tunes with bands/width
     * (more, narrower bands → higher recall, more candidates); the
     * recall-vs-brute-force property is asserted in SimilaritySpec.
+    *
+    * @param maxBucket corpus-side LSH bucket-width cap: with only
+    *   2^width distinct band values, a degenerate bucket holds ~n/2^width
+    *   vectors and candidate emission inside it is quadratic — cap it at
+    *   corpus scale (candidates from capped buckets are dropped; a
+    *   neighbor can still surface via its other bands). Default
+    *   unbounded; capped results are a subset of the uncapped ones.
     */
   def signLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                  nBands: Int = 8, width: Int = 8): DataFrame = {
-    val cb = withSignBands(corpus, nBands, width)
+                  nBands: Int = 8, width: Int = 8,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cb = capBuckets(withSignBands(ensureParallel(corpus), nBands, width), maxBucket)
     val qb = withSignBands(queries, nBands, width)
     // cosine is computed BEFORE the distinct: a candidate colliding in
     // several bands is scored redundantly (cheap, codegen'd, identical
@@ -115,8 +158,7 @@ object Similarity {
         struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
 
-    val assigned = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val assigned = ensureParallel(corpus)
       .withColumn("best", array_max(cellScores(col("embedding"))))
       .select(col("vec_id").as("cid_"), col("embedding").as("ce"),
               (-col("best.ncid")).as("cell"))
@@ -139,10 +181,15 @@ object Similarity {
 
   /** Embedding near-duplicate pairs (cosine >= threshold, id1 < id2),
     * blocked by sign bands so only bucket-mates are compared.
+    *
+    * @param maxBucket bucket-width cap — see [[signLshTopK]]; on this
+    *   self-join shape an uncapped degenerate bucket is the classic
+    *   near-dup scale-killer (|bucket|² pairs on one task).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-                   nBands: Int = 4, width: Int = 8): DataFrame = {
-    val b = withSignBands(corpus, nBands, width)
+                   nBands: Int = 4, width: Int = 8,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    val b = capBuckets(withSignBands(ensureParallel(corpus), nBands, width), maxBucket)
     // Same cos-before-distinct trick as signLshTopK: the dedup shuffle
     // carries scalars, not embedding arrays.
     b.as("a").join(b.as("b"),

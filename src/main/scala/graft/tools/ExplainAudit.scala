@@ -21,8 +21,10 @@ object ExplainAudit {
       // drive THIS DataFrame's own query execution so AQE finalizes —
       // df.count() would build a separate QueryExecution and leave this
       // plan at isFinalPlan=false (hiding runtime join strategy changes
-      // and every WholeStageCodegen annotation)
-      df.collect()
+      // and every WholeStageCodegen annotation). foreach over toRdd
+      // finalizes without materializing row-proportional output on the
+      // driver (a full-corpus projection would OOM a collect here).
+      df.queryExecution.toRdd.foreach(_ => ())
       // the finalized AdaptiveSparkPlan prints "final +- == Initial
       // Plan ==" — count features in the final section only
       val plan = df.queryExecution.executedPlan.toString

@@ -33,6 +33,50 @@ class InvarianceSpec extends AnyFunSuite with SparkTestBase {
       s"expected the TwoLevel precondition error, got: $ex")
   }
 
+  test("expert descending cumsum equals the naive global window and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(20) - 10, rnd.nextInt(100).toLong))
+      .toDF("id", "q", "v")
+    val naive = df.withColumn("cum", sum($"v").over(
+      Window.orderBy($"q".desc, $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // shard key = q itself: integral (negatives allowed here), 20 values,
+    // non-increasing along the q-desc order, ties share a shard
+    def two(s: org.apache.spark.sql.SparkSession) = {
+      val d = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      graft.operators.TwoLevel.withGlobalCumsumBy(d, col("q"),
+        Seq(col("q").desc, col("id")), col("v"), "cum", descending = true)
+    }
+    val base = two(spark).select("id", "q", "v", "cum")
+    assert(base.exceptAll(naive.select("id", "q", "v", "cum")).isEmpty &&
+           naive.select("id", "q", "v", "cum").exceptAll(base).isEmpty,
+      "expert two-level cumsum diverges from the naive global window")
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val other = two(alt).select("id", "q", "v", "cum")
+    assert(base.exceptAll(other).isEmpty && other.exceptAll(base).isEmpty,
+      "expert two-level cumsum differs between 4 and 7 shuffle partitions")
+  }
+
+  test("expert form fails loudly on a null shard key instead of dropping rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bad = Seq((1L, Some(3L), 5L), (2L, None, 7L)).toDF("id", "k", "v")
+    val ex = intercept[Exception] {
+      graft.operators.TwoLevel.withGlobalCumsumBy(bad, col("k"),
+        Seq(col("k"), col("id")), col("v"), "cum").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("non-null")),
+      s"expected the TwoLevel null-shard error, got: $ex")
+  }
+
   test("two-level/sharded operators are invariant to shuffle partition count") {
     val alt = spark.newSession()
     alt.conf.set("spark.sql.shuffle.partitions", "7")

@@ -91,6 +91,76 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!res.exists(r => r.getAs[Long]("cid") == 0L))
   }
 
+  // ---- bucket-width cap (the corpus-scale guard) ----
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long](0), r.getAs[Long](1))).toSet
+
+  test("capped near-dup pairs are a subset of the uncapped set; generous cap is identity") {
+    val uncapped = pairSet(Similarity.nearDupPairs(corpus, 0.9))
+    for (cap <- Seq(1, 2, 5, 20)) {
+      val capped = pairSet(Similarity.nearDupPairs(corpus, 0.9, maxBucket = cap))
+      assert(capped.subsetOf(uncapped), s"cap=$cap emitted pairs absent uncapped")
+    }
+    assert(pairSet(Similarity.nearDupPairs(corpus, 0.9, maxBucket = 1000)) === uncapped)
+  }
+
+  test("bucket cap drops a degenerate all-identical bucket instead of squaring it") {
+    val n = 40L
+    val dupes = (0L until n).map(i => (i, Seq.fill(dim)(0.25f)))
+      .toDF("vec_id", "embedding")
+    // identical vectors land in one bucket per band: uncapped emits the
+    // full quadratic pair set, the cap removes the bucket entirely
+    assert(Similarity.nearDupPairs(dupes, 0.99).count() === n * (n - 1) / 2)
+    assert(Similarity.nearDupPairs(dupes, 0.99, maxBucket = 10).count() === 0L)
+  }
+
+  test("capped sign-LSH candidates are a subset of the uncapped candidate set") {
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val k = 200 // >= corpus size: the rank filter never binds, output = candidates
+    def cands(maxBucket: Int) =
+      Similarity.signLshTopK(corpus, queries, k, maxBucket = maxBucket).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val uncapped = cands(Int.MaxValue)
+    for (cap <- Seq(2, 10, 30)) {
+      assert(cands(cap).subsetOf(uncapped), s"cap=$cap emitted novel candidates")
+    }
+  }
+
+  test("IVF recall is monotone in nProbe and exact at full probe") {
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recall(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopK(corpus, queries, 5, nCells = 10, nProbe = nProbe)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val (r1, r3, r10) = (recall(1), recall(3), recall(10))
+    assert(r1 <= r3 && r3 <= r10, s"recall not monotone: $r1, $r3, $r10")
+    assert(r10 === 1.0, s"probing every cell must equal brute force, got $r10")
+  }
+
+  test("similarity ops add no repartition exchange on an already-parallel input") {
+    // range-based input starts at defaultParallelism partitions, so
+    // ensureParallel must pass it through untouched
+    val par = spark.range(100)
+      .select($"id".as("vec_id"),
+        array(Seq.fill(dim)(lit(0.1f)): _*).cast("array<float>").as("embedding"))
+    assert(par.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    val q = par.filter($"vec_id" < 2)
+    val plan = Similarity.signLshTopK(par, q, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      "gratuitous repartition of an already-parallel corpus")
+    // and the single-split local path still parallelizes
+    val serial = par.coalesce(1)
+    val plan1 = Similarity.signLshTopK(serial, q.coalesce(1), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan1.contains("RoundRobinPartitioning"),
+      "single-split input no longer rebalanced")
+  }
+
   test("near-dup pairs finds cluster-mates above threshold, no cross-cluster pairs") {
     val pairs = Similarity.nearDupPairs(corpus, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos")))
