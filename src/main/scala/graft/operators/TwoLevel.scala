@@ -30,8 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object TwoLevel {
 
-  private def sharded(df: DataFrame, shardCol: String, shards: Int)
+  /** Internal scratch columns added to the caller's frame. A caller
+    * column with one of these names would be silently replaced by
+    * `withColumn` (corrupting both the data and the shard join), so
+    * every entry point rejects such inputs loudly instead.
+    */
+  private val ReservedCols = Seq("__shard", "__loc", "__w", "__off", "__t")
+
+  private def requireNoReserved(df: DataFrame): DataFrame = {
+    val clash = df.columns.filter(ReservedCols.contains)
+    require(clash.isEmpty,
+      s"TwoLevel: input carries reserved internal column(s) " +
+        s"${clash.mkString(", ")} — rename them before calling " +
+        s"(reserved: ${ReservedCols.mkString(", ")})")
+    df
+  }
+
+  private def sharded(df0: DataFrame, shardCol: String, shards: Int)
     : DataFrame = {
+    val df = requireNoReserved(df0)
     val stats = df.agg((expr(s"max($shardCol) DIV $shards") + 1).as("__w"))
     // Precondition enforced IN the plan, not silently: a null or
     // negative shard key would otherwise vanish through the offsets
@@ -112,7 +129,7 @@ object TwoLevel {
                        outCol: String, descending: Boolean = false)
     : DataFrame = {
     val inShard = Window.partitionBy(col("__shard")).orderBy(order: _*)
-    compose(df.withColumn("__shard", guardedShard(shardExpr)),
+    compose(requireNoReserved(df).withColumn("__shard", guardedShard(shardExpr)),
       perShard = row_number().over(inShard).cast("long"),
       shardTotal = count(lit(1)),
       outCol = outCol, descending = descending)
@@ -137,7 +154,7 @@ object TwoLevel {
                          descending: Boolean = false): DataFrame = {
     val inShard = Window.partitionBy(col("__shard")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    compose(df.withColumn("__shard", guardedShard(shardExpr)),
+    compose(requireNoReserved(df).withColumn("__shard", guardedShard(shardExpr)),
       perShard = sum(value.cast("long")).over(inShard),
       shardTotal = sum(value.cast("long")),
       outCol = outCol, descending = descending)

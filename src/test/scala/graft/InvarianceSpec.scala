@@ -33,6 +33,23 @@ class InvarianceSpec extends AnyFunSuite with SparkTestBase {
       s"expected the TwoLevel precondition error, got: $ex")
   }
 
+  test("reserved internal column names are rejected, not silently overwritten") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "__shard" here is CALLER data; withColumn would silently replace it
+    val clash = Seq((1L, 0L, 99L), (2L, 1L, 98L)).toDF("id", "k", "__shard")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.TwoLevel.withGlobalRank(clash, "k", Seq("id"), "rn")
+    }
+    assert(e1.getMessage.contains("__shard"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.TwoLevel.withGlobalCumsumBy(
+        clash.withColumnRenamed("__shard", "__loc"),
+        col("k"), Seq(col("id")), col("id"), "cs")
+    }
+    assert(e2.getMessage.contains("__loc"))
+  }
+
   test("expert descending cumsum equals the naive global window and is partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

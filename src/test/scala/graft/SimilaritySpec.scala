@@ -153,12 +153,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("RoundRobinPartitioning"),
       "gratuitous repartition of an already-parallel corpus")
-    // and the single-split local path still parallelizes
+    // and the single-split local path still parallelizes (skipped on a
+    // serial runner, where repartition(1) would be correctly elided)
+    assume(spark.sparkContext.defaultParallelism > 1)
     val serial = par.coalesce(1)
     val plan1 = Similarity.signLshTopK(serial, q.coalesce(1), 3)
       .queryExecution.executedPlan.toString
     assert(plan1.contains("RoundRobinPartitioning"),
       "single-split input no longer rebalanced")
+  }
+
+  test("operator construction never executes the corpus (plan-static parallelism decision)") {
+    // a derived corpus whose plan contains a shuffle: under AQE, reading
+    // .rdd at construction time would eagerly run that shuffle stage and
+    // throw the work away (the operator re-executes from the logical
+    // plan). The split estimate must come from the plan alone.
+    val derived = corpus.groupBy($"label")
+      .agg(min($"vec_id").as("vec_id"), first($"embedding").as("embedding"))
+      .select($"vec_id", $"embedding")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    Similarity.signLshTopK(derived, derived.limit(2), 3) // construction only
+    Similarity.bruteForceTopK(derived, derived.limit(2), 3)
+    Similarity.nearDupPairs(derived, 0.9, maxBucket = 10)
+    Thread.sleep(300) // listener-bus drain; job submission is synchronous enough
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      s"operator construction submitted ${after - before} Spark job(s)")
   }
 
   test("near-dup pairs finds cluster-mates above threshold, no cross-cluster pairs") {
