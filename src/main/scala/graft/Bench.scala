@@ -28,10 +28,18 @@ object Bench {
     if (doWarm) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     }
+    // SPARK_GRAFT_REPS>1 (dev only; the driver contract runs the default
+    // single pass) times each query several times and keeps the MINIMUM —
+    // the steady-state number a long-lived cluster would see, with
+    // co-tenant machine-load noise and stray GC pauses filtered out.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
