@@ -245,6 +245,11 @@ object Relational7 {
     "q58_sliding_distinct" -> (q58SlidingDistinct _),
     "q59_multi_needle"     -> (q59MultiNeedle _),
     "q60_bloom_join"       -> (q60BloomJoin _),
+    // q58's declared corpus-scale variant: sketches merge, so the x3
+    // event expansion collapses to an expansion of the hourly table.
+    // Rows-only (engine-specific HLL estimates — see Sketches scaladoc);
+    // SketchesSpec pins the error envelope against exact q58.
+    "q61_sliding_distinct_hll" -> (Sketches.slidingDistinctHll _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -30,4 +30,42 @@ object Sketches {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(5000)).as("apx_median"),
         percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"))
       .orderBy(col("l_returnflag"))
+
+  /** Sliding-window distinct users by HLL sketch — the corpus-scale
+    * path q58's scaladoc promises (Relational7.scala): exact sliding
+    * distinct is not decomposable, so the exact form expands every
+    * EVENT to its <=3 window positions and shuffles 3x the stream.
+    * HLL sketches DO merge, which restructures the whole computation:
+    *
+    *  1. one hash shuffle of the raw stream, by hour — with map-side
+    *     partials, each (partition, hour) contributes one FIXED-SIZE
+    *     (2^lgK bytes) sketch, so reduce-side volume scales with
+    *     partitions x hours, not events;
+    *  2. the x3 window expansion then runs on the HOURLY table (one
+    *     row per clock hour — thousands of rows for years of data) and
+    *     the per-window union merges 3 sketches per row.
+    *
+    * At 100 TB the exact form shuffles 3x10^12 rows; this shuffles the
+    * stream once and then works on data whose size is calendar-bounded.
+    * lgConfigK = 12 gives a published standard error of 1.04/sqrt(2^12)
+    * ~ 1.6%; SketchesSpec pins |approx-exact|/exact < 5% (~3 sigma)
+    * against the exact q58 twin, and that n_events (decomposable, so
+    * carried exactly) matches to the row. Rows-only: DataSketches HLL
+    * estimates are deterministic but algorithm-specific — DuckDB's
+    * approx_count_distinct estimates differently, so no SQL oracle.
+    */
+  def slidingDistinctHll(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .select(expr("unix_micros(ts) DIV 3600000000").as("h"), col("user_id"))
+      .groupBy(col("h"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+           count(lit(1)).as("n_events"))
+    hourly
+      .select(explode(sequence(col("h"), col("h") + 2)).as("eh"),
+              col("sk"), col("n_events"))
+      .groupBy(col("eh"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_approx"),
+           sum(col("n_events")).as("n_events"))
+      .orderBy(col("eh"))
+  }
 }
