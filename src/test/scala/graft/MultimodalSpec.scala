@@ -45,4 +45,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .orderBy($"doc_id").collect()
     assert(frames.forall(_.getSeq[String](1).isEmpty)) // all docs < 64 bytes
   }
+
+  test("frame counts and offsets reconstruct the binary layout on real documents") {
+    // p14/p15 layout invariant: for EVERY document, the emitted frame
+    // list has exactly min(maxFrames, len/stride) entries and frame i is
+    // the hex of the 4-byte payload window at offset i*stride — i.e. the
+    // sampler's output is fully determined by (and reassembles against)
+    // the raw binary layout.
+    val stride = 16
+    val maxF = 12
+    val bin = Multimodal.attachBinary(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val rows = Multimodal.frameSample(bin, stride, maxF)
+      .join(bin.select($"doc_id", $"payload"), "doc_id")
+      .collect()
+    assert(rows.length === bin.count())
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val frames = r.getSeq[String](r.fieldIndex("frames"))
+      assert(frames.length === math.min(maxF, payload.length / stride),
+        s"doc ${r.getLong(0)}: frame count vs layout")
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val window = payload.slice(i * stride, i * stride + 4)
+        assert(f === window.map("%02x".format(_)).mkString,
+          s"doc ${r.getLong(0)} frame $i: offset/content drift")
+      }
+    }
+  }
+
+  test("decode-stub features equal the exact per-bin byte histogram of the payload") {
+    // p15 invariant: the "decoded" vector is the L1-normalized 16-bin
+    // histogram of the payload BYTES — recompute it independently on the
+    // driver and require bit-equality bin by bin (counts are exact in
+    // float32 far below 2^24, and the normalizing division is the same
+    // single IEEE op, so no tolerance is needed).
+    val bin = Multimodal.attachBinary(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50))
+    val feats = Multimodal.decodeStub(spark, bin).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val payloads = bin.select($"doc_id", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(feats.keySet === payloads.keySet, "row drop or duplication in decode")
+    payloads.foreach { case (id, bytes) =>
+      val hist = new Array[Float](Multimodal.FeatureDim)
+      bytes.foreach(b => hist((b & 0xff) % Multimodal.FeatureDim) += 1f)
+      val total = math.max(1f, bytes.length.toFloat)
+      assert(feats(id) === hist.map(_ / total).toSeq, s"doc $id histogram mismatch")
+    }
+  }
 }
