@@ -227,6 +227,14 @@ object Dedup {
     * large-star/small-star contraction, which converges in O(log n)
     * rounds with the same per-round join shape.
     */
+  /** Diagnostic only: rounds the last dedupClusters / dedupClustersLogN
+    * call on this JVM took to converge (see tools.CCRounds). Not part
+    * of the operator contract; driver-side mutable state is fine here
+    * because the loops themselves run on the driver.
+    */
+  @volatile private[graft] var lastRoundsMinLabel: Int = -1
+  @volatile private[graft] var lastRoundsLogN: Int = -1
+
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     maxRounds: Int = 50): DataFrame = {
     // materialize the pair pipeline before the symmetrizing union
@@ -271,6 +279,7 @@ object Dedup {
       lbl = next
       iter += 1
     }
+    lastRoundsMinLabel = iter
     // Unconverged labels are silently wrong (a >maxRounds-diameter chain
     // would split one cluster into several) — fail loudly instead.
     if (!converged) {
@@ -308,6 +317,15 @@ object Dedup {
     * Canonicalized edge sets are equal iff their checksums agree
     * (modulo a 2^-64 hash-sum collision, which the oracle gate would
     * surface); the fixed point itself is unchanged.
+    *
+    * Seeding the loop with one min-label propagation pass was evaluated
+    * and declined (tools.CCRounds, round 4): real near-dup pair graphs
+    * are already star-shaped and reach the fixed point in 2 rounds
+    * (1 contraction + 1 checksum-stable confirmation — the floor), so a
+    * seed pass costs one extra round-shaped shuffle and can save at
+    * most one round; on high-diameter graphs it still only halves the
+    * first contraction's work against O(log n) total. Net negative at
+    * every scale tested.
     */
   def dedupClustersLogN(docs: DataFrame, idCol: String, pairs: DataFrame,
                         maxRounds: Int = 40): DataFrame = {
@@ -358,6 +376,7 @@ object Dedup {
       edges = afterSmall
       iter += 1
     }
+    lastRoundsLogN = iter
     if (!converged) {
       throw new IllegalStateException(
         s"dedupClustersLogN did not reach its star fixed point after " +
