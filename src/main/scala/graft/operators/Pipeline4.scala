@@ -35,28 +35,45 @@ object Pipeline4 {
     * A curation pipeline thresholds these to drop degenerate text
     * (keyword stuffing, boilerplate loops, template spam).
     *
-    * Scale shape: two explode→partial-agg branches (words, bigrams)
-    * each shuffling one row per DISTINCT (doc, term) — map-side
-    * combine absorbs within-doc repetition, which is exactly what
-    * repetitive junk documents have most of — joined on doc_id.
-    * Ratios are floor(1e6·x): one IEEE multiply+divide+floor, bit-
-    * identical in any engine, no round() portability hazard.
+    * Scale shape: SPLIT ONCE — the (doc_id, word-array) table is
+    * localCheckpoint'd and both term branches (words, bigrams via
+    * zip_with over shifted slices) explode from the materialized
+    * arrays, so the corpus is scanned and regex-split exactly once.
+    * Measured 3.4x faster than re-splitting per branch at sf0.1
+    * (tools.P29Variants: 1.65 s -> 0.49 s warm, identical output);
+    * same multi-consumer-expansion device as p03/p30/p34. Each branch
+    * then shuffles one row per DISTINCT (doc, term) — map-side combine
+    * absorbs within-doc repetition, which is exactly what repetitive
+    * junk documents have most of — joined on doc_id. At corpus scale
+    * the checkpoint is text-sized but replaces a second full scan +
+    * split of the corpus. Ratios are floor(1e6·x): one IEEE
+    * multiply+divide+floor, bit-identical in any engine, no round()
+    * portability hazard.
     */
   def qualityRepetition(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    // Two lean explode branches joined on doc_id. The "obvious" fusion
-    // (one tagged struct explode + conditional-agg pivot, saving a scan
-    // and two shuffles) measured ~50% SLOWER at sf0.1: the per-term
-    // struct allocation and the wider shuffle rows cost more than the
-    // extra narrow branch — same finding as the rejected single-pass
-    // n-gram Jaccard variant.
-    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    // Two lean explode branches joined on doc_id. The "obvious" FULL
+    // fusion (one tagged struct explode + conditional-agg pivot, saving
+    // the second shuffle too) measured ~50% SLOWER at sf0.1: per-term
+    // struct allocation and wider shuffle rows cost more than the extra
+    // narrow branch — same finding as the rejected single-pass n-gram
+    // Jaccard variant. Sharing the SPLIT (cheap arrays, no wider rows)
+    // has no such penalty and removes the duplicated regex work.
+    val wsTab = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .localCheckpoint()
+    val wc = wsTab.select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
     val ws = wc.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
            max(col("c")).as("top_word"))
-    val bc = docs.select(col("doc_id"),
-        explode(wordNgrams(col("text"), 2)).as("bigram"))
+    // adjacent-pair bigrams from the materialized array; docs with a
+    // single word yield an empty list and (like the oracle's inner
+    // join) drop out — identical to the wordNgrams(text, 2) form
+    val bigrams = zip_with(
+      slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+      slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val bc = wsTab.select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
     val bs = bc.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
