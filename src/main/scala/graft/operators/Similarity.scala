@@ -189,19 +189,80 @@ object Similarity {
     * id on both engines: the struct compares (cos, -cid) descending.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 8, nProbe: Int = 2): DataFrame =
+    ivfWith(seedCentroids(corpus, nCells), corpus, queries, k, nProbe)
+
+  /** IVF with Lloyd-refined centroids — the centroid-quality upgrade
+    * over [[ivfTopK]]'s deterministic coreset seed. `iters` rounds of
+    * the standard k-means loop, distributed the IVF-build way: the tiny
+    * centroid model lives on the driver and broadcasts into a MAP-ONLY
+    * assignment pass; the element-wise member means come back through
+    * one (cell, dim) aggregate per round — shuffle volume nCells x dim
+    * rows, independent of corpus size. Not in the oracle query set:
+    * float mean aggregation order is partition-dependent, so cell
+    * boundaries (and thus candidate sets) are not bit-stable across
+    * cluster layouts — SimilaritySpec pins the recall improvement over
+    * the unseeded coreset instead.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nCells: Int = 8, nProbe: Int = 2,
+                     iters: Int = 2): DataFrame =
+    ivfWith(trainIvfCentroids(corpus, nCells, iters), corpus, queries, k, nProbe)
+
+  /** Deterministic coreset seed: the first `nCells` vectors by id,
+    * collected once (tiny model, like any ANN index).
+    */
+  def seedCentroids(corpus: DataFrame, nCells: Int): Array[(Int, Seq[Float])] = {
     import org.apache.spark.sql.Row
-    val cents: Array[(Int, Seq[Float])] = corpus
+    corpus
       .filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
       .map { case Row(id: Int, e: scala.collection.Seq[_]) =>
         (id, e.asInstanceOf[scala.collection.Seq[Float]].toSeq) }
       .sortBy(_._1)
-    def cellScores(emb: Column): Column = array(cents.toIndexedSeq.map {
-      case (cid, ce) =>
-        struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
+  }
+
+  /** Lloyd refinement of [[seedCentroids]]: assign every vector to its
+    * max-cosine cell (map-only, centroids broadcast as literals), then
+    * recompute each cell's element-wise mean with ONE distributed
+    * (cell, dim) aggregate — partial aggregation reduces each partition
+    * to at most nCells x dim rows, so the shuffle is model-sized, not
+    * corpus-sized. Cells that lose all members keep their previous
+    * centroid. The model (nCells x dim floats) is collected per round;
+    * that is the IVF build contract, not a driver-side data loop.
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int,
+                        iters: Int): Array[(Int, Seq[Float])] = {
+    val par = ensureParallel(corpus)
+    var cents = seedCentroids(corpus, nCells)
+    for (_ <- 1 to iters) {
+      val means = par
+        .withColumn("best", array_max(cellScores(cents, col("embedding"))))
+        .select((-col("best.ncid")).as("cell"),
+                posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").cast("int"),
+                expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Float](1).toSeq)
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  private def cellScores(cents: Array[(Int, Seq[Float])], emb: Column): Column =
+    array(cents.toIndexedSeq.map { case (cid, ce) =>
+      struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
+
+  private def ivfWith(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
+                      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    def cellScores(emb: Column): Column = Similarity.cellScores(cents, emb)
 
     val assigned = ensureParallel(corpus)
       .withColumn("best", array_max(cellScores(col("embedding"))))

@@ -141,6 +141,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r10 === 1.0, s"probing every cell must equal brute force, got $r10")
   }
 
+  test("Lloyd-trained IVF recall beats (or matches) the coreset seed") {
+    // the seed is adversarial here by construction: vec_ids 0..9 are all
+    // members of cluster 0, so the untrained centroid set is 10 near-
+    // identical vectors from ONE true cluster; Lloyd rounds must spread
+    // the centroids toward the real cluster structure.
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seed = recallOf(Similarity.ivfTopK(corpus, queries, 5, nCells = 10, nProbe = 2))
+    val trained = recallOf(Similarity.ivfTopKTrained(corpus, queries, 5,
+      nCells = 10, nProbe = 2, iters = 3))
+    assert(trained >= seed,
+      s"training regressed recall: seed=$seed trained=$trained")
+    assert(trained >= 0.7, s"trained recall too low: $trained (seed=$seed)")
+  }
+
   test("similarity ops add no repartition exchange on an already-parallel input") {
     // range-based input starts at defaultParallelism partitions, so
     // ensureParallel must pass it through untouched
