@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -205,12 +205,50 @@ object Pipeline5 {
       |FROM documents, unnest(range(0, greatest(n_chars - 1, 0) // 80 + 1)) AS t(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res),
+    * fully deterministic: the per-row uniform u is a 52-bit slice of
+    * xxhash64(key, seed), so membership is reproducible across reruns
+    * and cluster layouts — p18's hash-sample guarantee, generalized to
+    * inclusion probability scaled by a positive weight column (the
+    * token-budget-aware mixture draw: long/high-quality documents
+    * sampled proportionally more often).
+    *
+    * A-Res selects the top-n rows by u^(1/w). We order by ln(u)/w,
+    * which is the SAME order (ln is monotone, w > 0, both sides
+    * negative) without pow. The top-n runs as TakeOrderedAndProject —
+    * per-partition bounded heaps merged on the driver, never a global
+    * sort; map-only otherwise, like every sampler in this engine.
+    *
+    * Rows-only (no SQL oracle): ln is not correctly rounded across
+    * engines, so a DuckDB twin could flip a boundary element on a
+    * last-ulp disagreement. PropertySpec pins the exact top-n-by-key
+    * semantics against the collected key column, determinism under
+    * repartitioning, subset monotonicity in n, and weight-proportional
+    * inclusion statistics across seeds instead.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     n: Int, seed: Long): DataFrame = {
+    val m = pmod(xxhash64(col(keyCol), lit(seed)), lit(1L << 52))
+    val u = (m.cast("double") + lit(1.0)) / lit((1L << 52).toDouble + 1.0)
+    df.withColumn("wkey", log(u) / weight.cast("double"))
+      .orderBy(col("wkey").desc, col(keyCol))
+      .limit(n)
+  }
+
+  /** p39: the mixture draw over documents, weighted by length. */
+  def weightedSampleQuery(s: SparkSession, d: String): DataFrame =
+    weightedSample(documents(s, d), "doc_id",
+        greatest(col("n_chars"), lit(1)), 500, seed = 42L)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
     "p37_dup_rate_by_source" -> (dupRateBySource _),
     "p38_chunk_overlap"    -> (chunkOverlap _),
+    "p39_weighted_sample"  -> (weightedSampleQuery _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -158,4 +158,48 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("weighted sample: exact A-Res top-n semantics, determinism, subset monotonicity") {
+    import graft.operators.Pipeline5
+    val df = (0L until 2000L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    // exact semantics: the selected set IS the top-n of the key column
+    val keyed = Pipeline5.weightedSample(df, "id", col("w"), 2000, seed = 5L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("wkey")))
+    val expect200 = keyed.sortBy { case (id, k) => (-k, id) }.take(200)
+      .map(_._1).toSet
+    val got200 = Pipeline5.weightedSample(df, "id", col("w"), 200, seed = 5L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got200 === expect200, "selection is not the top-n by A-Res key")
+    // determinism under a different physical layout
+    val got200b = Pipeline5
+      .weightedSample(df.repartition(7), "id", col("w"), 200, seed = 5L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got200b === got200, "sample depends on partition layout")
+    // subset monotonicity in n
+    val got100 = Pipeline5.weightedSample(df, "id", col("w"), 100, seed = 5L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got100.subsetOf(got200))
+  }
+
+  test("weighted sample: inclusion frequency scales with weight across seeds") {
+    import graft.operators.Pipeline5
+    // 1000 rows of weight 1, 1000 rows of weight 4; sample 200 per seed.
+    // With a 10% sampling fraction A-Res inclusion probability is close
+    // to proportional: expect the weight-4 rows to appear ~4x as often,
+    // within a generous band (exact proportionality only holds in the
+    // small-fraction limit).
+    val df = (0L until 2000L).map(i => (i, if (i < 1000) 1L else 4L))
+      .toDF("id", "w")
+    var heavy = 0L
+    var light = 0L
+    for (seed <- 1L to 10L) {
+      val ids = Pipeline5.weightedSample(df, "id", col("w"), 200, seed)
+        .collect().map(_.getAs[Long]("id"))
+      heavy += ids.count(_ >= 1000L)
+      light += ids.count(_ < 1000L)
+    }
+    val ratio = heavy.toDouble / math.max(1L, light).toDouble
+    assert(ratio > 2.5 && ratio < 6.0,
+      s"inclusion ratio $ratio not ~4x for 4x weights (heavy=$heavy light=$light)")
+  }
 }
