@@ -63,4 +63,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("p30_contamination")
     assert(p.contains("BroadcastHashJoin"), "bench index should broadcast")
   }
+
+  test("p39: weighted sample plans as a bounded top-n, never a global sort") {
+    val p = plan("p39_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-Res top-n lost its bounded-heap plan")
+    assert(!p.contains("Exchange hashpartitioning"), "unexpected hash shuffle")
+  }
+
+  test("q61: the event stream shuffles once; the window expansion runs on the hourly table") {
+    val p = plan("q61_sliding_distinct_hll")
+    // hour partial-agg shuffle + window-position sketch-merge shuffle,
+    // nothing else; the x3 Generate(explode) must sit ABOVE the first
+    // aggregate (hourly rows), not on the scan side below it
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2, s"expected 2 hash shuffles, saw $shuffles")
+    val gen = p.indexOf("Generate explode")
+    // sketch aggregates plan as ObjectHashAggregate; match any Aggregate
+    val deepestAgg = p.lastIndexOf("Aggregate")
+    assert(gen >= 0 && gen < deepestAgg,
+      "window expansion no longer runs on the pre-aggregated hourly table")
+  }
 }
