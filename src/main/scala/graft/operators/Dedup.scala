@@ -44,12 +44,12 @@ object Dedup {
     * expansion (shingling, hashing). The test corpus arrives as one
     * single-row-group parquet file = one input split = one core; the
     * round-robin shuffle costs rows×(id+text) and buys full parallelism
-    * for everything downstream. On a many-split production corpus the
-    * exchange is still linear and stays dwarfed by the expansion stage
-    * it feeds.
+    * for everything downstream. Conditional and plan-static (shared
+    * [[Parallelism]] device): a many-split production corpus passes
+    * through untouched, so no gratuitous text shuffle at scale.
     */
   private def rebalance(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Parallelism.ensureParallel(df)
 
   /** Distinct (id, shingle) pairs — the inverted-index input shared by
     * the Jaccard and MinHash paths.

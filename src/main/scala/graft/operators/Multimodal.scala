@@ -33,8 +33,8 @@ object Multimodal {
     // rebalance BEFORE payload construction (the shuffle carries source
     // text, never blobs) — single-file test inputs otherwise pin the
     // whole encode/inspect pipeline to one core; many-split production
-    // inputs make this a cheap near-no-op.
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // inputs skip it entirely (plan-static conditional, see Parallelism).
+    Parallelism.ensureParallel(docs)
       .select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Repartition, RepartitionByExpression, Union, Range => LogicalRange}
+
+/** Plan-static parallelism decisions, shared by every operator family
+  * that fronts a CPU-heavy per-row stage (similarity banding, shingle
+  * expansion, payload encoding).
+  *
+  * The decision NEVER touches `.rdd`: under AQE that materializes the
+  * physical plan and eagerly runs any upstream shuffle/broadcast stages
+  * at operator-construction time, work that is then thrown away because
+  * the operator re-executes from the logical plan (no cross-execution
+  * exchange reuse). SimilaritySpec pins the zero-jobs-at-construction
+  * property.
+  */
+private[graft] object Parallelism {
+
+  /** Static split-count estimate from the optimized LOGICAL plan.
+    *
+    * Underestimates on purpose: a low estimate only adds a repartition
+    * of data that is small anyway; an overestimate would leave a big
+    * single-split input one-core. File-scan leaves estimate
+    * `bytes / maxPartitionBytes`; Range/Repartition carry their split
+    * counts statically; shuffle-producing operators pass their child's
+    * estimate through (post-shuffle parallelism is at least that).
+    */
+  def estimateSplits(plan: LogicalPlan, spark: SparkSession): BigInt =
+    plan match {
+      case r: LogicalRange =>
+        BigInt(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism))
+      case r: Repartition => BigInt(r.numPartitions) // also coalesce
+      case r: RepartitionByExpression =>
+        BigInt(r.optNumPartitions
+          .getOrElse(spark.sessionState.conf.numShufflePartitions))
+      case u: Union => u.children.map(estimateSplits(_, spark)).sum
+      case l: LeafNode =>
+        val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+        ((l.stats.sizeInBytes + maxSplit - 1) / maxSplit).max(BigInt(1))
+      case other if other.children.nonEmpty =>
+        other.children.map(estimateSplits(_, spark)).max
+      case _ => BigInt(1)
+    }
+
+  /** Round-robin repartition ONLY when the input has fewer estimated
+    * splits than the session's parallelism. The local test parquet is a
+    * single row-group (1 split), so CPU-heavy downstream work would
+    * otherwise run one-core; an already-parallel input — the 100 TB
+    * case, where the scan yields thousands of splits — passes through
+    * untouched, avoiding a gratuitous full shuffle.
+    */
+  def ensureParallel(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    if (estimateSplits(df.queryExecution.optimizedPlan, spark) < p)
+      df.repartition(p)
+    else df
+  }
+}

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Repartition, RepartitionByExpression, Union, Range => LogicalRange}
 import graft.functions.VectorOps._
 
 /** Similarity search over an `array<float>` embedding column.
@@ -22,53 +21,13 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
-  /** Static split-count estimate from the optimized LOGICAL plan — never
-    * touches `.rdd`, which under AQE would materialize the physical plan
-    * and eagerly run any upstream shuffle/broadcast stages of a derived
-    * corpus at operator-construction time (work then discarded, since
-    * the operator is rebuilt from the logical plan with no
-    * cross-execution exchange reuse).
-    *
-    * Underestimates on purpose: a low estimate only adds a repartition
-    * of data that is small anyway; an overestimate would leave a big
-    * single-split input one-core. File-scan leaves estimate
-    * `bytes / maxPartitionBytes`; Range/Repartition carry their split
-    * counts statically; shuffle-producing operators pass their child's
-    * estimate through (post-shuffle parallelism is at least that).
+  /** Plan-static conditional rebalance — see [[Parallelism]] (shared
+    * with the dedup and multimodal families): repartition only a
+    * below-parallelism input, decided from the logical plan so nothing
+    * executes at operator-construction time.
     */
-  private def estimateSplits(plan: LogicalPlan, spark: SparkSession): BigInt =
-    plan match {
-      case r: LogicalRange =>
-        BigInt(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism))
-      case r: Repartition => BigInt(r.numPartitions) // also coalesce
-      case r: RepartitionByExpression =>
-        BigInt(r.optNumPartitions
-          .getOrElse(spark.sessionState.conf.numShufflePartitions))
-      case u: Union => u.children.map(estimateSplits(_, spark)).sum
-      case l: LeafNode =>
-        val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-        ((l.stats.sizeInBytes + maxSplit - 1) / maxSplit).max(BigInt(1))
-      case other if other.children.nonEmpty =>
-        other.children.map(estimateSplits(_, spark)).max
-      case _ => BigInt(1)
-    }
-
-  /** Repartition only when the input has fewer estimated splits than the
-    * session's parallelism. The local test parquet is a single row-group
-    * (1 split), so the CPU-heavy cosine/band work would otherwise run
-    * one-core; an already-parallel input — the 100 TB case, where the
-    * scan yields thousands of splits — passes through untouched,
-    * avoiding a gratuitous full shuffle of the embedding arrays. The
-    * decision is purely plan-static (see [[estimateSplits]]): nothing
-    * executes at construction time.
-    */
-  private def ensureParallel(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.sparkContext.defaultParallelism
-    if (estimateSplits(df.queryExecution.optimizedPlan, spark) < p)
-      df.repartition(p)
-    else df
-  }
+  private def ensureParallel(df: DataFrame): DataFrame =
+    Parallelism.ensureParallel(df)
 
   /** Drop LSH buckets wider than `maxBucket` before pair expansion.
     *
