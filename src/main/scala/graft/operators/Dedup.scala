@@ -110,9 +110,11 @@ object Dedup {
     //     doc, so count(*) over the stream IS the shingle-set size.
     //     At cluster scale swap localCheckpoint for persist(DISK) or
     //     a staging write — same one-expansion shape.
+    //     (eager = false: materializes at execution, not construction —
+    //     plan-only consumers submit no job)
     val sh = shinglePairs(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh
       .groupBy(col("ngram"))

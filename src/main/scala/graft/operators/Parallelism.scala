@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Repartition, RepartitionByExpression, Union, Range => LogicalRange}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, LeafNode, LogicalPlan, Repartition, RepartitionByExpression, Union, Range => LogicalRange}
 
 /** Plan-static parallelism decisions, shared by every operator family
   * that fronts a CPU-heavy per-row stage (similarity banding, shingle
@@ -22,17 +22,26 @@ private[graft] object Parallelism {
     * of data that is small anyway; an overestimate would leave a big
     * single-split input one-core. File-scan leaves estimate
     * `bytes / maxPartitionBytes`; Range/Repartition carry their split
-    * counts statically; shuffle-producing operators pass their child's
-    * estimate through (post-shuffle parallelism is at least that).
+    * counts statically. Shuffle-producing operators (Aggregate / Join /
+    * Deduplicate) estimate 1: AQE partition coalescing (on by default)
+    * can collapse their post-shuffle side to a handful of partitions
+    * whenever the data came out small, so the child's split count is NOT
+    * a lower bound for them — and when the data came out small, the
+    * repartition this estimate triggers is exactly the cheap one the
+    * policy wants. `coalesce(n)` caps at the child's estimate (its
+    * actual partition count is `min(n, child)`).
     */
   def estimateSplits(plan: LogicalPlan, spark: SparkSession): BigInt =
     plan match {
       case r: LogicalRange =>
         BigInt(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism))
-      case r: Repartition => BigInt(r.numPartitions) // also coalesce
+      case r: Repartition if r.shuffle => BigInt(r.numPartitions)
+      case r: Repartition => // coalesce: never raises parallelism
+        BigInt(r.numPartitions).min(estimateSplits(r.child, spark))
       case r: RepartitionByExpression =>
         BigInt(r.optNumPartitions
           .getOrElse(spark.sessionState.conf.numShufflePartitions))
+      case _: Aggregate | _: Join | _: Deduplicate => BigInt(1)
       case u: Union => u.children.map(estimateSplits(_, spark)).sum
       case l: LeafNode =>
         val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)

@@ -58,9 +58,15 @@ object Pipeline4 {
     // narrow branch — same finding as the rejected single-pass n-gram
     // Jaccard variant. Sharing the SPLIT (cheap arrays, no wider rows)
     // has no such penalty and removes the duplicated regex work.
+    // eager = false: materialization happens at execution time, so
+    // plan-only consumers (query enumeration, plan inspection) never
+    // submit a job. Trade-off carried over from eager: localCheckpoint
+    // is documented fault-INtolerant — an executor loss makes the
+    // checkpointed partitions unrecoverable; at cluster scale use
+    // persist(DISK) or a staging write for the same one-expansion shape.
     val wsTab = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wc = wsTab.select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
     val ws = wc.groupBy(col("doc_id"))
@@ -126,9 +132,11 @@ object Pipeline4 {
     // checkpoint: the two consumers filter DIFFERENT slices (bench vs
     // corpus), so no exchange reuse is possible — without
     // materialization the scan+shingle expansion would run twice
+    // eager = false: see qualityRepetition — no job at construction,
+    // fault-tolerance trade-off documented there
     val sh = Dedup.shinglePairs(documents(s, d), "doc_id", "text", ShingleN)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ng"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(col("ng"), col("doc_id").as("bench_id")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)

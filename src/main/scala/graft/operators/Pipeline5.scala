@@ -31,9 +31,11 @@ object Pipeline5 {
     val docs = documents(s, d)
     // checkpoint: sh feeds both the df aggregation and the join probe;
     // materializing hashed longs guarantees the expansion runs once
+    // eager = false: no job at construction (Pipeline4.qualityRepetition
+    // documents the localCheckpoint fault-tolerance trade-off)
     val sh = Dedup.shinglePairs(docs, "doc_id", "text", ShingleN)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val df = sh.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
     val per = sh.join(df, "ngram")
       .groupBy(col("doc_id"))
@@ -226,14 +228,80 @@ object Pipeline5 {
     * repartitioning, subset monotonicity in n, and weight-proportional
     * inclusion statistics across seeds instead.
     */
-  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
-                     n: Int, seed: Long): DataFrame = {
+  /** A-Res ordering key ln(u)/w for [[weightedSample]] /
+    * [[weightedSampleBy]] — package-private so property tests can rank
+    * by the exact key the sampler uses. The weight is validated IN-PLAN
+    * (TwoLevel precondition style): w <= 0 would make ln(u)/w silently
+    * drop the row (w = 0 → -Inf) or always select it (w < 0 → positive
+    * key), and NaN poisons the ordering — all three raise instead.
+    */
+  private[graft] def aresKey(keyCol: String, weight: Column, seed: Long): Column = {
     val m = pmod(xxhash64(col(keyCol), lit(seed)), lit(1L << 52))
     val u = (m.cast("double") + lit(1.0)) / lit((1L << 52).toDouble + 1.0)
-    df.withColumn("wkey", log(u) / weight.cast("double"))
-      .orderBy(col("wkey").desc, col(keyCol))
-      .limit(n)
+    val wd = weight.cast("double")
+    // NB: Spark SQL orders NaN ABOVE every other double (unlike IEEE
+    // comparisons), so `wd > 0.0` alone would let NaN through — the
+    // isnan check is load-bearing.
+    val wOk = when(wd > 0.0 && !isnan(wd), wd).otherwise(raise_error(concat(
+      lit("weightedSample: weight must be > 0 (and not NaN/NULL), got "),
+      coalesce(wd.cast("string"), lit("NULL")))))
+    log(u) / wOk
   }
+
+  /** Scratch column for the sampler's ordering key; rejected loudly on
+    * the input (it would clash) and dropped from the output.
+    */
+  private val WkeyCol = "__wkey"
+
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     n: Int, seed: Long): DataFrame = {
+    require(!df.columns.contains(WkeyCol),
+      s"weightedSample: input carries reserved internal column $WkeyCol — " +
+        "rename it before calling")
+    df.withColumn(WkeyCol, aresKey(keyCol, weight, seed))
+      .orderBy(col(WkeyCol).desc, col(keyCol))
+      .limit(n)
+      .drop(WkeyCol)
+  }
+
+  /** Per-stratum weighted sample WITHOUT replacement: an independent
+    * A-Res draw of `nPer` rows inside every value of `strataCol` — the
+    * budgeted mixture draw p32's rebalance users actually want (each
+    * source fills its own quota instead of competing in one global
+    * pool). Strata smaller than `nPer` are returned whole.
+    *
+    * Scale shape: one hash shuffle on the stratum key, then a rank
+    * window per stratum — no global sort, no driver merge; the window
+    * state is one running counter per stratum. Same determinism
+    * guarantee as [[weightedSample]] (the key is a pure hash of
+    * (row key, seed)), and rows-only for the same ln() portability
+    * reason — PropertySpec pins the exact per-stratum top-n-by-key
+    * semantics, layout determinism, and per-stratum weight
+    * proportionality instead.
+    */
+  def weightedSampleBy(df: DataFrame, strataCol: String, keyCol: String,
+                       weight: Column, nPer: Int, seed: Long): DataFrame = {
+    val scratch = Seq(WkeyCol, "__wrn")
+    val clash = df.columns.filter(scratch.contains)
+    require(clash.isEmpty,
+      s"weightedSampleBy: input carries reserved internal column(s) " +
+        s"${clash.mkString(", ")} — rename them before calling")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(WkeyCol).desc, col(keyCol))
+    df.withColumn(WkeyCol, aresKey(keyCol, weight, seed))
+      .withColumn("__wrn", row_number().over(w))
+      .filter(col("__wrn") <= nPer)
+      .drop(WkeyCol, "__wrn")
+  }
+
+  /** p42: the per-source budgeted mixture draw — 40 documents per
+    * source, weighted by length.
+    */
+  def weightedSampleByQuery(s: SparkSession, d: String): DataFrame =
+    weightedSampleBy(documents(s, d), "source", "doc_id",
+        greatest(col("n_chars"), lit(1)), 40, seed = 42L)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** p39: the mixture draw over documents, weighted by length. */
   def weightedSampleQuery(s: SparkSession, d: String): DataFrame =
@@ -249,6 +317,7 @@ object Pipeline5 {
     "p37_dup_rate_by_source" -> (dupRateBySource _),
     "p38_chunk_overlap"    -> (chunkOverlap _),
     "p39_weighted_sample"  -> (weightedSampleQuery _),
+    "p42_weighted_sample_by" -> (weightedSampleByQuery _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -29,7 +29,8 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
   test("rows-only queries (no oracle) are the documented exceptions only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("p15_multimodal_decode", "p16_approx_stats",
-      "q61_sliding_distinct_hll", "p39_weighted_sample"))
+      "q61_sliding_distinct_hll", "p39_weighted_sample",
+      "p42_weighted_sample_by"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

@@ -162,9 +162,15 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
   test("weighted sample: exact A-Res top-n semantics, determinism, subset monotonicity") {
     import graft.operators.Pipeline5
     val df = (0L until 2000L).map(i => (i, 1L + i % 7)).toDF("id", "w")
-    // exact semantics: the selected set IS the top-n of the key column
-    val keyed = Pipeline5.weightedSample(df, "id", col("w"), 2000, seed = 5L)
-      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("wkey")))
+    // exact semantics: the selected set IS the top-n of the A-Res key
+    // (computed here via the same package-private key expression the
+    // sampler orders by — the scratch column itself no longer leaks
+    // into the sampler's output)
+    assert(!Pipeline5.weightedSample(df, "id", col("w"), 10, seed = 5L)
+      .columns.exists(_.startsWith("__")), "scratch column leaked")
+    val keyed = df
+      .withColumn("k", Pipeline5.aresKey("id", col("w"), seed = 5L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("k")))
     val expect200 = keyed.sortBy { case (id, k) => (-k, id) }.take(200)
       .map(_._1).toSet
     val got200 = Pipeline5.weightedSample(df, "id", col("w"), 200, seed = 5L)
@@ -201,5 +207,59 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     val ratio = heavy.toDouble / math.max(1L, light).toDouble
     assert(ratio > 2.5 && ratio < 6.0,
       s"inclusion ratio $ratio not ~4x for 4x weights (heavy=$heavy light=$light)")
+  }
+
+  test("weighted sample: non-positive / NaN weights raise in-plan; reserved column rejected") {
+    import graft.operators.Pipeline5
+    val df = Seq((1L, 1.0), (2L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Pipeline5.weightedSample(df, "id", col("w"), 2, seed = 1L).collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0"),
+      s"zero weight did not raise the documented error: ${e.getMessage}")
+    val neg = Seq((1L, 1.0), (2L, -3.0)).toDF("id", "w")
+    assertThrows[Exception] {
+      Pipeline5.weightedSample(neg, "id", col("w"), 2, seed = 1L).collect()
+    }
+    val nan = Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "w")
+    assertThrows[Exception] {
+      Pipeline5.weightedSample(nan, "id", col("w"), 2, seed = 1L).collect()
+    }
+    val clash = Seq((1L, 1.0)).toDF("id", "__wkey")
+    assertThrows[IllegalArgumentException] {
+      Pipeline5.weightedSample(clash, "id", lit(1.0), 1, seed = 1L)
+    }
+  }
+
+  test("per-stratum weighted sample: independent exact top-n per stratum, determinism") {
+    import graft.operators.Pipeline5
+    // 3 strata of very different sizes; small stratum returned whole
+    val df = (0L until 900L)
+      .map(i => (i, s"src${i % 3}", 1L + i % 5))
+      .filter { case (i, s, _) => s != "src2" || i < 30 } // src2 tiny (10 rows)
+      .toDF("id", "src", "w")
+    val got = Pipeline5.weightedSampleBy(df, "src", "id", col("w"), 20, seed = 9L)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id")))
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc("src0").size === 20 && bySrc("src1").size === 20,
+      "full strata must fill their quota exactly")
+    assert(bySrc("src2").size === 10, "small stratum must be returned whole")
+    // per-stratum selection IS the top-n of the A-Res key within the stratum
+    val keyed = df.withColumn("k", Pipeline5.aresKey("id", col("w"), seed = 9L))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id"), r.getAs[Double]("k")))
+    for (s <- Seq("src0", "src1", "src2")) {
+      val expect = keyed.filter(_._1 == s)
+        .sortBy { case (_, id, k) => (-k, id) }.take(20).map(_._2).toSet
+      assert(bySrc(s) === expect, s"stratum $s selection is not its top-n by key")
+    }
+    // determinism under a different physical layout
+    val gotB = Pipeline5
+      .weightedSampleBy(df.repartition(7), "src", "id", col("w"), 20, seed = 9L)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id"))).toSet
+    assert(gotB === got.toSet, "per-stratum sample depends on partition layout")
+    // scratch columns never leak
+    assert(!Pipeline5.weightedSampleBy(df, "src", "id", col("w"), 5, seed = 9L)
+      .columns.exists(_.startsWith("__")), "scratch column leaked")
   }
 }

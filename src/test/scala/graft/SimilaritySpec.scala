@@ -192,15 +192,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val derived = corpus.groupBy($"label")
       .agg(min($"vec_id").as("vec_id"), first($"embedding").as("embedding"))
       .select($"vec_id", $"embedding")
-    val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
-    Similarity.signLshTopK(derived, derived.limit(2), 3) // construction only
-    Similarity.bruteForceTopK(derived, derived.limit(2), 3)
-    Similarity.nearDupPairs(derived, 0.9, maxBucket = 10)
-    Thread.sleep(300) // listener-bus drain; job submission is synchronous enough
-    val after = tracker.getJobIdsForGroup(null).length
-    assert(after === before,
-      s"operator construction submitted ${after - before} Spark job(s)")
+    // Count ONLY jobs tagged with this test's job group (prior tests in
+    // the shared session can't pollute, late listener delivery can't
+    // race), and flush the listener bus deterministically by running a
+    // sentinel job in a second group and waiting for its event: the bus
+    // is ordered, so once the sentinel is seen every construction-time
+    // job would already have been delivered.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val constructionJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinelSeen = new java.util.concurrent.CountDownLatch(1)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (group == "zero-jobs-sentinel") sentinelSeen.countDown()
+        else if (group == "zero-jobs-construction") constructionJobs.incrementAndGet()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup("zero-jobs-construction", "operator construction under test")
+      Similarity.signLshTopK(derived, derived.limit(2), 3) // construction only
+      Similarity.bruteForceTopK(derived, derived.limit(2), 3)
+      Similarity.nearDupPairs(derived, 0.9, maxBucket = 10)
+      sc.setJobGroup("zero-jobs-sentinel", "listener-bus flush")
+      spark.range(1).count()
+      assert(sentinelSeen.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "sentinel job event never delivered")
+      assert(constructionJobs.get() === 0,
+        s"operator construction submitted ${constructionJobs.get()} Spark job(s)")
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
   }
 
   test("near-dup pairs finds cluster-mates above threshold, no cross-cluster pairs") {
