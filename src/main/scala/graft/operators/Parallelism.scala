@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, LeafNode, LogicalPlan, Repartition, RepartitionByExpression, Union, Range => LogicalRange}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, LeafNode, LogicalPlan, Repartition, RepartitionByExpression, Sort, Union, Window, Range => LogicalRange}
 
 /** Plan-static parallelism decisions, shared by every operator family
   * that fronts a CPU-heavy per-row stage (similarity banding, shingle
@@ -22,14 +22,25 @@ private[graft] object Parallelism {
     * of data that is small anyway; an overestimate would leave a big
     * single-split input one-core. File-scan leaves estimate
     * `bytes / maxPartitionBytes`; Range/Repartition carry their split
-    * counts statically. Shuffle-producing operators (Aggregate / Join /
-    * Deduplicate) estimate 1: AQE partition coalescing (on by default)
-    * can collapse their post-shuffle side to a handful of partitions
-    * whenever the data came out small, so the child's split count is NOT
-    * a lower bound for them — and when the data came out small, the
-    * repartition this estimate triggers is exactly the cheap one the
-    * policy wants. `coalesce(n)` caps at the child's estimate (its
-    * actual partition count is `min(n, child)`).
+    * counts statically.
+    *
+    * Shuffle-producing operators (Aggregate / Join / Deduplicate /
+    * Sort / Window, and `repartition(expr)` with no explicit count) are
+    * AQE-coalescible: partition coalescing (on by default) can collapse
+    * their post-shuffle side to a handful of partitions whenever the
+    * data came out SMALL, so the child's split count is not a lower
+    * bound for them. But a constant 1 would be wrong in the other
+    * direction — a corpus-sized join/aggregate output (high-cardinality
+    * dedup of a 100 TB corpus) is NOT coalesced, is already
+    * well-partitioned, and must pass through untouched. So they
+    * estimate from plan statistics, mirroring AQE's own coalescing
+    * rule: `ceil(stats.sizeInBytes / advisoryPartitionSize)` clamped to
+    * `[1, numShufflePartitions]` — a small post-shuffle frame still
+    * gets the cheap fan-out repartition, a big one passes through.
+    * Size-only logical stats overestimate if anything (filter/agg
+    * selectivity is not discounted), which errs toward pass-through,
+    * never toward re-shuffling big data. `coalesce(n)` caps at the
+    * child's estimate (its actual partition count is `min(n, child)`).
     */
   def estimateSplits(plan: LogicalPlan, spark: SparkSession): BigInt =
     plan match {
@@ -38,10 +49,11 @@ private[graft] object Parallelism {
       case r: Repartition if r.shuffle => BigInt(r.numPartitions)
       case r: Repartition => // coalesce: never raises parallelism
         BigInt(r.numPartitions).min(estimateSplits(r.child, spark))
-      case r: RepartitionByExpression =>
-        BigInt(r.optNumPartitions
-          .getOrElse(spark.sessionState.conf.numShufflePartitions))
-      case _: Aggregate | _: Join | _: Deduplicate => BigInt(1)
+      case r: RepartitionByExpression if r.optNumPartitions.isDefined =>
+        BigInt(r.optNumPartitions.get)
+      case p @ (_: Aggregate | _: Join | _: Deduplicate | _: Sort |
+                _: Window | _: RepartitionByExpression) =>
+        coalescedShuffleEstimate(p, spark)
       case u: Union => u.children.map(estimateSplits(_, spark)).sum
       case l: LeafNode =>
         val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
@@ -50,6 +62,18 @@ private[graft] object Parallelism {
         other.children.map(estimateSplits(_, spark)).max
       case _ => BigInt(1)
     }
+
+  /** Post-AQE-coalescing split estimate for a shuffle-producing node:
+    * how many advisory-sized partitions its estimated output fills,
+    * never more than the shuffle produced. Pure plan metadata
+    * (size-only stats fold leaf file sizes) — no job runs.
+    */
+  private def coalescedShuffleEstimate(p: LogicalPlan, spark: SparkSession): BigInt = {
+    val advisory = BigInt(spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val byStats = (p.stats.sizeInBytes + advisory - 1) / advisory
+    byStats.max(BigInt(1)).min(BigInt(spark.sessionState.conf.numShufflePartitions))
+  }
 
   /** Round-robin repartition ONLY when the input has fewer estimated
     * splits than the session's parallelism. The local test parquet is a
