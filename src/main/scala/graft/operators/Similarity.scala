@@ -34,30 +34,62 @@ object Similarity {
     * Pair emission inside a bucket is quadratic; with `width` sign bits
     * the band space is only 2^width values, so a degenerate bucket (all
     * zero vectors, boilerplate embeddings) concentrates ~n/2^width rows
-    * on one task and emits its square. The oversized-bucket LIST is tiny
-    * by construction (at most 2^width × bands rows), so it broadcasts and
-    * the drop is a map-side anti-join — no extra shuffle of embeddings.
-    * Capped candidates are a strict subset of the uncapped set
-    * (SimilaritySpec pins the subset-monotonicity property).
+    * on one task and emits its square. Capped candidates are a strict
+    * subset of the uncapped set (SimilaritySpec pins the
+    * subset-monotonicity property).
     *
-    * Trade-off: with a cap set, the banded corpus is evaluated TWICE —
-    * once to count bucket widths for the broadcast build side, once as
-    * the probe stream. Banding is a cheap map-side expansion over the
-    * scan, so at test scale recomputing beats materializing (see the
-    * measured `.cache()` losses in README); at corpus scale, callers
-    * whose corpus is an expensive derived frame (not a raw scan) should
-    * persist it BEFORE calling, so both passes read materialized data.
+    * Two physical shapes, chosen plan-statically (no job runs):
+    *
+    *  - CHEAP-TO-RESCAN corpus (scan/filter/project/explode chains —
+    *    the raw 100 TB case): count bucket widths with a tiny partial
+    *    aggregate (shuffle volume = distinct band keys, not rows),
+    *    broadcast the oversized-bucket list (at most 2^width × bands
+    *    rows by construction), drop via map-side anti-join. The banded
+    *    corpus is evaluated twice, but both passes are map-side work
+    *    over a columnar scan — NOTHING row-sized ever shuffles, which
+    *    beats shuffling n × bands embedding rows by band key.
+    *
+    *  - DERIVED corpus (a shuffle operator — aggregate/join/window —
+    *    anywhere below): recomputing the derivation twice is the
+    *    expensive part, so switch to ONE pass — a count window over the
+    *    band key — which computes the derivation exactly once and pays
+    *    one band-key shuffle of the banded rows instead. For the
+    *    self-join shapes ([[nearDupPairs]]) that shuffle is reused by
+    *    the downstream band-key join (same partitioning), so it is
+    *    close to free there.
+    *
+    * SimilaritySpec pins both shapes: a derived corpus plans exactly one
+    * derivation under a cap, a raw scan keeps the shuffle-free anti-join.
     */
   private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
-    else {
+    else if (cheapToRescan(banded.queryExecution.optimizedPlan)) {
       val over = banded
         .groupBy(col("band_i"), col("band_v"))
         .agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") > maxBucket)
         .select(col("band_i"), col("band_v"))
       banded.join(broadcast(over), Seq("band_i", "band_v"), "left_anti")
+    } else {
+      val w = Window.partitionBy(col("band_i"), col("band_v"))
+      banded.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= maxBucket)
+        .drop("__bn")
     }
+
+  /** True when re-evaluating the plan costs one more pass of map-side
+    * work over its scans — no shuffle operator (aggregate/join/window/
+    * sort/dedup) anywhere in the tree. Plan-static, mirror of
+    * [[Parallelism.estimateSplits]]'s shuffle-producer set.
+    */
+  private def cheapToRescan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join, Sort, Window => LWindow}
+    !plan.exists {
+      case _: Aggregate | _: Join | _: Deduplicate | _: Sort | _: LWindow => true
+      case _ => false
+    }
+  }
 
   /** Exact cosine top-k neighbors for each query vector.
     *

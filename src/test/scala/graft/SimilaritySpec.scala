@@ -127,6 +127,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bucket cap: derived corpus plans ONE derivation, raw scan keeps the shuffle-free anti-join") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = raw.filter($"vec_id" < 2)
+    // raw scan: rescanning is cheap, so the cap stays a broadcast
+    // anti-join (no band-key shuffle of embedding rows); the corpus is
+    // banded twice — count pass + probe pass — plus the queries scan = 3
+    val rawPlan = Similarity.signLshTopK(raw, queries, 3, maxBucket = 10)
+      .queryExecution.executedPlan.toString
+    assert(rawPlan.contains("LeftAnti"), "raw-scan cap lost its broadcast anti-join")
+    assert("FileScan parquet".r.findAllIn(rawPlan).size === 3)
+    // derived corpus (shuffle below): the derivation must execute ONCE —
+    // cap switches to a count window over the band key, no anti-join,
+    // and the expensive aggregate appears a single time in the plan
+    val derived = raw.groupBy(($"vec_id" % 97).as("g"))
+      .agg(min($"vec_id").as("vec_id"), first($"embedding").as("embedding"))
+      .select($"vec_id", $"embedding")
+    val dPlan = Similarity.signLshTopK(derived, queries, 3, maxBucket = 10)
+      .queryExecution.executedPlan.toString
+    assert(!dPlan.contains("LeftAnti"), "derived cap still double-computes the corpus")
+    assert("FileScan parquet".r.findAllIn(dPlan).size === 2,
+      "derived corpus banded more than once under a cap")
+    assert(dPlan.contains("hashpartitioning(band"),
+      "one-pass cap lost its band-key count window")
+    // and the one-pass shape is semantically identical to the two-pass:
+    // a degenerate all-identical bucket is dropped, not squared
+    val n = 40L
+    val dupes = (0L until n).map(i => (i, Seq.fill(dim)(0.25f)))
+      .toDF("vec_id", "embedding")
+      .groupBy($"vec_id").agg(first($"embedding").as("embedding")) // derived
+    assert(Similarity.nearDupPairs(dupes, 0.99).count() === n * (n - 1) / 2)
+    assert(Similarity.nearDupPairs(dupes, 0.99, maxBucket = 10).count() === 0L)
+  }
+
   test("IVF recall is monotone in nProbe and exact at full probe") {
     val queries = corpus.filter($"vec_id" % 10 === 0L)
     val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
