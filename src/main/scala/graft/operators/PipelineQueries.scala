@@ -289,6 +289,50 @@ object PipelineQueries {
        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** The CAPPED LSH path — the production guard [[Similarity.signLshTopK]]
+    * ships with (`maxBucket`): buckets wider than the cap are dropped
+    * before candidate expansion, bounding the per-task quadratic blowup a
+    * degenerate bucket causes at corpus scale. The cap is exact
+    * (count-based), so it mirrors into SQL as a `HAVING count(*) <= cap`
+    * anti-filter on the band key — this entry puts the capped operator
+    * under the same DuckDB differential oracle as the uncapped p10.
+    * maxBucket = 4 is chosen to BIND: at sf0.01 it drops enough buckets
+    * that 10 of the 25 uncapped top-5 rows change (measured), so the
+    * drop path is differentially checked, not vacuously green; at
+    * bench scale (sf0.1, max width 20) it binds harder still.
+    */
+  def simAnnLshCapped(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.signLshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        nBands = 8, width = 8, maxBucket = 4)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val simAnnLshCappedOracle: String = {
+    s"""WITH banded AS (
+       |  SELECT vec_id, embedding, band_i, ${duckBand("embedding", "band_i", 8)} AS band_v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0,8)) AS band_i) bi),
+       |wide AS (
+       |  SELECT band_i, band_v FROM banded
+       |  GROUP BY band_i, band_v HAVING count(*) > 4),
+       |kept AS (
+       |  SELECT b.* FROM banded b
+       |  WHERE NOT EXISTS (SELECT 1 FROM wide w
+       |                    WHERE w.band_i = b.band_i AND w.band_v = b.band_v)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+       |         q.embedding AS qe, c.embedding AS ce
+       |  FROM kept c JOIN (SELECT * FROM banded WHERE vec_id < 5) q
+       |    ON c.band_i = q.band_i AND c.band_v = q.band_v AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, ${duckCos("qe", "ce")} AS cos,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |              ORDER BY ${duckCos("qe", "ce")} DESC, cid) AS INTEGER) AS rnk
+       |  FROM cand)
+       |SELECT qid, cid, round(cos, 4) AS cos, rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   def embedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.nearDupPairs(embeddings(s, d), threshold = 0.8,
         nBands = 4, width = 8)
@@ -472,6 +516,7 @@ object PipelineQueries {
     "p08_text_tokens"         -> (textTokens _),
     "p09_sim_topk"            -> (simTopK _),
     "p10_sim_ann_lsh"         -> (simAnnLsh _),
+    "p40_sim_ann_capped"      -> (simAnnLshCapped _),
     "p11_embed_neardup"       -> (embedNearDup _),
     "p12_multimodal_inspect"  -> (multimodalInspect _),
     "p13_sim_ivf"             -> (simIvf _),
@@ -496,6 +541,7 @@ object PipelineQueries {
     "p08_text_tokens"         -> textTokensOracle,
     "p09_sim_topk"            -> simTopKOracle,
     "p10_sim_ann_lsh"         -> simAnnLshOracle,
+    "p40_sim_ann_capped"      -> simAnnLshCappedOracle,
     "p11_embed_neardup"       -> embedNearDupOracle,
     "p12_multimodal_inspect"  -> multimodalInspectOracle,
     "p13_sim_ivf"             -> simIvfOracle,
