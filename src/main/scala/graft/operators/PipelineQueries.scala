@@ -388,6 +388,27 @@ object PipelineQueries {
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** The stored-layout IVF path: build the at-rest cell-partitioned
+    * index ([[Similarity.ivfWrite]]) then answer the probe batch from
+    * it ([[Similarity.ivfTopKStored]]). Same centroids and parameters
+    * as p13, so the oracle is IDENTICAL — the layout must be
+    * semantics-preserving; what changes is the scan: dynamic partition
+    * pruning restricts the read to the probed cells (PlanSpec pins the
+    * dynamicpruningexpression in the scan's PartitionFilters). The
+    * index is rebuilt every invocation, so the measured time includes
+    * the one-pass build — the cost a real pipeline pays once and
+    * amortizes over every probe batch.
+    */
+  def simIvfStored(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cells_${Integer.toHexString(d.hashCode)}"
+    Similarity.ivfWrite(emb, cents, store)
+    Similarity.ivfTopKStored(s, store, emb.filter(col("vec_id") < 5), cents,
+        k = 10, nProbe = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   // ---- multimodal ----
 
   def multimodalInspect(s: SparkSession, d: String): DataFrame =
@@ -520,6 +541,7 @@ object PipelineQueries {
     "p11_embed_neardup"       -> (embedNearDup _),
     "p12_multimodal_inspect"  -> (multimodalInspect _),
     "p13_sim_ivf"             -> (simIvf _),
+    "p41_sim_ivf_stored"      -> (simIvfStored _),
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
     "p16_approx_stats"        -> (Sketches.approxStats _),
@@ -545,6 +567,8 @@ object PipelineQueries {
     "p11_embed_neardup"       -> embedNearDupOracle,
     "p12_multimodal_inspect"  -> multimodalInspectOracle,
     "p13_sim_ivf"             -> simIvfOracle,
+    // the stored layout is semantics-preserving: same oracle as p13
+    "p41_sim_ivf_stored"      -> simIvfOracle,
     "p14_frame_sample"        -> frameSampleOracle,
     // p15_multimodal_decode: no oracle (mapPartitions decode stub is not
     // SQL-expressible) — rows-only check.

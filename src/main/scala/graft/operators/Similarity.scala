@@ -172,9 +172,9 @@ object Similarity {
     * once (tiny model, like any ANN index) and embedded as literals, so
     * CELL ASSIGNMENT IS MAP-ONLY: one pass over the corpus, zero
     * shuffle, argmax computed per row via an in-row struct-array max.
-    * At 100 TB this is the textbook IVF build: broadcast the centroid
-    * table, write the corpus back partitioned by cell; queries then
-    * touch nProbe/nCells of the data.
+    * At 100 TB, pair this with the at-rest layout — [[ivfWrite]] once,
+    * then [[ivfTopKStored]] per probe batch reads only the probed
+    * cells' directories instead of rescanning the corpus.
     *
     * Ties (two centroids at identical cosine) break to the lower cell
     * id on both engines: the struct compares (cos, -cid) descending.
@@ -251,23 +251,34 @@ object Similarity {
       struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
 
-  private def ivfWith(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
-                      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    def cellScores(emb: Column): Column = Similarity.cellScores(cents, emb)
+  /** Map-only cell assignment against the broadcast centroid model:
+    * one pass over the corpus, zero shuffle — (vec_id, embedding, cell).
+    */
+  private def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
+    ensureParallel(corpus)
+      .withColumn("best", array_max(cellScores(cents, col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+              (-col("best.ncid")).cast("int").as("cell"))
 
-    val assigned = ensureParallel(corpus)
-      .withColumn("best", array_max(cellScores(col("embedding"))))
-      .select(col("vec_id").as("cid_"), col("embedding").as("ce"),
-              (-col("best.ncid")).as("cell"))
-
-    val probes = queries
-      .withColumn("sc", slice(reverse(array_sort(cellScores(col("embedding")))), 1, nProbe))
+  /** Per-query probe fan-out: the `nProbe` max-cosine cells of each
+    * query vector — (qid, qe, cell), tiny by construction.
+    */
+  private def probeCells(cents: Array[(Int, Seq[Float])], queries: DataFrame,
+                         nProbe: Int): DataFrame =
+    queries
+      .withColumn("sc", slice(reverse(array_sort(cellScores(cents, col("embedding")))), 1, nProbe))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               explode(col("sc")).as("p"))
-      .select(col("qid"), col("qe"), (-col("p.ncid")).as("cell"))
+      .select(col("qid"), col("qe"), (-col("p.ncid")).cast("int").as("cell"))
 
+  /** Probe join + exact rerank: candidates are cell-mates of a probe,
+    * scored by true cosine, top-k kept per query.
+    */
+  private def probeJoinTopK(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    assigned
+      .select(col("vec_id").as("cid_"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_").as("cid"),
               cosine(col("qe"), col("ce")).as("cos"))
@@ -275,6 +286,35 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
+
+  private def ivfWith(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
+                      queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+    probeJoinTopK(assignCells(cents, corpus), probeCells(cents, queries, nProbe), k)
+
+  /** Build the AT-REST IVF layout: assign every vector to its cell
+    * (map-only against the broadcast centroid model) and persist the
+    * corpus hive-partitioned by cell — one directory per cell, via
+    * [[graft.sources.Partitioned.writeBy]]. This is the textbook IVF
+    * build at 100 TB: the write is one pass with no shuffle (each task
+    * writes its rows into per-cell files), and every subsequent probe
+    * reads nProbe/nCells of the DATA, not all of it.
+    */
+  def ivfWrite(corpus: DataFrame, cents: Array[(Int, Seq[Float])], path: String): Unit =
+    graft.sources.Partitioned.writeBy(assignCells(cents, corpus), path, "cell")
+
+  /** ANN top-k over a stored [[ivfWrite]] layout. The probe join hits
+    * the PARTITION column, so Catalyst's dynamic partition pruning
+    * (reusing the already-broadcast probe side) restricts the file
+    * listing to the probed cells before any byte of the corpus is
+    * read — `PartitionFilters: [dynamicpruningexpression(cell IN ...)]`
+    * in the scan, pinned by PlanSpec. Same semantics as [[ivfTopK]]
+    * with the same centroids (the layout is semantics-preserving), so
+    * the stored path shares p13's differential oracle.
+    */
+  def ivfTopKStored(spark: SparkSession, path: String, queries: DataFrame,
+                    cents: Array[(Int, Seq[Float])], k: Int,
+                    nProbe: Int = 2): DataFrame =
+    probeJoinTopK(spark.read.parquet(path), probeCells(cents, queries, nProbe), k)
 
   /** Embedding near-duplicate pairs (cosine >= threshold, id1 < id2),
     * blocked by sign bands so only bucket-mates are compared.

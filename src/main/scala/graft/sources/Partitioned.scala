@@ -25,4 +25,14 @@ object Partitioned {
   def readDays(spark: SparkSession, path: String, from: String, to: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("day") >= from && col("day") <= to)
+
+  /** Write hive-partitioned by an arbitrary (already materialized)
+    * column — the general form of [[writeEventsByDay]] used by index
+    * layouts like the IVF cell store (`Similarity.ivfWrite`): one
+    * directory per value, so any equi-predicate or equi-join on the
+    * column prunes whole directories from the listing before a byte
+    * is read.
+    */
+  def writeBy(df: DataFrame, path: String, column: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(column).parquet(path)
 }

@@ -71,6 +71,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), "unexpected hash shuffle")
   }
 
+  test("p41: the stored IVF probe scan prunes partitions to the probed cells") {
+    val p = plan("p41_sim_ivf_stored")
+    assert(p.contains("dynamicpruningexpression"),
+      "stored IVF scan lost dynamic partition pruning — every probe would rescan the corpus")
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      "cell is no longer a partition column of the stored layout")
+  }
+
   test("q61: the event stream shuffles once; the window expansion runs on the hourly table") {
     val p = plan("q61_sliding_distinct_hll")
     // hour partial-agg shuffle + window-position sketch-merge shuffle,

@@ -174,6 +174,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r10 === 1.0, s"probing every cell must equal brute force, got $r10")
   }
 
+  test("stored IVF layout is semantics-preserving and the probe reads only probed cells") {
+    val pqCorpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.seedCentroids(pqCorpus, 10)
+    val store = java.nio.file.Files.createTempDirectory("ivf_store_spec").toString
+    Similarity.ivfWrite(pqCorpus, cents, store)
+    // 1) the layout changes WHERE bytes live, never the answer: the
+    // stored probe equals the in-memory probe for the same model
+    val queries = pqCorpus.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rnk"))).toSet
+    val mem = rows(Similarity.ivfTopK(pqCorpus, queries, 10, nCells = 10, nProbe = 2))
+    val stored = Similarity.ivfTopKStored(spark, store, queries, cents, 10, nProbe = 2)
+    assert(rows(stored) === mem, "stored layout changed the top-k answer")
+    // 2) a single-query probe must physically read only its nProbe cell
+    // directories: dynamic partition pruning via the reused probe
+    // broadcast, observable in the scan's partition/file metrics
+    val one = Similarity.ivfTopKStored(spark, store,
+      pqCorpus.filter($"vec_id" === 55L), cents, 5, nProbe = 2)
+    assert(one.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "stored probe lost its dynamic partition-pruning filter")
+    one.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val storeScan = scans(one.queryExecution.executedPlan)
+      .find(_.metrics.contains("numPartitions"))
+      .getOrElse(fail("no partitioned scan in the stored-probe plan"))
+    val partsRead = storeScan.metrics("numPartitions").value
+    val filesRead = storeScan.metrics("numFiles").value
+    val filesTotal = storeScan.metrics("staticFilesNum").value
+    assert(partsRead <= 2, s"probe read $partsRead cells, expected <= nProbe = 2")
+    assert(filesRead < filesTotal,
+      s"no file-level pruning: read $filesRead of $filesTotal")
+  }
+
   test("Lloyd-trained IVF recall beats (or matches) the coreset seed") {
     // the seed is adversarial here by construction: vec_ids 0..9 are all
     // members of cluster 0, so the untrained centroid set is 10 near-
