@@ -18,6 +18,23 @@ import graft.Tables._
   */
 object Sketches {
 
+  /** ONE sketch precision for every HLL surface of the engine — batch
+    * (q61, [[slidingDistinctHll]]) and streaming
+    * (`StreamingOps.slidingUserActivity`) share it, so a dashboard
+    * mixing batch backfill and streaming tail reads consistent
+    * numbers. 2^12 registers = published standard error
+    * 1.04/sqrt(2^12) ~ 1.6 %.
+    *
+    * Parity caveat, measured: estimates from the two paths are NOT
+    * bit-equal on identical data — DataSketches HLL is path-dependent
+    * below the error floor (the hourly partials union exact sparse
+    * coupons, a direct whole-window sketch densifies earlier), ~1.3 %
+    * apart on a 900-user test set. SketchesSpec pins agreement within
+    * 2x the configured standard error, which fails loudly if either
+    * path stops using this constant.
+    */
+  val LgConfigK = 12
+
   /** Per-group approximate distinct counts + approximate percentile
     * next to their exact twins (the exact columns double as the spec's
     * ground truth and would be the first thing dropped at real scale).
@@ -54,11 +71,18 @@ object Sketches {
     * estimates are deterministic but algorithm-specific — DuckDB's
     * approx_count_distinct estimates differently, so no SQL oracle.
     */
-  def slidingDistinctHll(s: SparkSession, d: String): DataFrame = {
-    val hourly = events(s, d)
+  def slidingDistinctHll(s: SparkSession, d: String): DataFrame =
+    slidingDistinctHllOf(events(s, d))
+
+  /** Frame-parameterized core of [[slidingDistinctHll]] — also driven
+    * by the batch/streaming parity spec against
+    * `StreamingOps.slidingUserActivity` on identical data.
+    */
+  def slidingDistinctHllOf(ev: DataFrame): DataFrame = {
+    val hourly = ev
       .select(expr("unix_micros(ts) DIV 3600000000").as("h"), col("user_id"))
       .groupBy(col("h"))
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+      .agg(hll_sketch_agg(col("user_id"), lit(LgConfigK)).as("sk"),
            count(lit(1)).as("n_events"))
     hourly
       .select(explode(sequence(col("h"), col("h") + 2)).as("eh"),

@@ -150,18 +150,26 @@ object StreamingOps {
   }
 
   /** Sliding 3-hour window advancing hourly — the streaming echo of
-    * the batch sliding-distinct (Relational7.q58). Uses
-    * approx_count_distinct deliberately: exact sliding distinct would
-    * hold per-user presence per open window (state ∝ users × 3), while
-    * HLL sketches merge across partial aggregates and bound state per
-    * window at sketch size — the scale-correct choice the batch
-    * operator's scaladoc points to.
+    * the batch sliding-distinct (Relational7.q58). Uses an HLL sketch
+    * deliberately: exact sliding distinct would hold per-user presence
+    * per open window (state ∝ users × 3), while HLL sketches merge
+    * across partial aggregates and bound state per window at sketch
+    * size — the scale-correct choice the batch operator's scaladoc
+    * points to. The sketch precision is the engine-wide
+    * [[graft.operators.Sketches.LgConfigK]], shared with the batch q61
+    * path, so a dashboard mixing batch backfill and streaming tail
+    * sees consistent numbers — SketchesSpec pins batch/streaming
+    * agreement within 2× the configured standard error on identical
+    * data (bit-equality is impossible: DataSketches estimates are
+    * path-dependent below the error floor, see Sketches.LgConfigK).
     */
   def slidingUserActivity(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "3 hours", "1 hour"))
-      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
+      .agg(hll_sketch_estimate(
+             hll_sketch_agg(col("user_id"), lit(graft.operators.Sketches.LgConfigK)))
+           .as("n_users_approx"),
            count(lit(1)).as("n_events"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
               col("n_users_approx"), col("n_events"))

@@ -1,7 +1,10 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.operators.{Relational7, Sketches}
+import graft.streaming.StreamingOps
 
 class SketchesSpec extends AnyFunSuite with SparkTestBase {
 
@@ -35,5 +38,49 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(a - exUsers).toDouble / exUsers < 0.05,
         s"eh=$eh: approx $a vs exact $exUsers outside the 5% envelope")
     }
+  }
+
+  test("batch and streaming sliding HLL agree within sketch error on identical data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a spread of users/hours wide enough that a precision mismatch
+    // between the two paths would actually show up in the estimates
+    val rnd = new scala.util.Random(42)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val evs = (0 until 4000).map { i =>
+      StreamingOps.Event(i.toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(12) * 3600000L + rnd.nextInt(3600000)),
+        rnd.nextInt(900).toLong, "e", 1.0)
+    }
+    val ms = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.slidingUserActivity(ms.toDF())
+      .writeStream.format("memory").queryName("hll_parity").outputMode("complete")
+      .start()
+    try {
+      ms.addData(evs); q.processAllAvailable()
+      // streaming windows [start, start+3h) keyed to the batch label:
+      // eh = hour(start) + 2 labels the window covering [eh-2, eh]
+      val stream = spark.table("hll_parity")
+        .select((expr("unix_micros(w_start) DIV 3600000000") + 2).as("eh"),
+                $"n_users_approx", $"n_events")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = Sketches.slidingDistinctHllOf(evs.toDF())
+        .collect().map(r => r.getAs[Long]("eh") ->
+          (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_events"))).toMap
+      assert(stream.keySet === batch.keySet, "window sets diverge")
+      // estimates are path-dependent below the error floor (hourly
+      // sparse unions vs direct window sketches), so parity means:
+      // within 2x the shared precision's standard error of each other.
+      // A precision drift in either path (LgConfigK no longer shared)
+      // blows past this deterministic, seeded bound.
+      val tol = 2 * 1.04 / math.sqrt(1 << Sketches.LgConfigK)
+      batch.foreach { case (eh, (bUsers, bEvents)) =>
+        val (sUsers, sEvents) = stream(eh)
+        assert(sEvents === bEvents, s"eh=$eh event counts diverge")
+        assert(math.abs(sUsers - bUsers).toDouble / bUsers <= tol,
+          s"eh=$eh: streaming $sUsers vs batch $bUsers — beyond 2x sketch error; " +
+          "did one path stop using Sketches.LgConfigK?")
+      }
+    } finally q.stop()
   }
 }

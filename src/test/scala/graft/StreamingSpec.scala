@@ -182,7 +182,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(3)))
       val exp = (batch1 ++ batch2).toDF()
         .groupBy(window($"ts", "3 hours", "1 hour"))
-        .agg(approx_count_distinct($"user_id").as("u"), count(lit(1)).as("n"))
+        .agg(hll_sketch_estimate(
+               hll_sketch_agg($"user_id", lit(graft.operators.Sketches.LgConfigK))).as("u"),
+             count(lit(1)).as("n"))
         .select($"window.start", $"u", $"n").orderBy($"start")
         .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
       assert(got.toSeq === exp.toSeq)
