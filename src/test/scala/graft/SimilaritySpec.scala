@@ -235,6 +235,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(trained >= 0.7, s"trained recall too low: $trained (seed=$seed)")
   }
 
+  test("Lloyd training early-exits at its fixed point; recall is non-decreasing in rounds") {
+    // a generous budget must stop at the fixed point, not burn it all:
+    // every skipped round is a saved corpus pass at 100 TB
+    val (cFix, rounds) = Similarity.trainIvfCentroidsWithRounds(corpus, 10, iters = 25)
+    assert(rounds < 25, s"no early exit: burned the whole $rounds-round budget")
+    // converged means converged: a bigger budget changes nothing
+    val (cMore, _) = Similarity.trainIvfCentroidsWithRounds(corpus, 10, iters = rounds + 5)
+    assert(cFix.toSeq === cMore.toSeq, "post-convergence rounds moved the centroids")
+    // recall against brute force is non-decreasing in the round count
+    // on clustered data (the adversarial all-one-cluster seed unfolds
+    // toward the true structure monotonically here)
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallAt(iters: Int): Double = {
+      val approx = Similarity.ivfTopKTrained(corpus, queries, 5,
+          nCells = 10, nProbe = 2, iters = iters).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val recalls = Seq(0, 1, 2, rounds).map(recallAt)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall degraded with more training: $recalls")
+  }
+
   test("similarity ops add no repartition exchange on an already-parallel input") {
     // range-based input starts at defaultParallelism partitions, so
     // ensureParallel must pass it through untouched
