@@ -110,8 +110,10 @@ object Dedup {
     //     doc, so count(*) over the stream IS the shingle-set size.
     //     At cluster scale swap localCheckpoint for persist(DISK) or
     //     a staging write — same one-expansion shape.
-    //     (eager = false: materializes at execution, not construction —
-    //     plan-only consumers submit no job)
+    //     (eager = false: materializes at execution; construction runs
+    //     at most the footer read + the conditional local-input
+    //     fan-out stage — none at scale; see
+    //     Pipeline4.qualityRepetition for the full contract)
     val sh = shinglePairs(docs, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
       .localCheckpoint(eager = false)

@@ -58,12 +58,18 @@ object Pipeline4 {
     // narrow branch — same finding as the rejected single-pass n-gram
     // Jaccard variant. Sharing the SPLIT (cheap arrays, no wider rows)
     // has no such penalty and removes the duplicated regex work.
-    // eager = false: materialization happens at execution time, so
-    // plan-only consumers (query enumeration, plan inspection) never
-    // submit a job. Trade-off carried over from eager: localCheckpoint
-    // is documented fault-INtolerant — an executor loss makes the
-    // checkpointed partitions unrecoverable; at cluster scale use
-    // persist(DISK) or a staging write for the same one-expansion shape.
+    // eager = false: materialization happens at execution time. Caveat
+    // (pinned in CurationPipelineSpec): AQE still pre-materializes any
+    // shuffle BELOW a lazy checkpoint at construction. This subplan is
+    // narrow, so construction costs only the parquet footer read; ops
+    // whose checkpointed subplan starts with Parallelism's conditional
+    // rebalance (contamination, shingleNovelty, p03) pre-run that one
+    // fan-out stage when the LOCAL input is single-split — reused at
+    // execution, never wasted, and absent at scale where the scan is
+    // already parallel. Trade-off carried over from eager:
+    // localCheckpoint is documented fault-INtolerant — an executor loss
+    // makes the checkpointed partitions unrecoverable; at cluster scale
+    // use persist(DISK) or a staging write for the same shape.
     val wsTab = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .localCheckpoint(eager = false)
@@ -132,8 +138,9 @@ object Pipeline4 {
     // checkpoint: the two consumers filter DIFFERENT slices (bench vs
     // corpus), so no exchange reuse is possible — without
     // materialization the scan+shingle expansion would run twice
-    // eager = false: see qualityRepetition — no job at construction,
-    // fault-tolerance trade-off documented there
+    // eager = false: see qualityRepetition — construction runs at most
+    // the footer read + the conditional local-input fan-out stage
+    // (none at scale); fault-tolerance trade-off documented there
     val sh = Dedup.shinglePairs(documents(s, d), "doc_id", "text", ShingleN)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ng"))
       .localCheckpoint(eager = false)

@@ -31,8 +31,10 @@ object Pipeline5 {
     val docs = documents(s, d)
     // checkpoint: sh feeds both the df aggregation and the join probe;
     // materializing hashed longs guarantees the expansion runs once
-    // eager = false: no job at construction (Pipeline4.qualityRepetition
-    // documents the localCheckpoint fault-tolerance trade-off)
+    // eager = false: construction runs at most the footer read + the
+    // conditional local-input fan-out stage — none at scale
+    // (Pipeline4.qualityRepetition documents the full contract and the
+    // localCheckpoint fault-tolerance trade-off)
     val sh = Dedup.shinglePairs(docs, "doc_id", "text", ShingleN)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
       .localCheckpoint(eager = false)
