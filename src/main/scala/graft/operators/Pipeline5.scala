@@ -312,6 +312,70 @@ object Pipeline5 {
       .select(col("doc_id"), col("n_chars"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled multi-source mixing — the standard multilingual
+    * LM sampling scheme (mT5/XLM-R alpha-sampling): source i's share of
+    * the document budget is proportional to n_i^alpha with alpha = 1/2,
+    * flattening the source distribution so head sources stop drowning
+    * the tail (p32's flat per-stratum cut has no notion of a global
+    * budget; p42's weighted draw has no cross-source re-weighting —
+    * this is the third leg of the mixing family).
+    *
+    * Every arithmetic step is engine-exact by construction, so the
+    * DuckDB twin matches by hash with no ln()/rand() hazard:
+    * sqrt is correctly rounded (IEEE 754), the normalizer W folds
+    * sqrt(n_i) over sources IN SOURCE ORDER (sequential `aggregate`
+    * over a sorted collect_list — the same in-order-fold device as the
+    * cosine oracles), quota = floor(budget * w / W) is three
+    * correctly-rounded ops, and in-source selection is the
+    * deterministic md5 rank p32 established.
+    *
+    * Scale shape: the per-source count table is tiny (sources number in
+    * the thousands at most) — aggregate to it, fold W inside its single
+    * row, broadcast the quota table; the corpus pays ONE hash shuffle
+    * on the source key + a rank window (the p42 shape). No global sort,
+    * no driver-side loop.
+    */
+  def mixTemperature(docs: DataFrame, budget: Int): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), sqrt(col("n")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("W"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col("source"),
+              floor(lit(budget.toDouble) * sqrt(col("n")) / col("W")).as("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rnk") <= col("quota"))
+  }
+
+  /** p43: the alpha = 1/2 mixture over sources, budget 200 docs. */
+  def mixTemperatureQuery(s: SparkSession, d: String): DataFrame =
+    mixTemperature(documents(s, d), budget = 200)
+      .select(col("doc_id"), col("source"), col("rnk"), col("quota"))
+      .orderBy(col("doc_id"))
+
+  val mixTemperatureOracle: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT list_sum(list(sqrt(n) ORDER BY source)) AS W FROM counts),
+      |quotas AS (
+      |  SELECT source, floor(200.0 * sqrt(n) / (SELECT W FROM tot)) AS quota
+      |  FROM counts),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, CAST(r.rnk AS INTEGER) AS rnk,
+      |       CAST(q.quota AS BIGINT) AS quota
+      |FROM r JOIN quotas q USING (source)
+      |WHERE r.rnk <= q.quota
+      |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
@@ -320,6 +384,7 @@ object Pipeline5 {
     "p38_chunk_overlap"    -> (chunkOverlap _),
     "p39_weighted_sample"  -> (weightedSampleQuery _),
     "p42_weighted_sample_by" -> (weightedSampleByQuery _),
+    "p43_mix_temperature"  -> (mixTemperatureQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,5 +393,6 @@ object Pipeline5 {
     "p36_provenance_merge" -> provenanceMergeOracle,
     "p37_dup_rate_by_source" -> dupRateBySourceOracle,
     "p38_chunk_overlap"    -> chunkOverlapOracle,
+    "p43_mix_temperature"  -> mixTemperatureOracle,
   )
 }

@@ -409,6 +409,31 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The index-quality report over the same model as p13/p41: per-cell
+    * member counts + min/max member-to-centroid cosine. The oracle
+    * reuses p13's assignment CTE (same tie-break: max cosine, then
+    * lowest centroid id).
+    */
+  def simIvfCellStats(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfCellStats(emb, Similarity.seedCentroids(emb, 8))
+  }
+
+  val simIvfCellStatsOracle: String = {
+    val ccos = duckCos("e.embedding", "c.ce")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell, cc FROM (
+       |    SELECT e.vec_id, c.ccid AS cell, $ccos AS cc,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+       |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors,
+       |       min(round(cc, 4)) AS min_cos, max(round(cc, 4)) AS max_cos
+       |FROM assign GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   // ---- multimodal ----
 
   def multimodalInspect(s: SparkSession, d: String): DataFrame =
@@ -542,6 +567,7 @@ object PipelineQueries {
     "p12_multimodal_inspect"  -> (multimodalInspect _),
     "p13_sim_ivf"             -> (simIvf _),
     "p41_sim_ivf_stored"      -> (simIvfStored _),
+    "p44_ivf_cell_stats"      -> (simIvfCellStats _),
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
     "p16_approx_stats"        -> (Sketches.approxStats _),
@@ -569,6 +595,7 @@ object PipelineQueries {
     "p13_sim_ivf"             -> simIvfOracle,
     // the stored layout is semantics-preserving: same oracle as p13
     "p41_sim_ivf_stored"      -> simIvfOracle,
+    "p44_ivf_cell_stats"      -> simIvfCellStatsOracle,
     "p14_frame_sample"        -> frameSampleOracle,
     // p15_multimodal_decode: no oracle (mapPartitions decode stub is not
     // SQL-expressible) — rows-only check.

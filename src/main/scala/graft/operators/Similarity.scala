@@ -56,7 +56,11 @@ object Similarity {
     *    one band-key shuffle of the banded rows instead. For the
     *    self-join shapes ([[nearDupPairs]]) that shuffle is reused by
     *    the downstream band-key join (same partitioning), so it is
-    *    close to free there.
+    *    close to free there. Note the degenerate bucket itself lands in
+    *    one window partition: WindowExec buffers it via a spillable row
+    *    array, so an over-cap bucket costs disk spill (bounded, then
+    *    dropped by the filter), never the quadratic pair blowup the cap
+    *    exists to prevent.
     *
     * SimilaritySpec pins both shapes: a derived corpus plans exactly one
     * derivation under a cap, a raw scan keeps the shuffle-free anti-join.
@@ -345,6 +349,29 @@ object Similarity {
                     cents: Array[(Int, Seq[Float])], k: Int,
                     nProbe: Int = 2): DataFrame =
     probeJoinTopK(spark.read.parquet(path), probeCells(cents, queries, nProbe), k)
+
+  /** Per-cell balance report for an IVF model: member count plus the
+    * weakest/strongest member affinity (min/max cosine to the assigned
+    * centroid). Cell skew is THE operational failure mode of IVF at
+    * corpus scale — one hot cell means one hot probe task and one
+    * oversized directory in the [[ivfWrite]] layout — and low min-cos
+    * flags cells whose members barely belong (re-train or raise
+    * nCells). This is the report an operator reads before sizing the
+    * index. min/max are order-insensitive (unlike mean), so the report
+    * is bit-stable across partitionings and carries a full DuckDB
+    * oracle. Map-only against the broadcast model + one tiny (cell)
+    * aggregate — the same cost as a count.
+    */
+  def ivfCellStats(corpus: DataFrame, cents: Array[(Int, Seq[Float])]): DataFrame =
+    ensureParallel(corpus)
+      .withColumn("best", array_max(cellScores(cents, col("embedding"))))
+      .select((-col("best.ncid")).cast("int").as("cell"),
+              round(col("best.cos"), 4).as("ccos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+           min(col("ccos")).as("min_cos"),
+           max(col("ccos")).as("max_cos"))
+      .orderBy(col("cell"))
 
   /** Embedding near-duplicate pairs (cosine >= threshold, id1 < id2),
     * blocked by sign bands so only bucket-mates are compared.
