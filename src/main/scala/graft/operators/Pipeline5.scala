@@ -336,14 +336,18 @@ object Pipeline5 {
     * no driver-side loop.
     */
   def mixTemperature(docs: DataFrame, budget: Int): DataFrame = {
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val tot = counts.agg(
-      aggregate(
-        array_sort(collect_list(struct(col("source"), sqrt(col("n")).as("w")))),
-        lit(0.0), (acc, x) => acc + x.getField("w")).as("W"))
-    val quotas = counts.crossJoin(broadcast(tot))
-      .select(col("source"),
-              floor(lit(budget.toDouble) * sqrt(col("n")) / col("W")).as("quota"))
+    // ONE thin pass builds the whole quota table: per-source counts,
+    // then the sorted fold for W and the per-source quotas both unfold
+    // from a single collected row (sources are model-sized by
+    // declaration) — the counts subtree is never evaluated twice, and
+    // the count scan reads only the source column (column pruning).
+    val quotas = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(array_sort(collect_list(struct(col("source"), col("n")))).as("cs"))
+      .withColumn("W",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + sqrt(x.getField("n"))))
+      .select(explode(col("cs")).as("c"), col("W"))
+      .select(col("c.source").as("source"),
+              floor(lit(budget.toDouble) * sqrt(col("c.n")) / col("W")).as("quota"))
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     docs.withColumn("rnk", row_number().over(w))

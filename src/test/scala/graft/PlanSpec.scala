@@ -79,6 +79,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "cell is no longer a partition column of the stored layout")
   }
 
+  test("p43: corpus pays one source shuffle; the quota table broadcasts off one thin scan") {
+    val p = plan("p43_mix_temperature")
+    // rank-window shuffle + the per-source count shuffle — nothing else
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 2, s"expected 2 hash shuffles, saw $shuffles")
+    assert("FileScan parquet".r.findAllIn(p).size === 2,
+      "counts subtree evaluated more than once (or an extra corpus scan appeared)")
+    assert(p.contains("BroadcastHashJoin"), "quota table no longer broadcasts")
+    assert(!p.contains("SortMergeJoin"), "quota join degraded to sort-merge")
+  }
+
+  test("p44: the cell report is map-only up to a single aggregate shuffle") {
+    val p = plan("p44_ivf_cell_stats")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected 1 hash shuffle, saw $shuffles")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, "corpus scanned twice")
+  }
+
   test("q61: the event stream shuffles once; the window expansion runs on the hourly table") {
     val p = plan("q61_sliding_distinct_hll")
     // hour partial-agg shuffle + window-position sketch-merge shuffle,
