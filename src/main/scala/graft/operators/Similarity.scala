@@ -52,15 +52,19 @@ object Similarity {
     *  - DERIVED corpus (a shuffle operator — aggregate/join/window —
     *    anywhere below): recomputing the derivation twice is the
     *    expensive part, so switch to ONE pass — a count window over the
-    *    band key — which computes the derivation exactly once and pays
-    *    one band-key shuffle of the banded rows instead. For the
-    *    self-join shapes ([[nearDupPairs]]) that shuffle is reused by
-    *    the downstream band-key join (same partitioning), so it is
-    *    close to free there. Note the degenerate bucket itself lands in
-    *    one window partition: WindowExec buffers it via a spillable row
-    *    array, so an over-cap bucket costs disk spill (bounded, then
-    *    dropped by the filter), never the quadratic pair blowup the cap
-    *    exists to prevent.
+    *    band key — paying one band-key shuffle of the banded rows
+    *    instead. For the broadcast-probe shape ([[signLshTopK]]) the
+    *    derivation then appears exactly once in the plan (pinned in
+    *    SimilaritySpec). The self-join shape ([[nearDupPairs]])
+    *    inherently references the capped frame twice, but the two
+    *    branches are IDENTICAL subtrees, so Spark's exchange reuse
+    *    dedupes their band-key shuffle at runtime (and the join needs
+    *    no further exchange — both sides already hash by band key; a
+    *    small side is broadcast instead). Note the degenerate bucket
+    *    itself lands in one window partition: WindowExec buffers it via
+    *    a spillable row array, so an over-cap bucket costs disk spill
+    *    (bounded, then dropped by the filter), never the quadratic pair
+    *    blowup the cap exists to prevent.
     *
     * SimilaritySpec pins both shapes: a derived corpus plans exactly one
     * derivation under a cap, a raw scan keeps the shuffle-free anti-join.
