@@ -217,4 +217,46 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame,
                     key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming decontamination gate — the batch p30 check
+    * (Pipeline4.contamination) applied to the streaming tail: every
+    * incoming document is scored against the benchmark shingle index
+    * and flagged when it shares any word n-gram with an eval set.
+    *
+    * The index is MODEL-SIZED by the same argument as the batch
+    * operator's broadcast (eval sets are thousands of documents,
+    * corpora are unbounded), so it ships as a literal array and the
+    * gate is PURE MAP-SIDE: per row, hash the document's distinct
+    * shingles and intersect with the index in-expression. No shuffle,
+    * no streaming state, no watermark — the cost scales with the
+    * micro-batch and the gate composes with any output mode. State
+    * would be the wrong tool: contamination is a property of one
+    * document, not of history.
+    *
+    * `benchHashes` must be the xxhash64 values of the eval shingles —
+    * build them with [[benchShingleHashes]] so batch and streaming
+    * gates share one index definition (StreamingSpec pins batch/stream
+    * agreement on identical documents).
+    */
+  def contaminationGate(docs: DataFrame, benchHashes: Seq[Long],
+                        n: Int = 5): DataFrame = {
+    import graft.functions.TextAnalysis.shingles
+    val hashed = transform(shingles(col("text"), n), s => xxhash64(s))
+    docs.select(col("doc_id"),
+        size(array_intersect(hashed, typedLit(benchHashes))).as("n_shared_ngrams"))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
+  /** Distinct xxhash64 shingle hashes of a benchmark document set —
+    * the one index definition shared by [[contaminationGate]] and the
+    * parity spec's batch twin. One tiny job over the eval set (the
+    * model-build collect every gate deployment performs once).
+    */
+  def benchShingleHashes(bench: DataFrame, textCol: String = "text",
+                         n: Int = 5): Seq[Long] = {
+    import graft.functions.TextAnalysis.shingles
+    bench.select(explode(shingles(col(textCol), n)).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
 }

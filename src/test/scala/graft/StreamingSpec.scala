@@ -193,6 +193,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming contamination gate matches the batch join on identical documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextAnalysis.shingles
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val hashes = StreamingOps.benchShingleHashes(bench)
+    assert(hashes.size === 2) // 6 words -> two 5-gram shingles
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon nothing else here at all"),
+      (2L, "completely different words with no overlap whatsoever in them"),
+      (3L, "alpha beta gamma delta epsilon zeta and a tail of words"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.contaminationGate(ms.toDF().toDF("doc_id", "text"), hashes)
+      .writeStream.format("memory").queryName("cgate").outputMode("append")
+      .start()
+    try {
+      ms.addData(corpus); q.processAllAvailable()
+      val got = spark.table("cgate").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      // the batch twin: p30's explode + broadcast-join + per-doc count
+      // shape over the very same frames
+      val sh = corpus.toDF("doc_id", "text")
+        .select($"doc_id", explode(shingles($"text", 5)).as("s"))
+        .select($"doc_id", xxhash64($"s").as("h"))
+      val bsh = bench.select(explode(shingles($"text", 5)).as("s"))
+        .select(xxhash64($"s").as("h")).distinct()
+      val exp = sh.join(broadcast(bsh), "h")
+        .groupBy($"doc_id").agg(countDistinct($"h").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      corpus.foreach { case (id, _) =>
+        val (n, flag) = got(id)
+        assert(n.toLong === exp.getOrElse(id, 0L), s"doc $id count diverges from batch")
+        assert(flag === exp.contains(id), s"doc $id flag diverges from batch")
+      }
+      assert(got(3L)._1 === 2 && got(1L)._1 === 1 && got(2L)._1 === 0)
+    } finally q.stop()
+  }
+
   test("stream-static enrich joins the dim without streaming state") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
