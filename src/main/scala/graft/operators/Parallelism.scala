@@ -36,11 +36,13 @@ private[graft] object Parallelism {
     * estimate from plan statistics, mirroring AQE's own coalescing
     * rule: `ceil(stats.sizeInBytes / advisoryPartitionSize)` clamped to
     * `[1, numShufflePartitions]` — a small post-shuffle frame still
-    * gets the cheap fan-out repartition, a big one passes through.
-    * Size-only logical stats overestimate if anything (filter/agg
-    * selectivity is not discounted), which errs toward pass-through,
-    * never toward re-shuffling big data. `coalesce(n)` caps at the
-    * child's estimate (its actual partition count is `min(n, child)`).
+    * gets the cheap fan-out repartition, a big one passes through
+    * (through the shuffle's own partition-count ceiling — see
+    * [[coalescedShuffleEstimate]] for the join-stats correction and
+    * the clamp rationale). Size-only stats of Aggregate/Sort/Window
+    * are child-proportional, erring toward pass-through, never toward
+    * re-shuffling big data. `coalesce(n)` caps at the child's estimate
+    * (its actual partition count is `min(n, child)`).
     */
   def estimateSplits(plan: LogicalPlan, spark: SparkSession): BigInt =
     plan match {
@@ -67,11 +69,31 @@ private[graft] object Parallelism {
     * how many advisory-sized partitions its estimated output fills,
     * never more than the shuffle produced. Pure plan metadata
     * (size-only stats fold leaf file sizes) — no job runs.
+    *
+    * Join stats need a correction: the size-only visitor estimates an
+    * inner join as the PRODUCT of its children, so a tiny⋈tiny join
+    * would be misclassified as huge and lose the fan-out repartition
+    * the policy exists to provide. FK-shaped joins (the ones fed to
+    * these operators) output on the order of their inputs, so the join
+    * estimate is capped at the children's summed size — tiny inputs
+    * stay tiny (fan-out), a 100 TB side keeps the estimate huge
+    * (pass-through).
+    *
+    * The numShufflePartitions clamp is the true ceiling, not an
+    * approximation: a shuffle produces at most that many partitions,
+    * so when a session runs numShufflePartitions below the cluster's
+    * parallelism, a corpus-sized shuffle output genuinely IS
+    * under-partitioned for a CPU-heavy downstream stage and the
+    * re-shuffle this triggers is deliberate, not gratuitous.
     */
   private def coalescedShuffleEstimate(p: LogicalPlan, spark: SparkSession): BigInt = {
     val advisory = BigInt(spark.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
-    val byStats = (p.stats.sizeInBytes + advisory - 1) / advisory
+    val bytes = p match {
+      case j: Join => j.stats.sizeInBytes.min(j.children.map(_.stats.sizeInBytes).sum)
+      case other   => other.stats.sizeInBytes
+    }
+    val byStats = (bytes + advisory - 1) / advisory
     byStats.max(BigInt(1)).min(BigInt(spark.sessionState.conf.numShufflePartitions))
   }
 

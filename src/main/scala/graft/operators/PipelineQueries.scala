@@ -402,7 +402,9 @@ object PipelineQueries {
   def simIvfStored(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cells_${Integer.toHexString(d.hashCode)}"
+    // per-invocation store: no cross-dataset hash collisions, no
+    // Overwrite race between concurrent harness JVMs on one machine
+    val store = java.nio.file.Files.createTempDirectory("graft_ivf_cells_").toString
     Similarity.ivfWrite(emb, cents, store)
     Similarity.ivfTopKStored(s, store, emb.filter(col("vec_id") < 5), cents,
         k = 10, nProbe = 2)

@@ -85,10 +85,15 @@ object Similarity {
         .drop("__bn")
     }
 
-  /** True when re-evaluating the plan costs one more pass of map-side
-    * work over its scans — no shuffle operator (aggregate/join/window/
-    * sort/dedup) anywhere in the tree. Plan-static, mirror of
-    * [[Parallelism.estimateSplits]]'s shuffle-producer set.
+  /** True when re-evaluating the plan repeats only map-side work: no
+    * operator whose POST-shuffle compute is non-trivial (aggregate /
+    * join / window / sort / dedup) anywhere in the tree. Bare
+    * repartitions (including [[Parallelism.ensureParallel]]'s own
+    * conditional rebalance) deliberately stay "cheap": the second
+    * reference is an identical exchange subtree, which Spark's
+    * exchange/stage reuse deduplicates at runtime, and there is no
+    * post-shuffle compute to repeat — so the two-pass cap re-reads
+    * shuffle output rather than re-shuffling. Plan-static.
     */
   private def cheapToRescan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
@@ -214,7 +219,8 @@ object Similarity {
     */
   private def maxMovement(prev: Array[(Int, Seq[Float])],
                           next: Array[(Int, Seq[Float])]): Double =
-    prev.zip(next).map { case ((_, a), (_, b)) =>
+    if (prev.isEmpty) 0.0 // empty model: trivially converged
+    else prev.zip(next).map { case ((_, a), (_, b)) =>
       math.sqrt(a.zip(b).map { case (x, y) =>
         val d = x.toDouble - y.toDouble; d * d }.sum)
     }.max
@@ -262,7 +268,9 @@ object Similarity {
     var cents = seedCentroids(corpus, nCells)
     var rounds = 0
     var moved = Double.MaxValue
-    while (rounds < iters && moved >= eps) {
+    // empty model (no vec_id below nCells): nothing to train — return
+    // the empty seed rather than building a zero-arm argmax expression
+    while (cents.nonEmpty && rounds < iters && moved >= eps) {
       val means = par
         .withColumn("best", array_max(cellScores(cents, col("embedding"))))
         .select((-col("best.ncid")).as("cell"),
@@ -289,14 +297,21 @@ object Similarity {
       struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
 
-  /** Map-only cell assignment against the broadcast centroid model:
-    * one pass over the corpus, zero shuffle — (vec_id, embedding, cell).
+  /** Scored map-only cell assignment against the broadcast centroid
+    * model — one pass, zero shuffle: (vec_id, embedding, cell,
+    * cell_cos). The SINGLE definition of the assignment (argmax +
+    * tie-break) shared by the layout write, the in-memory probe path,
+    * and the cell report, so they can never desynchronize.
     */
-  private def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
+  private def assignScored(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
     ensureParallel(corpus)
       .withColumn("best", array_max(cellScores(cents, col("embedding"))))
       .select(col("vec_id"), col("embedding"),
-              (-col("best.ncid")).cast("int").as("cell"))
+              (-col("best.ncid")).cast("int").as("cell"),
+              col("best.cos").as("cell_cos"))
+
+  private def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
+    assignScored(cents, corpus).drop("cell_cos")
 
   /** Per-query probe fan-out: the `nProbe` max-cosine cells of each
     * query vector — (qid, qe, cell), tiny by construction.
@@ -367,10 +382,8 @@ object Similarity {
     * aggregate — the same cost as a count.
     */
   def ivfCellStats(corpus: DataFrame, cents: Array[(Int, Seq[Float])]): DataFrame =
-    ensureParallel(corpus)
-      .withColumn("best", array_max(cellScores(cents, col("embedding"))))
-      .select((-col("best.ncid")).cast("int").as("cell"),
-              round(col("best.cos"), 4).as("ccos"))
+    assignScored(cents, corpus)
+      .select(col("cell"), round(col("cell_cos"), 4).as("ccos"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
            min(col("ccos")).as("min_cos"),

@@ -242,8 +242,14 @@ object StreamingOps {
                         n: Int = 5): DataFrame = {
     import graft.functions.TextAnalysis.shingles
     val hashed = transform(shingles(col("text"), n), s => xxhash64(s))
+    // isin over a literal list optimizes to InSet — ONE hash set built
+    // at planning, O(1) membership per element — where array_intersect
+    // would rebuild the model-sized set for every streamed row.
+    // coalesce: a null text must gate as clean (count 0), matching the
+    // batch twin where a null document simply produces no join rows.
     docs.select(col("doc_id"),
-        size(array_intersect(hashed, typedLit(benchHashes))).as("n_shared_ngrams"))
+        coalesce(size(filter(hashed, h => h.isin(benchHashes: _*))), lit(0))
+          .as("n_shared_ngrams"))
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 

@@ -67,6 +67,21 @@ class ParallelismSpec extends AnyFunSuite with SparkTestBase {
     assert(est >= 1 && est <= spark.sessionState.conf.numShufflePartitions)
   }
 
+  test("a tiny join output still fans out (size-only join stats are a product, not a size)") {
+    // SizeInBytesOnlyStatsPlanVisitor estimates inner joins as the
+    // PRODUCT of child sizes; uncorrected, two tiny inputs would read
+    // as huge, dodge the fan-out repartition, and leave the CPU-heavy
+    // downstream stage as parallel as the (coalesced) join output
+    val joined = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+            $"s_nationkey" === $"n_nationkey")
+    val est = Parallelism.estimateSplits(joined.queryExecution.optimizedPlan, spark)
+    assert(est === BigInt(1), s"tiny join misestimated as $est splits")
+    assert(Parallelism.ensureParallel(joined.toDF())
+      .queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "tiny join output no longer rebalanced before CPU-heavy work")
+  }
+
   test("the estimate is clamped to [1, numShufflePartitions] under a tiny advisory") {
     withAdvisory(1) { // degenerate: every byte its own partition
       val est = Parallelism.estimateSplits(bigDerived.queryExecution.optimizedPlan, spark)

@@ -235,6 +235,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(trained >= 0.7, s"trained recall too low: $trained (seed=$seed)")
   }
 
+  test("Lloyd training on an empty model returns the empty seed instead of crashing") {
+    // ids not starting below nCells -> seedCentroids is empty; training
+    // must degrade to the (empty) seed, not throw on an empty max
+    val shifted = corpus.withColumn("vec_id", $"vec_id" + 1000L)
+    val (cents, rounds) = Similarity.trainIvfCentroidsWithRounds(shifted, 10, iters = 3)
+    assert(cents.isEmpty && rounds <= 3)
+  }
+
   test("Lloyd training early-exits at its fixed point; recall is non-decreasing in rounds") {
     // a generous budget must stop at the fixed point, not burn it all:
     // every skipped round is a saved corpus pass at 100 TB

@@ -187,7 +187,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
              count(lit(1)).as("n"))
         .select($"window.start", $"u", $"n").orderBy($"start")
         .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
-      assert(got.toSeq === exp.toSeq)
+      // window set and event counts are exact; the HLL estimate is
+      // compared within 2x the shared precision's standard error, NOT
+      // bit-equal — the streaming run merges incremental state-store
+      // sketches across micro-batches while the batch twin aggregates
+      // in one pass, and DataSketches estimates are path-dependent
+      // below the error floor (see Sketches.LgConfigK)
+      assert(got.map(t => (t._1, t._3)).toSeq === exp.map(t => (t._1, t._3)).toSeq)
+      val tol = 2 * 1.04 / math.sqrt(1 << graft.operators.Sketches.LgConfigK)
+      got.zip(exp).foreach { case ((w, s, _), (_, b, _)) =>
+        assert(math.abs(s - b) <= math.max(1.0, tol * b),
+          s"window $w: streaming estimate $s vs batch $b beyond sketch error")
+      }
       // every event covers exactly 3 sliding windows
       assert(got.map(_._3).sum === 3L * (batch1.size + batch2.size))
     } finally q.stop()
@@ -202,7 +213,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon nothing else here at all"),
       (2L, "completely different words with no overlap whatsoever in them"),
-      (3L, "alpha beta gamma delta epsilon zeta and a tail of words"))
+      (3L, "alpha beta gamma delta epsilon zeta and a tail of words"),
+      (4L, null.asInstanceOf[String])) // null text must gate as clean, like the batch twin
     val ms = MemoryStream[(Long, String)]
     val q = StreamingOps.contaminationGate(ms.toDF().toDF("doc_id", "text"), hashes)
       .writeStream.format("memory").queryName("cgate").outputMode("append")
@@ -227,6 +239,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         assert(flag === exp.contains(id), s"doc $id flag diverges from batch")
       }
       assert(got(3L)._1 === 2 && got(1L)._1 === 1 && got(2L)._1 === 0)
+      assert(got(4L) === ((0, false)), "null text must be clean, not NULL/-1")
     } finally q.stop()
   }
 
