@@ -262,4 +262,42 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(!Pipeline5.weightedSampleBy(df, "src", "id", col("w"), 5, seed = 9L)
       .columns.exists(_.startsWith("__")), "scratch column leaked")
   }
+
+  test("temperature mixing: quotas respect the budget and flatten the source distribution") {
+    import graft.operators.Pipeline5
+    // skewed sources: 600 / 250 / 50 docs
+    val df = ((0L until 600L).map((_, "big")) ++
+              (600L until 850L).map((_, "mid")) ++
+              (850L until 900L).map((_, "small")))
+      .toDF("doc_id", "source")
+    val budget = 300
+    val got = Pipeline5.mixTemperature(df, budget).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    val per = got.groupBy(_._1).view.mapValues(_.length).toMap
+    // floor quotas: total never exceeds the budget, never undershoots
+    // by more than one doc per source
+    assert(got.length <= budget && got.length > budget - 3)
+    // alpha = 1/2 flattening: every tail source's share strictly
+    // exceeds its proportional share, the head source's share shrinks
+    val n = Map("big" -> 600.0, "mid" -> 250.0, "small" -> 50.0)
+    val total = n.values.sum
+    assert(per("small") / got.length.toDouble > n("small") / total,
+      "tail source not up-weighted")
+    assert(per("mid") / got.length.toDouble > n("mid") / total,
+      "mid source not up-weighted")
+    assert(per("big") / got.length.toDouble < n("big") / total,
+      "head source not down-weighted")
+    // still proportional in sqrt-space: quota ratios track sqrt(n) ratios
+    val sq = n.map { case (k, v) => k -> math.sqrt(v) }
+    val w = sq.values.sum
+    n.keys.foreach { k =>
+      val ideal = budget * sq(k) / w
+      assert(math.abs(per(k) - ideal) <= 1.0,
+        s"$k quota ${per(k)} drifted from floor($ideal)")
+    }
+    // deterministic under physical layout changes
+    val again = Pipeline5.mixTemperature(df.repartition(7), budget).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(again === got.toSet, "mix depends on partition layout")
+  }
 }
