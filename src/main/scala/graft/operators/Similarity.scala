@@ -355,6 +355,20 @@ object Similarity {
   def ivfWrite(corpus: DataFrame, cents: Array[(Int, Seq[Float])], path: String): Unit =
     graft.sources.Partitioned.writeBy(assignCells(cents, corpus), path, "cell")
 
+  /** Incrementally extend a stored [[ivfWrite]] layout: assign ONLY
+    * the new vectors (same shared assignment definition, map-only) and
+    * append their files into the existing cell directories. This is
+    * the operational path of a living index — per ingest batch the
+    * write touches the new rows' cells, never the 100 TB already at
+    * rest. The centroid model MUST be the one the store was built with
+    * (cells are defined by it); retraining centroids means a full
+    * [[ivfWrite]]. Small appended files accumulate per cell — compact
+    * with `sources.Maintenance` on the usual schedule.
+    */
+  def ivfAppend(newVectors: DataFrame, cents: Array[(Int, Seq[Float])],
+                path: String): Unit =
+    graft.sources.Partitioned.appendBy(assignCells(cents, newVectors), path, "cell")
+
   /** ANN top-k over a stored [[ivfWrite]] layout. The probe join hits
     * the PARTITION column, so Catalyst's dynamic partition pruning
     * (reusing the already-broadcast probe side) restricts the file

@@ -35,4 +35,13 @@ object Partitioned {
     */
   def writeBy(df: DataFrame, path: String, column: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(column).parquet(path)
+
+  /** Append into an existing hive-partitioned layout: new files land
+    * inside the matching value directories, untouched partitions are
+    * left as-is — the incremental-ingest form of [[writeBy]]. Small
+    * appended files accumulate; compact with [[Maintenance]] when the
+    * per-partition file count grows.
+    */
+  def appendBy(df: DataFrame, path: String, column: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(column).parquet(path)
 }

@@ -235,6 +235,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(trained >= 0.7, s"trained recall too low: $trained (seed=$seed)")
   }
 
+  test("incremental ivfAppend equals a full rebuild over the unioned corpus") {
+    val pq = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = pq.filter($"vec_id" % 2 === 0)
+    val delta = pq.filter($"vec_id" % 2 === 1)
+    val cents = Similarity.seedCentroids(pq, 10)
+    val incr = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    Similarity.ivfWrite(base, cents, incr)
+    Similarity.ivfAppend(delta, cents, incr)  // ingest batch, no rebuild
+    Similarity.ivfWrite(pq, cents, full)      // the from-scratch reference
+    val queries = pq.filter($"vec_id" < 5)
+    def rows(path: String) =
+      Similarity.ivfTopKStored(spark, path, queries, cents, 10, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+                             r.getAs[Int]("rnk"))).toSet
+    assert(rows(incr) === rows(full),
+      "appended store diverges from a full rebuild over the same corpus")
+  }
+
   test("Lloyd training on an empty model returns the empty seed instead of crashing") {
     // ids not starting below nCells -> seedCentroids is empty; training
     // must degrade to the (empty) seed, not throw on an empty max
