@@ -32,6 +32,26 @@ object Maintenance {
     n
   }
 
+  /** Out-of-place compaction of a HIVE-PARTITIONED layout — e.g. the
+    * IVF cell store after many `Similarity.ivfAppend` ingest batches,
+    * or a day-partitioned event log: rewrites `src` to `dst` keeping
+    * the directory structure (and with it every partition-pruning
+    * property) intact, collapsing each partition value's accumulated
+    * small files. One hash shuffle on the partition column co-locates
+    * each value on one task, so each directory comes out as one file;
+    * pass `extraFiles > 1` to spread mega-partitions over that many
+    * files instead. Same out-of-place safety contract as [[compact]]:
+    * readers stay on `src` until the atomic path swap.
+    */
+  def compactPartitioned(spark: SparkSession, src: String, dst: String,
+                         partCol: String, extraFiles: Int = 1): Unit = {
+    val df = spark.read.parquet(src)
+    val parted =
+      if (extraFiles <= 1) df.repartition(col(partCol))
+      else df.repartition(col(partCol), pmod(spark_partition_id(), lit(extraFiles)))
+    parted.write.mode("overwrite").partitionBy(partCol).parquet(dst)
+  }
+
   /** Per-file statistics manifest: (file, rows, min, max) of `keyCol`
     * for every parquet file of the table — the file-skipping index the
     * reference keeps in `chunksinfo.txt`, derived instead of

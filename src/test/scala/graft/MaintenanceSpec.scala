@@ -52,4 +52,35 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(total === 151)
     stats.unpersist()
   }
+
+  test("partitioned compaction collapses per-cell ingest files, keeps pruning and answers") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.seedCentroids(emb, 8)
+    val store = Files.createTempDirectory("ivf_cmp_src").toString
+    val tidy = Files.createTempDirectory("ivf_cmp_dst").toString
+    // base + three small ingest batches: the small-files mess, per cell
+    Similarity.ivfWrite(emb.filter($"vec_id" % 4 === 0), cents, store)
+    (1L to 3L).foreach { r =>
+      Similarity.ivfAppend(emb.filter($"vec_id" % 4 === r), cents, store)
+    }
+    def perCellFiles(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles.filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = perCellFiles(store)
+    assert(before.values.max > 1, "fixture failed to accumulate small files")
+    Maintenance.compactPartitioned(spark, store, tidy, "cell")
+    val after = perCellFiles(tidy)
+    assert(after.keySet === before.keySet, "compaction changed the cell set")
+    assert(after.values.forall(_ === 1), s"cells not collapsed to one file: $after")
+    // probe answers identical over the compacted store
+    val q = emb.filter($"vec_id" < 5)
+    def rows(p: String) = Similarity.ivfTopKStored(spark, p, q, cents, 10, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(rows(tidy) === rows(store))
+    // the compacted store still partition-prunes
+    assert(Similarity.ivfTopKStored(spark, tidy, q, cents, 10, nProbe = 2)
+      .queryExecution.executedPlan.toString.contains("dynamicpruningexpression"))
+  }
 }
