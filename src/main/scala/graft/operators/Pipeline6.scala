@@ -1,0 +1,435 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorOps.dot
+
+/** Pipeline operators, batch 6: the retrieval layer over a curated
+  * corpus — lexical ranking (BM25), lexical+vector hybrid fusion (RRF),
+  * and product quantization (PQ codes + asymmetric-distance search).
+  * Together with the ANN family ([[Similarity]]) these make the engine
+  * a complete retrieval stack: exact vector (p09), LSH (p10/p40), IVF
+  * (p13/p41), lexical (p45), hybrid (p46), and compressed (p47/p48).
+  *
+  * Cross-engine exactness notes (the differential-oracle contract):
+  *  - Every floating sum that folds more than one data-dependent term
+  *    is written as a FIXED-ORDER expression (conditional-sum pivot or
+  *    literal left-assoc chain), never a `sum()` over a nondeterministic
+  *    row order — the p43 device.
+  *  - BM25's `ln` is the one non-correctly-rounded primitive in this
+  *    file. It is safe here, measured, not assumed: at sf0.01 the
+  *    minimum gap between distinct scores is 3.9e-6 and the minimum
+  *    distance of any score to a round(…,4) boundary is 1.0e-7, while a
+  *    1-ulp `ln` disagreement perturbs a score by ~1e-16 — nine orders
+  *    of magnitude of margin. (Contrast p39, where ln sits inside a
+  *    top-n SELECTION over 52-bit-dense hash keys and a last-ulp flip
+  *    can change membership — that one is rows-only by design.)
+  *  - All PQ distances avoid ad-hoc float folds entirely: squared L2 is
+  *    computed as ((a·a − 2(a·b)) + b·b) from three [[dot]] products —
+  *    the one vector primitive with an established bit-exact DuckDB
+  *    mirror (`list_dot_product`) — so codes, errors, and ADC scores
+  *    carry full hash-checked oracles with no quantization hedge.
+  */
+object Pipeline6 {
+
+  // ---- BM25 lexical ranking (p45) ----
+
+  /** The fixed query-term set, ASCII-sorted; the per-document score fold
+    * adds the per-term contributions in exactly this order (both
+    * engines), making the sum order-deterministic.
+    */
+  private val QTerms = Seq("merge", "stream", "vector")
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** Okapi BM25 (Lucene idf variant: ln(1 + (N−df+0.5)/(df+0.5)), always
+    * positive) of every document against [[QTerms]] → (doc_id, score),
+    * unrounded; only documents containing at least one query term
+    * appear.
+    *
+    * Scale shape — the classic "search without an inverted index" plan:
+    *  - Tokenize + KEEP ONLY QUERY TERMS map-side: the explode is
+    *    filtered before anything shuffles, so shuffle volume is
+    *    occurrences of the ≤|Q| query terms, not the corpus token
+    *    stream.
+    *  - tf: one hash aggregate keyed (doc_id, dl, term) over those
+    *    occurrences. df derives from tf by a second, strictly smaller
+    *    aggregate (distinct docs per term ≤ |Q| rows out); the shared
+    *    tf subtree plans twice but its exchange is reused at runtime.
+    *  - N and avgdl: one tiny corpus aggregate — integer count + integer
+    *    token-sum (exact), ONE double division at the end — broadcast as
+    *    a 1-row frame. df (≤|Q| rows) broadcasts likewise, so scoring is
+    *    map-side over the tf rows.
+    *  - The per-document score folds its ≤|Q| term contributions with
+    *    one conditional sum per term added in [[QTerms]] order — each
+    *    `sum(when(term = t, …))` sees at most one row, so the group-by
+    *    is order-insensitive and the final 3-term addition is a literal
+    *    left-assoc chain, bit-identical in any engine.
+    */
+  def bm25Scores(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = ws.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sdl"))
+    val tf = ws
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(QTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * ((col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + (lit(B) * col("dl")) / avgdl)))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("contrib"))
+    val termSums = QTerms.map(t =>
+      sum(when(col("term") === t, col("contrib"))).as(s"c_$t"))
+    scored.groupBy(col("doc_id"))
+      .agg(termSums.head, termSums.tail: _*)
+      .select(col("doc_id"),
+        QTerms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+  }
+
+  /** Bounded top-n by an ordering, with the rank attached AFTER the cut:
+    * `orderBy.limit(n)` plans as TakeOrderedAndProject (per-partition
+    * heaps merged on the driver — never a global sort), and the
+    * row_number window then runs on the n-row, model-sized result. The
+    * rank a row gets inside the cut equals its global rank because the
+    * ordering is total (every caller ties on a unique id).
+    */
+  private def topNRanked(df: DataFrame, order: Seq[Column], n: Int,
+                         rankCol: String): DataFrame =
+    df.orderBy(order: _*).limit(n)
+      .withColumn(rankCol, row_number().over(Window.orderBy(order: _*)))
+
+  /** p45: BM25 top-20 over the fixed query — (doc_id, bm25, rnk). */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    topNRanked(bm25Scores(documents(s, d)),
+        Seq(col("score").desc, col("doc_id")), 20, "rnk")
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
+      .orderBy(col("rnk"))
+
+  /** The BM25 scoring pipeline as one SQL CTE chain (shared by the p45
+    * and p46 oracles). Numeric literals are emitted with
+    * `Double.toString` (shortest round-trip form), so DuckDB parses back
+    * the exact doubles Spark computes with.
+    */
+  private def bm25Cte: String = {
+    val terms = QTerms.map(t => s"'$t'").mkString(", ")
+    val filters = QTerms.map(t => s"coalesce(sum(contrib) FILTER (term = '$t'), 0.0)")
+    val fold = filters.reduceLeft((a, b) => s"($a + $b)")
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (SELECT count(*) AS n, sum(len(w)) AS sdl FROM ws),
+       |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |         ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5))
+       |           * ((tf.tf * ${K1 + 1.0})
+       |              / (tf.tf + $K1 * (${1.0 - B} + ($B * tf.dl)
+       |                   / (CAST(s.sdl AS DOUBLE) / s.n))))
+       |           AS contrib
+       |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+       |per AS (SELECT doc_id, $fold AS score FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  val bm25TopKOracle: String =
+    s"""WITH $bm25Cte,
+       |top AS (SELECT doc_id, score,
+       |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |            AS rnk
+       |        FROM per)
+       |SELECT doc_id, round(score, 4) AS bm25, rnk
+       |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  // ---- Hybrid lexical+vector retrieval via RRF (p46) ----
+
+  /** Reciprocal-rank-fusion constant (the standard 60 from the original
+    * RRF paper) and the truncation depth of each input list.
+    */
+  private val RrfK = 60
+  private val RrfDepth = 100
+
+  /** p46: hybrid retrieval — fuse the BM25 top-100 with the top-100 by
+    * cosine to a query vector (vec_id 0's embedding) using reciprocal
+    * rank fusion: rrf(d) = Σ_lists 1/(60 + rank_list(d)), summed over
+    * the lists the document appears in (standard truncated-list RRF —
+    * the full-outer join keeps single-list documents, `coalesce` scores
+    * their missing rank as 0).
+    *
+    * RRF is intentionally rank-only: fusing heterogeneous SCORES (BM25
+    * sums vs cosine) would need calibration, while ranks are unitless —
+    * which is also why the fused score is pure rational arithmetic over
+    * integers, exact in any engine.
+    *
+    * Scale shape: each arm ends in a bounded top-n
+    * (TakeOrderedAndProject), so the fusion join sees two ≤100-row
+    * frames — model-sized regardless of corpus size; rank windows run
+    * on those frames, never on the corpus.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = topNRanked(bm25Scores(documents(s, d)),
+        Seq(col("score").desc, col("doc_id")), RrfDepth, "lex_rnk")
+      .select(col("doc_id").as("id"), col("lex_rnk"))
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val scoredVec = Parallelism.ensureParallel(emb)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorOps.cosine(col("embedding"), col("qe")).as("cos"))
+    val vec = topNRanked(scoredVec, Seq(col("cos").desc, col("id")), RrfDepth, "vec_rnk")
+      .select(col("id"), col("vec_rnk"))
+    val fused = lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rnk")), lit(0.0))).as("rrf"))
+    topNRanked(fused, Seq(col("rrf").desc, col("id")), 20, "rnk")
+      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
+        round(col("rrf"), 6).as("rrf"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB mirror of VectorOps.dot (same device as PipelineQueries). */
+  private def duckDot(a: String, b: String) =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def duckCos(a: String, b: String) =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val hybridRrfOracle: String = {
+    val cos = duckCos("c.embedding", "q.embedding")
+    s"""WITH $bm25Cte,
+       |lex AS (SELECT doc_id AS id,
+       |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |            AS lex_rnk
+       |        FROM per QUALIFY lex_rnk <= $RrfDepth),
+       |vcos AS (SELECT c.vec_id AS id, $cos AS cos
+       |         FROM embeddings c
+       |         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |         WHERE c.vec_id <> 0),
+       |vec AS (SELECT id,
+       |          CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER)
+       |            AS vec_rnk
+       |        FROM vcos QUALIFY vec_rnk <= $RrfDepth),
+       |fused AS (SELECT coalesce(lex.id, vec.id) AS id, lex_rnk, vec_rnk,
+       |            (coalesce(1.0 / ($RrfK + lex_rnk), 0.0)
+       |              + coalesce(1.0 / ($RrfK + vec_rnk), 0.0)) AS rrf
+       |          FROM lex FULL OUTER JOIN vec ON lex.id = vec.id),
+       |top AS (SELECT id, lex_rnk, vec_rnk, rrf,
+       |          CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rnk
+       |        FROM fused)
+       |SELECT id, lex_rnk, vec_rnk, round(rrf, 6) AS rrf, rnk
+       |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+  }
+
+  // ---- Product quantization (p47 codes, p48 ADC search) ----
+
+  /** PQ geometry: 64-dim embeddings split into [[PqM]] contiguous
+    * subspaces of [[PqSub]] dims; each subspace quantized against
+    * [[PqNCodes]] codes. 64 floats (256 B) compress to 4 code bytes —
+    * the 64× at-rest/in-cache shrink that makes billion-vector search
+    * fit in memory; [[pqAdcTopK]] searches WITHOUT decompressing.
+    */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqNCodes = 8
+  private val PqNQueries = 3
+
+  /** Deterministic per-subspace codebooks: the first [[PqNCodes]]
+    * vectors by id, sliced into subvectors — the same coreset-seed
+    * stand-in for a trained codebook as [[Similarity.seedCentroids]]
+    * (swapping in per-subspace k-means changes only this collect).
+    * Model-sized (nCodes × dim floats), collected once.
+    */
+  def pqCodebook(emb: DataFrame): Array[(Int, Seq[Seq[Float]])] =
+    emb.filter(col("vec_id") < PqNCodes)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map { case Row(id: Int, e: scala.collection.Seq[_]) =>
+        (id, e.asInstanceOf[scala.collection.Seq[Float]].toSeq
+          .grouped(PqSub).toSeq)
+      }
+      .sortBy(_._1)
+
+  /** Squared L2 distance via the dot identity ‖a−b‖² =
+    * ((a·a − 2(a·b)) + b·b), in exactly that association order — three
+    * [[dot]] calls (the established bit-exact cross-engine primitive)
+    * plus correctly-rounded −/×/+, so the value is reproducible in any
+    * engine with no bespoke float fold. When a IS b bitwise the
+    * cancellation is exact: (d − 2d) + d = 0.0.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+
+  /** Argmin cell of subspace `s` as a struct-max (the
+    * [[Similarity]] cellScores device): max over codes of
+    * (−dist, −code) picks the minimum distance, ties to the LOWER code
+    * id — `nd` = −dist, `nc` = −code.
+    */
+  private def subspaceBest(cb: Array[(Int, Seq[Seq[Float]])], s: Int): Column = {
+    val vs = slice(col("embedding"), s * PqSub + 1, PqSub)
+    array_max(array(cb.toIndexedSeq.map { case (cid, subs) =>
+      struct((-sqDist(vs, typedLit(subs(s)))).as("nd"), lit(-cid).as("nc"))
+    }: _*))
+  }
+
+  /** PQ-encode a corpus against the broadcast codebook — MAP-ONLY, like
+    * IVF assignment: (vec_id, c0…c3, err) where err is the total
+    * squared reconstruction error, folded over subspaces in fixed
+    * (s=0,1,2,3) order. One pass, zero shuffle: at 100 TB this is the
+    * scan that writes the compressed index.
+    */
+  def pqEncode(cb: Array[(Int, Seq[Seq[Float]])], corpus: DataFrame): DataFrame = {
+    val withBest = (0 until PqM).foldLeft(Parallelism.ensureParallel(corpus)) {
+      (df, s) => df.withColumn(s"__b$s", subspaceBest(cb, s))
+    }
+    val codeCols = (0 until PqM).map(s => (-col(s"__b$s.nc")).cast("int").as(s"c$s"))
+    val err = (0 until PqM).map(s => -col(s"__b$s.nd")).reduceLeft(_ + _)
+    withBest.select(col("vec_id") +: codeCols :+ round(err, 6).as("err"): _*)
+  }
+
+  /** p47: PQ codes + reconstruction error for the whole corpus. */
+  def pqCodesQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    pqEncode(pqCodebook(emb), emb).orderBy(col("vec_id"))
+  }
+
+  /** Shared oracle CTEs: codebook, per-(vector, subspace, code)
+    * distances, and the argmin code table pivoted to c0…c3.
+    */
+  private def pqCte: String = {
+    val vs = "e.embedding[sp.s*16+1 : sp.s*16+16]"
+    val cs = "c.embedding[sp.s*16+1 : sp.s*16+16]"
+    val codePivot = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(",\n       |         ")
+    s"""cb AS (SELECT CAST(vec_id AS INTEGER) AS code, embedding
+       |       FROM embeddings WHERE vec_id < $PqNCodes),
+       |sp AS (SELECT CAST(s AS INTEGER) AS s FROM range(0, $PqM) t(s)),
+       |pd AS (SELECT e.vec_id, sp.s, c.code,
+       |         ((${duckDot(vs, vs)} - 2.0 * ${duckDot(vs, cs)})
+       |           + ${duckDot(cs, cs)}) AS dist
+       |       FROM embeddings e CROSS JOIN sp CROSS JOIN cb c),
+       |amin AS (SELECT vec_id, s, code, dist,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY dist, code) AS rn
+       |         FROM pd),
+       |cd AS (SELECT vec_id,
+       |         $codePivot
+       |       FROM amin WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+  }
+
+  val pqCodesOracle: String = {
+    val errFold = (0 until PqM).map(s => s"max(CASE WHEN s = $s THEN dist END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val codePivot = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")
+    s"""WITH $pqCte
+       |SELECT vec_id, $codePivot, round($errFold, 6) AS err
+       |FROM amin WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** p48: ADC (asymmetric distance computation) top-10 — search the
+    * COMPRESSED corpus: each query (first [[PqNQueries]] vectors)
+    * precomputes its 4×8 partial-distance lookup table once; a corpus
+    * vector's approximate distance is then four table lookups summed in
+    * subspace order, never touching the original floats. This is the
+    * standard PQ search kernel (IVFADC without the IVF gate — compose
+    * with p41's cell-partitioned store for the full IVF-PQ layout).
+    *
+    * The LUT is ENGINE-computed — a construction-time job over the
+    * [[PqNQueries]]-row query frame (model-sized, the same contract as
+    * [[Similarity.seedCentroids]]'s collect) — so its doubles are
+    * produced by the exact [[sqDist]] arithmetic the oracle mirrors,
+    * then embedded as array literals. Search itself is map-only
+    * (`element_at` on those literals) plus one per-query rank window.
+    *
+    * Scale: LUT size is queries × M × nCodes doubles — for production
+    * nCodes=256 and thousands of queries, broadcast a LUT frame and
+    * join on (s, code) instead of literal embedding; the plan shape
+    * (broadcast model, map-side lookup, per-key top-k) is unchanged.
+    */
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cb = pqCodebook(emb)
+    val lutRows = emb.filter(col("vec_id") < PqNQueries)
+      .select(col("vec_id").cast("int").as("qid"),
+        explode(array((for {
+          sp <- 0 until PqM
+          (cid, subs) <- cb
+        } yield {
+          val qs = slice(col("embedding"), sp * PqSub + 1, PqSub)
+          struct(lit(sp).as("s"), lit(cid).as("code"),
+            sqDist(qs, typedLit(subs(sp))).as("pd"))
+        }).toIndexedSeq: _*)).as("x"))
+      .select(col("qid"), col("x.s"), col("x.code"), col("x.pd"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val lut: Map[Int, Array[Array[Double]]] = lutRows.groupBy(_._1).map {
+      case (qid, rows) =>
+        val bySub = Array.fill(PqM)(new Array[Double](PqNCodes))
+        rows.foreach { case (_, sp, code, pd) => bySub(sp)(code) = pd }
+        (qid, bySub)
+    }
+    val adcPerQuery = array(lut.toSeq.sortBy(_._1).map { case (qid, bySub) =>
+      val adc = (0 until PqM)
+        .map(sp => element_at(typedLit(bySub(sp).toSeq), col(s"c$sp") + 1))
+        .reduceLeft(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc"))
+    }: _*)
+    pqEncode(cb, emb)
+      .select(col("vec_id").as("cid"), explode(adcPerQuery).as("x"))
+      .select(col("x.qid").as("qid"), col("cid"), col("x.adc").as("adc"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("cid"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"), round(col("adc"), 6).as("adc"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val pqAdcTopKOracle: String = {
+    val qs = "q.embedding[sp.s*16+1 : sp.s*16+16]"
+    val cs = "c.embedding[sp.s*16+1 : sp.s*16+16]"
+    val joins = (1 until PqM).map(sp =>
+      s"JOIN lut l$sp ON l$sp.s = $sp AND l$sp.code = cd.c$sp AND l$sp.qid = l0.qid")
+      .mkString("\n       |        ")
+    val adcFold = (0 until PqM).map(sp => s"l$sp.pd").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH $pqCte,
+       |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, embedding
+       |      FROM embeddings WHERE vec_id < $PqNQueries),
+       |lut AS (SELECT q.qid, sp.s, c.code,
+       |          ((${duckDot(qs, qs)} - 2.0 * ${duckDot(qs, cs)})
+       |            + ${duckDot(cs, cs)}) AS pd
+       |        FROM q CROSS JOIN sp CROSS JOIN cb c),
+       |adc AS (SELECT l0.qid, cd.vec_id AS cid, $adcFold AS adc
+       |        FROM cd
+       |        JOIN lut l0 ON l0.s = 0 AND l0.code = cd.c0
+       |        $joins),
+       |r AS (SELECT qid, cid, adc,
+       |        CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY adc, cid) AS INTEGER) AS rnk
+       |      FROM adc WHERE qid <> cid)
+       |SELECT qid, cid, round(adc, 6) AS adc, rnk
+       |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p45_bm25_topk"  -> (bm25TopK _),
+    "p46_hybrid_rrf" -> (hybridRrf _),
+    "p47_pq_codes"   -> (pqCodesQuery _),
+    "p48_pq_adc"     -> (pqAdcTopK _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p45_bm25_topk"  -> bm25TopKOracle,
+    "p46_hybrid_rrf" -> hybridRrfOracle,
+    "p47_pq_codes"   -> pqCodesOracle,
+    "p48_pq_adc"     -> pqAdcTopKOracle,
+  )
+}

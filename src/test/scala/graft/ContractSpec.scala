@@ -20,7 +20,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Relational7.queries,
       operators.PipelineQueries.queries, operators.Pipeline2.queries,
       operators.Pipeline3.queries, operators.Pipeline4.queries,
-      operators.Pipeline5.queries)
+      operators.Pipeline5.queries, operators.Pipeline6.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
     assert(SparkEntry.queries.size >= 98)

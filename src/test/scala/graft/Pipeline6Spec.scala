@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline6
+
+/** Batch-6 retrieval layer: BM25 lexical ranking, lexical+vector RRF
+  * fusion, and product quantization (codes + ADC search). The DuckDB
+  * differential oracle pins the registered queries end-to-end; these
+  * tests pin the ALGEBRA — hand-computed BM25 on a known corpus, RRF
+  * reconstruction from output ranks, PQ self-encoding exactness, the
+  * ADC≡exact identity on codebook members — plus the quality signal
+  * (ADC recall vs exact search) no hash compare can express.
+  */
+class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25: matches a hand-computed score on a known corpus") {
+    val docs = Seq(
+      (0L, "merge stream merge table"),
+      (1L, "vector vector vector stream scan scan"),
+      (2L, "table scan group row")) // no query terms — must not be scored
+      .toDF("doc_id", "text")
+    val got = Pipeline6.bm25Scores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent reference, same formula, same fold order
+    val toks = Map(0L -> Seq("merge", "stream", "merge", "table"),
+      1L -> Seq("vector", "vector", "vector", "stream", "scan", "scan"),
+      2L -> Seq("table", "scan", "group", "row"))
+    val n = 3L
+    val sdl = toks.values.map(_.size).sum.toLong
+    val avgdl = sdl.toDouble / n
+    val dfm = Map("merge" -> 1L, "stream" -> 2L, "vector" -> 1L)
+    def contrib(term: String, tf: Long, dl: Int): Double = {
+      val idf = math.log(1.0 + ((n - dfm(term)) + 0.5) / (dfm(term) + 0.5))
+      idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+    }
+    val want = toks.flatMap { case (id, ts) =>
+      val score = Seq("merge", "stream", "vector").map { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) 0.0 else contrib(t, tf, ts.size)
+      }.reduceLeft(_ + _)
+      if (score == 0.0) None else Some(id -> score)
+    }
+    assert(got.keySet === Set(0L, 1L), "only docs containing a query term score")
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-12, s"doc $id: got ${got(id)}, want $w")
+    }
+  }
+
+  test("p45: ranks are dense 1..20, scores non-increasing") {
+    val rows = SparkEntry.queries("p45_bm25_topk")(spark, dir).collect()
+    assert(rows.map(_.getInt(2)).toSeq === (1 to rows.length))
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse, "bm25 not non-increasing in rank")
+  }
+
+  test("p46: rrf reconstructs exactly from the output ranks (rational arithmetic)") {
+    val rows = SparkEntry.queries("p46_hybrid_rrf")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(4)).toSeq === (1 to rows.length))
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) 0.0 else 1.0 / (60 + r.getInt(1))
+      val vec = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      // mirror Spark's Round on doubles: BigDecimal.valueOf (shortest
+      // string repr), not the exact binary expansion
+      val want = java.math.BigDecimal.valueOf(lex + vec)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getDouble(3) === want,
+        s"id ${r.getLong(0)}: rrf ${r.getDouble(3)} != recomputed $want")
+      assert(!(r.isNullAt(1) && r.isNullAt(2)), "row in neither list")
+    }
+  }
+
+  test("p47: codes in range; codebook vectors self-encode with exactly zero error") {
+    val rows = SparkEntry.queries("p47_pq_codes")(spark, dir).collect()
+    assert(rows.length > 8)
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getInt(i) >= 0 && r.getInt(i) < 8))
+      assert(r.getDouble(5) >= 0.0)
+    }
+    // a codebook member's nearest code in every subspace is itself, and
+    // the dot-identity distance cancels EXACTLY: (d - 2d) + d == 0.0
+    rows.filter(_.getLong(0) < 8).foreach { r =>
+      (1 to 4).foreach(i => assert(r.getInt(i) === r.getLong(0).toInt))
+      assert(r.getDouble(5) === 0.0, s"codebook vec ${r.getLong(0)} err != 0")
+    }
+  }
+
+  test("p48: ADC distance to a codebook member IS the exact subspace-folded distance") {
+    val adc = SparkEntry.queries("p48_pq_adc")(spark, dir).collect()
+    assert(adc.nonEmpty)
+    // per query: ranks dense from 1, distances non-decreasing, self excluded
+    adc.groupBy(_.getInt(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+      val ds = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(ds === ds.sorted, s"q$qid ADC distances not non-decreasing")
+      assert(!rs.exists(_.getLong(1) === qid.toLong), "self in candidates")
+    }
+    // codebook members (cid < 8) self-encode, so their ADC distance is
+    // the true subspace-wise squared distance — compare against an
+    // independent per-subspace computation on collected vectors
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < math.min(x.length, y.length)) {
+          acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+    }
+    adc.filter(_.getLong(1) < 8).foreach { r =>
+      val q = emb(r.getInt(0).toLong); val c = emb(r.getLong(1))
+      val want = (0 until 4).map { s =>
+        sq(q.slice(s * 16, s * 16 + 16), c.slice(s * 16, s * 16 + 16))
+      }.reduceLeft(_ + _)
+      assert(math.abs(r.getDouble(2) - want) < 1e-9,
+        s"q${r.getInt(0)} cid ${r.getLong(1)}: adc ${r.getDouble(2)} vs exact $want")
+    }
+  }
+
+  test("p48: ADC search finds genuinely near vectors (recall vs exact L2 search)") {
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+    val adc = SparkEntry.queries("p48_pq_adc")(spark, dir).collect()
+    val overlaps = adc.groupBy(_.getInt(0)).map { case (qid, rs) =>
+      val got = rs.map(_.getLong(1)).toSet
+      val exact = emb.keys.filter(_ != qid.toLong).toSeq
+        .sortBy(v => (sq(emb(qid.toLong), emb(v)), v)).take(10).toSet
+      (got & exact).size
+    }.toSeq
+    // coarse 8-code×4-subspace codebook on random vectors: recall is
+    // modest by design (measured 7/30 at sf0.01) — require the search
+    // beats "no signal" overall without pinning a dataset-shaped number
+    assert(overlaps.sum >= overlaps.size,
+      s"ADC recall collapsed: overlaps $overlaps")
+  }
+}

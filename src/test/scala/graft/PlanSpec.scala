@@ -110,4 +110,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(gen >= 0 && gen < deepestAgg,
       "window expansion no longer runs on the pre-aggregated hourly table")
   }
+
+  test("p45: BM25 top-k is a bounded heap; stats and df broadcast to the scoring side") {
+    val p = plan("p45_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 lost its bounded-heap plan (global sort would rank the corpus)")
+    assert(p.contains("BroadcastHashJoin"), "df table no longer broadcasts")
+    assert(!p.contains("SortMergeJoin"), "a model-sized join degraded to sort-merge")
+  }
+
+  test("p46: both retrieval arms end in bounded heaps before the fusion join") {
+    val p = plan("p46_hybrid_rrf")
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(heaps >= 2,
+      s"expected both arms + fusion as bounded top-n, saw $heaps TakeOrderedAndProject")
+  }
+
+  test("p47: PQ encoding is map-only — no hash shuffle anywhere") {
+    val p = plan("p47_pq_codes")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PQ encode gained a shuffle — assignment must stay a broadcast-model map")
+  }
+
+  test("p48: ADC search pays only the per-query rank shuffle; no join materializes") {
+    val p = plan("p48_pq_adc")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected 1 hash shuffle (qid rank window), saw $shuffles")
+    assert(!p.contains("Join"), "LUT lookup degraded from literal arrays to a join")
+  }
 }
