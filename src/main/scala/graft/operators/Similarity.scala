@@ -310,14 +310,17 @@ object Similarity {
               (-col("best.ncid")).cast("int").as("cell"),
               col("best.cos").as("cell_cos"))
 
-  private def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
+  /** Package-visible so the IVF-PQ composition ([[Pipeline6]]) reuses
+    * THE one assignment definition instead of re-deriving it.
+    */
+  private[operators] def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
     assignScored(cents, corpus).drop("cell_cos")
 
   /** Per-query probe fan-out: the `nProbe` max-cosine cells of each
     * query vector — (qid, qe, cell), tiny by construction.
     */
-  private def probeCells(cents: Array[(Int, Seq[Float])], queries: DataFrame,
-                         nProbe: Int): DataFrame =
+  private[operators] def probeCells(cents: Array[(Int, Seq[Float])], queries: DataFrame,
+                                    nProbe: Int): DataFrame =
     queries
       .withColumn("sc", slice(reverse(array_sort(cellScores(cents, col("embedding")))), 1, nProbe))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),

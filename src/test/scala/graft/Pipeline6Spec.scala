@@ -124,6 +124,37 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p49: the IVF-PQ store holds codes only, and probing ALL cells equals full ADC search") {
+    import graft.operators.{Pipeline6, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val store = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, store)
+    val read = spark.read.parquet(store)
+    // the compression claim: no float vectors at rest — codes + ids only
+    assert(!read.columns.contains("embedding"),
+      "store carries raw embeddings — the 64x at-rest shrink is gone")
+    assert(read.columns.toSet === Set("vec_id", "cell", "c0", "c1", "c2", "c3"))
+    // cells partition the corpus
+    assert(read.count() === emb.count())
+    // probing every cell removes the IVF gate: results must equal the
+    // full ADC search over the same codes (identical doubles — both
+    // paths sum the same LUT literals in the same order)
+    val queries = emb.filter(col("vec_id") < 3)
+    val full = Pipeline6.ivfPqTopKStored(spark, store, queries, cents, cb,
+        k = 10, nProbe = 8)
+      .orderBy(col("qid"), col("rnk")).collect()
+    val adc = SparkEntry.queries("p48_pq_adc")(spark, dir).collect()
+    assert(full.length === adc.length)
+    full.zip(adc).foreach { case (f, a) =>
+      assert(f.getLong(0) === a.getInt(0).toLong)
+      assert(f.getLong(1) === a.getLong(1))
+      assert(f.getDouble(2) === a.getDouble(2))
+      assert(f.getInt(3) === a.getInt(3))
+    }
+  }
+
   test("p48: ADC search finds genuinely near vectors (recall vs exact L2 search)") {
     val emb = Tables.embeddings(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

@@ -138,4 +138,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles === 1, s"expected 1 hash shuffle (qid rank window), saw $shuffles")
     assert(!p.contains("Join"), "LUT lookup degraded from literal arrays to a join")
   }
+
+  test("p49: the IVF-PQ probe scan prunes partitions to the probed cells") {
+    val p = plan("p49_ivfpq_stored")
+    assert(p.contains("dynamicpruningexpression"),
+      "stored IVF-PQ scan lost dynamic partition pruning — every probe would rescan the store")
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      "cell is no longer a partition column of the IVF-PQ layout")
+    // the STORE scan serves codes only (the query-side scan of the raw
+    // embeddings table is the one allowed embedding read)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,c0:int"),
+      "store scan no longer reads the code-only schema")
+  }
 }
