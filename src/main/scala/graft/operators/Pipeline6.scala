@@ -76,6 +76,18 @@ object Pipeline6 {
       .filter(col("term").isin(QTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25FromPostings(tf, stats)
+  }
+
+  /** The BM25 scoring tail over a term-frequency table
+    * (doc_id, dl, term, tf — already restricted to the query terms) and
+    * a 1-row corpus-stats frame (n, sdl) — shared verbatim by the
+    * scan-time path ([[bm25Scores]]) and the stored-index path
+    * ([[bm25TopKStored]]), so the layout cannot drift from the
+    * semantics. df derives from the tf rows (identical either way:
+    * distinct docs per query term).
+    */
+  private def bm25FromPostings(tf: DataFrame, stats: DataFrame): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sdl").cast("double") / col("n")
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -111,6 +123,77 @@ object Pipeline6 {
         Seq(col("score").desc, col("doc_id")), 20, "rnk")
       .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
       .orderBy(col("rnk"))
+
+  /** Persist the full inverted index: one posting row per (term, doc)
+    * — (term, doc_id, dl, tf) — BUCKETED by term
+    * ([[graft.sources.Bucketed.writeBucketed]]), plus a 1-row
+    * corpus-stats table (N, total token count) as index metadata. This
+    * is the at-rest lexical layout, the search-engine twin of the IVF
+    * cell store: a query's `term IN (…)` predicate prunes the scan to
+    * the buckets its terms hash into (`SelectedBucketsCount` in the
+    * plan, pinned by PlanSpec), so a 3-term query over a 100 TB corpus
+    * reads 3 buckets' worth of postings, not the corpus — and the
+    * postings are (int, int) rows, not text. Build is one tokenize +
+    * one (term, doc) aggregate; the bucket write pays the term shuffle
+    * ONCE and every query amortizes it.
+    */
+  /** Drop a managed table AND its leftover warehouse directory. With
+    * the default in-memory catalog every JVM starts blank, so a table
+    * written by a previous process survives only as an orphaned
+    * directory — `saveAsTable(Overwrite)` then fails with
+    * LOCATION_ALREADY_EXISTS because to the fresh catalog it is a
+    * CREATE. Index builds must be restart-safe, so clear both.
+    */
+  private def dropStaleTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  def postingsWrite(docs: DataFrame, table: String, nBuckets: Int): Unit = {
+    dropStaleTable(docs.sparkSession, table)
+    dropStaleTable(docs.sparkSession, s"${table}_stats")
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val postings = ws
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    graft.sources.Bucketed.writeBucketed(postings, table, "term", nBuckets)
+    ws.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sdl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** BM25 top-k over a stored [[postingsWrite]] index: the same scoring
+    * tail as the scan-time path ([[bm25FromPostings]]) fed from the
+    * bucket-pruned posting scan — same oracle as p45, the layout is
+    * semantics-preserving.
+    */
+  def bm25TopKStored(spark: SparkSession, table: String, k: Int): DataFrame = {
+    val tf = spark.table(table).filter(col("term").isin(QTerms: _*))
+    val scores = bm25FromPostings(tf, spark.table(s"${table}_stats"))
+    topNRanked(scores, Seq(col("score").desc, col("doc_id")), k, "rnk")
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** p50: the stored-index BM25 path. The index is built once per JVM
+    * per dataset (the p41/p49 index contract; table names are
+    * dataset-keyed so scale factors never collide): warm reps measure
+    * the steady-state pruned probe, not the build.
+    */
+  private val postingsStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def bm25Stored(s: SparkSession, d: String): DataFrame = {
+    val table = postingsStores.computeIfAbsent(d, _ => {
+      val t = "graft_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      postingsWrite(documents(s, d), t, nBuckets = 8)
+      t
+    })
+    bm25TopKStored(s, table, k = 20)
+  }
 
   /** The BM25 scoring pipeline as one SQL CTE chain (shared by the p45
     * and p46 oracles). Numeric literals are emitted with
@@ -558,6 +641,7 @@ object Pipeline6 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p45_bm25_topk"    -> (bm25TopK _),
+    "p50_bm25_stored"  -> (bm25Stored _),
     "p46_hybrid_rrf"   -> (hybridRrf _),
     "p47_pq_codes"     -> (pqCodesQuery _),
     "p48_pq_adc"       -> (pqAdcTopK _),
@@ -566,6 +650,9 @@ object Pipeline6 {
 
   val oracles: Map[String, String] = Map(
     "p45_bm25_topk"    -> bm25TopKOracle,
+    // the stored posting-list layout is semantics-preserving: same
+    // oracle as p45
+    "p50_bm25_stored"  -> bm25TopKOracle,
     "p46_hybrid_rrf"   -> hybridRrfOracle,
     "p47_pq_codes"     -> pqCodesOracle,
     "p48_pq_adc"       -> pqAdcTopKOracle,

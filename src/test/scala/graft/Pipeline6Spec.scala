@@ -124,6 +124,18 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p50: the stored posting-list index returns exactly the scan-time BM25 results") {
+    val scan = SparkEntry.queries("p45_bm25_topk")(spark, dir).collect()
+    val stored = SparkEntry.queries("p50_bm25_stored")(spark, dir).collect()
+    assert(stored.length === scan.length)
+    stored.zip(scan).foreach { case (st, sc) =>
+      assert(st.getLong(0) === sc.getLong(0))
+      assert(st.getDouble(1) === sc.getDouble(1),
+        s"doc ${st.getLong(0)}: stored ${st.getDouble(1)} vs scan ${sc.getDouble(1)}")
+      assert(st.getInt(2) === sc.getInt(2))
+    }
+  }
+
   test("p49: the IVF-PQ store holds codes only, and probing ALL cells equals full ADC search") {
     import graft.operators.{Pipeline6, Similarity}
     val emb = Tables.embeddings(spark, dir)

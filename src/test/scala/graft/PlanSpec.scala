@@ -139,6 +139,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), "LUT lookup degraded from literal arrays to a join")
   }
 
+  test("p50: the posting scan prunes buckets to the query terms' hashes") {
+    val p = plan("p50_bm25_stored")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, "posting scan lost bucket pruning (no SelectedBucketsCount)")
+    val (sel, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(total === 8 && sel <= 3,
+      s"3 query terms should prune to <=3 of 8 buckets, scan reads $sel of $total")
+  }
+
   test("p49: the IVF-PQ probe scan prunes partitions to the probed cells") {
     val p = plan("p49_ivfpq_stored")
     assert(p.contains("dynamicpruningexpression"),
