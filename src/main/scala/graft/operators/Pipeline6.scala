@@ -537,12 +537,34 @@ object Pipeline6 {
     * both factors multiplied. One map-only pass, no shuffle: cell and
     * codes are each computed against broadcast models.
     */
+  /** The IVF-PQ row form — (vec_id, cell, c0…c3), both models applied
+    * map-side — shared by the store build, the incremental append, and
+    * the streaming ingest so the three paths cannot diverge.
+    */
+  private[graft] def pqCellCodes(cents: Array[(Int, Seq[Float])],
+                                 cb: Array[(Int, Seq[Seq[Float]])],
+                                 vectors: DataFrame): DataFrame =
+    withCodes(cb, Similarity.assignCells(cents, vectors))
+      .select(col("vec_id") +: col("cell") +: codeCols: _*)
+
   def ivfPqWrite(cents: Array[(Int, Seq[Float])],
                  cb: Array[(Int, Seq[Seq[Float]])],
                  corpus: DataFrame, path: String): Unit =
-    graft.sources.Partitioned.writeBy(
-      withCodes(cb, Similarity.assignCells(cents, corpus))
-        .select(col("vec_id") +: col("cell") +: codeCols: _*),
+    graft.sources.Partitioned.writeBy(pqCellCodes(cents, cb, corpus), path, "cell")
+
+  /** Incrementally extend a stored [[ivfPqWrite]] layout: assign and
+    * encode ONLY the new vectors (both against the broadcast models —
+    * map-only) and append their code files into the existing cell
+    * directories — the [[Similarity.ivfAppend]] contract for the
+    * compressed layout. Both models MUST be the ones the store was
+    * built with (cells and codes are defined by them); retraining
+    * either means a full [[ivfPqWrite]]. Small appended files
+    * accumulate per cell — compact with `sources.Maintenance`.
+    */
+  def ivfPqAppend(cents: Array[(Int, Seq[Float])],
+                  cb: Array[(Int, Seq[Seq[Float]])],
+                  newVectors: DataFrame, path: String): Unit =
+    graft.sources.Partitioned.appendBy(pqCellCodes(cents, cb, newVectors),
       path, "cell")
 
   /** ADC top-k over a stored [[ivfPqWrite]] layout: probe the `nProbe`

@@ -253,6 +253,62 @@ object StreamingOps {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** Streaming IVF-PQ index ingestion, stage 1 of 2: encode each
+    * micro-batch of vectors into (vec_id, cell, c0…c3) rows — both
+    * models broadcast, pure map-side, the exact
+    * `Pipeline6.pqCellCodes` form the store itself uses — and land it
+    * EXACTLY ONCE in a staging zone via [[idempotentParquetBatch]]
+    * (at-least-once redelivery + marker-guarded write).
+    *
+    * Staging exists because hive-appending into the live store from
+    * inside `foreachBatch` cannot be made idempotent: a crash mid-append
+    * leaves partial code files inside cell directories that a
+    * re-delivered batch would duplicate. Landing into `batch=<id>`
+    * directories makes redelivery a provable no-op; folding into the
+    * index is then a deliberate, operator-scheduled batch step
+    * ([[ivfPqMergeStaged]]) — the standard stage-then-fold shape of
+    * live index ingestion.
+    *
+    * Usage: `vectors.writeStream.foreachBatch(ivfPqIngestBatch(cents, cb, stage) _)`.
+    */
+  def ivfPqIngestBatch(cents: Array[(Int, Seq[Float])],
+                       cb: Array[(Int, Seq[Seq[Float]])],
+                       stagePath: String)(batch: DataFrame, id: Long): Unit =
+    idempotentParquetBatch(stagePath)(
+      graft.operators.Pipeline6.pqCellCodes(cents, cb, batch), id)
+
+  /** Streaming IVF-PQ ingestion, stage 2: fold every staged-and-committed
+    * batch into the live [[graft.operators.Pipeline6.ivfPqWrite]] store
+    * (hive append into the cell directories) and tombstone it with a
+    * `_GRAFT_MERGED` marker so the next merge skips it. Returns the
+    * number of batches folded.
+    *
+    * Idempotency contract: a merge re-run after a crash BETWEEN the
+    * append job and the marker write re-appends that one batch — the
+    * same once-per-maintenance-action contract as compaction
+    * (`sources.Maintenance`); run merges serially from one scheduler.
+    * Batches staged but not yet committed (no `_GRAFT_COMMITTED`) are
+    * left for the next merge, so an in-flight streaming write is never
+    * half-read.
+    */
+  def ivfPqMergeStaged(spark: org.apache.spark.sql.SparkSession,
+                       stagePath: String, storePath: String): Int = {
+    val stage = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stage)) return 0
+    val ready = fs.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")))
+      .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED")))
+      .sortBy(_.getName)
+    ready.foreach { p =>
+      graft.sources.Partitioned.appendBy(
+        spark.read.parquet(p.toString), storePath, "cell")
+      fs.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED"), true).close()
+    }
+    ready.length
+  }
+
   /** Distinct xxhash64 shingle hashes of a benchmark document set —
     * the one index definition shared by [[contaminationGate]] and the
     * parity spec's batch twin. One tiny job over the eval set (the

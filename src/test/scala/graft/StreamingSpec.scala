@@ -319,4 +319,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         "restarted query lost pre-restart aggregation state")
     } finally q2.stop()
   }
+
+  test("ivf-pq streaming ingest: staged exactly-once, merged store equals a full rebuild") {
+    import graft.operators.Pipeline6
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val base = emb.filter($"vec_id" < 25)
+    val inc1 = emb.filter($"vec_id" >= 25 && $"vec_id" < 40)
+    val inc2 = emb.filter($"vec_id" >= 40)
+    val store = java.nio.file.Files.createTempDirectory("ivfpq_live").toString
+    val stage = java.nio.file.Files.createTempDirectory("ivfpq_stage").toString
+    Pipeline6.ivfPqWrite(cents, cb, base, store)
+    // micro-batches arrive (exercised exactly as foreachBatch delivers)
+    val ingest = StreamingOps.ivfPqIngestBatch(cents, cb, stage) _
+    ingest(inc1, 0L)
+    ingest(inc2, 1L)
+    // crash-redelivery of batch 0 with partial content: must be a no-op
+    ingest(inc1.limit(3), 0L)
+    assert(StreamingOps.ivfPqMergeStaged(spark, stage, store) === 2)
+    // a second merge folds nothing (tombstones)
+    assert(StreamingOps.ivfPqMergeStaged(spark, stage, store) === 0)
+    // the live store now answers identically to a one-shot full build
+    val queries = emb.filter($"vec_id" < 3)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, rebuilt)
+    def probe(p: String) =
+      Pipeline6.ivfPqTopKStored(spark, p, queries, cents, cb, k = 10, nProbe = 3)
+        .orderBy($"qid", $"rnk").collect().toSeq
+    assert(probe(store) === probe(rebuilt),
+      "streamed-and-merged store diverges from a full rebuild")
+  }
 }
