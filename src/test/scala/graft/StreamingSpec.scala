@@ -351,5 +351,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .orderBy($"qid", $"rnk").collect().toSeq
     assert(probe(store) === probe(rebuilt),
       "streamed-and-merged store diverges from a full rebuild")
+    // the merge accumulates small per-cell files; partition-preserving
+    // compaction (the documented maintenance step) must not change a
+    // single probe answer
+    val compacted = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    graft.sources.Maintenance.compactPartitioned(spark, store, compacted, "cell")
+    assert(probe(compacted) === probe(store),
+      "compaction changed probe results on the live store")
   }
 }
