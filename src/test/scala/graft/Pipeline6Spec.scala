@@ -51,6 +51,30 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bm25 ranking algebra: tf raises, length penalizes, rarity wins") {
+    import graft.operators.Pipeline6
+    def scores(docs: Seq[(Long, String)]): Map[Long, Double] =
+      Pipeline6.bm25Scores(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same length, more occurrences of a query term -> higher score
+    val tf = scores(Seq(
+      (0L, "merge merge scan scan"),
+      (1L, "merge scan scan scan")))
+    assert(tf(0L) > tf(1L), "tf monotonicity violated")
+    // same tf, longer document -> lower score (the b-normalization)
+    val dl = scores(Seq(
+      (0L, "merge scan"),
+      (1L, "merge scan scan scan scan scan")))
+    assert(dl(0L) > dl(1L), "length normalization violated")
+    // equal tf and dl: the rarer term (df 1 vs df 3) outweighs the common one
+    val idf = scores(Seq(
+      (0L, "merge scan"),  // merge: df 1
+      (1L, "stream scan"), // stream: df 3
+      (2L, "stream scan"),
+      (3L, "stream scan")))
+    assert(idf(0L) > idf(1L), "idf ordering violated")
+  }
+
   test("p45: ranks are dense 1..20, scores non-increasing") {
     val rows = SparkEntry.queries("p45_bm25_topk")(spark, dir).collect()
     assert(rows.map(_.getInt(2)).toSeq === (1 to rows.length))
