@@ -390,4 +390,50 @@ object Engine {
     registerTables(spark, dir)
     spark.sql(query)
   }
+
+  // ---- retrieval facade (the search stack over a curated corpus) ----
+
+  /** Okapi BM25 top-k of `docs` (doc_id, text) against an arbitrary
+    * term set — the generic form of p45; see `Pipeline6.bm25Scores`
+    * for the scale shape (only query-term occurrences shuffle, stats
+    * and df broadcast, bounded-heap top-k).
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    Pipeline6.bm25TopKOf(docs, terms, k)
+
+  /** Build the at-rest lexical index (posting lists bucketed by term +
+    * corpus-stats table) and query it — the amortized form of
+    * [[bm25Search]]: the build pays the tokenize + term shuffle once,
+    * each query reads only its terms' buckets.
+    */
+  def buildLexicalIndex(docs: DataFrame, table: String, nBuckets: Int): Unit =
+    Pipeline6.postingsWrite(docs, table, nBuckets)
+
+  def searchLexicalIndex(spark: SparkSession, table: String,
+                         terms: Seq[String], k: Int): DataFrame =
+    Pipeline6.bm25TopKStored(spark, table, k, terms)
+
+  /** Build the at-rest compressed vector index (IVF-PQ: cell-partitioned
+    * directories of PQ codes) from a corpus of (vec_id, embedding) rows.
+    * Returns the two models — IVF centroids and PQ codebooks — that
+    * define the layout; keep them with the index (every probe and every
+    * append needs exactly these).
+    */
+  def buildVectorIndex(corpus: DataFrame, path: String,
+                       nCells: Int = 8, nCodes: Int = 8,
+                       m: Int = 4): (Array[(Int, Seq[Float])], Array[(Int, Seq[Seq[Float]])]) = {
+    val cents = Similarity.seedCentroids(corpus, nCells)
+    val cb = Pipeline6.pqCodebook(corpus, nCodes, m)
+    Pipeline6.ivfPqWrite(cents, cb, corpus, path)
+    (cents, cb)
+  }
+
+  /** ADC top-k over a [[buildVectorIndex]] store: reads nProbe cells'
+    * code files, never the raw embeddings.
+    */
+  def searchVectorIndex(spark: SparkSession, path: String, queries: DataFrame,
+                        cents: Array[(Int, Seq[Float])],
+                        cb: Array[(Int, Seq[Seq[Float]])],
+                        k: Int, nProbe: Int = 2): DataFrame =
+    Pipeline6.ivfPqTopKStored(spark, path, queries, cents, cb, k, nProbe)
 }

@@ -68,16 +68,28 @@ object Pipeline6 {
     *    is order-insensitive and the final 3-term addition is a literal
     *    left-assoc chain, bit-identical in any engine.
     */
-  def bm25Scores(docs: DataFrame): DataFrame = {
+  def bm25Scores(docs: DataFrame, terms: Seq[String] = QTerms): DataFrame = {
+    val q = terms.distinct.sorted
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val stats = ws.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sdl"))
     val tf = ws
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
-      .filter(col("term").isin(QTerms: _*))
+      .filter(col("term").isin(q: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    bm25FromPostings(tf, stats)
+    bm25FromPostings(tf, stats, q)
   }
+
+  /** Generic-query BM25 top-k over any document frame — the library
+    * entry point behind `Engine.bm25Search`; p45 is this with the
+    * oracle-pinned [[QTerms]]. Terms are deduped and ASCII-sorted so
+    * the score fold order is a function of the term SET.
+    */
+  def bm25TopKOf(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    topNRanked(bm25Scores(docs, terms),
+        Seq(col("score").desc, col("doc_id")), k, "rnk")
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
+      .orderBy(col("rnk"))
 
   /** The BM25 scoring tail over a term-frequency table
     * (doc_id, dl, term, tf — already restricted to the query terms) and
@@ -87,7 +99,8 @@ object Pipeline6 {
     * semantics. df derives from the tf rows (identical either way:
     * distinct docs per query term).
     */
-  private def bm25FromPostings(tf: DataFrame, stats: DataFrame): DataFrame = {
+  private def bm25FromPostings(tf: DataFrame, stats: DataFrame,
+                               terms: Seq[String] = QTerms): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sdl").cast("double") / col("n")
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -96,12 +109,13 @@ object Pipeline6 {
     val scored = tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), contrib.as("contrib"))
-    val termSums = QTerms.map(t =>
-      sum(when(col("term") === t, col("contrib"))).as(s"c_$t"))
+    val termSums = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"__c$i")
+    }
     scored.groupBy(col("doc_id"))
       .agg(termSums.head, termSums.tail: _*)
       .select(col("doc_id"),
-        QTerms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+        terms.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
           .reduceLeft(_ + _).as("score"))
   }
 
@@ -119,10 +133,7 @@ object Pipeline6 {
 
   /** p45: BM25 top-20 over the fixed query — (doc_id, bm25, rnk). */
   def bm25TopK(s: SparkSession, d: String): DataFrame =
-    topNRanked(bm25Scores(documents(s, d)),
-        Seq(col("score").desc, col("doc_id")), 20, "rnk")
-      .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
-      .orderBy(col("rnk"))
+    bm25TopKOf(documents(s, d), QTerms, 20)
 
   /** Persist the full inverted index: one posting row per (term, doc)
     * — (term, doc_id, dl, tf) — BUCKETED by term
@@ -171,9 +182,11 @@ object Pipeline6 {
     * bucket-pruned posting scan — same oracle as p45, the layout is
     * semantics-preserving.
     */
-  def bm25TopKStored(spark: SparkSession, table: String, k: Int): DataFrame = {
-    val tf = spark.table(table).filter(col("term").isin(QTerms: _*))
-    val scores = bm25FromPostings(tf, spark.table(s"${table}_stats"))
+  def bm25TopKStored(spark: SparkSession, table: String, k: Int,
+                     terms: Seq[String] = QTerms): DataFrame = {
+    val q = terms.distinct.sorted
+    val tf = spark.table(table).filter(col("term").isin(q: _*))
+    val scores = bm25FromPostings(tf, spark.table(s"${table}_stats"), q)
     topNRanked(scores, Seq(col("score").desc, col("doc_id")), k, "rnk")
       .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
       .orderBy(col("rnk"))
@@ -329,15 +342,26 @@ object Pipeline6 {
     * (swapping in per-subspace k-means changes only this collect).
     * Model-sized (nCodes × dim floats), collected once.
     */
-  def pqCodebook(emb: DataFrame): Array[(Int, Seq[Seq[Float]])] =
-    emb.filter(col("vec_id") < PqNCodes)
+  def pqCodebook(emb: DataFrame, nCodes: Int = PqNCodes,
+                 m: Int = PqM): Array[(Int, Seq[Seq[Float]])] =
+    emb.filter(col("vec_id") < nCodes)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
       .map { case Row(id: Int, e: scala.collection.Seq[_]) =>
-        (id, e.asInstanceOf[scala.collection.Seq[Float]].toSeq
-          .grouped(PqSub).toSeq)
+        val v = e.asInstanceOf[scala.collection.Seq[Float]].toSeq
+        require(v.length % m == 0,
+          s"pqCodebook: dim ${v.length} not divisible into $m subspaces")
+        (id, v.grouped(v.length / m).toSeq)
       }
       .sortBy(_._1)
+
+  /** PQ geometry is carried BY the codebook (subspace count and width
+    * read off its shape), so every consumer below works for any
+    * (nCodes, m) a caller trains — the registered queries pin the
+    * (8, 4) instance the oracles replay.
+    */
+  private def pqM(cb: Array[(Int, Seq[Seq[Float]])]): Int = cb.head._2.length
+  private def pqSub(cb: Array[(Int, Seq[Seq[Float]])]): Int = cb.head._2.head.length
 
   /** Squared L2 distance via the dot identity ‖a−b‖² =
     * ((a·a − 2(a·b)) + b·b), in exactly that association order — three
@@ -355,7 +379,8 @@ object Pipeline6 {
     * id — `nd` = −dist, `nc` = −code.
     */
   private def subspaceBest(cb: Array[(Int, Seq[Seq[Float]])], s: Int): Column = {
-    val vs = slice(col("embedding"), s * PqSub + 1, PqSub)
+    val sub = pqSub(cb)
+    val vs = slice(col("embedding"), s * sub + 1, sub)
     array_max(array(cb.toIndexedSeq.map { case (cid, subs) =>
       struct((-sqDist(vs, typedLit(subs(s)))).as("nd"), lit(-cid).as("nc"))
     }: _*))
@@ -366,10 +391,10 @@ object Pipeline6 {
     * IVF-PQ store write.
     */
   private def withCodes(cb: Array[(Int, Seq[Seq[Float]])], df: DataFrame): DataFrame =
-    (0 until PqM).foldLeft(df) { (d, s) => d.withColumn(s"__b$s", subspaceBest(cb, s)) }
+    (0 until pqM(cb)).foldLeft(df) { (d, s) => d.withColumn(s"__b$s", subspaceBest(cb, s)) }
 
-  private def codeCols: Seq[Column] =
-    (0 until PqM).map(s => (-col(s"__b$s.nc")).cast("int").as(s"c$s"))
+  private def codeCols(m: Int): Seq[Column] =
+    (0 until m).map(s => (-col(s"__b$s.nc")).cast("int").as(s"c$s"))
 
   /** PQ-encode a corpus against the broadcast codebook — MAP-ONLY, like
     * IVF assignment: (vec_id, c0…c3, err) where err is the total
@@ -379,8 +404,8 @@ object Pipeline6 {
     */
   def pqEncode(cb: Array[(Int, Seq[Seq[Float]])], corpus: DataFrame): DataFrame = {
     val withBest = withCodes(cb, Parallelism.ensureParallel(corpus))
-    val err = (0 until PqM).map(s => -col(s"__b$s.nd")).reduceLeft(_ + _)
-    withBest.select(col("vec_id") +: codeCols :+ round(err, 6).as("err"): _*)
+    val err = (0 until pqM(cb)).map(s => -col(s"__b$s.nd")).reduceLeft(_ + _)
+    withBest.select(col("vec_id") +: codeCols(pqM(cb)) :+ round(err, 6).as("err"): _*)
   }
 
   /** p47: PQ codes + reconstruction error for the whole corpus. */
@@ -452,13 +477,14 @@ object Pipeline6 {
     */
   private def pqLut(cb: Array[(Int, Seq[Seq[Float]])],
                     queries: DataFrame): Map[Int, Array[Array[Double]]] = {
+    val sub = pqSub(cb)
     val lutRows = queries
       .select(col("vec_id").cast("int").as("qid"),
         explode(array((for {
-          sp <- 0 until PqM
+          sp <- 0 until pqM(cb)
           (cid, subs) <- cb
         } yield {
-          val qs = slice(col("embedding"), sp * PqSub + 1, PqSub)
+          val qs = slice(col("embedding"), sp * sub + 1, sub)
           struct(lit(sp).as("s"), lit(cid).as("code"),
             sqDist(qs, typedLit(subs(sp))).as("pd"))
         }).toIndexedSeq: _*)).as("x"))
@@ -466,17 +492,17 @@ object Pipeline6 {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     lutRows.groupBy(_._1).map { case (qid, rows) =>
-      val bySub = Array.fill(PqM)(new Array[Double](PqNCodes))
+      val bySub = Array.fill(pqM(cb))(new Array[Double](cb.length))
       rows.foreach { case (_, sp, code, pd) => bySub(sp)(code) = pd }
       (qid, bySub)
     }
   }
 
-  /** ADC distance for one query's LUT: four literal-array lookups keyed
-    * by the code columns, summed in subspace order.
+  /** ADC distance for one query's LUT: one literal-array lookup per
+    * subspace, keyed by the code columns, summed in subspace order.
     */
   private def adcExpr(bySub: Array[Array[Double]]): Column =
-    (0 until PqM)
+    bySub.indices
       .map(sp => element_at(typedLit(bySub(sp).toSeq), col(s"c$sp") + 1))
       .reduceLeft(_ + _)
 
@@ -545,7 +571,7 @@ object Pipeline6 {
                                  cb: Array[(Int, Seq[Seq[Float]])],
                                  vectors: DataFrame): DataFrame =
     withCodes(cb, Similarity.assignCells(cents, vectors))
-      .select(col("vec_id") +: col("cell") +: codeCols: _*)
+      .select(col("vec_id") +: col("cell") +: codeCols(pqM(cb)): _*)
 
   def ivfPqWrite(cents: Array[(Int, Seq[Float])],
                  cb: Array[(Int, Seq[Seq[Float]])],

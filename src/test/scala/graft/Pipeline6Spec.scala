@@ -160,6 +160,38 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Engine retrieval facade: generic terms and generic PQ geometry work end-to-end") {
+    val docs = Tables.documents(spark, dir)
+    // facade identity on the oracle-pinned query
+    val viaFacade = Engine.bm25Search(docs, Seq("merge", "stream", "vector"), 20).collect()
+    val viaQuery = SparkEntry.queries("p45_bm25_topk")(spark, dir).collect()
+    assert(viaFacade.map(_.toSeq).toSeq === viaQuery.map(_.toSeq).toSeq)
+    // a DIFFERENT term set: scan path and stored index must agree
+    val terms = Seq("spark", "data")
+    val table = "graft_postings_facade_spec"
+    Engine.buildLexicalIndex(docs, table, nBuckets = 8)
+    val scan = Engine.bm25Search(docs, terms, 10).collect()
+    val stored = Engine.searchLexicalIndex(spark, table, terms, 10).collect()
+    assert(scan.map(_.toSeq).toSeq === stored.map(_.toSeq).toSeq,
+      "stored index disagrees with the scan path on a fresh term set")
+    assert(scan.nonEmpty && scan.map(_.getInt(2)).toSeq === (1 to scan.length))
+    // a DIFFERENT PQ geometry (8 subspaces of 8 dims, 4 codes): build,
+    // search, and sanity-check the compressed index end-to-end
+    val emb = Tables.embeddings(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("facade_vec_idx").toString
+    val (cents, cb) = Engine.buildVectorIndex(emb, store,
+      nCells = 4, nCodes = 4, m = 8)
+    assert(cb.head._2.length === 8 && cb.head._2.head.length === 8)
+    val hits = Engine.searchVectorIndex(spark, store,
+        emb.filter(col("vec_id") < 2), cents, cb, k = 5, nProbe = 4)
+      .orderBy(col("qid"), col("rnk")).collect()
+    assert(hits.nonEmpty)
+    hits.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+      assert(!rs.exists(_.getLong(1) === qid), "self in candidates")
+    }
+  }
+
   test("p49: the IVF-PQ store holds codes only, and probing ALL cells equals full ADC search") {
     import graft.operators.{Pipeline6, Similarity}
     val emb = Tables.embeddings(spark, dir)
