@@ -436,4 +436,30 @@ object Engine {
                         cb: Array[(Int, Seq[Seq[Float]])],
                         k: Int, nProbe: Int = 2): DataFrame =
     Pipeline6.ivfPqTopKStored(spark, path, queries, cents, cb, k, nProbe)
+
+  /** Hybrid retrieval ENTIRELY off the at-rest indexes — no corpus
+    * scan anywhere: the lexical arm reads the query terms' posting
+    * buckets ([[searchLexicalIndex]]), the vector arm reads the probed
+    * cells' code files ([[searchVectorIndex]] with a 1-row query
+    * frame), and the two depth-truncated rank lists fuse by reciprocal
+    * rank (the p46 fusion arithmetic, shared). This is the serving
+    * path of a deployed search stack: index bytes read per query are
+    * (terms' buckets + nProbe cells' codes), independent of corpus
+    * size.
+    */
+  def hybridSearchStored(spark: SparkSession, lexTable: String,
+                         terms: Seq[String], vecPath: String,
+                         queryVec: DataFrame,
+                         cents: Array[(Int, Seq[Float])],
+                         cb: Array[(Int, Seq[Seq[Float]])],
+                         k: Int, depth: Int = 100,
+                         nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lex = Pipeline6.bm25TopKStored(spark, lexTable, depth, terms)
+      .select(col("doc_id").as("id"), col("rnk").as("lex_rnk"))
+    val vec = Pipeline6.ivfPqTopKStored(spark, vecPath, queryVec,
+        cents, cb, depth, nProbe)
+      .select(col("cid").as("id"), col("rnk").as("vec_rnk"))
+    Pipeline6.rrfFuse(lex, vec, k)
+  }
 }

@@ -267,6 +267,23 @@ object Pipeline6 {
     * frames — model-sized regardless of corpus size; rank windows run
     * on those frames, never on the corpus.
     */
+  /** RRF-fuse two ranked lists — (id, lex_rnk) and (id, vec_rnk), both
+    * already truncated/model-sized — into the top-k by
+    * Σ 1/(60 + rank), keeping single-list documents via the full-outer
+    * join. Shared by the scan-time p46 and the stored-index facade
+    * path, so the fusion arithmetic is defined once.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    val fused = lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rnk")), lit(0.0))).as("rrf"))
+    topNRanked(fused, Seq(col("rrf").desc, col("id")), k, "rnk")
+      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
+        round(col("rrf"), 6).as("rrf"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val lex = topNRanked(bm25Scores(documents(s, d)),
         Seq(col("score").desc, col("doc_id")), RrfDepth, "lex_rnk")
@@ -280,14 +297,7 @@ object Pipeline6 {
         graft.functions.VectorOps.cosine(col("embedding"), col("qe")).as("cos"))
     val vec = topNRanked(scoredVec, Seq(col("cos").desc, col("id")), RrfDepth, "vec_rnk")
       .select(col("id"), col("vec_rnk"))
-    val fused = lex.join(vec, Seq("id"), "full_outer")
-      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
-        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rnk")), lit(0.0))).as("rrf"))
-    topNRanked(fused, Seq(col("rrf").desc, col("id")), 20, "rnk")
-      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
-        round(col("rrf"), 6).as("rrf"), col("rnk"))
-      .orderBy(col("rnk"))
+    rrfFuse(lex, vec, 20)
   }
 
   /** DuckDB mirror of VectorOps.dot (same device as PipelineQueries). */

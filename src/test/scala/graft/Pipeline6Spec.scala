@@ -192,6 +192,37 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hybrid search off stored indexes: no scan, ranks fuse by the p46 arithmetic") {
+    import graft.operators.{Pipeline6, Similarity}
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val lexTable = "graft_postings_hybrid_spec"
+    Engine.buildLexicalIndex(docs, lexTable, nBuckets = 8)
+    val vecPath = java.nio.file.Files.createTempDirectory("hybrid_vec_idx").toString
+    val (cents, cb) = Engine.buildVectorIndex(emb, vecPath)
+    val q0 = emb.filter(col("vec_id") === 0)
+    val fused = Engine.hybridSearchStored(spark, lexTable,
+      Seq("merge", "stream", "vector"), vecPath, q0, cents, cb,
+      k = 20, depth = 100, nProbe = 8)
+    val rows = fused.collect()
+    assert(rows.nonEmpty && rows.map(_.getInt(4)).toSeq === (1 to rows.length))
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) 0.0 else 1.0 / (60 + r.getInt(1))
+      val vec = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val want = java.math.BigDecimal.valueOf(lex + vec)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getDouble(3) === want)
+    }
+    // the lexical arm of the fusion is EXACTLY the stored-index ranking
+    val lexOnly = Pipeline6.bm25TopKStored(spark, lexTable, 100,
+      Seq("merge", "stream", "vector")).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(lexOnly(r.getLong(0)) === r.getInt(1),
+        s"lex rank drifted for doc ${r.getLong(0)}")
+    }
+  }
+
   test("p49: the IVF-PQ store holds codes only, and probing ALL cells equals full ADC search") {
     import graft.operators.{Pipeline6, Similarity}
     val emb = Tables.embeddings(spark, dir)
