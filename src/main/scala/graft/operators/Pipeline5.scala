@@ -380,7 +380,87 @@ object Pipeline5 {
       |WHERE r.rnk <= q.quota
       |ORDER BY r.doc_id""".stripMargin
 
+  /** Duplicated-span extraction — the span-level form of exact dedup
+    * (the "dedup the substring, keep the document" operation from the
+    * training-data-dedup literature): hash every `SpanW`-token window
+    * of every document, find windows whose hash occurs more than once
+    * CORPUS-WIDE, and merge each document's overlapping duplicated
+    * windows into maximal (span_start, span_end) token intervals. The
+    * output is the cut-list a curation pipeline applies to remove
+    * boilerplate/mirrored spans without dropping the documents that
+    * contain them.
+    *
+    * Everything after the window hash is INTEGER arithmetic (interval
+    * merge = the classic gaps-and-islands running-max device, like
+    * q18's sessionize), so the whole output is bit-exact cross-engine.
+    * The window hash is md5 of the joined window text — the
+    * oracle-replayable choice (p01/p02 precedent); at scale swap in
+    * xxhash64 to shuffle 8-byte longs instead of 32-char strings
+    * (the plan shape is unchanged).
+    *
+    * Scale shape: window expansion is one map-side explode (~dl rows
+    * per doc); ONE hash shuffle on the window hash feeds both the
+    * df-filter aggregate and the join back (the lazily-checkpointed
+    * expansion runs once, the exchange is reused); the island merge is
+    * one hash shuffle on doc_id with a per-doc sorted window — keyed
+    * and parallel, no global ordering anywhere.
+    */
+  private val SpanW = 10
+
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansOf(documents(s, d))
+
+  def dupSpansOf(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $SpanW), " +
+          s"i -> struct(i AS i, md5(array_join(slice(w, i + 1, $SpanW), ' ')) AS h))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
+      .localCheckpoint(eager = false)
+    val repeated = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dup = wins.join(repeated, "h")
+      .select(col("doc_id"), col("i"), (col("i") + lit(SpanW - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val prevMaxEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("ni", when(col("i") <= coalesce(prevMaxEnd, lit(-1)), 0).otherwise(1))
+      .withColumn("island", sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"), max(col("e")).as("span_end"),
+           count(lit(1)).as("n_windows"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val dupSpansOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |           md5(array_to_string(w[i+1 : i+$SpanW], ' ')) AS h
+       |         FROM ws, unnest(range(0, len(w) - ${SpanW - 1})) t(i)
+       |         WHERE len(w) >= $SpanW),
+       |dfreq AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+       |dup AS (SELECT doc_id, i, i + ${SpanW - 1} AS e FROM wins
+       |        WHERE h IN (SELECT h FROM dfreq)),
+       |marked AS (SELECT doc_id, i, e,
+       |             CASE WHEN i <= coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |               THEN 0 ELSE 1 END AS ni
+       |           FROM dup),
+       |isl AS (SELECT doc_id, i, e,
+       |          sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM marked)
+       |SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+       |       CAST(max(e) AS INTEGER) AS span_end,
+       |       count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p51_dup_spans"        -> (dupSpans _),
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
@@ -392,6 +472,7 @@ object Pipeline5 {
   )
 
   val oracles: Map[String, String] = Map(
+    "p51_dup_spans"        -> dupSpansOracle,
     "p34_shingle_novelty"  -> shingleNoveltyOracle,
     "p35_incremental_dedup" -> incrementalDedupOracle,
     "p36_provenance_merge" -> provenanceMergeOracle,

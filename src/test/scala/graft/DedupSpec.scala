@@ -102,4 +102,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lshCap.size < lshAll.size || lshAll.isEmpty,
       "cap of 2 should bite on a corpus with wider buckets")
   }
+
+  test("dupSpans: maximal duplicated token intervals, merged and bounded") {
+    import graft.operators.Pipeline5
+    // doc 10 and 11 share a 12-token run (tokens 0..11 of doc 10 appear
+    // at offset 3 of doc 11); doc 12 is all-fresh prose
+    val shared = (1 to 12).map(n => s"tok$n").mkString(" ")
+    val spanDocs = Seq(
+      (10L, s"$shared t a i l one two three"),
+      (11L, s"pre amble here $shared"),
+      (12L, "totally fresh words with no repeats whatsoever in this doc at all"))
+      .toDF("doc_id", "text")
+    val got = Pipeline5.dupSpansOf(spanDocs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // a 12-token shared run with window 10 = 3 overlapping windows,
+    // merged into ONE span covering tokens [0,11] / [3,14]
+    assert(got.toSeq === Seq((10L, 0, 11, 3L), (11L, 3, 14, 3L)),
+      s"got ${got.toSeq}")
+  }
 }
