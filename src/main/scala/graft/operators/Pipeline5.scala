@@ -436,8 +436,11 @@ object Pipeline5 {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  val dupSpansOracle: String =
-    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The p51 window/island CTE chain, shared with the p52 coverage
+    * oracle so both replay one definition of "duplicated span".
+    */
+  private val dupSpanCte: String =
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
        |           md5(array_to_string(w[i+1 : i+$SpanW], ' ')) AS h
        |         FROM ws, unnest(range(0, len(w) - ${SpanW - 1})) t(i)
@@ -453,14 +456,60 @@ object Pipeline5 {
        |isl AS (SELECT doc_id, i, e,
        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY i
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |        FROM marked)
+       |        FROM marked)""".stripMargin
+
+  val dupSpansOracle: String =
+    s"""WITH $dupSpanCte
        |SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
        |       CAST(max(e) AS INTEGER) AS span_end,
        |       count(*) AS n_windows
        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
 
+  /** Per-document duplicated-token coverage — the scalar the span
+    * extractor feeds a curation threshold ("drop or trim documents
+    * more than X% duplicated"): token count, tokens inside p51's
+    * maximal duplicated spans, span count, and the floor-quantized
+    * coverage ratio (the novelty_q device — one IEEE multiply+divide+
+    * floor, bit-identical anywhere). Documents with no duplicated
+    * span surface with zeros via the left join.
+    *
+    * Scale shape: p51's shuffles plus one doc-keyed roll-up and a
+    * left join against the thin (doc_id, dl) projection — co-keyed
+    * with the roll-up, so the join reuses its exchange.
+    */
+  def dupSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val per = dupSpansOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + lit(1)).as("dup_tokens"),
+           count(lit(1)).as("n_spans"))
+    val dt = coalesce(col("dup_tokens"), lit(0L))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dl"), dt.as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        floor(lit(1e6) * dt.cast("double") / col("dl")).as("coverage_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpanCoverageOracle: String =
+    s"""WITH $dupSpanCte,
+       |spans AS (SELECT doc_id, island, min(i) AS s, max(e) AS e2
+       |          FROM isl GROUP BY doc_id, island),
+       |per AS (SELECT doc_id, CAST(sum(e2 - s + 1) AS BIGINT) AS dup_tokens,
+       |               count(*) AS n_spans
+       |        FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INTEGER) AS dl,
+       |       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       CAST(floor(1e6 * coalesce(p.dup_tokens, 0)
+       |                  / len(string_split(d.text, ' '))) AS BIGINT) AS coverage_q
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p51_dup_spans"        -> (dupSpans _),
+    "p52_dup_span_coverage" -> (dupSpanCoverage _),
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
@@ -473,6 +522,7 @@ object Pipeline5 {
 
   val oracles: Map[String, String] = Map(
     "p51_dup_spans"        -> dupSpansOracle,
+    "p52_dup_span_coverage" -> dupSpanCoverageOracle,
     "p34_shingle_novelty"  -> shingleNoveltyOracle,
     "p35_incremental_dedup" -> incrementalDedupOracle,
     "p36_provenance_merge" -> provenanceMergeOracle,
