@@ -507,9 +507,56 @@ object Pipeline5 {
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Frequency-ranked vocabulary build + token-id encoding — the
+    * tokenize-to-ids step in front of sequence packing (p31): the top
+    * `VocabSize` terms by (count desc, term asc) become ids 0..N-1 (a
+    * deterministic rank, so the SAME corpus always yields the SAME
+    * vocabulary), and every token position encodes to its id, with -1
+    * as the out-of-vocabulary sentinel. Output is one (doc_id, pos,
+    * token_id) row per token — fully integer, hash-exact.
+    *
+    * Scale shape: the vocabulary is one (term) aggregate cut to a
+    * bounded top-n (TakeOrderedAndProject — per-partition heaps, no
+    * global sort) and ranked on the model-sized result; encoding is a
+    * broadcast join against that model — the corpus pays ONE pass, no
+    * corpus-sized shuffle at all. A real BPE vocab swaps the term
+    * aggregate for merged-pair iteration; the encode shape (broadcast
+    * model, map-side id lookup) is unchanged.
+    */
+  private val VocabSize = 30
+
+  def vocabEncode(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val ord = Seq(col("c").desc, col("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(ord: _*).limit(VocabSize)
+      .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)) - 1)
+      .select(col("term"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val vocabEncodeOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, w[t.i] AS term
+       |         FROM ws, unnest(range(1, len(w) + 1)) t(i)),
+       |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       |vocab AS (SELECT term,
+       |            CAST(row_number() OVER (ORDER BY c DESC, term) - 1 AS INTEGER)
+       |              AS token_id
+       |          FROM counts QUALIFY token_id < $VocabSize)
+       |SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS token_id
+       |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+       |ORDER BY t.doc_id, t.pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p51_dup_spans"        -> (dupSpans _),
     "p52_dup_span_coverage" -> (dupSpanCoverage _),
+    "p53_vocab_encode"     -> (vocabEncode _),
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
@@ -523,6 +570,7 @@ object Pipeline5 {
   val oracles: Map[String, String] = Map(
     "p51_dup_spans"        -> dupSpansOracle,
     "p52_dup_span_coverage" -> dupSpanCoverageOracle,
+    "p53_vocab_encode"     -> vocabEncodeOracle,
     "p34_shingle_novelty"  -> shingleNoveltyOracle,
     "p35_incremental_dedup" -> incrementalDedupOracle,
     "p36_provenance_merge" -> provenanceMergeOracle,
