@@ -148,6 +148,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"3 query terms should prune to <=3 of 8 buckets, scan reads $sel of $total")
   }
 
+  test("p51/p53: span extraction stays at two keyed shuffles; vocab encode at one plus a broadcast") {
+    val p51 = plan("p51_dup_spans")
+    val s51 = "Exchange hashpartitioning".r.findAllIn(p51).size
+    assert(s51 <= 2, s"dup-span extraction grew to $s51 hash shuffles")
+    val p53 = plan("p53_vocab_encode")
+    val s53 = "Exchange hashpartitioning".r.findAllIn(p53).size
+    // one partial-aggregated term shuffle (model-sized after map-side
+    // combine); the encode join must broadcast the vocab, never
+    // sort-merge the token stream
+    assert(s53 === 1, s"vocab encode saw $s53 hash shuffles")
+    assert(p53.contains("BroadcastHashJoin"), "vocab no longer broadcasts")
+    assert(!p53.contains("SortMergeJoin"), "token stream shuffled into the encode join")
+  }
+
   test("p49: the IVF-PQ probe scan prunes partitions to the probed cells") {
     val p = plan("p49_ivfpq_stored")
     assert(p.contains("dynamicpruningexpression"),
