@@ -553,10 +553,63 @@ object Pipeline5 {
        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
        |ORDER BY t.doc_id, t.pos""".stripMargin
 
+  /** Apply p51's cut-list: drop every token inside a duplicated span
+    * and emit the cleaned text — the third leg of the span family
+    * (detect p51 → score p52 → CUT p54). Policy: every occurrence of a
+    * duplicated window is cut (symmetric and deterministic — exact
+    * whole-document duplicates therefore empty on all copies); keep-one
+    * semantics at document granularity is p28/p01's canonical-survivor
+    * job, which composes in front of this.
+    *
+    * Shape: per-doc cut intervals come back as a model-sized array
+    * column (spans per doc are bounded by dl/window); the token filter
+    * is a nested higher-order function — no explode, no extra shuffle
+    * beyond p51's own: the corpus-side work after the span join is
+    * pure map-side array surgery.
+    */
+  def applySpanCuts(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cuts = dupSpansOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e")))).as("cuts"))
+    docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, split(col("text"), " "))
+          .otherwise(filter(split(col("text"), " "),
+            (_, i) => size(filter(col("cuts"),
+              c => c.getField("s") <= i && i <= c.getField("e"))) === 0))
+          .as("kept"))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val applySpanCutsOracle: String =
+    s"""WITH $dupSpanCte,
+       |sp AS (SELECT doc_id, min(i) AS s, max(e) AS e2
+       |       FROM isl GROUP BY doc_id, island),
+       |cuts AS (SELECT doc_id, list({'s': s, 'e': e2} ORDER BY s) AS cuts
+       |         FROM sp GROUP BY doc_id),
+       |kept AS (SELECT d.doc_id,
+       |           CASE WHEN c.cuts IS NULL THEN string_split(d.text, ' ')
+       |                ELSE list_filter(string_split(d.text, ' '), (x, i) ->
+       |                       len(list_filter(c.cuts,
+       |                         cc -> cc.s <= i-1 AND i-1 <= cc.e)) = 0)
+       |           END AS kept
+       |         FROM documents d LEFT JOIN cuts c USING (doc_id))
+       |SELECT doc_id,
+       |       -- DuckDB's array_to_string of an EMPTY list is NULL where
+       |       -- Spark's array_join is '' — normalize the emptied-doc case
+       |       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       |       CAST(len(kept) AS INTEGER) AS n_kept
+       |FROM kept ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p51_dup_spans"        -> (dupSpans _),
     "p52_dup_span_coverage" -> (dupSpanCoverage _),
     "p53_vocab_encode"     -> (vocabEncode _),
+    "p54_apply_span_cuts"  -> (applySpanCuts _),
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
     "p36_provenance_merge" -> (provenanceMerge _),
@@ -571,6 +624,7 @@ object Pipeline5 {
     "p51_dup_spans"        -> dupSpansOracle,
     "p52_dup_span_coverage" -> dupSpanCoverageOracle,
     "p53_vocab_encode"     -> vocabEncodeOracle,
+    "p54_apply_span_cuts"  -> applySpanCutsOracle,
     "p34_shingle_novelty"  -> shingleNoveltyOracle,
     "p35_incremental_dedup" -> incrementalDedupOracle,
     "p36_provenance_merge" -> provenanceMergeOracle,
