@@ -26,19 +26,33 @@ class CancellationSpec extends AnyFunSuite with SparkTestBase {
     // copy. Job start is observed via the status tracker instead.)
     val slow = udf((x: Long) => { Thread.sleep(200); x }).asNondeterministic()
 
+    // The slow UDF sits BEFORE the repartition: under AQE this action
+    // is several jobs (shuffle materialization, then the final agg),
+    // and cancelJobGroup only kills ACTIVE jobs — with the sleep in the
+    // post-shuffle stage a cancel could land in the gap after the fast
+    // shuffle job finished and before the slow job was submitted,
+    // cancelling nothing (observed as a rare full-suite flake). With
+    // the sleep in the FIRST stage, whichever job the wait loop
+    // observes is the slow one.
     val job = Future {
       sc.setJobGroup("graft-cancel-test", "cancellation spec",
         interruptOnCancel = true)
-      try spark.range(100).repartition(4)
+      try spark.range(100)
         .select(slow(org.apache.spark.sql.functions.col("id")).as("x"))
+        .repartition(4)
         .agg(org.apache.spark.sql.functions.sum("x")).collect()
       finally sc.clearJobGroup()
     }
 
+    // Wait for THIS group's job, not just any active job: suites share
+    // one SparkSession and sbt may interleave them, so a concurrent
+    // suite's job would otherwise satisfy the wait before ours is even
+    // submitted — the cancel then fires into an empty group and the
+    // scan completes normally (observed as a rare full-suite flake).
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while (sc.statusTracker.getActiveJobIds().isEmpty &&
-           System.nanoTime() < deadline) Thread.sleep(50)
-    assert(sc.statusTracker.getActiveJobIds().nonEmpty, "job never started")
+    def groupJobs() = sc.statusTracker.getJobIdsForGroup("graft-cancel-test")
+    while (groupJobs().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(groupJobs().nonEmpty, "job never started")
     val t0 = System.nanoTime()
     sc.cancelJobGroup("graft-cancel-test")
     val err = intercept[Exception] { Await.result(job, 60.seconds) }
