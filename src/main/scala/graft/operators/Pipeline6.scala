@@ -353,8 +353,8 @@ object Pipeline6 {
     * Model-sized (nCodes × dim floats), collected once.
     */
   def pqCodebook(emb: DataFrame, nCodes: Int = PqNCodes,
-                 m: Int = PqM): Array[(Int, Seq[Seq[Float]])] =
-    emb.filter(col("vec_id") < nCodes)
+                 m: Int = PqM): Array[(Int, Seq[Seq[Float]])] = {
+    val cb = emb.filter(col("vec_id") < nCodes)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
       .map { case Row(id: Int, e: scala.collection.Seq[_]) =>
@@ -364,6 +364,15 @@ object Pipeline6 {
         (id, v.grouped(v.length / m).toSeq)
       }
       .sortBy(_._1)
+    // code ids double as ARRAY INDICES in the ADC lookup tables, so
+    // they must be exactly 0..nCodes-1 — a corpus missing one of the
+    // first nCodes vec_ids would otherwise build a LUT with silently
+    // unfilled slots (or an out-of-bounds write). Fail loudly instead.
+    require(cb.map(_._1).toSeq == (0 until nCodes),
+      s"pqCodebook: need dense vec_ids 0..${nCodes - 1} as code seeds, " +
+        s"got ${cb.map(_._1).mkString(",")}")
+    cb
+  }
 
   /** PQ geometry is carried BY the codebook (subspace count and width
     * read off its shape), so every consumer below works for any
