@@ -120,4 +120,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === Seq((10L, 0, 11, 3L), (11L, 3, 14, 3L)),
       s"got ${got.toSeq}")
   }
+
+  test("span family coherence: p52's coverage and p54's cuts agree with p51's spans") {
+    import graft.operators.Pipeline5
+    val dir = "/root/testdata/sf0.001"
+    val cov = Pipeline5.dupSpanCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap  // doc -> (dl, dup_tokens)
+    val cut = Pipeline5.applySpanCuts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(cut.nonEmpty && cut.length === cov.size)
+    val texts = graft.Tables.documents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cut.foreach { case (id, clean, nKept) =>
+      val (dl, dupTokens) = cov(id)
+      // the cut removes exactly the covered tokens
+      assert(nKept + dupTokens === dl.toLong,
+        s"doc $id: kept $nKept + dup $dupTokens != dl $dl")
+      // zero coverage <=> text unchanged
+      if (dupTokens == 0L) assert(clean === texts(id), s"doc $id mutated")
+      else assert(clean !== texts(id), s"doc $id should have been trimmed")
+    }
+  }
 }
