@@ -163,16 +163,32 @@ object Pipeline6 {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  /** The posting-row form — (term, doc_id, dl, tf) — shared by the
+    * index build and the streaming ingest so the two write paths
+    * cannot diverge.
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats (doc count, total token count) recovered EXACTLY from
+    * posting rows: every document owns at least one posting (an empty
+    * text still tokenizes to one empty token) and carries its dl on
+    * every row — so the staged postings of an ingest batch are
+    * self-describing and no separate stats dataset needs to be staged.
+    */
+  private[graft] def statsOfPostings(postings: DataFrame): DataFrame =
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sdl"))
+
   def postingsWrite(docs: DataFrame, table: String, nBuckets: Int): Unit = {
     dropStaleTable(docs.sparkSession, table)
     dropStaleTable(docs.sparkSession, s"${table}_stats")
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val postings = ws
-      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    graft.sources.Bucketed.writeBucketed(postings, table, "term", nBuckets)
-    ws.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sdl"))
+    graft.sources.Bucketed.writeBucketed(postingsOf(docs), table, "term", nBuckets)
+    ws.agg(count(lit(1)).as("n"), sum(size(col("w"))).cast("long").as("sdl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_stats")
   }

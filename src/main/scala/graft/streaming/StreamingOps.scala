@@ -309,6 +309,61 @@ object StreamingOps {
     ready.length
   }
 
+  /** Streaming LEXICAL index ingestion, stage 1: tokenize each
+    * micro-batch of (doc_id, text) documents into posting rows (the
+    * exact `Pipeline6.postingsOf` form the index build uses) and land
+    * them exactly-once in the staging zone — the posting-list twin of
+    * [[ivfPqIngestBatch]]. No separate stats dataset is staged: a
+    * posting batch is self-describing (every document owns at least
+    * one row and carries its dl on each), so the merge recovers the
+    * batch's exact (n, sdl) from the staged rows themselves — one
+    * dataset, one commit marker, no two-file atomicity dance.
+    *
+    * Contract: batch doc_ids must be new (unseen by the index), the
+    * [[graft.operators.Pipeline6.postingsWrite]] ingest contract.
+    */
+  def lexicalIngestBatch(stagePath: String)(batch: DataFrame, id: Long): Unit =
+    idempotentParquetBatch(stagePath)(
+      graft.operators.Pipeline6.postingsOf(batch), id)
+
+  /** Streaming lexical ingestion, stage 2: fold staged-and-committed
+    * posting batches into the live bucketed index — append the rows
+    * with the table's own bucket spec (`nBuckets` MUST match the
+    * build), fold each batch's exact (n, sdl) into the stats table
+    * (pure long addition — BM25's idf/avgdl stay exact, not
+    * approximately refreshed), and tombstone. Returns batches folded.
+    * Same once-per-maintenance-action crash contract as
+    * [[ivfPqMergeStaged]].
+    */
+  def lexicalMergeStaged(spark: org.apache.spark.sql.SparkSession,
+                         stagePath: String, table: String,
+                         nBuckets: Int): Int = {
+    val stage = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stage)) return 0
+    val ready = fs.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")))
+      .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED")))
+      .sortBy(_.getName)
+    ready.foreach { p =>
+      val staged = spark.read.parquet(p.toString)
+      staged.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(nBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(table)
+      val Array(old) = spark.table(s"${table}_stats").collect()
+      val Array(delta) =
+        graft.operators.Pipeline6.statsOfPostings(staged).collect()
+      import spark.implicits._
+      Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
+        .toDF("n", "sdl")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(s"${table}_stats")
+      fs.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED"), true).close()
+    }
+    ready.length
+  }
+
   /** Distinct xxhash64 shingle hashes of a benchmark document set —
     * the one index definition shared by [[contaminationGate]] and the
     * parity spec's batch twin. One tiny job over the eval set (the

@@ -359,4 +359,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(probe(compacted) === probe(store),
       "compaction changed probe results on the live store")
   }
+
+  test("lexical streaming ingest: staged exactly-once, merged index answers like a full rebuild") {
+    import graft.operators.Pipeline6
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter($"doc_id" < 25)
+    val inc1 = docs.filter($"doc_id" >= 25 && $"doc_id" < 38)
+    val inc2 = docs.filter($"doc_id" >= 38)
+    val table = "graft_postings_stream_spec"
+    val stage = java.nio.file.Files.createTempDirectory("lex_stage").toString
+    Pipeline6.postingsWrite(base, table, nBuckets = 8)
+    val ingest = StreamingOps.lexicalIngestBatch(stage) _
+    ingest(inc1, 0L)
+    ingest(inc2, 1L)
+    ingest(inc1.limit(2), 0L) // crash-redelivery: must be a no-op
+    assert(StreamingOps.lexicalMergeStaged(spark, stage, table, 8) === 2)
+    assert(StreamingOps.lexicalMergeStaged(spark, stage, table, 8) === 0)
+    // merged index == one-shot rebuild over the union corpus, exactly:
+    // the stats folds are pure long addition, so idf/avgdl are not
+    // approximately refreshed but bit-identical
+    val full = "graft_postings_stream_spec_full"
+    Pipeline6.postingsWrite(docs, full, nBuckets = 8)
+    val terms = Seq("merge", "stream", "vector")
+    val got = Pipeline6.bm25TopKStored(spark, table, 20, terms).collect()
+    val want = Pipeline6.bm25TopKStored(spark, full, 20, terms).collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq,
+      "streamed-and-merged lexical index diverges from a full rebuild")
+    // and the folded stats equal the rebuild's
+    val Array(a) = spark.table(s"${table}_stats").collect()
+    val Array(b) = spark.table(s"${full}_stats").collect()
+    assert((a.getLong(0), a.getLong(1)) === ((b.getLong(0), b.getLong(1))))
+  }
 }
