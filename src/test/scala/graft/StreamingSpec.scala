@@ -390,5 +390,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val Array(a) = spark.table(s"${table}_stats").collect()
     val Array(b) = spark.table(s"${full}_stats").collect()
     assert((a.getLong(0), a.getLong(1)) === ((b.getLong(0), b.getLong(1))))
+    // bucket pruning survives ingestion: appended files carry the same
+    // bucket spec, so the probe still reads <=|terms| of the buckets
+    val plan = Pipeline6.bm25TopKStored(spark, table, 20, terms)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, "merged index lost bucket pruning")
+    assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt === 8,
+      s"probe reads ${m.get.group(1)} of ${m.get.group(2)} buckets after merge")
   }
 }
