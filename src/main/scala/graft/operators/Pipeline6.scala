@@ -354,7 +354,7 @@ object Pipeline6 {
   /** PQ geometry: 64-dim embeddings split into [[PqM]] contiguous
     * subspaces of [[PqSub]] dims; each subspace quantized against
     * [[PqNCodes]] codes. 64 floats (256 B) compress to 4 code bytes —
-    * the 64× at-rest/in-cache shrink that makes billion-vector search
+    * the order-of-magnitude at-rest/in-cache shrink that makes billion-vector search
     * fit in memory; [[pqAdcTopK]] searches WITHOUT decompressing.
     */
   private val PqM = 4
@@ -593,9 +593,13 @@ object Pipeline6 {
     * assignment definition, [[Similarity.assignCells]]) and stored as
     * its 4 PQ code bytes, hive-partitioned by cell. The store holds
     * CODES ONLY — no embeddings — so it is both directory-pruned like
-    * p41 (read nProbe/nCells of the files) AND ~64× smaller per row
-    * read; at 100 TB of raw vectors the probe's byte footprint drops by
-    * both factors multiplied. One map-only pass, no shuffle: cell and
+    * p41 (read nProbe/nCells of the files) AND a fraction of the bytes
+    * per row read (256 B embedding → 8 B smallint codes logical; the
+    * measured on-disk ratio at sf0.1 is 5× — parquet per-file overhead
+    * dominates 250-row cell files, and the logical ratio is what
+    * row-group-sized production files realize); at 100 TB of raw
+    * vectors the probe's byte footprint drops by both factors
+    * multiplied. One map-only pass, no shuffle: cell and
     * codes are each computed against broadcast models.
     */
   /** The IVF-PQ row form — (vec_id, cell, c0…c3), both models applied
@@ -604,9 +608,16 @@ object Pipeline6 {
     */
   private[graft] def pqCellCodes(cents: Array[(Int, Seq[Float])],
                                  cb: Array[(Int, Seq[Seq[Float]])],
-                                 vectors: DataFrame): DataFrame =
+                                 vectors: DataFrame): DataFrame = {
+    // codes persist as smallint: 2 bytes covers any practical codebook
+    // (production PQ uses 256 codes) and halves the at-rest code
+    // payload vs int32; the probe's code+1 lookup arithmetic widens
+    // back for free
+    val storeCodes = (0 until pqM(cb))
+      .map(s => (-col(s"__b$s.nc")).cast("smallint").as(s"c$s"))
     withCodes(cb, Similarity.assignCells(cents, vectors))
-      .select(col("vec_id") +: col("cell") +: codeCols(pqM(cb)): _*)
+      .select(col("vec_id") +: col("cell") +: storeCodes: _*)
+  }
 
   def ivfPqWrite(cents: Array[(Int, Seq[Float])],
                  cb: Array[(Int, Seq[Seq[Float]])],

@@ -66,6 +66,19 @@ object RecallAudit {
     val adcFull = ivfpq(8)  // no IVF gate: pure PQ quantization loss
     val adc2 = ivfpq(2)     // the production probe: quantization + gate
 
+    // at-rest footprint: same corpus, embedding store (p41) vs codes
+    // store (p49) — the measured form of the compression claim
+    val embStore = java.nio.file.Files.createTempDirectory("size_ivf").toString
+    Similarity.ivfWrite(emb, cents, embStore)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val (be, bc) = (bytes(embStore), bytes(store))
+    println(f"at-rest bytes, ${all.size} vectors: IVF(embeddings)=$be  " +
+      f"IVF-PQ(codes)=$bc  ratio=${be.toDouble / bc}%.1fx")
     println(f"recall@$k over ${qids.size} queries, $dir")
     println(f"  sign-LSH (8x8 bands)        vs exact-cos: ${recall(lsh, "qid", "cid", exactCos)}%.2f")
     println(f"  IVF nProbe=2/8              vs exact-cos: ${recall(ivf, "qid", "cid", exactCos)}%.2f")

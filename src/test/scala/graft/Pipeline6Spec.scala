@@ -233,7 +233,7 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     val read = spark.read.parquet(store)
     // the compression claim: no float vectors at rest — codes + ids only
     assert(!read.columns.contains("embedding"),
-      "store carries raw embeddings — the 64x at-rest shrink is gone")
+      "store carries raw embeddings — the at-rest shrink is gone")
     assert(read.columns.toSet === Set("vec_id", "cell", "c0", "c1", "c2", "c3"))
     // cells partition the corpus
     assert(read.count() === emb.count())

@@ -170,7 +170,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "cell is no longer a partition column of the IVF-PQ layout")
     // the STORE scan serves codes only (the query-side scan of the raw
     // embeddings table is the one allowed embedding read)
-    assert(p.contains("ReadSchema: struct<vec_id:bigint,c0:int"),
-      "store scan no longer reads the code-only schema")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,c0:smallint"),
+      "store scan no longer reads the code-only (smallint) schema")
   }
 }
