@@ -430,12 +430,20 @@ object Engine {
 
   /** ADC top-k over a [[buildVectorIndex]] store: reads nProbe cells'
     * code files, never the raw embeddings.
+    *
+    * @param excludeSelf when queries are drawn FROM the indexed corpus
+    *   (the default contract), a query's own vector is dropped from its
+    *   candidates. Pass false for EXTERNAL queries whose ids share no
+    *   space with the corpus — otherwise an accidental qid/vec_id
+    *   collision silently drops a legitimate corpus candidate.
     */
   def searchVectorIndex(spark: SparkSession, path: String, queries: DataFrame,
                         cents: Array[(Int, Seq[Float])],
                         cb: Array[(Int, Seq[Seq[Float]])],
-                        k: Int, nProbe: Int = 2): DataFrame =
-    Pipeline6.ivfPqTopKStored(spark, path, queries, cents, cb, k, nProbe)
+                        k: Int, nProbe: Int = 2,
+                        excludeSelf: Boolean = true): DataFrame =
+    Pipeline6.ivfPqTopKStored(spark, path, queries, cents, cb, k, nProbe,
+      excludeSelf)
 
   /** Hybrid retrieval ENTIRELY off the at-rest indexes — no corpus
     * scan anywhere: the lexical arm reads the query terms' posting
@@ -447,18 +455,22 @@ object Engine {
     * (terms' buckets + nProbe cells' codes), independent of corpus
     * size.
     */
+  /** @param excludeSelf see [[searchVectorIndex]] — pass false when
+    *   `queryVec`'s id is not a corpus vec_id.
+    */
   def hybridSearchStored(spark: SparkSession, lexTable: String,
                          terms: Seq[String], vecPath: String,
                          queryVec: DataFrame,
                          cents: Array[(Int, Seq[Float])],
                          cb: Array[(Int, Seq[Seq[Float]])],
                          k: Int, depth: Int = 100,
-                         nProbe: Int = 2): DataFrame = {
+                         nProbe: Int = 2,
+                         excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.col
     val lex = Pipeline6.bm25TopKStored(spark, lexTable, depth, terms)
       .select(col("doc_id").as("id"), col("rnk").as("lex_rnk"))
     val vec = Pipeline6.ivfPqTopKStored(spark, vecPath, queryVec,
-        cents, cb, depth, nProbe)
+        cents, cb, depth, nProbe, excludeSelf)
       .select(col("cid").as("id"), col("rnk").as("vec_rnk"))
     Pipeline6.rrfFuse(lex, vec, k)
   }

@@ -178,20 +178,44 @@ object Pipeline6 {
     * text still tokenizes to one empty token) and carries its dl on
     * every row — so the staged postings of an ingest batch are
     * self-describing and no separate stats dataset needs to be staged.
+    * The sums are coalesced so a ZERO-ROW batch (foreachBatch can
+    * deliver empty micro-batches) folds as (0, 0) instead of a NULL
+    * that would crash — and permanently poison — the merge.
     */
   private[graft] def statsOfPostings(postings: DataFrame): DataFrame =
     postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sdl"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+           coalesce(sum(col("dl")).cast("long"), lit(0L)).as("sdl"))
 
+  /** The stats table is APPEND-ONLY: one (batch_id, n, sdl) row per
+    * ingest unit — batch_id -1 for the initial build, the staged batch
+    * id for each streamed merge. Readers fold with `sum`, which on
+    * longs is exact and order-free, so BM25's idf/avgdl never drift.
+    * Append-only matters for crash safety: a merge COMMITS a batch by
+    * appending its stats row (one atomic parquet job), never by
+    * rewriting an accumulated row — so there is no read-modify-write
+    * window in which a crash can lose or double-fold a batch.
+    */
   def postingsWrite(docs: DataFrame, table: String, nBuckets: Int): Unit = {
     dropStaleTable(docs.sparkSession, table)
     dropStaleTable(docs.sparkSession, s"${table}_stats")
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    graft.sources.Bucketed.writeBucketed(postingsOf(docs), table, "term", nBuckets)
-    ws.agg(count(lit(1)).as("n"), sum(size(col("w"))).cast("long").as("sdl"))
+    graft.sources.Bucketed.writeBucketed(
+      postingsOf(docs).withColumn("ingest_batch", lit(-1L)),
+      table, "term", nBuckets)
+    ws.agg(lit(-1L).as("batch_id"), count(lit(1)).as("n"),
+           sum(size(col("w"))).cast("long").as("sdl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_stats")
   }
+
+  /** Fold the append-only per-batch stats rows to the 1-row (n, sdl)
+    * frame the scoring tail consumes — exact long addition.
+    */
+  private def foldedStats(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+           coalesce(sum(col("sdl")), lit(0L)).as("sdl"))
 
   /** BM25 top-k over a stored [[postingsWrite]] index: the same scoring
     * tail as the scan-time path ([[bm25FromPostings]]) fed from the
@@ -202,7 +226,7 @@ object Pipeline6 {
                      terms: Seq[String] = QTerms): DataFrame = {
     val q = terms.distinct.sorted
     val tf = spark.table(table).filter(col("term").isin(q: _*))
-    val scores = bm25FromPostings(tf, spark.table(s"${table}_stats"), q)
+    val scores = bm25FromPostings(tf, foldedStats(spark, table), q)
     topNRanked(scores, Seq(col("score").desc, col("doc_id")), k, "rnk")
       .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
       .orderBy(col("rnk"))
@@ -619,10 +643,20 @@ object Pipeline6 {
       .select(col("vec_id") +: col("cell") +: storeCodes: _*)
   }
 
+  /** Stored rows carry an `ingest_batch` provenance column (-1 for
+    * build/manual appends, the staged batch id for streamed merges):
+    * each parquet file holds ONE value, so its footer min==max stats
+    * make "was batch b already folded?" a row-group-pruned metadata
+    * probe — the idempotency check of
+    * [[graft.streaming.StreamingOps.ivfPqMergeStaged]] — never a data
+    * scan.
+    */
   def ivfPqWrite(cents: Array[(Int, Seq[Float])],
                  cb: Array[(Int, Seq[Seq[Float]])],
                  corpus: DataFrame, path: String): Unit =
-    graft.sources.Partitioned.writeBy(pqCellCodes(cents, cb, corpus), path, "cell")
+    graft.sources.Partitioned.writeBy(
+      pqCellCodes(cents, cb, corpus).withColumn("ingest_batch", lit(-1L)),
+      path, "cell")
 
   /** Incrementally extend a stored [[ivfPqWrite]] layout: assign and
     * encode ONLY the new vectors (both against the broadcast models —
@@ -635,8 +669,11 @@ object Pipeline6 {
     */
   def ivfPqAppend(cents: Array[(Int, Seq[Float])],
                   cb: Array[(Int, Seq[Seq[Float]])],
-                  newVectors: DataFrame, path: String): Unit =
-    graft.sources.Partitioned.appendBy(pqCellCodes(cents, cb, newVectors),
+                  newVectors: DataFrame, path: String,
+                  ingestBatch: Long = -1L): Unit =
+    graft.sources.Partitioned.appendBy(
+      pqCellCodes(cents, cb, newVectors)
+        .withColumn("ingest_batch", lit(ingestBatch)),
       path, "cell")
 
   /** ADC top-k over a stored [[ivfPqWrite]] layout: probe the `nProbe`
@@ -648,10 +685,18 @@ object Pipeline6 {
     * chosen by the IVF model and distances by the PQ model — the
     * textbook accuracy/IO trade composed from p41 + p48.
     */
+  /** @param excludeSelf drop candidates whose vec_id equals the query's
+    *   qid — correct when queries are drawn FROM the corpus (the
+    *   p48/p49 contract: a vector's nearest neighbor is trivially
+    *   itself). For EXTERNAL queries sharing no id space with the
+    *   corpus, pass false: an accidental qid/vec_id collision would
+    *   otherwise silently drop a legitimate corpus candidate.
+    */
   def ivfPqTopKStored(spark: SparkSession, path: String, queries: DataFrame,
                       cents: Array[(Int, Seq[Float])],
                       cb: Array[(Int, Seq[Seq[Float]])],
-                      k: Int, nProbe: Int = 2): DataFrame = {
+                      k: Int, nProbe: Int = 2,
+                      excludeSelf: Boolean = true): DataFrame = {
     val probes = Similarity.probeCells(cents, queries, nProbe)
       .select(col("qid"), col("cell"))
     val lut = pqLut(cb, queries)
@@ -661,7 +706,7 @@ object Pipeline6 {
       }
     spark.read.parquet(path)
       .join(broadcast(probes), Seq("cell"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .select(col("qid"), col("vec_id").as("cid"), adcByQid.as("adc"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("qid"))

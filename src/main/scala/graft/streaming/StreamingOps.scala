@@ -277,33 +277,50 @@ object StreamingOps {
     idempotentParquetBatch(stagePath)(
       graft.operators.Pipeline6.pqCellCodes(cents, cb, batch), id)
 
+  /** Staged batch directories that are committed (safe to read) and not
+    * yet tombstoned, with their numeric batch ids — the shared listing
+    * step of both merge folds.
+    */
+  private def stagedReady(fs: org.apache.hadoop.fs.FileSystem,
+                          stage: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] =
+    fs.listStatus(stage).map(_.getPath).toSeq
+      .filter(p => p.getName.startsWith("batch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")))
+      .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED")))
+      .sortBy(_.getName)
+      .map(p => (p, p.getName.stripPrefix("batch=").toLong))
+
   /** Streaming IVF-PQ ingestion, stage 2: fold every staged-and-committed
     * batch into the live [[graft.operators.Pipeline6.ivfPqWrite]] store
     * (hive append into the cell directories) and tombstone it with a
     * `_GRAFT_MERGED` marker so the next merge skips it. Returns the
-    * number of batches folded.
+    * number of batches processed (folded or repaired).
     *
-    * Idempotency contract: a merge re-run after a crash BETWEEN the
-    * append job and the marker write re-appends that one batch — the
-    * same once-per-maintenance-action contract as compaction
-    * (`sources.Maintenance`); run merges serially from one scheduler.
+    * EXACTLY-ONCE fold, not just exactly-once staging: appended rows
+    * carry their staged batch id in the `ingest_batch` column, so a
+    * merge re-run after a crash BETWEEN the append job and the marker
+    * write detects the already-folded batch IN THE STORE (a row-group-
+    * pruned metadata probe — each file holds one ingest_batch value, so
+    * parquet min/max footer stats skip everything else) and only
+    * repairs the missing tombstone instead of appending duplicates
+    * that would silently corrupt every subsequent probe's top-k.
     * Batches staged but not yet committed (no `_GRAFT_COMMITTED`) are
     * left for the next merge, so an in-flight streaming write is never
-    * half-read.
+    * half-read. Run merges serially from one scheduler.
     */
   def ivfPqMergeStaged(spark: org.apache.spark.sql.SparkSession,
                        stagePath: String, storePath: String): Int = {
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(stage)) return 0
-    val ready = fs.listStatus(stage).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch="))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")))
-      .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED")))
-      .sortBy(_.getName)
-    ready.foreach { p =>
-      graft.sources.Partitioned.appendBy(
-        spark.read.parquet(p.toString), storePath, "cell")
+    val ready = stagedReady(fs, stage)
+    ready.foreach { case (p, id) =>
+      val alreadyFolded = !spark.read.parquet(storePath)
+        .filter(col("ingest_batch") === id).isEmpty
+      if (!alreadyFolded)
+        graft.sources.Partitioned.appendBy(
+          spark.read.parquet(p.toString).withColumn("ingest_batch", lit(id)),
+          storePath, "cell")
       fs.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED"), true).close()
     }
     ready.length
@@ -329,11 +346,27 @@ object StreamingOps {
   /** Streaming lexical ingestion, stage 2: fold staged-and-committed
     * posting batches into the live bucketed index — append the rows
     * with the table's own bucket spec (`nBuckets` MUST match the
-    * build), fold each batch's exact (n, sdl) into the stats table
-    * (pure long addition — BM25's idf/avgdl stay exact, not
-    * approximately refreshed), and tombstone. Returns batches folded.
-    * Same once-per-maintenance-action crash contract as
-    * [[ivfPqMergeStaged]].
+    * build) and APPEND the batch's exact (batch_id, n, sdl) stats row
+    * (pure long addition at read time — BM25's idf/avgdl stay exact,
+    * not approximately refreshed), then tombstone. Returns batches
+    * processed (folded or repaired).
+    *
+    * EXACTLY-ONCE fold via two durable markers that live IN the data:
+    *  1. the appended posting rows carry `ingest_batch` = the staged
+    *     batch id (a row-group-pruned presence probe, as
+    *     [[ivfPqMergeStaged]]);
+    *  2. the batch's stats row in the append-only `_stats` table is
+    *     the COMMIT RECORD — it is written last, in one atomic parquet
+    *     append, and a batch is folded iff its stats row exists.
+    * Every crash window re-runs safely: before the posting append →
+    * plain retry; between posting append and stats append → the
+    * presence probe skips the re-append and only the stats row is
+    * written; between stats append and tombstone → the commit record
+    * short-circuits to tombstone repair. No window can double-count a
+    * posting row or a stats fold, so bm25FromPostings' one-row-per-
+    * (term, doc) invariant survives any crash. Zero-row batches fold
+    * as a (id, 0, 0) stats row — never a poison pill. Run merges
+    * serially from one scheduler.
     */
   def lexicalMergeStaged(spark: org.apache.spark.sql.SparkSession,
                          stagePath: String, table: String,
@@ -341,24 +374,24 @@ object StreamingOps {
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(stage)) return 0
-    val ready = fs.listStatus(stage).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch="))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")))
-      .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED")))
-      .sortBy(_.getName)
-    ready.foreach { p =>
-      val staged = spark.read.parquet(p.toString)
-      staged.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(nBuckets, "term").sortBy("term")
-        .format("parquet").saveAsTable(table)
-      val Array(old) = spark.table(s"${table}_stats").collect()
-      val Array(delta) =
-        graft.operators.Pipeline6.statsOfPostings(staged).collect()
-      import spark.implicits._
-      Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
-        .toDF("n", "sdl")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("parquet").saveAsTable(s"${table}_stats")
+    val ready = stagedReady(fs, stage)
+    ready.foreach { case (p, id) =>
+      val committed = !spark.table(s"${table}_stats")
+        .filter(col("batch_id") === id).isEmpty
+      if (!committed) {
+        val staged = spark.read.parquet(p.toString)
+        val appended = !spark.table(table)
+          .filter(col("ingest_batch") === id).isEmpty
+        if (!appended)
+          staged.withColumn("ingest_batch", lit(id))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .bucketBy(nBuckets, "term").sortBy("term")
+            .format("parquet").saveAsTable(table)
+        graft.operators.Pipeline6.statsOfPostings(staged)
+          .select(lit(id).as("batch_id"), col("n"), col("sdl"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(s"${table}_stats")
+      }
       fs.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED"), true).close()
     }
     ready.length

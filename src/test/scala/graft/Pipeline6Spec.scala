@@ -192,6 +192,30 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("excludeSelf=false keeps a corpus vector whose id collides with an external query id") {
+    import graft.operators.{Pipeline6, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val store = java.nio.file.Files.createTempDirectory("ivfpq_self_").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, store)
+    // an "external" query that happens to reuse id 0: with the default
+    // self-exclusion, corpus vector 0 silently vanishes from its own
+    // candidate list; with excludeSelf=false it must be rankable
+    val q0 = emb.filter(col("vec_id") === 0)
+    val without = Pipeline6.ivfPqTopKStored(spark, store, q0, cents, cb,
+      k = 1000, nProbe = 8).collect()
+    assert(!without.exists(_.getLong(1) === 0L), "default no longer self-excludes")
+    val withSelf = Pipeline6.ivfPqTopKStored(spark, store, q0, cents, cb,
+      k = 1000, nProbe = 8, excludeSelf = false).collect()
+    assert(withSelf.exists(_.getLong(1) === 0L),
+      "excludeSelf=false still dropped the colliding corpus vector")
+    // vector 0 self-encodes (codebook member), so its ADC distance to
+    // itself is exactly 0 — it must surface at rank 1
+    val self = withSelf.find(_.getLong(1) === 0L).get
+    assert(self.getDouble(2) === 0.0 && self.getInt(3) === 1)
+  }
+
   test("hybrid search off stored indexes: no scan, ranks fuse by the p46 arithmetic") {
     import graft.operators.{Pipeline6, Similarity}
     val docs = Tables.documents(spark, dir)
@@ -231,10 +255,13 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     val store = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
     Pipeline6.ivfPqWrite(cents, cb, emb, store)
     val read = spark.read.parquet(store)
-    // the compression claim: no float vectors at rest — codes + ids only
+    // the compression claim: no float vectors at rest — codes + ids
+    // (plus the ingest_batch provenance long the exactly-once merge
+    // fold keys on)
     assert(!read.columns.contains("embedding"),
       "store carries raw embeddings — the at-rest shrink is gone")
-    assert(read.columns.toSet === Set("vec_id", "cell", "c0", "c1", "c2", "c3"))
+    assert(read.columns.toSet ===
+      Set("vec_id", "cell", "c0", "c1", "c2", "c3", "ingest_batch"))
     // cells partition the corpus
     assert(read.count() === emb.count())
     // probing every cell removes the IVF gate: results must equal the

@@ -386,10 +386,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val want = Pipeline6.bm25TopKStored(spark, full, 20, terms).collect()
     assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq,
       "streamed-and-merged lexical index diverges from a full rebuild")
-    // and the folded stats equal the rebuild's
-    val Array(a) = spark.table(s"${table}_stats").collect()
-    val Array(b) = spark.table(s"${full}_stats").collect()
-    assert((a.getLong(0), a.getLong(1)) === ((b.getLong(0), b.getLong(1))))
+    // and the folded stats equal the rebuild's (the merged table holds
+    // one append-only row per batch; the fold is exact long addition)
+    def foldStats(t: String): (Long, Long) = {
+      val Array(r) = spark.table(s"${t}_stats")
+        .agg(sum($"n"), sum($"sdl")).collect()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(foldStats(table) === foldStats(full))
     // bucket pruning survives ingestion: appended files carry the same
     // bucket spec, so the probe still reads <=|terms| of the buckets
     val plan = Pipeline6.bm25TopKStored(spark, table, 20, terms)
@@ -398,5 +402,76 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(m.isDefined, "merged index lost bucket pruning")
     assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt === 8,
       s"probe reads ${m.get.group(1)} of ${m.get.group(2)} buckets after merge")
+  }
+
+  test("lexical merge survives every crash window: empty batch, re-append, lost tombstone") {
+    import graft.operators.Pipeline6
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter($"doc_id" < 30)
+    val inc = docs.filter($"doc_id" >= 30 && $"doc_id" < 45)
+    val table = "graft_postings_crash_spec"
+    val stage = java.nio.file.Files.createTempDirectory("lex_crash_stage").toString
+    Pipeline6.postingsWrite(base, table, nBuckets = 8)
+    val ingest = StreamingOps.lexicalIngestBatch(stage) _
+    // an EMPTY micro-batch (foreachBatch delivers them): must stage,
+    // fold as (id, 0, 0), and never poison subsequent merges
+    ingest(docs.filter(lit(false)), 0L)
+    ingest(inc, 1L)
+    assert(StreamingOps.lexicalMergeStaged(spark, stage, table, 8) === 2)
+    val terms = Seq("merge", "stream", "vector")
+    val want = Pipeline6.bm25TopKStored(spark, table, 20, terms)
+      .collect().map(_.toSeq).toSeq
+    def stats() = spark.table(s"${table}_stats")
+      .agg(sum($"n"), sum($"sdl")).collect()(0)
+    val wantStats = (stats().getLong(0), stats().getLong(1))
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window A: tombstone lost AFTER a complete fold — the stats
+    // commit record must short-circuit to tombstone repair, appending
+    // nothing twice
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/batch=1/_GRAFT_MERGED"), false)
+    assert(StreamingOps.lexicalMergeStaged(spark, stage, table, 8) === 1)
+    assert(Pipeline6.bm25TopKStored(spark, table, 20, terms)
+      .collect().map(_.toSeq).toSeq === want, "tombstone repair duplicated postings")
+    assert((stats().getLong(0), stats().getLong(1)) === wantStats,
+      "tombstone repair double-folded stats")
+    // crash window B: postings appended but crash BEFORE the stats
+    // commit — simulate by hand-running the merge's append step for a
+    // fresh batch, then merging normally: the presence probe must skip
+    // the re-append and only the stats row lands
+    val inc2 = docs.filter($"doc_id" >= 45 && $"doc_id" < 55)
+    ingest(inc2, 2L)
+    spark.read.parquet(s"$stage/batch=2").withColumn("ingest_batch", lit(2L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(8, "term").sortBy("term").format("parquet").saveAsTable(table)
+    assert(StreamingOps.lexicalMergeStaged(spark, stage, table, 8) === 1)
+    val full = "graft_postings_crash_spec_full"
+    Pipeline6.postingsWrite(docs.filter($"doc_id" < 55), full, nBuckets = 8)
+    assert(Pipeline6.bm25TopKStored(spark, table, 20, terms)
+        .collect().map(_.toSeq).toSeq ===
+      Pipeline6.bm25TopKStored(spark, full, 20, terms)
+        .collect().map(_.toSeq).toSeq,
+      "crash between posting append and stats commit corrupted the index")
+  }
+
+  test("ivf-pq merge repairs a lost tombstone without duplicating code rows") {
+    import graft.operators.{Pipeline6, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val store = java.nio.file.Files.createTempDirectory("ivfpq_crash_live").toString
+    val stage = java.nio.file.Files.createTempDirectory("ivfpq_crash_stage").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb.filter($"vec_id" < 30), store)
+    StreamingOps.ivfPqIngestBatch(cents, cb, stage)(emb.filter($"vec_id" >= 30), 0L)
+    assert(StreamingOps.ivfPqMergeStaged(spark, stage, store) === 1)
+    val want = spark.read.parquet(store).count()
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/batch=0/_GRAFT_MERGED"), false)
+    assert(StreamingOps.ivfPqMergeStaged(spark, stage, store) === 1)
+    assert(spark.read.parquet(store).count() === want,
+      "lost tombstone re-appended an already-folded batch")
   }
 }
