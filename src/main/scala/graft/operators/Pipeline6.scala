@@ -515,29 +515,25 @@ object Pipeline6 {
     * standard PQ search kernel (IVFADC without the IVF gate — compose
     * with p41's cell-partitioned store for the full IVF-PQ layout).
     *
-    * The LUT is ENGINE-computed — a construction-time job over the
-    * [[PqNQueries]]-row query frame (model-sized, the same contract as
-    * [[Similarity.seedCentroids]]'s collect) — so its doubles are
-    * produced by the exact [[sqDist]] arithmetic the oracle mirrors,
-    * then embedded as array literals. Search itself is map-only
-    * (`element_at` on those literals) plus one per-query rank window.
-    *
-    * Scale: LUT size is queries × M × nCodes doubles — for production
-    * nCodes=256 and thousands of queries, broadcast a LUT frame and
-    * join on (s, code) instead of literal embedding; the plan shape
-    * (broadcast model, map-side lookup, per-key top-k) is unchanged.
+    * The LUT is a MODEL-SIZED FRAME — queries × M × nCodes rows of
+    * (qid, s, code, pd), each pd produced by the exact [[sqDist]]
+    * arithmetic the oracle mirrors — broadcast into one map-side hash
+    * join per subspace keyed on (qid, code). No collect, no literal
+    * embedding, no shuffle: at production scale (nCodes=256, thousands
+    * of queries) the LUT is a few MB of broadcast rows where a
+    * when-chain of literals would be a plan-sized expression, and the
+    * plan shape (broadcast model, map-side lookup, per-key top-k) is
+    * the same one this pinned (8-code, 3-query) instance exercises.
     */
-  /** Engine-computed per-query LUT: for each query, the partial squared
-    * distance of its subvector to every (subspace, code) codebook entry
-    * — a construction-time job over the model-sized query frame (the
-    * [[Similarity.seedCentroids]] collect contract), whose doubles come
-    * from the exact [[sqDist]] arithmetic the oracle mirrors. qid →
-    * subspace → code → partial distance.
+  /** The per-query lookup table as a frame: for each query, the partial
+    * squared distance of its subvector to every (subspace, code)
+    * codebook entry — (qid int, s int, code int, pd double). Lazy: no
+    * job runs at construction.
     */
-  private def pqLut(cb: Array[(Int, Seq[Seq[Float]])],
-                    queries: DataFrame): Map[Int, Array[Array[Double]]] = {
+  private[graft] def pqLutFrame(cb: Array[(Int, Seq[Seq[Float]])],
+                                queries: DataFrame): DataFrame = {
     val sub = pqSub(cb)
-    val lutRows = queries
+    queries
       .select(col("vec_id").cast("int").as("qid"),
         explode(array((for {
           sp <- 0 until pqM(cb)
@@ -547,34 +543,40 @@ object Pipeline6 {
           struct(lit(sp).as("s"), lit(cid).as("code"),
             sqDist(qs, typedLit(subs(sp))).as("pd"))
         }).toIndexedSeq: _*)).as("x"))
-      .select(col("qid"), col("x.s"), col("x.code"), col("x.pd"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    lutRows.groupBy(_._1).map { case (qid, rows) =>
-      val bySub = Array.fill(pqM(cb))(new Array[Double](cb.length))
-      rows.foreach { case (_, sp, code, pd) => bySub(sp)(code) = pd }
-      (qid, bySub)
-    }
+      .select(col("qid"), col("x.s").as("s"), col("x.code").as("code"),
+              col("x.pd").as("pd"))
   }
 
-  /** ADC distance for one query's LUT: one literal-array lookup per
-    * subspace, keyed by the code columns, summed in subspace order.
+  /** Attach the ADC distance to candidate rows carrying code columns
+    * c0…c(m−1): one BROADCAST hash join per subspace against the LUT
+    * frame — map-side, no shuffle, no aggregate — then a literal
+    * left-assoc fold of the m partial distances in subspace order
+    * (bit-identical to the oracle's ((l0+l1)+l2)+l3 chain; a `sum`
+    * over join rows would be order-nondeterministic).
+    *
+    * When `cands` has no qid column yet (the no-IVF p48 shape), the
+    * first join fans each candidate out to every query — the join IS
+    * the query expansion. LUTs are complete over codes 0…nCodes−1 by
+    * [[pqCodebook]]'s density guard, so the inner joins drop nothing.
     */
-  private def adcExpr(bySub: Array[Array[Double]]): Column =
-    bySub.indices
-      .map(sp => element_at(typedLit(bySub(sp).toSeq), col(s"c$sp") + 1))
-      .reduceLeft(_ + _)
+  private def adcJoinLut(lut: DataFrame, cands: DataFrame, m: Int): DataFrame = {
+    val joined = (0 until m).foldLeft(cands) { (df, s) =>
+      val l = lut.filter(col("s") === s)
+        .select(col("qid"), col("code").as(s"c$s"), col("pd").as(s"__pd$s"))
+      val keys = if (df.columns.contains("qid")) Seq("qid", s"c$s") else Seq(s"c$s")
+      df.join(broadcast(l), keys)
+    }
+    val adc = (0 until m).map(s => col(s"__pd$s")).reduceLeft(_ + _)
+    joined.select(col("qid"), col("cid"), adc.as("adc"))
+  }
 
   def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cb = pqCodebook(emb)
-    val lut = pqLut(cb, emb.filter(col("vec_id") < PqNQueries))
-    val adcPerQuery = array(lut.toSeq.sortBy(_._1).map { case (qid, bySub) =>
-      struct(lit(qid).as("qid"), adcExpr(bySub).as("adc"))
-    }: _*)
-    pqEncode(cb, emb)
-      .select(col("vec_id").as("cid"), explode(adcPerQuery).as("x"))
-      .select(col("x.qid").as("qid"), col("cid"), col("x.adc").as("adc"))
+    val lut = pqLutFrame(cb, emb.filter(col("vec_id") < PqNQueries))
+    val cands = pqEncode(cb, emb)
+      .select(col("vec_id").as("cid") +: (0 until pqM(cb)).map(i => col(s"c$i")): _*)
+    adcJoinLut(lut, cands, pqM(cb))
       .filter(col("qid") =!= col("cid"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("qid"))
@@ -680,12 +682,13 @@ object Pipeline6 {
     * max-cosine cells per query (same probe fan-out as p41, so the
     * broadcast probe join dynamically prunes the file listing to the
     * probed cell directories), then score ONLY the surviving code rows
-    * with the per-query lookup tables — the original floats are never
-    * read because they are not even in the store. Candidate cells are
-    * chosen by the IVF model and distances by the PQ model — the
-    * textbook accuracy/IO trade composed from p41 + p48.
-    */
-  /** @param excludeSelf drop candidates whose vec_id equals the query's
+    * against the broadcast LUT frame ([[adcJoinLut]] — map-side joins,
+    * no when-chain, scales past the pinned query count) — the original
+    * floats are never read because they are not even in the store.
+    * Candidate cells are chosen by the IVF model and distances by the
+    * PQ model — the textbook accuracy/IO trade composed from p41 + p48.
+    *
+    * @param excludeSelf drop candidates whose vec_id equals the query's
     *   qid — correct when queries are drawn FROM the corpus (the
     *   p48/p49 contract: a vector's nearest neighbor is trivially
     *   itself). For EXTERNAL queries sharing no id space with the
@@ -697,17 +700,16 @@ object Pipeline6 {
                       cb: Array[(Int, Seq[Seq[Float]])],
                       k: Int, nProbe: Int = 2,
                       excludeSelf: Boolean = true): DataFrame = {
+    val m = pqM(cb)
     val probes = Similarity.probeCells(cents, queries, nProbe)
       .select(col("qid"), col("cell"))
-    val lut = pqLut(cb, queries)
-    val adcByQid = lut.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("double")) { case (acc, (qid, bySub)) =>
-        when(col("qid") === qid, adcExpr(bySub)).otherwise(acc)
-      }
-    spark.read.parquet(path)
+    val cands = spark.read.parquet(path)
       .join(broadcast(probes), Seq("cell"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
-      .select(col("qid"), col("vec_id").as("cid"), adcByQid.as("adc"))
+      .select(col("qid") +: col("vec_id").as("cid") +:
+        // stored codes are smallint; widen to the LUT frame's int key
+        (0 until m).map(s => col(s"c$s").cast("int").as(s"c$s")): _*)
+    adcJoinLut(pqLutFrame(cb, queries), cands, m)
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("adc"), col("cid"))))

@@ -132,11 +132,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "PQ encode gained a shuffle — assignment must stay a broadcast-model map")
   }
 
-  test("p48: ADC search pays only the per-query rank shuffle; no join materializes") {
+  test("p48: ADC search pays only the rank shuffle; the LUT frame broadcasts per subspace") {
     val p = plan("p48_pq_adc")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles === 1, s"expected 1 hash shuffle (qid rank window), saw $shuffles")
-    assert(!p.contains("Join"), "LUT lookup degraded from literal arrays to a join")
+    // one map-side broadcast hash join per subspace against the
+    // model-sized LUT frame — the shape that scales to nCodes=256 ×
+    // thousands of queries; a sort-merge join here would mean the
+    // corpus shuffled on a LUT key
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 LUT broadcast joins (one per subspace), saw $bhj")
+    assert(!p.contains("SortMergeJoin"), "a LUT join degraded to sort-merge")
   }
 
   test("p50: the posting scan prunes buckets to the query terms' hashes") {
@@ -172,5 +178,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // embeddings table is the one allowed embedding read)
     assert(p.contains("ReadSchema: struct<vec_id:bigint,c0:smallint"),
       "store scan no longer reads the code-only (smallint) schema")
+    // the ADC LUT rides the same broadcast-frame path as p48
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "stored ADC lost the per-subspace LUT broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "a LUT join degraded to sort-merge")
   }
 }
