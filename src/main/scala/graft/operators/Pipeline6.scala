@@ -728,11 +728,7 @@ object Pipeline6 {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
     val cb = pqCodebook(emb)
-    val store = ivfPqStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
-      ivfPqWrite(cents, cb, emb, p)
-      p
-    })
+    val store = codesStoreFor(s, d, cents, cb)
     ivfPqTopKStored(s, store, emb.filter(col("vec_id") < 5), cents, cb,
         k = 10, nProbe = 2)
       .orderBy(col("qid"), col("rnk"))
@@ -780,6 +776,136 @@ object Pipeline6 {
        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- IVFADC refine: ADC shortlist → exact re-rank (p55) ----
+
+  /** The production IVFADC pipeline completed with its refine stage:
+    * probe the codes store for an ADC top-`r` shortlist (cheap,
+    * compressed, approximate), then re-rank ONLY those `r` candidates
+    * per query with exact distances read from the embedding store
+    * ([[Similarity.ivfWrite]]'s cell-partitioned layout) and keep the
+    * top-`k`. This closes most of the PQ quantization gap while
+    * touching `queries × r` embedding rows instead of the corpus.
+    *
+    * Scale shape: the shortlist is model-sized (queries × r) and
+    * broadcasts into the embedding-store read, which is FIRST pruned
+    * to the probed cells by the same broadcast-probe join as p41 — the
+    * refine read therefore pays (nProbe/nCells directories, then only
+    * shortlisted rows survive the joins), never a corpus scan. Exact
+    * distances use the same dot-identity [[sqDist]] as the encode
+    * path, so the composition carries a full differential oracle.
+    * Both stores MUST share `cents` (cells are defined by the model).
+    *
+    * @param excludeSelf see [[ivfPqTopKStored]].
+    */
+  def ivfPqRefineTopK(spark: SparkSession, codesPath: String, embPath: String,
+                      queries: DataFrame,
+                      cents: Array[(Int, Seq[Float])],
+                      cb: Array[(Int, Seq[Seq[Float]])],
+                      k: Int, r: Int, nProbe: Int = 2,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val shortlist = ivfPqTopKStored(spark, codesPath, queries, cents, cb,
+        r, nProbe, excludeSelf)
+      .select(col("qid"), col("cid"))
+    val probes = Similarity.probeCells(cents, queries, nProbe)
+    val exact = spark.read.parquet(embPath)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(shortlist), Seq("qid", "cid"))
+      .select(col("qid"), col("cid"), sqDist(col("qe"), col("ce")).as("dist"))
+    exact
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dist"), col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), round(col("dist"), 6).as("dist"), col("rnk"))
+  }
+
+  /** p55: p49's shortlist (same store, same models, r=30) refined to an
+    * exact top-10 against the p41-layout embedding store. Stores are
+    * built once per JVM per dataset (the index contract); the codes
+    * store is SHARED with p49 via [[ivfPqStores]].
+    */
+  private val ivfEmbStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val RefineR = 30
+
+  private def codesStoreFor(s: SparkSession, d: String,
+                            cents: Array[(Int, Seq[Float])],
+                            cb: Array[(Int, Seq[Seq[Float]])]): String =
+    ivfPqStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      ivfPqWrite(cents, cb, embeddings(s, d), p)
+      p
+    })
+
+  def ivfPqRefined(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = pqCodebook(emb)
+    val codes = codesStoreFor(s, d, cents, cb)
+    val embStore = ivfEmbStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfemb_").toString
+      Similarity.ivfWrite(emb, cents, p)
+      p
+    })
+    ivfPqRefineTopK(s, codes, embStore, emb.filter(col("vec_id") < 5),
+        cents, cb, k = 10, r = RefineR, nProbe = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val ivfPqRefinedOracle: String = {
+    val ccos = duckCos("e.embedding", "c.ce")
+    val qq = duckDot("q.embedding", "q.embedding")
+    val qc = duckDot("q.embedding", "c.embedding")
+    val cc = duckDot("c.embedding", "c.embedding")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS cid_, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 2),
+       |$pqCte,
+       |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, embedding
+       |      FROM embeddings WHERE vec_id < 5),
+       |lut AS (SELECT q.qid, sp.s, c.code,
+       |          ((${duckDot("q.embedding[sp.s*16+1 : sp.s*16+16]", "q.embedding[sp.s*16+1 : sp.s*16+16]")}
+       |            - 2.0 * ${duckDot("q.embedding[sp.s*16+1 : sp.s*16+16]", "c.embedding[sp.s*16+1 : sp.s*16+16]")})
+       |            + ${duckDot("c.embedding[sp.s*16+1 : sp.s*16+16]", "c.embedding[sp.s*16+1 : sp.s*16+16]")}) AS pd
+       |        FROM q CROSS JOIN sp CROSS JOIN cb c),
+       |cand AS (SELECT p.qid, a.cid_ AS cid, cd.c0, cd.c1, cd.c2, cd.c3
+       |         FROM assign a JOIN probes p ON a.cell = p.cell AND p.qid <> a.cid_
+       |         JOIN cd ON cd.vec_id = a.cid_),
+       |adc AS (SELECT cand.qid, cand.cid,
+       |          (((l0.pd + l1.pd) + l2.pd) + l3.pd) AS adc
+       |        FROM cand
+       |        JOIN lut l0 ON l0.qid = cand.qid AND l0.s = 0 AND l0.code = cand.c0
+       |        JOIN lut l1 ON l1.qid = cand.qid AND l1.s = 1 AND l1.code = cand.c1
+       |        JOIN lut l2 ON l2.qid = cand.qid AND l2.s = 2 AND l2.code = cand.c2
+       |        JOIN lut l3 ON l3.qid = cand.qid AND l3.s = 3 AND l3.code = cand.c3),
+       |short AS (SELECT qid, cid FROM (
+       |            SELECT qid, cid,
+       |              row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rnk
+       |            FROM adc) WHERE rnk <= $RefineR),
+       |ex AS (SELECT s.qid, s.cid,
+       |         (($qq - 2.0 * $qc) + $cc) AS dist
+       |       FROM short s
+       |       JOIN embeddings q ON q.vec_id = s.qid
+       |       JOIN embeddings c ON c.vec_id = s.cid),
+       |r AS (SELECT qid, cid, dist,
+       |        CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY dist, cid) AS INTEGER) AS rnk
+       |      FROM ex)
+       |SELECT CAST(qid AS BIGINT) AS qid, cid, round(dist, 6) AS dist, rnk
+       |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p45_bm25_topk"    -> (bm25TopK _),
     "p50_bm25_stored"  -> (bm25Stored _),
@@ -787,6 +913,7 @@ object Pipeline6 {
     "p47_pq_codes"     -> (pqCodesQuery _),
     "p48_pq_adc"       -> (pqAdcTopK _),
     "p49_ivfpq_stored" -> (ivfPqStored _),
+    "p55_ivfpq_refine" -> (ivfPqRefined _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,5 +925,6 @@ object Pipeline6 {
     "p47_pq_codes"     -> pqCodesOracle,
     "p48_pq_adc"       -> pqAdcTopKOracle,
     "p49_ivfpq_stored" -> ivfPqStoredOracle,
+    "p55_ivfpq_refine" -> ivfPqRefinedOracle,
   )
 }

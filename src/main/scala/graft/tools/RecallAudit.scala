@@ -65,6 +65,15 @@ object RecallAudit {
       Pipeline6.ivfPqTopKStored(spark, store, queries, cents, cb, k, nProbe)
     val adcFull = ivfpq(8)  // no IVF gate: pure PQ quantization loss
     val adc2 = ivfpq(2)     // the production probe: quantization + gate
+    // the refine stage: ADC shortlist -> exact re-rank off the p41
+    // embedding layout — how much of the PQ gap the re-rank closes
+    val embStoreR = java.nio.file.Files.createTempDirectory("recall_ivfemb").toString
+    Similarity.ivfWrite(emb, cents, embStoreR)
+    def refined(nProbe: Int, r: Int) =
+      Pipeline6.ivfPqRefineTopK(spark, store, embStoreR, queries,
+        cents, cb, k, r, nProbe)
+    val ref2 = refined(2, 30)
+    val refFull = refined(8, 30)
 
     // at-rest footprint: same corpus, embedding store (p41) vs codes
     // store (p49) — the measured form of the compression claim
@@ -85,6 +94,8 @@ object RecallAudit {
     println(f"  IVF nProbe=4/8              vs exact-cos: ${recall(ivf4, "qid", "cid", exactCos)}%.2f")
     println(f"  PQ-ADC all cells (8x4 geo)  vs exact-L2:  ${recall(adcFull, "qid", "cid", exactL2)}%.2f")
     println(f"  IVF-PQ nProbe=2/8           vs exact-L2:  ${recall(adc2, "qid", "cid", exactL2)}%.2f")
+    println(f"  IVF-PQ+refine nProbe=2 r=30 vs exact-L2:  ${recall(ref2, "qid", "cid", exactL2)}%.2f")
+    println(f"  IVF-PQ+refine nProbe=8 r=30 vs exact-L2:  ${recall(refFull, "qid", "cid", exactL2)}%.2f")
     spark.stop()
   }
 }

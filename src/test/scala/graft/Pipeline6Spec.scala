@@ -281,6 +281,46 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p55: refine over all cells with an unbounded shortlist IS exact L2 search") {
+    import graft.operators.{Pipeline6, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val codes = java.nio.file.Files.createTempDirectory("refine_codes_").toString
+    val embSt = java.nio.file.Files.createTempDirectory("refine_emb_").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, codes)
+    Similarity.ivfWrite(emb, cents, embSt)
+    val queries = emb.filter(col("vec_id") < 3)
+    // nProbe=8 removes the IVF gate; r=n removes the shortlist cut —
+    // what remains is a pure exact re-rank, which must equal
+    // brute-force L2 computed independently on collected vectors
+    val got = Pipeline6.ivfPqRefineTopK(spark, codes, embSt, queries,
+        cents, cb, k = 10, r = n, nProbe = 8)
+      .orderBy(col("qid"), col("rnk")).collect()
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+    (0L until 3L).foreach { qid =>
+      val want = all.keys.filter(_ != qid).toSeq
+        .sortBy(v => (sq(all(qid), all(v)), v)).take(10)
+      val gotQ = got.filter(_.getLong(0) === qid).sortBy(_.getInt(3)).map(_.getLong(1))
+      assert(gotQ.toSeq === want, s"refine(q$qid) != exact L2 top-10")
+    }
+    // and the refine distances are the true distances, not ADC values
+    got.foreach { r =>
+      val want = BigDecimal(sq(all(r.getLong(0)), all(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - want) < 5e-7,
+        s"q${r.getLong(0)} cid ${r.getLong(1)}: dist ${r.getDouble(2)} vs exact $want")
+    }
+  }
+
   test("p48: ADC search finds genuinely near vectors (recall vs exact L2 search)") {
     val emb = Tables.embeddings(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
