@@ -74,6 +74,14 @@ object RecallAudit {
         cents, cb, k, r, nProbe)
     val ref2 = refined(2, 30)
     val refFull = refined(8, 30)
+    // trained codebook (per-subspace k-means): quantization quality vs
+    // the coreset seed, same geometry, same stores rebuilt
+    val cbT = Pipeline6.trainPqCodebook(emb, iters = 3)
+    val storeT = java.nio.file.Files.createTempDirectory("recall_ivfpq_t").toString
+    Pipeline6.ivfPqWrite(cents, cbT, emb, storeT)
+    val adcFullT = Pipeline6.ivfPqTopKStored(spark, storeT, queries, cents, cbT, k, 8)
+    val ref2T = Pipeline6.ivfPqRefineTopK(spark, storeT, embStoreR, queries,
+      cents, cbT, k, 30, 2)
 
     // at-rest footprint: same corpus, embedding store (p41) vs codes
     // store (p49) — the measured form of the compression claim
@@ -96,6 +104,8 @@ object RecallAudit {
     println(f"  IVF-PQ nProbe=2/8           vs exact-L2:  ${recall(adc2, "qid", "cid", exactL2)}%.2f")
     println(f"  IVF-PQ+refine nProbe=2 r=30 vs exact-L2:  ${recall(ref2, "qid", "cid", exactL2)}%.2f")
     println(f"  IVF-PQ+refine nProbe=8 r=30 vs exact-L2:  ${recall(refFull, "qid", "cid", exactL2)}%.2f")
+    println(f"  TRAINED ADC all cells       vs exact-L2:  ${recall(adcFullT, "qid", "cid", exactL2)}%.2f")
+    println(f"  TRAINED IVF-PQ+refine 2/30  vs exact-L2:  ${recall(ref2T, "qid", "cid", exactL2)}%.2f")
     spark.stop()
   }
 }

@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("p15_multimodal_decode", "p16_approx_stats",
       "q61_sliding_distinct_hll", "p39_weighted_sample",
-      "p42_weighted_sample_by"))
+      "p42_weighted_sample_by", "p56_pq_trained"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

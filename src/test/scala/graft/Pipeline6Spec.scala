@@ -281,6 +281,40 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p56: trained codebook never increases total reconstruction error, and improves it here") {
+    import graft.operators.Pipeline6
+    val emb = Tables.embeddings(spark, dir)
+    def totalErr(cb: Array[(Int, Seq[Seq[Float]])]): Double =
+      Pipeline6.pqEncode(cb, emb)
+        .agg(sum(col("err"))).collect()(0).getDouble(0)
+    val seedErr = totalErr(Pipeline6.pqCodebook(emb))
+    val trainedErr = totalErr(Pipeline6.trainPqCodebook(emb, iters = 3))
+    // the Lloyd guarantee: each round's assignment+mean step is
+    // non-increasing in total within-cell squared error
+    assert(trainedErr <= seedErr * (1 + 1e-12),
+      s"training RAISED reconstruction error: $trainedErr > $seedErr")
+    // and on real (non-degenerate) data the improvement is substantial
+    assert(trainedErr < seedErr * 0.95,
+      s"training barely moved error: $trainedErr vs seed $seedErr")
+  }
+
+  test("pq training early-exits when the seed is already the fixed point") {
+    import graft.operators.Pipeline6
+    // corpus = the 8 codebook vectors themselves: every subvector's
+    // nearest code is itself, means reproduce the codes exactly, so
+    // round 1 measures zero movement and the budget is never spent
+    val fixed = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+    val (cb, rounds) = Pipeline6.trainPqCodebookWithRounds(fixed, iters = 5)
+    assert(rounds < 5, s"no early exit: spent all $rounds rounds")
+    val seed = Pipeline6.pqCodebook(fixed)
+    // and the fixed point IS the seed (means of singleton cells)
+    cb.zip(seed).foreach { case ((_, got), (_, want)) =>
+      got.zip(want).foreach { case (g, w) =>
+        g.zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+      }
+    }
+  }
+
   test("p55: refine over all cells with an unbounded shortlist IS exact L2 search") {
     import graft.operators.{Pipeline6, Similarity}
     val emb = Tables.embeddings(spark, dir)
