@@ -413,6 +413,19 @@ object Engine {
                          terms: Seq[String], k: Int): DataFrame =
     Pipeline6.bm25TopKStored(spark, table, k, terms)
 
+  /** Exact phrase-match top-k (consecutive tokens, all-integer
+    * position-adjacency test) — scan-time over any (doc_id, text)
+    * frame, or from the positional posting lists of a
+    * [[buildLexicalIndex]] store (reads only the phrase terms'
+    * buckets).
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame =
+    Pipeline6.phraseTopKOf(docs, phrase, k)
+
+  def phraseSearchStored(spark: SparkSession, table: String,
+                         phrase: Seq[String], k: Int): DataFrame =
+    Pipeline6.phraseTopKStored(spark, table, phrase, k)
+
   /** Build the at-rest compressed vector index (IVF-PQ: cell-partitioned
     * directories of PQ codes) from a corpus of (vec_id, embedding) rows.
     * Returns the two models — IVF centroids and PQ codebooks — that

@@ -163,15 +163,23 @@ object Pipeline6 {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
-  /** The posting-row form — (term, doc_id, dl, tf) — shared by the
-    * index build and the streaming ingest so the two write paths
-    * cannot diverge.
+  /** The posting-row form — (term, doc_id, dl, tf, positions) — shared
+    * by the index build and the streaming ingest so the two write
+    * paths cannot diverge. `positions` holds the term's 1-based token
+    * positions, sorted (deterministic despite collect_list's arrival
+    * order): POSITIONAL postings make phrase/proximity queries
+    * answerable from the index ([[phraseTopKStored]]). BM25 readers
+    * never select the column, so parquet column pruning keeps their
+    * scans exactly as thin as the position-free layout (pinned in
+    * PlanSpec) — one index serves both query classes.
     */
   private[graft] def postingsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .select(col("doc_id"), size(col("w")).as("dl"),
+              posexplode(col("w")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+           array_sort(collect_list(col("pos") + 1)).as("positions"))
 
   /** Corpus stats (doc count, total token count) recovered EXACTLY from
     * posting rows: every document owns at least one posting (an empty
@@ -239,14 +247,129 @@ object Pipeline6 {
     */
   private val postingsStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def bm25Stored(s: SparkSession, d: String): DataFrame = {
-    val table = postingsStores.computeIfAbsent(d, _ => {
+  private def postingsStoreFor(s: SparkSession, d: String): String =
+    postingsStores.computeIfAbsent(d, _ => {
       val t = "graft_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
       postingsWrite(documents(s, d), t, nBuckets = 8)
       t
     })
-    bm25TopKStored(s, table, k = 20)
+
+  def bm25Stored(s: SparkSession, d: String): DataFrame =
+    bm25TopKStored(s, postingsStoreFor(s, d), k = 20)
+
+  // ---- Phrase search over positional postings (p57 scan, p58 stored) ----
+
+  /** The pinned phrase for the oracle-checked entries; library callers
+    * pass any phrase to [[phraseTopKOf]]/[[phraseTopKStored]].
+    */
+  private val PhraseTerms = Seq("table", "hash")
+  private val PhraseK = 20
+
+  /** Phrase-match top-k from a positional posting frame (term, doc_id,
+    * positions — already restricted to the phrase's terms): pivot each
+    * distinct term's position array onto the document row (conditional
+    * max — at most one posting per (doc, term), so the pivot is exact),
+    * keep documents carrying ALL terms, and count phrase starts with
+    * one higher-order array filter — position x starts a match iff
+    * slot i's term has a position x+i for every i. ALL-INTEGER
+    * arithmetic end to end (positions, adjacency, counts), so both the
+    * scan-time and stored paths carry one full differential oracle.
+    *
+    * Scale shape: the input is the phrase terms' postings only (the
+    * filter pushes below [[postingsOf]]'s aggregate on the scan path;
+    * bucket pruning bounds the stored path), the pivot is one keyed
+    * aggregate over those rows, the adjacency test is map-side, and
+    * the cut is a bounded heap — the corpus never shuffles.
+    */
+  private def phraseFromPostings(pos: DataFrame, phrase: Seq[String],
+                                 k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.distinct
+    val pivots = terms.zipWithIndex.map { case (t, j) =>
+      max(when(col("term") === t, col("positions"))).as(s"__p$j")
+    }
+    val slotArr: Int => Column = i => col(s"__p${terms.indexOf(phrase(i))}")
+    val tfExpr =
+      if (phrase.length == 1) size(slotArr(0))
+      else size(filter(slotArr(0), x =>
+        (1 until phrase.length)
+          .map(i => array_contains(slotArr(i), x + i))
+          .reduce(_ && _)))
+    val matched = pos.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*)
+      .filter(terms.indices.map(j => col(s"__p$j").isNotNull).reduce(_ && _))
+      .select(col("doc_id"), tfExpr.cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+    topNRanked(matched, Seq(col("phrase_tf").desc, col("doc_id")), k, "rnk")
+      .select(col("doc_id"), col("phrase_tf"), col("rnk"))
+      .orderBy(col("rnk"))
   }
+
+  /** Scan-time phrase top-k — tokenize, keep the phrase terms'
+    * positional postings, match. The generic library entry behind
+    * `Engine.phraseSearch`.
+    */
+  def phraseTopKOf(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame =
+    phraseFromPostings(
+      postingsOf(docs).filter(col("term").isin(phrase.distinct: _*))
+        .select(col("term"), col("doc_id"), col("positions")),
+      phrase, k)
+
+  /** Phrase top-k over a stored [[postingsWrite]] index: the same
+    * matching tail fed from the bucket-pruned posting scan — the scan
+    * reads only the phrase terms' buckets and, thanks to columnar
+    * layout, the positions column only for those buckets. Same oracle
+    * as the scan path: the layout is semantics-preserving.
+    *
+    * Deployment note: set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * (as every session builder in this repo does) — Spark's
+    * DisableUnnecessaryBucketedScan rule only values bucketing for
+    * shuffle elimination, and since nothing downstream of a phrase
+    * probe re-partitions by term it would silently drop the bucketed
+    * scan AND the bucket pruning with it, turning the ≤|phrase|-bucket
+    * read back into a full-index scan.
+    */
+  def phraseTopKStored(spark: SparkSession, table: String,
+                       phrase: Seq[String], k: Int): DataFrame =
+    phraseFromPostings(
+      spark.table(table).filter(col("term").isin(phrase.distinct: _*))
+        .select(col("term"), col("doc_id"), col("positions")),
+      phrase, k)
+
+  /** p57: scan-time phrase match for the pinned phrase. */
+  def phraseTopK(s: SparkSession, d: String): DataFrame =
+    phraseTopKOf(documents(s, d), PhraseTerms, PhraseK)
+
+  /** p58: the stored-index phrase path, sharing p50's posting store. */
+  def phraseStored(s: SparkSession, d: String): DataFrame =
+    phraseTopKStored(s, postingsStoreFor(s, d), PhraseTerms, PhraseK)
+
+  /** One oracle for both phrase paths: per-slot position sets joined on
+    * exact adjacency (slot j matches at start + j), counted per doc.
+    */
+  private def phraseOracle(phrase: Seq[String], k: Int): String = {
+    val slotCtes = phrase.zipWithIndex.map { case (t, j) =>
+      s"""p$j AS (SELECT doc_id, i FROM ws, unnest(range(1, len(w) + 1)) t(i)
+         |        WHERE w[CAST(i AS INT)] = '$t')""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until phrase.length).map(j =>
+      s"JOIN p$j ON p$j.doc_id = p0.doc_id AND p$j.i = p0.i + $j")
+      .mkString("\n       ")
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |$slotCtes,
+       |m AS (SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+       |      FROM p0
+       |      $joins
+       |      GROUP BY p0.doc_id),
+       |top AS (SELECT doc_id, phrase_tf,
+       |          CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id)
+       |               AS INTEGER) AS rnk
+       |        FROM m)
+       |SELECT doc_id, phrase_tf, rnk
+       |FROM top WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
+  val phraseTopKOracle: String = phraseOracle(PhraseTerms, PhraseK)
 
   /** The BM25 scoring pipeline as one SQL CTE chain (shared by the p45
     * and p46 oracles). Numeric literals are emitted with
@@ -1001,6 +1124,8 @@ object Pipeline6 {
     "p49_ivfpq_stored" -> (ivfPqStored _),
     "p55_ivfpq_refine" -> (ivfPqRefined _),
     "p56_pq_trained"   -> (pqCodesTrained _),
+    "p57_phrase_topk"  -> (phraseTopK _),
+    "p58_phrase_stored" -> (phraseStored _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1013,5 +1138,8 @@ object Pipeline6 {
     "p48_pq_adc"       -> pqAdcTopKOracle,
     "p49_ivfpq_stored" -> ivfPqStoredOracle,
     "p55_ivfpq_refine" -> ivfPqRefinedOracle,
+    "p57_phrase_topk"  -> phraseTopKOracle,
+    // the positional layout is semantics-preserving: same oracle as p57
+    "p58_phrase_stored" -> phraseTopKOracle,
   )
 }

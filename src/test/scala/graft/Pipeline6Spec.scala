@@ -281,6 +281,41 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("phrase match: hand-checked adjacency semantics on a known corpus") {
+    import graft.operators.Pipeline6
+    val docs = Seq(
+      (0L, "table hash join table hash"),       // 2 matches
+      (1L, "hash table nope table nope hash"),  // terms present, never adjacent in order
+      (2L, "table table hash"),                 // 1 match (second 'table')
+      (3L, "table only here"),                  // missing 'hash'
+      (4L, "x table hash table hash table hash y")) // 3 matches
+      .toDF("doc_id", "text")
+    val got = Pipeline6.phraseTopKOf(docs, Seq("table", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((4L, 3L, 1), (0L, 2L, 2), (2L, 1L, 3)))
+    // repeated-term phrase: overlapping starts each count
+    val rep = Pipeline6.phraseTopKOf(
+      Seq((0L, "a a a b")).toDF("doc_id", "text"), Seq("a", "a"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq === Seq((0L, 2L)))
+    // single-term phrase degenerates to term frequency
+    val one = Pipeline6.phraseTopKOf(docs, Seq("table"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one(0L) === 2L && one(2L) === 2L && one(3L) === 1L && one(4L) === 3L)
+  }
+
+  test("phrase search: stored positional index equals the scan path on a fresh phrase") {
+    import graft.operators.Pipeline6
+    val docs = Tables.documents(spark, dir)
+    val table = "graft_postings_phrase_spec"
+    Engine.buildLexicalIndex(docs, table, nBuckets = 8)
+    Seq(Seq("merge", "group"), Seq("slow", "key"), Seq("fast")).foreach { ph =>
+      val scan = Engine.phraseSearch(docs, ph, 15).collect().map(_.toSeq)
+      val stored = Engine.phraseSearchStored(spark, table, ph, 15).collect().map(_.toSeq)
+      assert(scan.toSeq === stored.toSeq, s"stored phrase path diverged for $ph")
+    }
+  }
+
   test("p56: trained codebook never increases total reconstruction error, and improves it here") {
     import graft.operators.Pipeline6
     val emb = Tables.embeddings(spark, dir)

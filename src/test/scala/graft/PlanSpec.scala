@@ -152,6 +152,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val (sel, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
     assert(total === 8 && sel <= 3,
       s"3 query terms should prune to <=3 of 8 buckets, scan reads $sel of $total")
+    // the positional upgrade must cost BM25 nothing: column pruning
+    // keeps the positions array out of the BM25 scan entirely
+    assert(!p.contains("positions"),
+      "BM25 posting scan reads the positions column it never uses")
+  }
+
+  test("p58: the stored phrase scan bucket-prunes and reads positions only") {
+    val p = plan("p58_phrase_stored")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, "phrase scan lost bucket pruning")
+    assert(m.get.group(1).toInt <= 2 && m.get.group(2).toInt === 8,
+      s"2 phrase terms should prune to <=2 of 8 buckets")
+    assert(p.contains("positions"), "phrase scan no longer reads positions")
+    // and the cut stays a bounded heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), "phrase top-k lost its bounded heap")
   }
 
   test("p51/p53: span extraction stays at two keyed shuffles; vocab encode at one plus a broadcast") {
