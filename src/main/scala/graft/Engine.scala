@@ -288,8 +288,25 @@ object Engine {
   def inspectBinary(withBin: DataFrame): DataFrame = Multimodal.inspect(withBin)
   def frameSample(withBin: DataFrame, stride: Int, maxFrames: Int): DataFrame =
     Multimodal.frameSample(withBin, stride, maxFrames)
-  def decode(spark: SparkSession, withBin: DataFrame): DataFrame =
-    Multimodal.decodeStub(spark, withBin)
+
+  /** Real image decode: parse self-describing P6 raster payloads
+    * (header + packed RGB) into exact integer stats + the 60-bit dHash
+    * perceptual signature. [[attachRaster]] is the deterministic
+    * fixture "camera" for corpora without real image bytes.
+    */
+  def attachRaster(docs: DataFrame): DataFrame = Multimodal.attachRaster(docs)
+  def decodeRaster(withRaster: DataFrame): DataFrame =
+    Multimodal.decodeRaster(withRaster)
+
+  /** Near-duplicate images (dHash Hamming ≤ maxHamming) — banded LSH
+    * blocking + exact verification; lossless for maxHamming ≤ 3.
+    */
+  def perceptualNearDups(withRaster: DataFrame, maxHamming: Int = 3): DataFrame =
+    Multimodal.perceptualNearDupPairs(
+      Multimodal.decodeRaster(withRaster)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("dhash")),
+      maxHamming)
 
   // ---- streaming ----
 

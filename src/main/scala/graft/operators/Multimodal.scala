@@ -1,28 +1,35 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: images/audio/video travel as opaque
   * `binary` columns with a typed metadata struct alongside.
   *
-  * The actual media codecs are NOT in this environment, so the decode
-  * kernel is a clearly marked deterministic stub ([[decodeStub]]) — but
-  * everything Spark-side is real and load-bearing at scale: the schema,
-  * the per-partition batch iteration shape (mirrors `mapInPandas` /
-  * Arrow-batch decode on a cluster with codec libs), the feature-vector
-  * contract, and the pushdown-friendly metadata struct.
+  * The decode kernel is REAL: payloads are self-describing uncompressed
+  * PPM P6 rasters (`P6\n<w> <h>\n255\n` + w·h·3 RGB bytes — netpbm, a
+  * public format chosen because it needs no codec library), and
+  * [[decodeRaster]] parses header + pixels byte-by-byte inside the
+  * per-partition batch loop where a production `mapInPandas` would run
+  * libjpeg/ffmpeg. [[attachRaster]] is the test-fixture "camera": it
+  * renders each document's raster from a deterministic pixel formula,
+  * so specs and the DuckDB oracle re-derive the decoder's every output
+  * from first principles — a true differential test of the
+  * encode→bytes→decode round trip. On top of the decoded grid,
+  * [[dHash]] computes the standard difference-hash perceptual
+  * signature and [[perceptualNearDupPairs]] finds near-duplicate
+  * images the way [[Dedup.simhashPairs]] finds near-duplicate text:
+  * banded LSH blocking, exact Hamming verification, no O(n²) stage.
   *
   * Scale notes: binary payloads make wide rows — keep them OUT of
-  * shuffles (extract features first, shuffle the small features), size
-  * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits in
-  * executor memory, and store metadata in columns (not inside the blob)
-  * so filters prune row groups without touching bytes.
+  * shuffles (decode to features/hashes first, shuffle the small
+  * results), size `spark.sql.files.maxPartitionBytes` so a partition
+  * of blobs fits in executor memory, and store metadata in columns
+  * (not inside the blob) so filters prune row groups without touching
+  * bytes.
   */
 object Multimodal {
-
-  val FeatureDim = 16
 
   /** Attach a binary payload + typed metadata to each document. The
     * payload here is the utf-8 text bytes standing in for real media
@@ -77,31 +84,183 @@ object Multimodal {
         .as("frames"))
   }
 
-  /** STUB decode kernel =========================================== STUB
-    * A real deployment decodes image/audio bytes with a codec library
-    * inside this per-partition batch loop (exactly where `mapInPandas`
-    * would run it). Environment has no codec libs, so the "decoded
-    * features" are a deterministic 16-bin byte histogram, L1-normalized
-    * — fake feature values, REAL batching/schema/partitioning.
+  // ---- real raster decode (PPM P6) ---------------------------------
+
+  /** Deterministic pixel formula behind [[attachRaster]] — the fixture
+    * "scene renderer". Interference of two linear gradients plus a
+    * per-scene phase (`base`), wrapped mod 256: visually a diagonal
+    * ramp whose wrap boundaries move with the scene, so different
+    * scenes produce genuinely different dHashes while a ±1 brightness
+    * jitter (same scene, different `doc_id / 80` epoch) perturbs only
+    * the few samples that straddle a wrap — the textbook
+    * near-duplicate.
     */
-  def decodeStub(spark: SparkSession, withBin: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val input = withBin.select(col("doc_id"), col("payload"))
-    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    input.mapPartitions { rows =>
-      // batch loop: in production each `rows` chunk is an Arrow batch
-      // handed to the codec; here the stub histogram stands in.
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val hist = new Array[Float](FeatureDim)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1f; i += 1 }
-        val total = math.max(1f, bytes.length.toFloat)
-        Row(id, hist.map(_ / total).toSeq)
+  private[graft] def pixel(base: Int, x: Int, y: Int, c: Int): Int =
+    (7 * x + 13 * y + 31 * c + base) % 256
+
+  private[graft] def rasterDims(id: Long): (Int, Int) =
+    ((64 + (id % 8) * 16).toInt, (48 + (id % 5) * 16).toInt)
+
+  private[graft] def rasterBase(id: Long): Int =
+    (29 * (id % 16) + (id / 80) % 2).toInt
+
+  /** Render one document's P6 raster: ASCII header + packed RGB. */
+  private[graft] def rasterBytes(id: Long): Array[Byte] = {
+    val (w, h) = rasterDims(id)
+    val base = rasterBase(id)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var o = header.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { out(o) = pixel(base, x, y, c).toByte; o += 1; c += 1 }
+        x += 1
       }
-    }(encoder)
+      y += 1
+    }
+    out
+  }
+
+  private val rasterSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Attach a self-describing P6 raster payload to each document — the
+    * fixture stand-in for reading real image files. Same conditional
+    * rebalance as [[attachBinary]]: the shuffle (if any) carries ids,
+    * never blobs.
+    */
+  def attachRaster(docs: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(rasterSchema)
+    Parallelism.ensureParallel(docs).select(col("doc_id"))
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, rasterBytes(id))
+      })(encoder)
+  }
+
+  /** Skip netpbm whitespace + `#` comments; returns the next offset. */
+  private def skipPpmSpace(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length &&
+           (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r' || b(i) == '#')) {
+      if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+      else i += 1
+    }
+    i
+  }
+
+  /** Parse one ASCII unsigned int; returns (value, next offset). */
+  private def ppmInt(b: Array[Byte], from: Int): (Int, Int) = {
+    var i = skipPpmSpace(b, from)
+    var v = 0
+    require(i < b.length && b(i) >= '0' && b(i) <= '9', s"P6 header: digit expected at $i")
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+    (v, i)
+  }
+
+  /** The 60-bit difference hash of a decoded RGB grid: grayscale the
+    * image, point-sample an 11×6 grid, set bit `j*10+i` iff brightness
+    * rises from sample i to sample i+1 in row j. 60 bits (not 64) so
+    * the signature — like [[Dedup.SimhashBits]] — fits a signed BIGINT
+    * in every engine, splits into 4×15-bit LSH bands, and never
+    * touches the sign bit.
+    */
+  private[graft] def dHash(px: Array[Byte], off: Int, w: Int, h: Int): Long = {
+    def g(x: Int, y: Int): Int = {
+      val o = off + (y * w + x) * 3
+      ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 6) {
+      val y = j * h / 6
+      var i = 0
+      while (i < 10) {
+        if (g((i + 1) * w / 11, y) > g(i * w / 11, y)) hash |= 1L << (j * 10 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("maxval", IntegerType, nullable = false),
+    StructField("n_pix_bytes", LongType, nullable = false),
+    StructField("r0_sum_r", LongType, nullable = false),
+    StructField("r0_sum_g", LongType, nullable = false),
+    StructField("r0_sum_b", LongType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** REAL decode kernel: parse each P6 payload — magic, header ints
+    * (with netpbm comment/whitespace handling), pixel block — and emit
+    * exact integer image statistics plus the [[dHash]] perceptual
+    * signature. Runs in the per-partition batch loop where a cluster
+    * with codec libraries would run its decoder; corrupt payloads fail
+    * loudly with the offending doc_id. All outputs are integers, so
+    * the registered query carries a full cell-exact DuckDB oracle that
+    * re-derives every value from the generator formula — the decoder
+    * is verified against the bytes, not against itself.
+    */
+  def decodeRaster(withRaster: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    withRaster.select(col("doc_id"), col("payload"))
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 raster")
+        val (w, i1) = ppmInt(b, 2)
+        val (h, i2) = ppmInt(b, i1)
+        val (maxval, i3) = ppmInt(b, i2)
+        val off = i3 + 1 // single whitespace byte separates header and pixels
+        val nPix = b.length - off
+        require(nPix == w * h * 3,
+          s"doc $id: pixel block is $nPix bytes, header promises ${w * h * 3}")
+        var pixSum = 0L
+        var i = off
+        while (i < b.length) { pixSum += (b(i) & 0xff); i += 1 }
+        val r0 = new Array[Long](3)
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) { r0(c) += (b(off + x * 3 + c) & 0xff); c += 1 }
+          x += 1
+        }
+        Row(id, w, h, maxval, nPix.toLong, r0(0), r0(1), r0(2), pixSum,
+            dHash(b, off, w, h))
+      })(encoder)
+  }
+
+  /** Near-duplicate image pairs (Hamming distance ≤ maxHamming on the
+    * 60-bit dHash) from a `(doc_id, dhash)` frame — 4×15-bit band
+    * blocking, then exact verification, the [[Dedup.simhashPairs]]
+    * shape. For maxHamming ≤ 3 the pigeonhole makes banding LOSSLESS
+    * (4 bands, ≤3 differing bits ⇒ one band agrees exactly), so the
+    * result equals the all-pairs scan the oracle runs. Scale: shuffle
+    * is O(docs × 4) scalar rows; giant identical-image clusters make
+    * hot band keys — the same quadratic-bucket caveat (and capBuckets
+    * remedy) as every LSH path in this library.
+    */
+  def perceptualNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = hashes.withColumn("band_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_v", expr("shiftright(dhash, 15 * band_i) & 32767"))
+    val ham = bit_count(col("p.a.dhash").bitwiseXOR(col("p.b.dhash")))
+    banded.groupBy(col("band_i"), col("band_v"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("dhash")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(Dedup.unorderedPairs(col("xs"))).as("p"))
+      .filter(ham <= maxHamming)
+      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+              ham.cast("int").as("hamming"))
+      .distinct()
   }
 }

@@ -476,15 +476,96 @@ object PipelineQueries {
       |     unnest(range(0, least(8, octet_length(encode(text)) // 64))) AS t(i)
       |ORDER BY doc_id, frame_i""".stripMargin
 
-  /** Decode stub through the real mapPartitions plumbing; exploded to
-    * scalar (doc_id, feature_i, value) rows. No SQL oracle — the byte
-    * histogram is not SQL-expressible; the driver's rows-only check
-    * applies, and MultimodalSpec pins the values.
+  /** REAL decode: render each document's self-describing P6 raster
+    * (header + packed RGB), then parse it back byte-by-byte in the
+    * mapPartitions decode boundary and emit exact integer image stats
+    * + the 60-bit dHash. Full differential oracle: DuckDB re-derives
+    * width/height/row-sums/total/dHash from the generator formula
+    * alone, so any drift in the encoder, the header parser, the pixel
+    * indexing, or the hash sampling breaks the cell-exact compare.
     */
   def multimodalDecode(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeStub(s, Multimodal.attachBinary(documents(s, d)))
-      .select(col("doc_id"), posexplode(col("features")).as(Seq("feature_i", "value")))
-      .orderBy(col("doc_id"), col("feature_i"))
+    Multimodal.decodeRaster(Multimodal.attachRaster(documents(s, d)))
+      .orderBy(col("doc_id"))
+
+  /** Shared SQL fragments for the raster oracles: the generator's
+    * per-doc constants and the pixel / grayscale formulas, inlined so
+    * DuckDB recomputes what the Scala decoder read from bytes.
+    */
+  private val rasterDocsCte =
+    """d AS (SELECT doc_id,
+      |             CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w,
+      |             CAST(48 + (doc_id % 5) * 16 AS BIGINT) AS h,
+      |             29 * (doc_id % 16) + ((doc_id // 80) % 2) AS base
+      |      FROM documents)""".stripMargin
+
+  private def pixSql(x: String, y: String, c: Int): String =
+    s"((7 * ($x) + 13 * ($y) + ${31 * c} + base) % 256)"
+
+  private def graySql(x: String, y: String): String =
+    s"((${pixSql(x, y, 0)} + ${pixSql(x, y, 1)} + ${pixSql(x, y, 2)}) // 3)"
+
+  /** Per-doc dHash CTE (expects `d` in scope): 11×6 point-sampled
+    * grayscale grid, bit j*10+i set iff brightness rises — the exact
+    * mirror of Multimodal.dHash, re-derived from the formula.
+    */
+  private val rasterDhashCte = {
+    val xi = "((i * w) // 11)"
+    val xn = "(((i + 1) * w) // 11)"
+    val yj = "((j * h) // 6)"
+    s"""dh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN ${graySql(xn, yj)} > ${graySql(xi, yj)}
+       |                       THEN CAST(1 AS BIGINT) << CAST(j * 10 + i AS INT)
+       |                       ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM d, unnest(range(0, 10)) ti(i), unnest(range(0, 6)) tj(j)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  val multimodalDecodeOracle: String =
+    s"""WITH $rasterDocsCte,
+       |r0 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(${pixSql("x", "0", 0)}) AS BIGINT) AS r0_sum_r,
+       |         CAST(sum(${pixSql("x", "0", 1)}) AS BIGINT) AS r0_sum_g,
+       |         CAST(sum(${pixSql("x", "0", 2)}) AS BIGINT) AS r0_sum_b
+       |  FROM d, unnest(range(0, w)) tx(x) GROUP BY doc_id),
+       |px AS (
+       |  SELECT doc_id,
+       |         CAST(sum(${pixSql("x", "y", 0)} + ${pixSql("x", "y", 1)}
+       |                  + ${pixSql("x", "y", 2)}) AS BIGINT) AS pix_sum
+       |  FROM d, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)
+       |  GROUP BY doc_id),
+       |$rasterDhashCte
+       |SELECT d.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       255 AS maxval, w * h * 3 AS n_pix_bytes,
+       |       r0_sum_r, r0_sum_g, r0_sum_b, pix_sum, dhash
+       |FROM d JOIN r0 USING (doc_id) JOIN px USING (doc_id) JOIN dh USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** p59: perceptual near-dup pairs over the decoded rasters — dHash
+    * banding + exact Hamming ≤ 3 (lossless by pigeonhole), verified
+    * against DuckDB's brute-force all-pairs scan of formula-derived
+    * hashes. The fixture corpus makes this non-trivial: docs sharing
+    * `doc_id % 160` render identical rasters (Hamming 0) and docs
+    * sharing `doc_id % 80` differ by a ±1 brightness jitter whose
+    * dHash drifts only where a sampled pixel straddles a mod-256 wrap.
+    */
+  def perceptualNearDup(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualNearDupPairs(
+        Multimodal.decodeRaster(Multimodal.attachRaster(documents(s, d)))
+          .select(col("doc_id"), col("dhash")),
+        maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+
+  val perceptualNearDupOracle: String =
+    s"""WITH $rasterDocsCte,
+       |$rasterDhashCte
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |FROM dh a JOIN dh b ON b.doc_id > a.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
 
   /** Regex redaction pass — the PII-scrub shape: per-row regexp
     * rewrite, no shuffle, scales with the scan. Patterns here are
@@ -579,6 +660,7 @@ object PipelineQueries {
     "p44_ivf_cell_stats"      -> (simIvfCellStats _),
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
+    "p59_perceptual_neardup"  -> (perceptualNearDup _),
     "p16_approx_stats"        -> (Sketches.approxStats _),
     "p17_redact"              -> (redact _),
     "p18_hash_sample"         -> (hashSample _),
@@ -606,8 +688,8 @@ object PipelineQueries {
     "p41_sim_ivf_stored"      -> simIvfOracle,
     "p44_ivf_cell_stats"      -> simIvfCellStatsOracle,
     "p14_frame_sample"        -> frameSampleOracle,
-    // p15_multimodal_decode: no oracle (mapPartitions decode stub is not
-    // SQL-expressible) — rows-only check.
+    "p15_multimodal_decode"   -> multimodalDecodeOracle,
+    "p59_perceptual_neardup"  -> perceptualNearDupOracle,
     // p16_approx_stats: no oracle (HLL++/percentile_approx estimates are
     // algorithm-specific; DuckDB's sketches differ) — rows-only check;
     // SketchesSpec pins the error envelope against exact twins.

@@ -28,8 +28,10 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("rows-only queries (no oracle) are the documented exceptions only") {
+    // p15 left this set in round 7: the raster decode carries a full
+    // differential oracle now that the payload format is self-describing.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("p15_multimodal_decode", "p16_approx_stats",
+    assert(noOracle === Set("p16_approx_stats",
       "q61_sliding_distinct_hll", "p39_weighted_sample",
       "p42_weighted_sample_by", "p56_pq_trained"))
   }

@@ -19,18 +19,57 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r(2).getAs[String]("codec") === "fake/0")
   }
 
-  test("decode stub: fixed feature dim, L1-normalized, deterministic") {
-    val f1 = Multimodal.decodeStub(spark, Multimodal.attachBinary(docs))
+  test("raster decode: every output re-derived from the generator formula") {
+    // p15 invariant: decodeRaster reads BYTES (header parse + pixel
+    // indexing); recompute every stat independently from the pixel
+    // formula on the driver and require cell equality.
+    val got = Multimodal.decodeRaster(Multimodal.attachRaster(docs))
       .orderBy($"doc_id").collect()
-    val f2 = Multimodal.decodeStub(spark, Multimodal.attachBinary(docs))
-      .orderBy($"doc_id").collect()
-    assert(f1.length === 3)
-    f1.foreach { r =>
-      val feats = r.getSeq[Float](1)
-      assert(feats.length === Multimodal.FeatureDim)
-      assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+    assert(got.length === 3)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.rasterDims(id)
+      val base = Multimodal.rasterBase(id)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === 255)
+      assert(r.getLong(4) === w.toLong * h * 3)
+      for (c <- 0 to 2)
+        assert(r.getLong(5 + c) ===
+          (0 until w).map(x => Multimodal.pixel(base, x, 0, c).toLong).sum,
+          s"doc $id row-0 channel $c sum")
+      val expectedPixSum = (for { y <- 0 until h; x <- 0 until w; c <- 0 to 2 }
+        yield Multimodal.pixel(base, x, y, c).toLong).sum
+      assert(r.getLong(8) === expectedPixSum, s"doc $id pix_sum")
+      // dHash from first principles: 11×6 point-sampled grayscale grid
+      var expectedHash = 0L
+      def g(x: Int, y: Int): Int =
+        (0 to 2).map(Multimodal.pixel(base, x, y, _)).sum / 3
+      for (j <- 0 until 6; i <- 0 until 10)
+        if (g((i + 1) * w / 11, j * h / 6) > g(i * w / 11, j * h / 6))
+          expectedHash |= 1L << (j * 10 + i)
+      assert(r.getLong(9) === expectedHash, s"doc $id dhash")
+      assert(expectedHash >= 0L, "dHash must never touch the sign bit")
     }
-    assert(f1.map(_.getSeq[Float](1)) === f2.map(_.getSeq[Float](1)))
+  }
+
+  test("raster decode survives netpbm comments and rejects corrupt payloads") {
+    val good = Multimodal.rasterBytes(5L)
+    // splice a #-comment into the header — a legal netpbm variation the
+    // parser must skip (proves this is a real parser, not a fixed-offset
+    // slice of our own generator's layout)
+    val headerEnd = good.indexOfSlice("255\n".getBytes("US-ASCII"))
+    val commented = good.take(2) ++ "\n# fixture camera\n".getBytes("US-ASCII") ++
+      good.slice(2, good.length)
+    val df = Seq((5L, commented)).toDF("doc_id", "payload")
+    val parsed = Multimodal.decodeRaster(df).collect()(0)
+    val plain = Multimodal.decodeRaster(Seq((5L, good)).toDF("doc_id", "payload"))
+      .collect()(0)
+    assert(parsed.toSeq === plain.toSeq, "comment changed the decode")
+    // truncated pixel block must fail loudly with the doc id
+    val torn = good.dropRight(7)
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeRaster(Seq((5L, torn)).toDF("doc_id", "payload")).collect()
+    }
+    assert(err.getMessage.contains("doc 5") || err.getCause != null)
   }
 
   test("frame sampling slices payload windows") {
@@ -73,24 +112,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("decode-stub features equal the exact per-bin byte histogram of the payload") {
-    // p15 invariant: the "decoded" vector is the L1-normalized 16-bin
-    // histogram of the payload BYTES — recompute it independently on the
-    // driver and require bit-equality bin by bin (counts are exact in
-    // float32 far below 2^24, and the normalizing division is the same
-    // single IEEE op, so no tolerance is needed).
-    val bin = Multimodal.attachBinary(
-      graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50))
-    val feats = Multimodal.decodeStub(spark, bin).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val payloads = bin.select($"doc_id", $"payload").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
-    assert(feats.keySet === payloads.keySet, "row drop or duplication in decode")
-    payloads.foreach { case (id, bytes) =>
-      val hist = new Array[Float](Multimodal.FeatureDim)
-      bytes.foreach(b => hist((b & 0xff) % Multimodal.FeatureDim) += 1f)
-      val total = math.max(1f, bytes.length.toFloat)
-      assert(feats(id) === hist.map(_ / total).toSeq, s"doc $id histogram mismatch")
-    }
+  test("perceptual near-dup: banded pairs equal brute force, and the fixture has real near-dups") {
+    // docs sharing doc_id % 160 render identical rasters (Hamming 0);
+    // docs sharing doc_id % 80 differ by the ±1 brightness jitter —
+    // drifting only where a sampled pixel straddles a mod-256 wrap
+    val ids = ((0L until 400L by 7L) ++ Seq(1L, 81L, 161L, 241L, 321L)).distinct // jitter chain
+    val docsDf = ids.map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val hashes = Multimodal.decodeRaster(Multimodal.attachRaster(docsDf))
+      .select($"doc_id", $"dhash")
+    val got = Multimodal.perceptualNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force on the driver
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(got === brute, "banding lost or invented pairs vs brute force")
+    // identical-raster pairs exist and land at Hamming 0
+    assert(brute.exists { case (a, b, ham) => ham === 0 && (b - a) % 160 === 0 })
+    assert(brute.nonEmpty)
   }
 }
