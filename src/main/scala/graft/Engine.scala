@@ -49,6 +49,16 @@ object Engine {
   def dedupClustersLogN(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     Dedup.dedupClustersLogN(docs, id, pairs)
 
+  /** Corpus-wide duplicated-span extraction over (doc_id, text) —
+    * maximal token intervals whose 10-token windows repeat anywhere in
+    * the corpus. The default hashes windows with xxhash64 (8-byte
+    * shuffle rows — the at-scale choice); pass `oracleHash = true` for
+    * the md5 form the DuckDB oracle replays (identical output absent
+    * 64-bit window-hash collisions).
+    */
+  def duplicatedSpans(docs: DataFrame, oracleHash: Boolean = false): DataFrame =
+    if (oracleHash) Pipeline5.dupSpansOf(docs) else Pipeline5.dupSpansOfXx(docs)
+
   /** Incremental corpus refresh: rows of `incoming` whose exact text
     * fingerprint is absent from `base`, deduplicated within the batch
     * (lowest id wins). The anti-join shape of Pipeline5

@@ -410,13 +410,31 @@ object Pipeline5 {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     dupSpansOf(documents(s, d))
 
-  def dupSpansOf(docs: DataFrame): DataFrame = {
+  /** Oracle-replayable form: md5 window hash (see scaladoc above). */
+  def dupSpansOf(docs: DataFrame): DataFrame =
+    dupSpansImpl(docs, "md5(array_join(slice(w, i + 1, %d), ' '))")
+
+  /** The documented at-scale twin: xxhash64 window hash, so the
+    * corpus-sized window shuffle carries 8-byte longs instead of
+    * 32-char md5 strings (~4× narrower rows through the one big
+    * exchange). Plan shape identical to [[dupSpansOf]]; output
+    * identical on any corpus free of cross-text window-hash collisions
+    * (DedupSpec pins equality on real data — a 64-bit collision inside
+    * one corpus' repeated-window set is a ~2⁻⁶⁴-per-pair event, the
+    * standard fingerprint-dedup wager, p02 precedent). Not the oracle
+    * form only because DuckDB has no xxhash64 to replay.
+    */
+  def dupSpansOfXx(docs: DataFrame): DataFrame =
+    dupSpansImpl(docs, "xxhash64(array_join(slice(w, i + 1, %d), ' '))")
+
+  private def dupSpansImpl(docs: DataFrame, winHashFmt: String): DataFrame = {
+    val winHash = winHashFmt.format(SpanW)
     val wins = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= SpanW)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $SpanW), " +
-          s"i -> struct(i AS i, md5(array_join(slice(w, i + 1, $SpanW), ' ')) AS h))"))
+          s"i -> struct(i AS i, $winHash AS h))"))
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h"))
       .localCheckpoint(eager = false)

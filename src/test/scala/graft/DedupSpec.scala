@@ -121,6 +121,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"got ${got.toSeq}")
   }
 
+  test("dupSpans: the xxhash64 scale variant emits identical spans to the md5 oracle form") {
+    import graft.operators.Pipeline5
+    // real corpus — on any collision-free input the two hashes induce
+    // the same repeated-window set, hence bit-identical span output
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val md5Spans = Pipeline5.dupSpansOf(docs).collect().map(_.toSeq)
+    val xxSpans = Pipeline5.dupSpansOfXx(docs).collect().map(_.toSeq)
+    assert(md5Spans.nonEmpty, "fixture corpus has no duplicated spans to compare")
+    assert(xxSpans.toSeq === md5Spans.toSeq, "hash choice changed the span output")
+  }
+
   test("span family coherence: p52's coverage and p54's cuts agree with p51's spans") {
     import graft.operators.Pipeline5
     val dir = "/root/testdata/sf0.001"
