@@ -100,13 +100,30 @@ object Pipeline6 {
     * distinct docs per query term).
     */
   private def bm25FromPostings(tf: DataFrame, stats: DataFrame,
-                               terms: Seq[String] = QTerms): DataFrame = {
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+                               terms: Seq[String] = QTerms,
+                               dfViaWindow: Boolean = false): DataFrame = {
     val avgdl = col("sdl").cast("double") / col("n")
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * ((col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + (lit(B) * col("dl")) / avgdl)))
-    val scored = tf.join(broadcast(df), "term")
+    // df (docs per term) attaches one of two plan-equivalent ways — the
+    // per-row numbers are identical, so the float fold cannot drift:
+    //  - scan path: aggregate + broadcast join. tf sits on its groupBy
+    //    exchange, so the df subtree REUSES it — the corpus tokenize
+    //    runs once.
+    //  - stored path (dfViaWindow): count() over a term window. The
+    //    bucketed scan is already hash-partitioned by term, so the
+    //    window is a local sort — and crucially there is no second
+    //    subtree, so the bucket-pruned FILE SCAN RUNS ONCE. With the
+    //    join form the stored path scanned its pruned buckets twice
+    //    (no exchange to reuse below a bucketed scan) — measured at 2×
+    //    probe bytes by tools/ScaleProbe before this split.
+    val withDf =
+      if (dfViaWindow)
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      else
+        tf.join(broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df"))), "term")
+    val scored = withDf
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), contrib.as("contrib"))
     val termSums = terms.zipWithIndex.map { case (t, i) =>
@@ -234,7 +251,8 @@ object Pipeline6 {
                      terms: Seq[String] = QTerms): DataFrame = {
     val q = terms.distinct.sorted
     val tf = spark.table(table).filter(col("term").isin(q: _*))
-    val scores = bm25FromPostings(tf, foldedStats(spark, table), q)
+    val scores = bm25FromPostings(tf, foldedStats(spark, table), q,
+      dfViaWindow = true)
     topNRanked(scores, Seq(col("score").desc, col("doc_id")), k, "rnk")
       .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rnk"))
       .orderBy(col("rnk"))

@@ -156,6 +156,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // keeps the positions array out of the BM25 scan entirely
     assert(!p.contains("positions"),
       "BM25 posting scan reads the positions column it never uses")
+    // df comes from a window over the term-partitioned bucketed scan,
+    // so the pruned buckets are read ONCE (the join form scanned them
+    // twice — ScaleProbe measured 2× probe bytes): exactly one FileScan
+    // of the posting table (the second "graft_postings" scan is the
+    // 1-row _stats table), and no exchange inserted for the window
+    // (anchor on the output column list — the [term#… scan is the
+    // posting table; the stats table's list starts [n#…)
+    val postingScans = "Scan parquet [^\\n\\[]*\\[term#".r.findAllIn(p).size
+    assert(postingScans === 1,
+      s"expected exactly 1 posting-table scan, saw $postingScans")
+    assert("Exchange hashpartitioning\\(term".r.findFirstIn(p).isEmpty,
+      "term window gained a shuffle — bucketed scan partitioning not used")
   }
 
   test("p58: the stored phrase scan bucket-prunes and reads positions only") {
