@@ -36,4 +36,33 @@ object Bucketed {
   def coBucketedJoin(spark: SparkSession, left: String, right: String,
                      key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Compact a bucketed table to ONE file per bucket. A write from an
+    * m-task frame leaves up to m×n sliver files (each task writes every
+    * bucket it holds rows for) and streamed ingest batches append more
+    * — `tools.ScaleProbe` measured the per-file footer reads of a
+    * 256-sliver posting store inflating probe bytes well past the
+    * pruned-bucket fraction. Repartitioning to n partitions ON THE
+    * BUCKET COLUMN aligns task boundaries with bucket boundaries (the
+    * repartition hash and the bucket-layout hash are the same
+    * murmur3-pmod), so the rewrite emits exactly one file per bucket —
+    * and the bucket spec, and with it every pruning/co-location
+    * property, is re-declared identically.
+    *
+    * Rewrite-then-swap, not in-place: Spark refuses to overwrite a
+    * table from its own scan, and readers keep the old layout until
+    * the swap. A crash between the drop and the rename leaves
+    * `<table>__compact` complete on disk and `table` absent — re-run
+    * recovery is one `ALTER TABLE RENAME`, and the source table is
+    * untouched until its replacement is fully written.
+    */
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+                      n: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writeBucketed(spark.table(table).repartition(n, col(key)), tmp, key, n)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }

@@ -76,6 +76,7 @@ object ScaleProbe {
     Pipeline6.ivfPqWrite(cents, cb, emb, s"$pqPath.raw")
     graft.sources.Maintenance.compactPartitioned(spark, s"$pqPath.raw", pqPath, "cell")
     Pipeline6.postingsWrite(docs, lexTable, nBuckets = 8)
+    graft.sources.Bucketed.compactBucketed(spark, lexTable, "term", 8)
 
     def dirStats(p: String): (Long, Long) = {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

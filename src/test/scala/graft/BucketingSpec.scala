@@ -78,4 +78,41 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_base_fp")
     }
   }
+
+  test("compactBucketed: one file per bucket, identical rows, pruning and co-location intact") {
+    val nBuckets = 4
+    // a deliberately sliver-heavy write: 8 input partitions × 4 buckets
+    val rows = (0L until 2000L).map(i => (s"k$i", i))
+    Bucketed.writeBucketed(
+      rows.toDF("k", "v").repartition(8), "graft_bkt_compact", "k", nBuckets)
+    try {
+      def files(): Seq[java.io.File] = {
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          "graft_bkt_compact")
+        loc.listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+      }
+      assert(files().size > nBuckets, "fixture failed to produce sliver files")
+      val before = spark.table("graft_bkt_compact").collect().map(_.toSeq).toSet
+
+      Bucketed.compactBucketed(spark, "graft_bkt_compact", "k", nBuckets)
+
+      assert(files().size === nBuckets,
+        s"expected exactly $nBuckets files after compaction, got ${files().size}")
+      val after = spark.table("graft_bkt_compact").collect().map(_.toSeq).toSet
+      assert(after === before, "compaction changed the table contents")
+      // bucket pruning survives: an equality probe on the bucket key
+      // selects 1 of nBuckets
+      val probe = spark.table("graft_bkt_compact").filter(col("k") === "k42")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+      assert(m.isDefined && m.get.group(1).toInt === 1
+        && m.get.group(2).toInt === nBuckets,
+        "bucket pruning lost after compaction")
+      assert(probe.count() === 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_compact")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_compact__compact")
+    }
+  }
 }
