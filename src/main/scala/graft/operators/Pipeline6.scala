@@ -774,11 +774,41 @@ object Pipeline6 {
     * [[pqCodebook]]'s density guard, so the inner joins drop nothing.
     */
   private def adcJoinLut(lut: DataFrame, cands: DataFrame, m: Int): DataFrame = {
+    // ONE broadcast, m probes: every join broadcasts the SAME unfiltered
+    // LUT frame keyed on (s, code[, qid]), with the subspace selected by
+    // an equi-key against a literal column on the probe side — NOT by a
+    // filter on the build side, which Catalyst would push below the
+    // exchange and thereby split it into m distinct broadcasts (the
+    // first cut of this path did exactly that, and each broadcast build
+    // re-ran the LUT subtree including its parquet scan of the query
+    // vectors: BenchOne measured 3× the warm latency of the fused form).
+    // Identical build subtrees canonicalize equal, so ReuseExchange
+    // collapses the m builds into one — pinned in PlanSpec.
+    // the (s, code) pair joins as ONE fused integer key, s·2²⁰ + code:
+    // the probe side's s is a literal FUSED INTO an expression over its
+    // code attribute, so constant folding cannot strip it into a
+    // build-side-only filter (a bare literal equi-key folds and gets
+    // pushed below the exchange, splitting it back into m distinct
+    // broadcasts whose builds each re-run the LUT subtree INCLUDING its
+    // scan of the query vectors — the first cut of this path planned 10
+    // file scans where the fused form plans 3, measured via the
+    // executed plan's final section; ReusedExchange pinned in PlanSpec).
+    // qid stays in the join KEYS (not a post-join filter) wherever the
+    // probe carries it: with thousands of queries a code-only key would
+    // match every query's LUT row per candidate before filtering.
     val joined = (0 until m).foldLeft(cands) { (df, s) =>
-      val l = lut.filter(col("s") === s)
-        .select(col("qid"), col("code").as(s"c$s"), col("pd").as(s"__pd$s"))
-      val keys = if (df.columns.contains("qid")) Seq("qid", s"c$s") else Seq(s"c$s")
-      df.join(broadcast(l), keys)
+      // toDF mints fresh attribute ids per iteration (a plain reuse of
+      // `lut` would self-join-conflict after the first round)
+      val l = lut.toDF("qid", "s", "code", "pd")
+      val buildKey = l("s") * lit(1 << 20) + l("code")
+      val probeKey = lit(s.toLong * (1 << 20)) + df(s"c$s")
+      val cond0 = buildKey === probeKey
+      val cond = if (df.columns.contains("qid")) cond0 && l("qid") === df("qid")
+                 else cond0
+      val j = df.join(broadcast(l), cond).drop(l("s")).drop(l("code"))
+      val keepQid = if (df.columns.contains("qid")) j.drop(l("qid"))
+                    else j // first p48 join: the LUT's qid IS the fan-out
+      keepQid.withColumn(s"__pd$s", l("pd")).drop(l("pd"))
     }
     val adc = (0 until m).map(s => col(s"__pd$s")).reduceLeft(_ + _)
     joined.select(col("qid"), col("cid"), adc.as("adc"))

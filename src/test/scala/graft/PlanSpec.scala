@@ -143,6 +143,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj >= 4, s"expected >=4 LUT broadcast joins (one per subspace), saw $bhj")
     assert(!p.contains("SortMergeJoin"), "a LUT join degraded to sort-merge")
+    // the m subspace joins share ONE broadcast of the unfiltered LUT
+    // frame (fused s·2²⁰+code key): runtime reuse must collapse the
+    // builds — only the executed (final) plan shows ReusedExchange
+    val df = SparkEntry.queries("p48_pq_adc")(spark, dir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("\\+\\- == Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(executed).size >= 2,
+      "LUT broadcast no longer reused across subspace joins")
   }
 
   test("p50: the posting scan prunes buckets to the query terms' hashes") {
