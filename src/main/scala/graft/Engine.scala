@@ -318,6 +318,18 @@ object Engine {
                 org.apache.spark.sql.functions.col("dhash")),
       maxHamming)
 
+  /** Canonical labels for perceptual image duplicates: the pair graph
+    * above resolved with the O(log n) contraction — decode → dHash →
+    * pairs → components, the image twin of the text dedup pipeline.
+    */
+  def perceptualClusters(withRaster: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val decoded = Multimodal.decodeRaster(withRaster)
+    Dedup.dedupClustersLogN(decoded, "doc_id",
+      Multimodal.perceptualNearDupPairs(
+        decoded.select(col("doc_id"), col("dhash")), maxHamming))
+  }
+
   // ---- streaming ----
 
   val streams: graft.streaming.StreamingOps.type = graft.streaming.StreamingOps

@@ -567,6 +567,42 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  /** p60: perceptual image dedup CLUSTERS — p59's dHash pair graph
+    * resolved to canonical labels with the O(log n) large-star/
+    * small-star contraction (the p33 machinery, unchanged). This
+    * closes the multimodal dedup loop decode → perceptual signature →
+    * near-dup pairs → connected components → canonical keep, the exact
+    * composition the text side ships as p04/p05 → p20/p33. The oracle
+    * replays the pair graph from the pixel formula and resolves
+    * components by a recursive transitive closure (p20's oracle
+    * device) — both engines must produce the identical labeling.
+    */
+  def perceptualClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.dedupClustersLogN(docs, "doc_id",
+        Multimodal.perceptualNearDupPairs(
+          Multimodal.decodeRaster(Multimodal.attachRaster(docs))
+            .select(col("doc_id"), col("dhash")),
+          maxHamming = 3))
+      .orderBy(col("doc_id"))
+  }
+
+  val perceptualClustersOracle: String =
+    s"""WITH RECURSIVE $rasterDocsCte,
+       |$rasterDhashCte,
+       |prs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM dh a JOIN dh b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
+       |SELECT d0.doc_id,
+       |       CAST(coalesce(least(c.doc_id, c.mn), d0.doc_id) AS BIGINT) AS canonical
+       |FROM documents d0 LEFT JOIN comp c ON d0.doc_id = c.doc_id
+       |ORDER BY d0.doc_id""".stripMargin
+
   /** Regex redaction pass — the PII-scrub shape: per-row regexp
     * rewrite, no shuffle, scales with the scan. Patterns here are
     * email/phone/long-digit-run stand-ins.
@@ -661,6 +697,7 @@ object PipelineQueries {
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
     "p59_perceptual_neardup"  -> (perceptualNearDup _),
+    "p60_perceptual_clusters" -> (perceptualClusters _),
     "p16_approx_stats"        -> (Sketches.approxStats _),
     "p17_redact"              -> (redact _),
     "p18_hash_sample"         -> (hashSample _),
@@ -690,6 +727,7 @@ object PipelineQueries {
     "p14_frame_sample"        -> frameSampleOracle,
     "p15_multimodal_decode"   -> multimodalDecodeOracle,
     "p59_perceptual_neardup"  -> perceptualNearDupOracle,
+    "p60_perceptual_clusters" -> perceptualClustersOracle,
     // p16_approx_stats: no oracle (HLL++/percentile_approx estimates are
     // algorithm-specific; DuckDB's sketches differ) — rows-only check;
     // SketchesSpec pins the error envelope against exact twins.
