@@ -49,6 +49,13 @@ object Engine {
   def dedupClustersLogN(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     Dedup.dedupClustersLogN(docs, id, pairs)
 
+  /** Id pairs whose key strings are within ONE edit — deletion-
+    * neighborhood (FastSS) blocking, exact Levenshtein verify; the
+    * typo-radius dedup for short structured keys (titles, URLs, ids).
+    */
+  def fuzzyNearDups(df: DataFrame, id: String, key: String): DataFrame =
+    Dedup.fuzzyKeyPairs(df, id, key)
+
   /** Corpus-wide duplicated-span extraction over (doc_id, text) —
     * maximal token intervals whose 10-token windows repeat anywhere in
     * the corpus. The default hashes windows with xxhash64 (8-byte

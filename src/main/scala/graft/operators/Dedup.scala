@@ -396,6 +396,47 @@ object Dedup {
               coalesce(col("canonical"), col("doc_id")).as("canonical"))
   }
 
+  /** Near-duplicate id pairs whose KEY strings are within Levenshtein
+    * distance 1, via deletion-neighborhood blocking (FastSS): each key
+    * emits itself plus its |k| single-character deletions, and any two
+    * keys at distance ≤ 1 provably share a variant — equal keys share
+    * the key itself, a substitution at position i shares the
+    * i-deletion, an insertion/deletion shares the shorter key — so the
+    * variant-bucket join is LOSSLESS blocking and the final exact
+    * `levenshtein` filter only removes false candidates. The fuzzy-key
+    * twin of the MinHash/SimHash paths for short structured keys
+    * (titles, URLs, product ids) where one typo defeats exact dedup.
+    *
+    * Scale: shuffle is O(rows × (|k|+1)) short-string rows; pair
+    * emission is the bucket groupBy device (no self-join, no O(n²)).
+    * Hot buckets mean many keys one deletion apart — the usual LSH
+    * degenerate-bucket caveat applies. Blocking is specific to
+    * distance 1 (distance-d FastSS needs d-deletion neighborhoods),
+    * which is why the radius is not a parameter.
+    */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val vars = rebalance(df)
+      .select(col(idCol).as("doc_id"), col(keyCol).as("k"))
+      .select(col("doc_id"), col("k"), explode(expr(
+        // i = 0 keeps the key itself; i >= 1 deletes character i.
+        // distinct guards keys with repeated adjacent characters, whose
+        // i- and (i+1)-deletions coincide and would duplicate the doc
+        // inside its bucket (emitting self-pairs).
+        "array_distinct(transform(sequence(0, length(k)), i -> " +
+          "CASE WHEN i = 0 THEN k " +
+          "ELSE concat(substring(k, 1, i - 1), substring(k, i + 1)) END))"))
+        .as("v"))
+    val lev = levenshtein(col("p.a.k"), col("p.b.k"))
+    vars.groupBy(col("v"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("k")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(unorderedPairs(col("xs"))).as("p"))
+      .filter(lev <= 1)
+      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+              lev.cast("int").as("lev"))
+      .distinct()
+  }
+
   /** Number of simhash bits (60 = 15 hex chars of md5, fits a signed
     * long in every engine — deliberately under 64 so the oracle can use
     * a plain BIGINT hex cast).

@@ -567,6 +567,28 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  /** p61: fuzzy-key near-dup — document pairs whose 12-char text
+    * prefix is within ONE edit (typo radius), found by deletion-
+    * neighborhood (FastSS) blocking + exact Levenshtein verification.
+    * The oracle is the BRUTE-FORCE all-pairs Levenshtein join — it
+    * shares no blocking logic with the engine, so it independently
+    * proves the deletion-neighborhood cover is lossless at distance 1.
+    */
+  def fuzzyNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyKeyPairs(
+        documents(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 12).as("k")),
+        "doc_id", "k")
+      .orderBy(col("d1"), col("d2"))
+
+  val fuzzyNearDupOracle: String =
+    """WITH k AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |       CAST(levenshtein(a.k, b.k) AS INTEGER) AS lev
+      |FROM k a JOIN k b ON b.doc_id > a.doc_id
+      |WHERE levenshtein(a.k, b.k) <= 1
+      |ORDER BY d1, d2""".stripMargin
+
   /** p60: perceptual image dedup CLUSTERS — p59's dHash pair graph
     * resolved to canonical labels with the O(log n) large-star/
     * small-star contraction (the p33 machinery, unchanged). This
@@ -698,6 +720,7 @@ object PipelineQueries {
     "p15_multimodal_decode"   -> (multimodalDecode _),
     "p59_perceptual_neardup"  -> (perceptualNearDup _),
     "p60_perceptual_clusters" -> (perceptualClusters _),
+    "p61_fuzzy_neardup"       -> (fuzzyNearDup _),
     "p16_approx_stats"        -> (Sketches.approxStats _),
     "p17_redact"              -> (redact _),
     "p18_hash_sample"         -> (hashSample _),
@@ -728,6 +751,7 @@ object PipelineQueries {
     "p15_multimodal_decode"   -> multimodalDecodeOracle,
     "p59_perceptual_neardup"  -> perceptualNearDupOracle,
     "p60_perceptual_clusters" -> perceptualClustersOracle,
+    "p61_fuzzy_neardup"       -> fuzzyNearDupOracle,
     // p16_approx_stats: no oracle (HLL++/percentile_approx estimates are
     // algorithm-specific; DuckDB's sketches differ) — rows-only check;
     // SketchesSpec pins the error envelope against exact twins.

@@ -121,6 +121,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"got ${got.toSeq}")
   }
 
+  test("fuzzyKeyPairs: exactly the Levenshtein<=1 pairs, including every edit kind") {
+    import graft.operators.Dedup
+    val rows = Seq(
+      (1L, "spark query"),  // base
+      (2L, "spark query"),  // equal             -> lev 0
+      (3L, "spork query"),  // substitution      -> lev 1
+      (4L, "spark querys"), // insertion at end  -> lev 1
+      (5L, "spak query"),   // deletion          -> lev 1
+      (6L, "sparq kuery"),  // two edits         -> excluded
+      (7L, "aab"),          // repeated-adjacent chars: dup deletion variants
+      (8L, "ab"),           // lev 1 from 7
+      (9L, "zzzzzz")        // isolated
+    ).toDF("doc_id", "k")
+    val got = Dedup.fuzzyKeyPairs(rows, "doc_id", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver-side brute force over the same keys
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val keys = rows.collect().map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (a, ka) <- keys; (b, kb) <- keys if a < b
+      l = lev(ka, kb) if l <= 1
+    } yield (a, b, l)).toSet
+    assert(got === brute, "blocking lost or invented pairs vs brute force")
+    assert(brute.contains((1L, 3L, 1)) && brute.contains((1L, 4L, 1)) &&
+      brute.contains((1L, 5L, 1)) && brute.contains((1L, 2L, 0)) &&
+      brute.contains((7L, 8L, 1)) && !brute.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(!got.exists(p => p._1 == p._2), "self-pair leaked from dup variants")
+  }
+
   test("dupSpans: the xxhash64 scale variant emits identical spans to the md5 oracle form") {
     import graft.operators.Pipeline5
     // real corpus — on any collision-free input the two hashes induce
