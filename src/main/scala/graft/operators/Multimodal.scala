@@ -189,8 +189,7 @@ object Multimodal {
     hash
   }
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
+  private val decodedFields = Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("maxval", IntegerType, nullable = false),
@@ -199,7 +198,7 @@ object Multimodal {
     StructField("r0_sum_g", LongType, nullable = false),
     StructField("r0_sum_b", LongType, nullable = false),
     StructField("pix_sum", LongType, nullable = false),
-    StructField("dhash", LongType, nullable = false)))
+    StructField("dhash", LongType, nullable = false))
 
   /** REAL decode kernel: parse each P6 payload — magic, header ints
     * (with netpbm comment/whitespace handling), pixel block — and emit
@@ -211,10 +210,21 @@ object Multimodal {
     * re-derives every value from the generator formula — the decoder
     * is verified against the bytes, not against itself.
     */
-  def decodeRaster(withRaster: DataFrame): DataFrame = {
-    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
-    withRaster.select(col("doc_id"), col("payload"))
-      .mapPartitions(rows => rows.map { r =>
+  def decodeRaster(withRaster: DataFrame): DataFrame =
+    decodeRasterKeeping(withRaster, Nil)
+
+  /** [[decodeRaster]] with passthrough columns — `keep` columns ride
+    * along unchanged (e.g. the event-time column a streaming caller
+    * needs for its watermark downstream of the decode boundary).
+    */
+  def decodeRasterKeeping(withRaster: DataFrame, keep: Seq[String]): DataFrame = {
+    val keepFields = keep.map(n => withRaster.schema(n))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: keepFields ++: decodedFields)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val in = withRaster.select(
+      col("doc_id") +: col("payload") +: keep.map(col): _*)
+    in.mapPartitions(rows => rows.map { r =>
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]](1)
         require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 raster")
@@ -235,8 +245,11 @@ object Multimodal {
           while (c < 3) { r0(c) += (b(off + x * 3 + c) & 0xff); c += 1 }
           x += 1
         }
-        Row(id, w, h, maxval, nPix.toLong, r0(0), r0(1), r0(2), pixSum,
-            dHash(b, off, w, h))
+        // Seq[Any] everywhere: a mixed Int/Long Seq would numerically
+        // widen the Ints to Long and break the encoder's INT fields
+        Row.fromSeq(Seq[Any](id) ++ keep.indices.map(k => r.get(2 + k)) ++
+          Seq[Any](w, h, maxval, nPix.toLong, r0(0), r0(1), r0(2), pixSum,
+              dHash(b, off, w, h)))
       })(encoder)
   }
 

@@ -70,6 +70,24 @@ object StreamingOps {
       .withWatermark(tsCol, "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming perceptual image dedup — the unbounded form of the
+    * batch p59/p60 pipeline's exact-signature core: decode each
+    * micro-batch's rasters in the same mapPartitions codec boundary
+    * the batch path uses ([[graft.operators.Multimodal
+    * .decodeRasterKeeping]], event-time riding through as a
+    * passthrough column), then keep the FIRST image per 60-bit dHash
+    * with watermark-bounded state. Exact-signature dedup only: a
+    * Hamming-radius gate would need cross-row candidate state per
+    * band, which is the batch pair path's job ([[graft.operators
+    * .Multimodal.perceptualNearDupPairs]] over a compacted store) —
+    * run it as the periodic compaction-time sweep behind this gate,
+    * the same split as streaming exact text dedup vs batch MinHash.
+    */
+  def perceptualDedupStream(withRaster: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Multimodal.decodeRasterKeeping(withRaster, Seq(tsCol))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("dhash")
+
   /** Stream-stream interval join — the unbounded form of the batch
     * as-of/range joins (q32/q33): each click joined to same-user
     * purchases at most 1 hour older. Both sides carry watermarks so

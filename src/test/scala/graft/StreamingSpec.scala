@@ -99,6 +99,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  case class RasterDoc(doc_id: Long, payload: Array[Byte], ts: Timestamp)
+
+  test("streaming perceptual dedup: first image per dHash survives, decode runs in-stream") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RasterDoc]
+    val q = StreamingOps.perceptualDedupStream(ms.toDF(), "ts")
+      .writeStream.format("memory").queryName("pdedup").outputMode("append")
+      .start()
+    try {
+      // 0 and 160 render IDENTICAL rasters (same dims/scene/jitter);
+      // 1 is a different scene; 81 is 1's jitter twin whose brightness
+      // shift flips 2 sampled wrap bits -> dHash differs -> admitted
+      // (the gate is exact-signature; radius dedup is the batch path)
+      ms.addData(Seq(
+        RasterDoc(0L, Multimodal.rasterBytes(0L), ts("00:10")),
+        RasterDoc(160L, Multimodal.rasterBytes(160L), ts("00:20")),
+        RasterDoc(1L, Multimodal.rasterBytes(1L), ts("00:30"))))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        RasterDoc(320L, Multimodal.rasterBytes(320L), ts("00:40")), // dup of 0, 2nd batch
+        RasterDoc(81L, Multimodal.rasterBytes(81L), ts("00:50"))))
+      q.processAllAvailable()
+      val kept = spark.table("pdedup").select($"doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val h = (id: Long) => {
+        val b = Multimodal.rasterBytes(id)
+        val off = b.indexOfSlice("255\n".getBytes("US-ASCII")) + 4
+        val (w, hh) = Multimodal.rasterDims(id)
+        Multimodal.dHash(b, off, w, hh)
+      }
+      assert(h(0L) === h(160L) && h(0L) === h(320L), "fixture: 0/160/320 must collide")
+      assert(h(1L) !== h(81L), "fixture: jitter twin must differ in dHash")
+      assert(kept === Seq(0L, 1L, 81L),
+        s"expected first-per-hash {0,1,81}, got $kept")
+      // decoded stats flow through the stream alongside the dedup keys
+      val row0 = spark.table("pdedup").filter($"doc_id" === 0L).collect()(0)
+      assert(row0.getAs[Int]("width") === Multimodal.rasterDims(0L)._1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with recent purchases only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
