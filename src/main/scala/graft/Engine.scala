@@ -345,6 +345,13 @@ object Engine {
 
   def topkAgg(c: Column, k: Int): Column =
     org.apache.spark.sql.graftext.TopK.topk(c, k)
+
+  /** SpaceSaving approximate heavy hitters — capacity-bounded buffer
+    * BEFORE the shuffle; returns array<struct<term,cnt,err>> where cnt
+    * overestimates the true count by at most err.
+    */
+  def heavyHittersAgg(c: Column, capacity: Int): Column =
+    org.apache.spark.sql.graftext.HeavyHitters.heavyHitters(c, capacity)
   def vecDot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 

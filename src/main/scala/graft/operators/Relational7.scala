@@ -250,6 +250,11 @@ object Relational7 {
     // Rows-only (engine-specific HLL estimates — see Sketches scaladoc);
     // SketchesSpec pins the error envelope against exact q58.
     "q61_sliding_distinct_hll" -> (Sketches.slidingDistinctHll _),
+    // SpaceSaving approximate top terms: capacity-bounded BEFORE the
+    // shuffle, unlike the exact one-row-per-distinct-term twin.
+    // Rows-only (order-sensitive sketch); SketchesSpec pins the
+    // (cnt, err) bounds against exact counts.
+    "q62_heavy_hitters"    -> (Sketches.heavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(

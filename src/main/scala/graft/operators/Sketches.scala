@@ -48,6 +48,30 @@ object Sketches {
         percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"))
       .orderBy(col("l_returnflag"))
 
+  /** q62: approximate heavy hitters over the corpus vocabulary — the
+    * SpaceSaving sketch ([[org.apache.spark.sql.graftext.HeavyHitters]])
+    * with a 64-counter budget, cut to the top 15 terms with their
+    * (cnt, err) bars. The exact twin (p22/q36 shapes) must first
+    * aggregate one row per DISTINCT term; the sketch's buffer is
+    * capacity-bounded BEFORE the shuffle, so at 100 TB the reduce side
+    * sees capacity × partitions counters regardless of vocabulary
+    * size. Rows-only (order-sensitive sketch, q61 precedent);
+    * SketchesSpec pins the bounds against the exact counts and the
+    * top-rank set across repartitionings.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val hh = org.apache.spark.sql.graftext.HeavyHitters.heavyHitters(
+      col("term"), capacity = 64)
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(hh.as("sketch"))
+      .select(posexplode(col("sketch")).as(Seq("rank", "hit")))
+      .filter(col("rank") < 15)
+      .select(col("rank"), col("hit.term").as("term"),
+              col("hit.cnt").as("cnt"), col("hit.err").as("err"))
+      .orderBy(col("rank"))
+  }
+
   /** Sliding-window distinct users by HLL sketch — the corpus-scale
     * path q58's scaladoc promises (Relational7.scala): exact sliding
     * distinct is not decomposable, so the exact form expands every

@@ -32,7 +32,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // differential oracle now that the payload format is self-describing.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("p16_approx_stats",
-      "q61_sliding_distinct_hll", "p39_weighted_sample",
+      "q61_sliding_distinct_hll", "q62_heavy_hitters", "p39_weighted_sample",
       "p42_weighted_sample_by", "p56_pq_trained"))
   }
 

@@ -83,4 +83,45 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("heavy hitters: SpaceSaving bounds hold vs exact counts, top ranks repartition-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.HeavyHitters.heavyHitters
+    // Zipf-ish skew: term t_i appears ~N/i times, plus a long tail of
+    // singletons to force evictions at capacity 16
+    val rows = (1 to 20).flatMap(i => Seq.fill(400 / i)(s"t$i")) ++
+      (0 until 600).map(i => s"tail$i")
+    val df = rows.toDF("term")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def summary(d: org.apache.spark.sql.DataFrame) =
+      d.agg(heavyHitters($"term", 16).as("s"))
+        .select(explode($"s").as("h"))
+        .select($"h.term", $"h.cnt", $"h.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = summary(df)
+    assert(got.length === 16)
+    got.foreach { case (t, cnt, err) =>
+      val truth = exact(t)
+      assert(cnt >= truth, s"$t: estimate $cnt below true count $truth")
+      assert(cnt - err <= truth, s"$t: lower bound ${cnt - err} above true $truth")
+    }
+    // the unambiguous heavy hitters (true count far above the eviction
+    // floor) must survive: t1..t5 have counts 400..80 vs N/cap ~ 100
+    val kept = got.map(_._1).toSet
+    (1 to 4).foreach(i => assert(kept.contains(s"t$i"), s"lost heavy hitter t$i"))
+    // merge path: a different partitioning must keep the same top ranks
+    val got8 = summary(df.repartition(8))
+    assert(got8.map(_._1).take(4).toSet === got.map(_._1).take(4).toSet,
+      "top-4 terms unstable across partitionings")
+    got8.foreach { case (t, cnt, err) =>
+      val truth = exact(t)
+      assert(cnt >= truth && cnt - err <= truth,
+        s"$t: merged-path bounds violated ($cnt, $err, true $truth)")
+    }
+    // exact regime: capacity >= distinct terms degenerates to exact
+    // counting with zero error
+    val small = Seq("a", "b", "a", "c", "a", "b").toDF("term")
+    val ex = summary(small.repartition(3))
+    assert(ex.toSeq === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
 }
