@@ -479,6 +479,20 @@ object Engine {
                          phrase: Seq[String], k: Int): DataFrame =
     Pipeline6.phraseTopKStored(spark, table, phrase, k)
 
+  /** Proximity top-k: documents ranked by how many position pairs of
+    * the two terms fall within `window` tokens — phrase matching's
+    * unordered, slop-tolerant sibling, over the same positional
+    * postings (stored path reads only the two terms' buckets).
+    */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+                      window: Int, k: Int): DataFrame =
+    Pipeline6.proximityTopKOf(docs, termA, termB, window, k)
+
+  def proximitySearchStored(spark: SparkSession, table: String,
+                            termA: String, termB: String,
+                            window: Int, k: Int): DataFrame =
+    Pipeline6.proximityTopKStored(spark, table, termA, termB, window, k)
+
   /** Build the at-rest compressed vector index (IVF-PQ: cell-partitioned
     * directories of PQ codes) from a corpus of (vec_id, embedding) rows.
     * Returns the two models — IVF centroids and PQ codebooks — that

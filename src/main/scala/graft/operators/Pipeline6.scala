@@ -362,6 +362,83 @@ object Pipeline6 {
   def phraseStored(s: SparkSession, d: String): DataFrame =
     phraseTopKStored(s, postingsStoreFor(s, d), PhraseTerms, PhraseK)
 
+  // ---- Proximity search (p62 scan, p63 stored) ----
+
+  private val ProxWindow = 6
+
+  /** Proximity top-k from positional postings: documents ranked by the
+    * number of (position-of-A, position-of-B) pairs within `w` tokens
+    * of each other — the "terms NEAR each other" relevance signal that
+    * phrase matching is the w=1-and-ordered special case of. Same
+    * pivot device as [[phraseFromPostings]]; the pair count is one
+    * nested higher-order fold over the two pivoted position arrays,
+    * map-side, ALL-INTEGER — one oracle covers both the scan-time and
+    * stored paths. Cost per doc is |P_A|·|P_B| inside codegen on
+    * model-sized arrays; the corpus never shuffles.
+    */
+  private def proximityFromPostings(pos: DataFrame, termA: String,
+                                    termB: String, w: Int, k: Int): DataFrame = {
+    val pa = max(when(col("term") === termA, col("positions"))).as("__pa")
+    val pb = max(when(col("term") === termB, col("positions"))).as("__pb")
+    val pairCount = aggregate(col("__pa"), lit(0L),
+      (acc, p1) => acc + size(filter(col("__pb"), p2 => abs(p2 - p1) <= w)))
+    val matched = pos.groupBy(col("doc_id")).agg(pa, pb)
+      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+      .select(col("doc_id"), pairCount.cast("long").as("prox_tf"))
+      .filter(col("prox_tf") > 0)
+    topNRanked(matched, Seq(col("prox_tf").desc, col("doc_id")), k, "rnk")
+      .select(col("doc_id"), col("prox_tf"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Scan-time proximity top-k — `Engine.proximitySearch`. */
+  def proximityTopKOf(docs: DataFrame, termA: String, termB: String,
+                      w: Int, k: Int): DataFrame =
+    proximityFromPostings(
+      postingsOf(docs).filter(col("term").isin(Seq(termA, termB).distinct: _*))
+        .select(col("term"), col("doc_id"), col("positions")),
+      termA, termB, w, k)
+
+  /** Stored-index proximity top-k — reads the two terms' buckets only
+    * (same pruning argument as [[phraseTopKStored]]).
+    */
+  def proximityTopKStored(spark: SparkSession, table: String, termA: String,
+                          termB: String, w: Int, k: Int): DataFrame =
+    proximityFromPostings(
+      spark.table(table).filter(col("term").isin(Seq(termA, termB).distinct: _*))
+        .select(col("term"), col("doc_id"), col("positions")),
+      termA, termB, w, k)
+
+  /** p62: scan-time proximity for the pinned pair/window. */
+  def proximityTopK(s: SparkSession, d: String): DataFrame =
+    proximityTopKOf(documents(s, d), PhraseTerms(0), PhraseTerms(1),
+      ProxWindow, PhraseK)
+
+  /** p63: the stored-index proximity path, sharing p50's store. */
+  def proximityStored(s: SparkSession, d: String): DataFrame =
+    proximityTopKStored(s, postingsStoreFor(s, d), PhraseTerms(0),
+      PhraseTerms(1), ProxWindow, PhraseK)
+
+  /** One oracle for both proximity paths: cross join of the two terms'
+    * position sets filtered to |Δ| ≤ w, counted per doc.
+    */
+  val proximityTopKOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pa AS (SELECT doc_id, i FROM ws, unnest(range(1, len(w) + 1)) t(i)
+       |       WHERE w[CAST(i AS INT)] = '${PhraseTerms(0)}'),
+       |pb AS (SELECT doc_id, i FROM ws, unnest(range(1, len(w) + 1)) t(i)
+       |       WHERE w[CAST(i AS INT)] = '${PhraseTerms(1)}'),
+       |m AS (SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS prox_tf
+       |      FROM pa JOIN pb ON pb.doc_id = pa.doc_id
+       |                     AND abs(pb.i - pa.i) <= $ProxWindow
+       |      GROUP BY pa.doc_id),
+       |top AS (SELECT doc_id, prox_tf,
+       |          CAST(row_number() OVER (ORDER BY prox_tf DESC, doc_id)
+       |               AS INTEGER) AS rnk
+       |        FROM m)
+       |SELECT doc_id, prox_tf, rnk
+       |FROM top WHERE rnk <= $PhraseK ORDER BY rnk""".stripMargin
+
   /** One oracle for both phrase paths: per-slot position sets joined on
     * exact adjacency (slot j matches at start + j), counted per doc.
     */
@@ -1174,6 +1251,8 @@ object Pipeline6 {
     "p56_pq_trained"   -> (pqCodesTrained _),
     "p57_phrase_topk"  -> (phraseTopK _),
     "p58_phrase_stored" -> (phraseStored _),
+    "p62_proximity_topk" -> (proximityTopK _),
+    "p63_proximity_stored" -> (proximityStored _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1189,5 +1268,8 @@ object Pipeline6 {
     "p57_phrase_topk"  -> phraseTopKOracle,
     // the positional layout is semantics-preserving: same oracle as p57
     "p58_phrase_stored" -> phraseTopKOracle,
+    "p62_proximity_topk" -> proximityTopKOracle,
+    // same layout argument as p58: one oracle for both proximity paths
+    "p63_proximity_stored" -> proximityTopKOracle,
   )
 }

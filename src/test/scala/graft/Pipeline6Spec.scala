@@ -304,6 +304,30 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     assert(one(0L) === 2L && one(2L) === 2L && one(3L) === 1L && one(4L) === 3L)
   }
 
+  test("proximity match: hand-checked pair counts, symmetric, window-bounded") {
+    import graft.operators.Pipeline6
+    val docs = Seq(
+      (0L, "a x x x b"),          // |1-5| = 4 <= 4 -> 1 pair
+      (1L, "a x x x x b"),        // distance 5 > 4 -> 0 pairs
+      (2L, "b a"),                // order-insensitive -> 1 pair
+      (3L, "a x b x a"),          // positions a:{1,5}, b:{3}: both within 4 -> 2
+      (4L, "a only"),             // missing b
+      (5L, "a b a b"))            // a:{1,3}, b:{2,4}: all 4 pairs within 4
+      .toDF("doc_id", "text")
+    val got = Pipeline6.proximityTopKOf(docs, "a", "b", w = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 1L, 2L -> 1L, 3L -> 2L, 5L -> 4L))
+    // stored path equals scan path on the real corpus
+    val real = Tables.documents(spark, dir)
+    val table = "graft_postings_prox_spec"
+    Engine.buildLexicalIndex(real, table, nBuckets = 8)
+    val scan = Engine.proximitySearch(real, "merge", "group", 5, 15)
+      .collect().map(_.toSeq)
+    val stored = Engine.proximitySearchStored(spark, table, "merge", "group", 5, 15)
+      .collect().map(_.toSeq)
+    assert(scan.nonEmpty && scan.toSeq === stored.toSeq)
+  }
+
   test("phrase search: stored positional index equals the scan path on a fresh phrase") {
     import graft.operators.Pipeline6
     val docs = Tables.documents(spark, dir)
