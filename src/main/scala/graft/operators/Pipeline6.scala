@@ -1141,6 +1141,217 @@ object Pipeline6 {
       .select(col("qid"), col("cid"), round(col("dist"), 6).as("dist"), col("rnk"))
   }
 
+  // ---- Residual IVF-PQ (p64): the true-IVFADC encoding ----
+
+  /** The centroid model as a broadcastable frame — (cell, cvec). */
+  private def centFrame(spark: SparkSession,
+                        cents: Array[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cvec")
+  }
+
+  /** Residual form of a corpus: (vec_id, cell, embedding := v −
+    * centroid(cell)) — each element one float subtraction, exact-
+    * rounded and bit-identical in any IEEE engine (DuckDB keeps
+    * FLOAT−FLOAT in float, verified), so the residual pipeline carries
+    * the same full differential oracle as the raw-vector one. Cell
+    * assignment is THE shared definition ([[Similarity.assignCells]]);
+    * the centroid attaches by broadcast join (model-sized, the LUT-
+    * frame philosophy — no literal embedding in the plan).
+    */
+  private[graft] def residualsOf(cents: Array[(Int, Seq[Float])],
+                                 vectors: DataFrame): DataFrame =
+    Similarity.assignCells(cents, vectors)
+      .join(broadcast(centFrame(vectors.sparkSession, cents)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("embedding"))
+
+  /** Residual codebook: a coreset seed over RESIDUAL vectors — what PQ
+    * actually quantizes in this layout. The coreset window starts at
+    * vec_id = nCodes, NOT 0: the first nCodes vectors are the seed
+    * CENTROIDS themselves, whose residuals are zero vectors — a
+    * codebook of nCodes zero copies encodes every vector identically
+    * and collapses ADC ranking to ties (measured: recall@10 0.02
+    * before this shift). Code ids renumber to the dense 0..nCodes−1
+    * the LUT contract requires. Training via [[trainPqCodebook]]
+    * composes unchanged (feed it the residual frame).
+    */
+  def pqResidualCodebook(cents: Array[(Int, Seq[Float])], emb: DataFrame,
+                         nCodes: Int = PqNCodes, m: Int = PqM): Array[(Int, Seq[Seq[Float]])] =
+    pqCodebook(
+      residualsOf(cents, emb)
+        .filter(col("vec_id") >= nCodes && col("vec_id") < 2L * nCodes)
+        .select((col("vec_id") - nCodes).as("vec_id"), col("embedding")),
+      nCodes, m)
+
+  /** Build the residual IVF-PQ store: codes of `v − centroid(cell)`,
+    * hive-partitioned by cell — the textbook IVFADC layout. WHEN the
+    * corpus clusters around its centroids, residuals concentrate near
+    * the origin and a fixed code budget spends its resolution on the
+    * within-cell geometry instead of re-describing the coarse cell
+    * position the IVF stage already paid for — the standard accuracy
+    * upgrade over raw-vector PQ at identical store size and probe
+    * cost; Pipeline6Spec measures it winning recall@10 on a clustered
+    * fixture. The honest flip side, measured on this repo's NEAR-RANDOM
+    * unit test embeddings (tools.RecallAudit): cos(v, centroid) ≈ 0
+    * there, so residual norms are ≈ √2 — LARGER than the vectors — and
+    * residual coding underperforms raw PQ; choose the encoding per the
+    * p44 cell-balance report (min_cos near 0 ⇒ the corpus does not
+    * cluster ⇒ stay raw). Same map-only build shape as [[ivfPqWrite]].
+    */
+  def ivfPqResidualWrite(cents: Array[(Int, Seq[Float])],
+                         cb: Array[(Int, Seq[Seq[Float]])],
+                         corpus: DataFrame, path: String): Unit = {
+    val storeCodes = (0 until pqM(cb))
+      .map(s => (-col(s"__b$s.nc")).cast("smallint").as(s"c$s"))
+    graft.sources.Partitioned.writeBy(
+      withCodes(cb, residualsOf(cents, corpus))
+        .select(col("vec_id") +: col("cell") +: storeCodes: _*)
+        .withColumn("ingest_batch", lit(-1L)),
+      path, "cell")
+  }
+
+  /** ADC top-k over a residual store. The LUT is now per (query,
+    * probed cell) — the query's residual differs per cell — so the
+    * probe fan-out and the LUT share one synthetic identity
+    * pid = qid·nCells + cell, and the whole [[adcJoinLut]] machinery
+    * (one shared broadcast, fused-key reuse) applies verbatim with pid
+    * as the query key; the real qid is recovered arithmetically before
+    * the rank window. LUT size is queries × nProbe × m × nCodes — the
+    * nProbe factor is the price of residual encoding, still
+    * model-sized. Store reads are identical to [[ivfPqTopKStored]]:
+    * DPP to the probed cells, codes only.
+    */
+  def ivfPqResidualTopKStored(spark: SparkSession, path: String,
+                              queries: DataFrame,
+                              cents: Array[(Int, Seq[Float])],
+                              cb: Array[(Int, Seq[Seq[Float]])],
+                              k: Int, nProbe: Int = 2,
+                              excludeSelf: Boolean = true): DataFrame = {
+    val m = pqM(cb)
+    val nCells = cents.length
+    val probes = Similarity.probeCells(cents, queries, nProbe)
+      .select(col("qid"), col("cell"))
+    val pid = (col("qid") * nCells + col("cell")).cast("int")
+    val qres = probes
+      .join(queries.select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+      .join(broadcast(centFrame(spark, cents)), Seq("cell"))
+      .select(pid.as("vec_id"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("embedding"))
+    val cands = spark.read.parquet(path)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+      .select(pid.as("qid") +: col("vec_id").as("cid") +:
+        (0 until m).map(s => col(s"c$s").cast("int").as(s"c$s")): _*)
+    adcJoinLut(pqLutFrame(cb, qres), cands, m)
+      .select((col("qid") / nCells).cast("int").as("qid"), col("cid"), col("adc"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), round(col("adc"), 6).as("adc"), col("rnk"))
+  }
+
+  /** p64: the residual-encoded twin of p49 — same geometry (8 cells,
+    * 2 probes, 5 queries, 8 codes × 4 subspaces), same probe IO, store
+    * built once per JVM per dataset.
+    */
+  private val ivfPqResStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ivfPqResidualStored(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = pqResidualCodebook(cents, emb)
+    val store = ivfPqResStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpqres_").toString
+      ivfPqResidualWrite(cents, cb, emb, p)
+      p
+    })
+    ivfPqResidualTopKStored(s, store, emb.filter(col("vec_id") < 5), cents, cb,
+        k = 10, nProbe = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** One oracle re-deriving the whole residual pipeline: assignment,
+    * float-exact residuals (`list_transform` FLOAT subtraction),
+    * residual coreset codebook, argmin codes, per-(query, cell)
+    * residual LUTs, and the ADC fold — every stage the exact SQL twin
+    * of the Scala above.
+    */
+  val ivfPqResidualOracle: String = {
+    val ccos = duckCos("e.embedding", "c.ce")
+    def resDot(a: String, b: String) = duckDot(a, b)
+    val rs = "r.remb[sp.s*16+1 : sp.s*16+16]"
+    val cs = "c.remb[sp.s*16+1 : sp.s*16+16]"
+    val qs = "qr.remb[sp.s*16+1 : sp.s*16+16]"
+    val codePivot = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s")
+      .mkString(",\n       |         ")
+    val lutJoins = (0 until PqM).map(sp =>
+      s"JOIN lut l$sp ON l$sp.qid = cand.qid AND l$sp.cell = cand.cell " +
+        s"AND l$sp.s = $sp AND l$sp.code = cand.c$sp")
+      .mkString("\n       |        ")
+    val adcFold = (0 until PqM).map(sp => s"l$sp.pd").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS cid_, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 2),
+       |res AS (
+       |  SELECT a.cid_ AS vec_id, a.cell,
+       |         list_transform(range(1, ${PqM * PqSub + 1}),
+       |           i -> e.embedding[CAST(i AS INT)] - c.ce[CAST(i AS INT)]) AS remb
+       |  FROM assign a
+       |  JOIN embeddings e ON e.vec_id = a.cid_
+       |  JOIN cents c ON c.ccid = a.cell),
+       |rcb AS (SELECT CAST(vec_id - $PqNCodes AS INTEGER) AS code, remb FROM res
+       |        WHERE vec_id >= $PqNCodes AND vec_id < ${2 * PqNCodes}),
+       |sp AS (SELECT CAST(s AS INTEGER) AS s FROM range(0, $PqM) t(s)),
+       |pd AS (SELECT r.vec_id, sp.s, c.code,
+       |         ((${resDot(rs, rs)} - 2.0 * ${resDot(rs, cs)})
+       |           + ${resDot(cs, cs)}) AS dist
+       |       FROM res r CROSS JOIN sp CROSS JOIN rcb c),
+       |amin AS (SELECT vec_id, s, code,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY dist, code) AS rn
+       |         FROM pd),
+       |cd AS (SELECT vec_id,
+       |         $codePivot
+       |       FROM amin WHERE rn = 1 GROUP BY vec_id),
+       |qres AS (
+       |  SELECT p.qid, p.cell,
+       |         list_transform(range(1, ${PqM * PqSub + 1}),
+       |           i -> q.embedding[CAST(i AS INT)] - c.ce[CAST(i AS INT)]) AS remb
+       |  FROM probes p
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  JOIN cents c ON c.ccid = p.cell),
+       |lut AS (SELECT qr.qid, qr.cell, sp.s, c.code,
+       |          ((${resDot(qs, qs)} - 2.0 * ${resDot(qs, cs)})
+       |            + ${resDot(cs, cs)}) AS pd
+       |        FROM qres qr CROSS JOIN sp CROSS JOIN rcb c),
+       |cand AS (SELECT p.qid, p.cell, a.cid_ AS cid, cd.c0, cd.c1, cd.c2, cd.c3
+       |         FROM assign a JOIN probes p ON a.cell = p.cell AND p.qid <> a.cid_
+       |         JOIN cd ON cd.vec_id = a.cid_),
+       |adc AS (SELECT cand.qid, cand.cid, $adcFold AS adc
+       |        FROM cand
+       |        $lutJoins),
+       |r AS (SELECT qid, cid, adc,
+       |        CAST(row_number() OVER (PARTITION BY qid
+       |                                ORDER BY adc, cid) AS INTEGER) AS rnk
+       |      FROM adc)
+       |SELECT CAST(qid AS INTEGER) AS qid, cid, round(adc, 6) AS adc, rnk
+       |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** p55: p49's shortlist (same store, same models, r=30) refined to an
     * exact top-10 against the p41-layout embedding store. Stores are
     * built once per JVM per dataset (the index contract); the codes
@@ -1253,6 +1464,7 @@ object Pipeline6 {
     "p58_phrase_stored" -> (phraseStored _),
     "p62_proximity_topk" -> (proximityTopK _),
     "p63_proximity_stored" -> (proximityStored _),
+    "p64_ivfpq_residual" -> (ivfPqResidualStored _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1271,5 +1483,6 @@ object Pipeline6 {
     "p62_proximity_topk" -> proximityTopKOracle,
     // same layout argument as p58: one oracle for both proximity paths
     "p63_proximity_stored" -> proximityTopKOracle,
+    "p64_ivfpq_residual" -> ivfPqResidualOracle,
   )
 }

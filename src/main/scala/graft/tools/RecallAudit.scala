@@ -74,6 +74,13 @@ object RecallAudit {
         cents, cb, k, r, nProbe)
     val ref2 = refined(2, 30)
     val refFull = refined(8, 30)
+    // residual encoding (true IVFADC): codes quantize v - centroid(cell)
+    val cbR = Pipeline6.pqResidualCodebook(cents, emb)
+    val storeR = java.nio.file.Files.createTempDirectory("recall_ivfpqres").toString
+    Pipeline6.ivfPqResidualWrite(cents, cbR, emb, storeR)
+    def resAdc(nProbe: Int) =
+      Pipeline6.ivfPqResidualTopKStored(spark, storeR, queries, cents, cbR, k, nProbe)
+
     // trained codebook (per-subspace k-means): quantization quality vs
     // the coreset seed, same geometry, same stores rebuilt
     val cbT = Pipeline6.trainPqCodebook(emb, iters = 3)
@@ -106,6 +113,8 @@ object RecallAudit {
     println(f"  IVF-PQ+refine nProbe=8 r=30 vs exact-L2:  ${recall(refFull, "qid", "cid", exactL2)}%.2f")
     println(f"  TRAINED ADC all cells       vs exact-L2:  ${recall(adcFullT, "qid", "cid", exactL2)}%.2f")
     println(f"  TRAINED IVF-PQ+refine 2/30  vs exact-L2:  ${recall(ref2T, "qid", "cid", exactL2)}%.2f")
+    println(f"  RESIDUAL IVF-PQ nProbe=2/8  vs exact-L2:  ${recall(resAdc(2), "qid", "cid", exactL2)}%.2f")
+    println(f"  RESIDUAL IVF-PQ all cells   vs exact-L2:  ${recall(resAdc(8), "qid", "cid", exactL2)}%.2f")
     spark.stop()
   }
 }

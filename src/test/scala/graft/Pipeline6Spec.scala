@@ -340,6 +340,59 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p64: residual encoding beats raw PQ recall on a clustered corpus") {
+    import graft.operators.{Pipeline6, Similarity}
+    // 8 well-separated cluster centers (vec_ids 0..7, one coordinate
+    // block each), members = center + small deterministic noise: the
+    // geometry residual coding exists for (residual = the noise,
+    // norm << vector norm)
+    val dim = 64
+    def center(c: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      (0 until 8).foreach(j => v(c * 8 + j) = 1f)
+      v
+    }
+    def member(id: Int): Array[Float] = {
+      val c = id % 8
+      val v = center(c)
+      (0 until dim).foreach(d =>
+        v(d) = v(d) + ((id * 31 + d * 17) % 7 - 3) / 25.0f)
+      v
+    }
+    val rows = ((0 until 8).map(c => (c.toLong, center(c).toSeq)) ++
+      (8 until 208).map(i => (i.toLong, member(i).toSeq))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cents = Similarity.seedCentroids(rows, 8)
+    val queries = rows.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    // exact L2 ground truth on the driver
+    val all = rows.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val truth = (100L until 105L).map(q =>
+      q -> all.keys.filter(_ != q).toSeq.sortBy(v => (d2(all(q), all(v)), v))
+        .take(10).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      // qid is bigint on the raw path, int on the residual (pid) path
+      val by = df.collect().groupBy(_.get(0).asInstanceOf[Number].intValue)
+        .view.mapValues(_.map(_.getLong(1)).toSet)
+      (100 until 105).map(q => (by.getOrElse(q, Set.empty) & truth(q)).size).sum / 50.0
+    }
+    val rawStore = java.nio.file.Files.createTempDirectory("p64raw").toString
+    val resStore = java.nio.file.Files.createTempDirectory("p64res").toString
+    val cbRaw = Pipeline6.pqCodebook(rows)
+    val cbRes = Pipeline6.pqResidualCodebook(cents, rows)
+    Pipeline6.ivfPqWrite(cents, cbRaw, rows, rawStore)
+    Pipeline6.ivfPqResidualWrite(cents, cbRes, rows, resStore)
+    // nProbe = all cells: isolate QUANTIZATION quality from the gate
+    val rawRecall = recallOf(Pipeline6.ivfPqTopKStored(
+      spark, rawStore, queries, cents, cbRaw, k = 10, nProbe = 8))
+    val resRecall = recallOf(Pipeline6.ivfPqResidualTopKStored(
+      spark, resStore, queries, cents, cbRes, k = 10, nProbe = 8))
+    assert(resRecall > rawRecall,
+      s"residual encoding should win on clustered data: res=$resRecall raw=$rawRecall")
+    assert(resRecall >= 0.5, s"residual recall unexpectedly low: $resRecall")
+  }
+
   test("p56: trained codebook never increases total reconstruction error, and improves it here") {
     import graft.operators.Pipeline6
     val emb = Tables.embeddings(spark, dir)
