@@ -418,6 +418,59 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** p65: METADATA-FILTERED vector search over the p41 store — rank
+    * only corpus vectors whose document passes `source LIKE 'src1%'`
+    * (src1, src10–src19: a deterministic ~half of the 20 generator
+    * sources at every SF). Same store, same centroids, same probe
+    * fan-out as p41; what changes is that the predicate joins INTO the
+    * ranking ([[Similarity.ivfTopKStoredFiltered]]), so the answer is
+    * the true top-k of the filtered subset, not a lossy post-filter.
+    * The oracle is p13/p41's with one added JOIN in the ranked CTE —
+    * the layout and the filter placement must both be
+    * semantics-preserving for the hash to match.
+    */
+  def simIvfStoredFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val store = ivfStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_cells_").toString
+      Similarity.ivfWrite(emb, cents, p)
+      p
+    })
+    val allowed = documents(s, d).filter(col("source").like("src1%"))
+      .select(col("doc_id").as("vec_id"))
+    Similarity.ivfTopKStoredFiltered(s, store, emb.filter(col("vec_id") < 5),
+        cents, allowed, k = 10, nProbe = 2)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val simIvfFilteredOracle: String = {
+    val ccos = duckCos("e.embedding", "c.ce")
+    val cos = duckCos("p.qe", "a.ce2")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS cid_, embedding AS ce2, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS qe, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 2),
+       |ranked AS (
+       |  SELECT p.qid, a.cid_ AS cid, $cos AS cos,
+       |         CAST(row_number() OVER (PARTITION BY p.qid
+       |              ORDER BY $cos DESC, a.cid_) AS INTEGER) AS rnk
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND p.qid <> a.cid_
+       |  JOIN documents dd ON dd.doc_id = a.cid_ AND dd.source LIKE 'src1%')
+       |SELECT qid, cid, round(cos, 4) AS cos, rnk
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** The index-quality report over the same model as p13/p41: per-cell
     * member counts + min/max member-to-centroid cosine. The oracle
     * reuses p13's assignment CTE (same tie-break: max cosine, then
@@ -715,6 +768,7 @@ object PipelineQueries {
     "p12_multimodal_inspect"  -> (multimodalInspect _),
     "p13_sim_ivf"             -> (simIvf _),
     "p41_sim_ivf_stored"      -> (simIvfStored _),
+    "p65_sim_filtered"        -> (simIvfStoredFiltered _),
     "p44_ivf_cell_stats"      -> (simIvfCellStats _),
     "p14_frame_sample"        -> (frameSampleQ _),
     "p15_multimodal_decode"   -> (multimodalDecode _),
@@ -746,6 +800,7 @@ object PipelineQueries {
     "p13_sim_ivf"             -> simIvfOracle,
     // the stored layout is semantics-preserving: same oracle as p13
     "p41_sim_ivf_stored"      -> simIvfOracle,
+    "p65_sim_filtered"        -> simIvfFilteredOracle,
     "p44_ivf_cell_stats"      -> simIvfCellStatsOracle,
     "p14_frame_sample"        -> frameSampleOracle,
     "p15_multimodal_decode"   -> multimodalDecodeOracle,

@@ -386,6 +386,34 @@ object Similarity {
                     nProbe: Int = 2): DataFrame =
     probeJoinTopK(spark.read.parquet(path), probeCells(cents, queries, nProbe), k)
 
+  /** PRE-filtered ANN over a stored [[ivfWrite]] layout: top-k among
+    * ONLY the corpus vectors whose vec_id appears in `allowed` — the
+    * vector-DB "filtered search" contract. The predicate restricts the
+    * RANKING, not the output: a post-filter of an unfiltered top-k
+    * silently drops the true filtered neighbors whenever k unfiltered
+    * mates outrank them; here every allowed cell-mate competes.
+    *
+    * The filter applies as a semi-join between the DPP-pruned cell
+    * scan and the cosine, so the two pruning factors compose — only
+    * probed cells are listed/read, and only allowed rows pay the
+    * cosine + rank. `allowed` is typically a dimension-table predicate
+    * (model-sized → broadcast semi-join, no new shuffle); a
+    * corpus-sized allowed set degrades gracefully to a shuffled
+    * semi-join on vec_id. At ultra-selectivity (|allowed| within ~k of
+    * the answer) invert the plan instead: fetch the allowed rows by id
+    * and brute-force them (p09) — there the filter, not the index,
+    * bounds the work.
+    */
+  def ivfTopKStoredFiltered(spark: SparkSession, path: String,
+                            queries: DataFrame,
+                            cents: Array[(Int, Seq[Float])],
+                            allowed: DataFrame, k: Int,
+                            nProbe: Int = 2): DataFrame =
+    probeJoinTopK(
+      spark.read.parquet(path)
+        .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      probeCells(cents, queries, nProbe), k)
+
   /** Per-cell balance report for an IVF model: member count plus the
     * weakest/strongest member affinity (min/max cosine to the assigned
     * centroid). Cell skew is THE operational failure mode of IVF at

@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "cell is no longer a partition column of the stored layout")
   }
 
+  test("p65: the filtered probe keeps partition pruning and broadcasts the allowed set") {
+    val p = plan("p65_sim_filtered")
+    assert(p.contains("dynamicpruningexpression"),
+      "metadata semi-join broke dynamic partition pruning — the filtered probe would rescan all cells")
+    assert(p.contains("LeftSemi"),
+      "the metadata predicate is no longer a semi-join (duplicate-safe filter placement)")
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension-sized allowed set degraded to a sort-merge join")
+  }
+
   test("p43: corpus pays one source shuffle; the quota table broadcasts off one thin scan") {
     val p = plan("p43_mix_temperature")
     // rank-window shuffle + the per-source count shuffle — nothing else

@@ -214,6 +214,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"no file-level pruning: read $filesRead of $filesTotal")
   }
 
+  test("filtered stored-IVF probe: pre-filter semantics, not a lossy post-filter") {
+    val pqCorpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.seedCentroids(pqCorpus, 10)
+    val store = java.nio.file.Files.createTempDirectory("ivf_filter_spec").toString
+    Similarity.ivfWrite(pqCorpus, cents, store)
+    val queries = pqCorpus.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rnk"))).toSet
+    // 1) allow-everything filter is a no-op: identical to the unfiltered probe
+    val all = pqCorpus.select($"vec_id")
+    assert(rows(Similarity.ivfTopKStoredFiltered(spark, store, queries, cents, all, 10, 2))
+      === rows(Similarity.ivfTopKStored(spark, store, queries, cents, 10, 2)),
+      "allow-all filter changed the answer")
+    // 2) a selective filter: every result id passes it, and each query
+    // returns the FULL top-k of the allowed subset — ids the unfiltered
+    // top-k never surfaced must appear once their betters are filtered
+    // out (the pre-filter vs post-filter distinction)
+    val allowed = pqCorpus.filter($"vec_id" % 3 === 0L).select($"vec_id")
+    val filtered = Similarity.ivfTopKStoredFiltered(
+      spark, store, queries, cents, allowed, 10, nProbe = 10)
+    val got = rows(filtered)
+    assert(got.nonEmpty && got.forall(_._2 % 3 == 0), "result escaped the filter")
+    val post = rows(Similarity.ivfTopKStored(spark, store, queries, cents, 10, 10))
+      .filter(_._2 % 3 == 0).map(t => (t._1, t._2))
+    assert(post.subsetOf(got.map(t => (t._1, t._2))),
+      "pre-filter should dominate the post-filtered top-k")
+    assert(got.size > post.size,
+      "pre-filter surfaced no ids beyond the post-filter — fixture not probative")
+  }
+
   test("Lloyd-trained IVF recall beats (or matches) the coreset seed") {
     // the seed is adversarial here by construction: vec_ids 0..9 are all
     // members of cluster 0, so the untrained centroid set is 10 near-
