@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.VectorOps.dot
+import graft.functions.VectorOps.{cosine, dot}
 
 /** Pipeline operators, batch 6: the retrieval layer over a curated
   * corpus — lexical ranking (BM25), lexical+vector hybrid fusion (RRF),
@@ -1352,6 +1352,124 @@ object Pipeline6 {
        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---- MMR diversified re-rank (p66) ----
+
+  /** Maximal-marginal-relevance re-rank over per-query candidate
+    * shortlists: greedily select k candidates, each round taking the
+    * one maximizing `lam·rel − (1−lam)·max_cos_to_selected` (ties to
+    * the lowest cid; the first pick's penalty term is 0, so it is the
+    * plain relevance argmax). This is the diversity stage of a
+    * retrieval/curation pipeline — a near-duplicate of an already-
+    * selected result must beat it on relevance by the λ-scaled margin
+    * to also be selected.
+    *
+    * Cost is corpus-INDEPENDENT: every frame in the loop is bounded by
+    * queries × r rows (the shortlist), each of the k rounds is one
+    * qid-keyed window + one qid join, and lazy localCheckpoints keep
+    * the per-round plan constant (the p20/p51 loop device — at cluster
+    * scale swap for persist). The scale knob is the shortlist builder
+    * in front (p09/p41/p49 — any of the top-k paths), not this stage.
+    *
+    * Numerics for the differential oracle: `rel` and the pairwise
+    * penalty are [[cosine]] (bit-exact DuckDB mirror), the penalty
+    * accumulates through two-argument `greatest` (order-insensitive
+    * max, no float fold), and the score is the literal two-product
+    * expression above — every selection compares identical doubles in
+    * both engines, so the greedy trajectory cannot diverge.
+    *
+    * @param cands shortlist frame (qid, cid, rel, ce) — `ce` the
+    *   candidate embedding, `rel` its query relevance, ≤ r rows per qid
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lam: Double): DataFrame = {
+    val score = lit(lam) * col("rel") - lit(1.0 - lam) * col("ms")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    var rem = cands.withColumn("ms", lit(0.0)).localCheckpoint(eager = false)
+    val picks = Seq.newBuilder[DataFrame]
+    for (i <- 1 to k) {
+      val p = rem.withColumn("score", score)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("ce"), col("score"))
+        .localCheckpoint(eager = false)
+      picks += p.select(col("qid"), col("cid"),
+        round(col("score"), 4).as("mmr"), lit(i).as("rnk"))
+      if (i < k)
+        rem = rem
+          .join(p.select(col("qid"), col("cid").as("__pc"), col("ce").as("__pe")),
+            Seq("qid"))
+          .filter(col("cid") =!= col("__pc"))
+          .select(col("qid"), col("cid"), col("rel"), col("ce"),
+            greatest(col("ms"), cosine(col("ce"), col("__pe"))).as("ms"))
+          .localCheckpoint(eager = false)
+    }
+    picks.result().reduce(_.unionByName(_))
+  }
+
+  /** Brute-force shortlist (r per query, embeddings riding along) →
+    * [[mmrRerank]]. The shortlist is p09's shape; swap in a stored
+    * probe (p41/p49 + an id-join for `ce`) when the corpus is indexed.
+    */
+  def mmrDiverseTopK(corpus: DataFrame, queries: DataFrame,
+                     r: Int, k: Int, lam: Double): DataFrame = {
+    val wR = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cands = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        cosine(col("q.embedding"), col("c.embedding")).as("rel"),
+        col("c.embedding").as("ce"))
+      .withColumn("rn", row_number().over(wR)).filter(col("rn") <= r)
+      .select(col("qid"), col("cid"), col("rel"), col("ce"))
+    mmrRerank(cands, k, lam)
+  }
+
+  /** p66: MMR top-5 from a brute-force top-20 shortlist, λ = 0.5
+    * (exactly representable; both engines parse the identical double).
+    */
+  def mmrDiverse(s: SparkSession, d: String): DataFrame =
+    mmrDiverseTopK(embeddings(s, d),
+        embeddings(s, d).filter(col("vec_id") < 5), r = 20, k = 5, lam = 0.5)
+      .orderBy(col("qid"), col("rnk"))
+
+  /** The greedy loop UNROLLED into k chained CTE steps (s1..s5), each
+    * `r_i` carrying the incremental `greatest`-folded penalty — the
+    * exact SQL twin of [[mmrRerank]]'s round i.
+    */
+  val mmrOracle: String = {
+    val qc = duckCos("q.embedding", "c.embedding")
+    val steps = (1 to 5).map { i =>
+      val prev = s"r${i - 1}"
+      val pick =
+        s"""s$i AS (
+           |  SELECT qid, cid, ce, score FROM (
+           |    SELECT qid, cid, ce, (0.5 * rel - 0.5 * ms) AS score,
+           |           row_number() OVER (PARTITION BY qid
+           |                ORDER BY (0.5 * rel - 0.5 * ms) DESC, cid) AS rn
+           |    FROM $prev) WHERE rn = 1)"""
+      val advance =
+        s"""r$i AS (
+           |  SELECT r.qid, r.cid, r.rel, r.ce,
+           |         greatest(r.ms, ${duckCos("r.ce", "s.ce")}) AS ms
+           |  FROM $prev r JOIN s$i s ON r.qid = s.qid AND r.cid <> s.cid)"""
+      if (i < 5) s"$pick,\n$advance" else pick
+    }.mkString(",\n")
+    val union = (1 to 5)
+      .map(i => s"SELECT qid, cid, score, $i AS rnk FROM s$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH cand AS (
+       |  SELECT qid, cid, rel, ce FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid, $qc AS rel,
+       |           c.embedding AS ce,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY $qc DESC, c.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) WHERE rn <= 20),
+       |r0 AS (SELECT qid, cid, rel, ce, 0.0 AS ms FROM cand),
+       |$steps
+       |SELECT qid, cid, round(score, 4) AS mmr, CAST(rnk AS INTEGER) AS rnk
+       |FROM ($union)
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** p55: p49's shortlist (same store, same models, r=30) refined to an
     * exact top-10 against the p41-layout embedding store. Stores are
     * built once per JVM per dataset (the index contract); the codes
@@ -1465,6 +1583,7 @@ object Pipeline6 {
     "p62_proximity_topk" -> (proximityTopK _),
     "p63_proximity_stored" -> (proximityStored _),
     "p64_ivfpq_residual" -> (ivfPqResidualStored _),
+    "p66_mmr_rerank" -> (mmrDiverse _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1484,5 +1603,6 @@ object Pipeline6 {
     // same layout argument as p58: one oracle for both proximity paths
     "p63_proximity_stored" -> proximityTopKOracle,
     "p64_ivfpq_residual" -> ivfPqResidualOracle,
+    "p66_mmr_rerank" -> mmrOracle,
   )
 }

@@ -467,6 +467,39 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p66: lam=1 reduces MMR to plain relevance ranking") {
+    val cands = Seq(
+      (1L, 10L, 0.9, Seq(1f, 0f)), (1L, 11L, 0.7, Seq(0f, 1f)),
+      (1L, 12L, 0.8, Seq(1f, 1f)), (2L, 20L, 0.5, Seq(1f, 0f)),
+      (2L, 21L, 0.6, Seq(0f, 1f)))
+      .toDF("qid", "cid", "rel", "ce")
+    val got = Pipeline6.mmrRerank(cands, k = 2, lam = 1.0)
+      .orderBy(col("qid"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // with the penalty weight at 0, each round's argmax is the next-
+    // best relevance — MMR degenerates to the rel sort
+    assert(got.toSeq === Seq(
+      (1L, 10L, 0.9), (1L, 12L, 0.8), (2L, 21L, 0.6), (2L, 20L, 0.5)))
+  }
+
+  test("p66: a near-duplicate of the first pick loses to a less relevant orthogonal doc") {
+    // B duplicates A's embedding with nearly A's relevance; C is
+    // orthogonal but much less relevant. Pure relevance would rank
+    // A,B,C; MMR at lam=0.5 must demote B below C: after picking A,
+    // score(B) = .5*.98 - .5*1 = -.01 < score(C) = .5*.5 - 0 = .25
+    val cands = Seq(
+      (1L, 0L, 0.99, Seq(1f, 0f)), (1L, 1L, 0.98, Seq(2f, 0f)),
+      (1L, 2L, 0.50, Seq(0f, 1f)))
+      .toDF("qid", "cid", "rel", "ce")
+    val got = Pipeline6.mmrRerank(cands, k = 3, lam = 0.5)
+      .orderBy(col("rnk")).collect().map(_.getLong(1))
+    assert(got.toSeq === Seq(0L, 2L, 1L))
+    // and the demoted duplicate's score carries the full cosine penalty
+    val scores = Pipeline6.mmrRerank(cands, k = 3, lam = 0.5)
+      .orderBy(col("rnk")).collect().map(_.getDouble(2))
+    assert(math.abs(scores(2) - (-0.01)) < 1e-9)
+  }
+
   test("p48: ADC search finds genuinely near vectors (recall vs exact L2 search)") {
     val emb = Tables.embeddings(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
