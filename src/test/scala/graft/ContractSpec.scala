@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline5.queries, operators.Pipeline6.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 115,
-      "registered-query surface shrank below the round-6 ledger")
+    assert(SparkEntry.queries.size >= 128,
+      "registered-query surface shrank below the round-7 ledger")
   }
 
   test("rows-only queries (no oracle) are the documented exceptions only") {
