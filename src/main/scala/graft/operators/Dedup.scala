@@ -296,6 +296,32 @@ object Dedup {
     lbl.withColumnRenamed("lbl", "canonical")
   }
 
+  /** Train/eval split that cannot leak near-duplicates across the
+    * boundary: the assignment unit is the near-dup CLUSTER, not the
+    * document. Splitting documents independently (p18-style) puts the
+    * two halves of a duplicate pair on opposite sides ~2·p·(1−p) of
+    * the time, silently inflating eval scores; hashing the cluster's
+    * canonical id instead sends every member of a cluster to the same
+    * side by construction.
+    *
+    * Map-only on top of [[dedupClusters]]' labels — the split itself
+    * adds no shuffle. Membership is md5 of the canonical id (the p18
+    * keyed-sample device: deterministic, engine-portable, stable
+    * across reruns and cluster layouts) and composes with incremental
+    * ingestion: a new member of an existing cluster inherits the
+    * cluster's side; only a new cluster minimum can move one (the
+    * min-label canonical's documented caveat).
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    evalPct: Int = 10): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("canonical").cast("string")), 1, 7), 16, 10)
+        .cast("long"), lit(100L))
+    dedupClusters(docs, idCol, pairs)
+      .select(col("doc_id"), col("canonical"),
+        when(bucket < evalPct, lit("eval")).otherwise(lit("train")).as("split"))
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (the MapReduce CC algorithm of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond"): O(log n) rounds

@@ -131,8 +131,11 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $shingleCte,
+  /** The MinHash-LSH → connected-components → canonical-label CTE
+    * chain shared by p20 and p67, ending in `lab(doc_id, canonical)`.
+    */
+  private val clusterLabelCtes: String =
+    s"""RECURSIVE $shingleCte,
        |hh AS (
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(ngram), 1, 7) AS BIGINT) AS h1,
@@ -152,11 +155,37 @@ object PipelineQueries {
        |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
        |r AS (SELECT a, b FROM e
        |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
-       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
-       |SELECT d.doc_id,
-       |       CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS canonical
-       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT) AS canonical
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
+
+  val dedupClustersOracle: String =
+    s"""WITH $clusterLabelCtes
+       |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
+
+  /** p67: leak-free train/eval split — documents are assigned to a
+    * side by the md5 bucket of their near-dup cluster's canonical id,
+    * so the two halves of a duplicate pair can never straddle the
+    * boundary (the eval-contamination failure mode of independent
+    * per-document sampling). See [[Dedup.leakFreeSplit]].
+    */
+  def leakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = ShingleN, numHashes = 16, bands = 4)
+    Dedup.leakFreeSplit(docs, "doc_id", pairs, evalPct = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  val leakFreeSplitOracle: String =
+    s"""WITH $clusterLabelCtes
+       |SELECT doc_id, canonical,
+       |       CASE WHEN CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 7)
+       |                      AS BIGINT) % 100 < 10
+       |            THEN 'eval' ELSE 'train' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
 
   // ---- text analysis ----
 
@@ -780,6 +809,7 @@ object PipelineQueries {
     "p18_hash_sample"         -> (hashSample _),
     "p19_token_budget"        -> (tokenBudget _),
     "p20_dedup_clusters"      -> (dedupClusters _),
+    "p67_leakfree_split"      -> (leakFreeSplit _),
     "p21_typed_stats"         -> (TypedStats.corpusStatsByLen _),
   )
 
@@ -814,6 +844,7 @@ object PipelineQueries {
     "p18_hash_sample"         -> hashSampleOracle,
     "p19_token_budget"        -> tokenBudgetOracle,
     "p20_dedup_clusters"      -> dedupClustersOracle,
+    "p67_leakfree_split"      -> leakFreeSplitOracle,
     "p21_typed_stats"         -> TypedStats.corpusStatsOracle,
   )
 }

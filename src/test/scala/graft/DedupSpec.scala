@@ -168,6 +168,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(xxSpans.toSeq === md5Spans.toSeq, "hash choice changed the span output")
   }
 
+  test("p67: near-dup clusters never straddle the train/eval boundary") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4)
+    val split = Dedup.leakFreeSplit(docs, "doc_id", pairs, evalPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length === 6)
+    // one side per cluster — the property the op exists for
+    split.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $canon split across sides: $members")
+    }
+    // and the side is a pure function of the canonical id: recompute it
+    val expected = split.map(_._2).distinct.map { canon =>
+      val bucket = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString.take(7), 16) % 100
+      canon -> (if (bucket < 50) "eval" else "train")
+    }.toMap
+    split.foreach { case (id, canon, side) =>
+      assert(side === expected(canon), s"doc $id side != hash(cluster $canon)")
+    }
+  }
+
   test("span family coherence: p52's coverage and p54's cuts agree with p51's spans") {
     import graft.operators.Pipeline5
     val dir = "/root/testdata/sf0.001"
