@@ -534,6 +534,23 @@ object Engine {
     Pipeline6.ivfPqTopKStored(spark, path, queries, cents, cb, k, nProbe,
       excludeSelf)
 
+  /** Diversified top-k off the at-rest indexes: ADC shortlist (codes
+    * store) → exact relevance (embedding store, probed cells +
+    * shortlisted ids only) → MMR greedy selection (`lam` trades
+    * relevance against redundancy; 1.0 is plain refine ranking).
+    * Same index bytes per query as [[searchVectorIndex]] + refine;
+    * the diversity stage itself is corpus-independent.
+    */
+  def diverseSearchVectorIndex(spark: SparkSession, codesPath: String,
+                               embPath: String, queries: DataFrame,
+                               cents: Array[(Int, Seq[Float])],
+                               cb: Array[(Int, Seq[Seq[Float]])],
+                               k: Int, r: Int = 30, nProbe: Int = 2,
+                               lam: Double = 0.7,
+                               excludeSelf: Boolean = true): DataFrame =
+    Pipeline6.ivfPqDiverseTopK(spark, codesPath, embPath, queries, cents, cb,
+      k, r, nProbe, lam, excludeSelf)
+
   /** Hybrid retrieval ENTIRELY off the at-rest indexes — no corpus
     * scan anywhere: the lexical arm reads the query terms' posting
     * buckets ([[searchLexicalIndex]]), the vector arm reads the probed

@@ -198,6 +198,48 @@ object Pipeline6 {
       .agg(count(lit(1)).as("tf"),
            array_sort(collect_list(col("pos") + 1)).as("positions"))
 
+  /** Lexical index sizing report: the terms that dominate the posting
+    * store, with document frequency, total occurrences, and BM25 idf —
+    * the p44 cell-balance twin for the lexical layout. High-df terms
+    * are the skew hazard of a term-bucketed store (a stop word's
+    * posting list is corpus-sized while the median term's is a handful
+    * of rows) and the idf column says what the ranker actually pays
+    * for keeping them; this report is what sizes a stop-list or a
+    * df-cap before [[postingsWrite]].
+    *
+    * Scale shape: one shuffle keyed by term (the same key the store
+    * buckets by), a 1-row corpus count broadcast into the idf
+    * expression, and a global top-N on (df, term) — N model-sized.
+    * idf rounds at 4 with the file-header ln-margin argument.
+    */
+  def lexStatsOf(docs: DataFrame, topN: Int): DataFrame = {
+    val byTerm = postingsOf(docs)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("tf_total"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    byTerm.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("tf_total"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 4).as("idf"))
+      .orderBy(col("df").desc, col("term")).limit(topN)
+  }
+
+  /** p68: the 20 heaviest terms of the `documents` corpus. */
+  def lexStats(s: SparkSession, d: String): DataFrame =
+    lexStatsOf(documents(s, d), 20)
+
+  val lexStatsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tt AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+      |  FROM tok GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT term, df, tf_total,
+      |       round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4) AS idf
+      |FROM tt CROSS JOIN n
+      |ORDER BY df DESC, term LIMIT 20""".stripMargin
+
   /** Corpus stats (doc count, total token count) recovered EXACTLY from
     * posting rows: every document owns at least one posting (an empty
     * text still tokenizes to one empty token) and carries its dl on
@@ -1141,6 +1183,33 @@ object Pipeline6 {
       .select(col("qid"), col("cid"), round(col("dist"), 6).as("dist"), col("rnk"))
   }
 
+  /** Diversity-aware serving path: the [[ivfPqRefineTopK]] read
+    * pattern (ADC shortlist → exact rows from the embedding store,
+    * only the probed cells and only the shortlisted ids) feeding
+    * [[mmrRerank]] instead of a plain distance sort. IO is identical
+    * to refine — the MMR stage is corpus-independent (bounded by
+    * queries × r rows) — so diversity costs nothing extra at the
+    * storage layer.
+    */
+  def ivfPqDiverseTopK(spark: SparkSession, codesPath: String, embPath: String,
+                       queries: DataFrame,
+                       cents: Array[(Int, Seq[Float])],
+                       cb: Array[(Int, Seq[Seq[Float]])],
+                       k: Int, r: Int, nProbe: Int = 2, lam: Double = 0.7,
+                       excludeSelf: Boolean = true): DataFrame = {
+    val shortlist = ivfPqTopKStored(spark, codesPath, queries, cents, cb,
+        r, nProbe, excludeSelf)
+      .select(col("qid"), col("cid"))
+    val probes = Similarity.probeCells(cents, queries, nProbe)
+    val cands = spark.read.parquet(embPath)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(shortlist), Seq("qid", "cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("rel"),
+        col("ce"))
+    mmrRerank(cands, k, lam)
+  }
+
   // ---- Residual IVF-PQ (p64): the true-IVFADC encoding ----
 
   /** The centroid model as a broadcastable frame — (cell, cvec). */
@@ -1584,6 +1653,7 @@ object Pipeline6 {
     "p63_proximity_stored" -> (proximityStored _),
     "p64_ivfpq_residual" -> (ivfPqResidualStored _),
     "p66_mmr_rerank" -> (mmrDiverse _),
+    "p68_lex_stats" -> (lexStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1604,5 +1674,6 @@ object Pipeline6 {
     "p63_proximity_stored" -> proximityTopKOracle,
     "p64_ivfpq_residual" -> ivfPqResidualOracle,
     "p66_mmr_rerank" -> mmrOracle,
+    "p68_lex_stats" -> lexStatsOracle,
   )
 }

@@ -23,7 +23,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline5.queries, operators.Pipeline6.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 129,
+    assert(SparkEntry.queries.size >= 130,
       "registered-query surface shrank below the round-7 ledger")
   }
 

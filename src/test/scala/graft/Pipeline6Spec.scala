@@ -467,6 +467,22 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p68: lex stats report matches hand counts on a known corpus") {
+    val docs = Seq(
+      (0L, "scan scan merge"),
+      (1L, "scan table"),
+      (2L, "merge merge")).toDF("doc_id", "text")
+    val got = Pipeline6.lexStatsOf(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def idf(df: Long) = BigDecimal(math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df DESC, term ASC: merge(2,3) scan(2,3) table(1,1)
+    assert(got.toSeq === Seq(
+      ("merge", 2L, 3L, idf(2)),
+      ("scan", 2L, 3L, idf(2)),
+      ("table", 1L, 1L, idf(1))))
+  }
+
   test("p66: lam=1 reduces MMR to plain relevance ranking") {
     val cands = Seq(
       (1L, 10L, 0.9, Seq(1f, 0f)), (1L, 11L, 0.7, Seq(0f, 1f)),
@@ -498,6 +514,45 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     val scores = Pipeline6.mmrRerank(cands, k = 3, lam = 0.5)
       .orderBy(col("rnk")).collect().map(_.getDouble(2))
     assert(math.abs(scores(2) - (-0.01)) < 1e-9)
+  }
+
+  test("diverse search facade: lam=1 over all cells and an unbounded shortlist IS exact cosine top-k") {
+    import graft.operators.{Pipeline6, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val codes = java.nio.file.Files.createTempDirectory("div_codes_").toString
+    val embSt = java.nio.file.Files.createTempDirectory("div_emb_").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, codes)
+    Similarity.ivfWrite(emb, cents, embSt)
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Engine.diverseSearchVectorIndex(spark, codes, embSt, queries,
+        cents, cb, k = 5, r = n, nProbe = 8, lam = 1.0)
+      .orderBy(col("qid"), col("rnk")).collect()
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    (0L until 3L).foreach { qid =>
+      val want = all.keys.filter(_ != qid).toSeq
+        .sortBy(v => (-cos(all(qid), all(v)), v)).take(5)
+      val gotQ = got.filter(_.getLong(0) === qid).sortBy(_.getInt(3)).map(_.getLong(1))
+      assert(gotQ.toSeq === want, s"diverse(lam=1, q$qid) != exact cosine top-5")
+    }
+    // and with lam<1 the same call still yields k well-formed distinct picks
+    val div = Engine.diverseSearchVectorIndex(spark, codes, embSt, queries,
+        cents, cb, k = 5, r = n, nProbe = 8, lam = 0.5).collect()
+    assert(div.length === 15)
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      val picks = div.filter(_.getLong(0) === qid)
+      assert(picks.map(_.getLong(1)).distinct.length === 5)
+      assert(picks.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    }
   }
 
   test("p48: ADC search finds genuinely near vectors (recall vs exact L2 search)") {
