@@ -623,6 +623,77 @@ object Pipeline5 {
        |       CAST(len(kept) AS INTEGER) AS n_kept
        |FROM kept ORDER BY doc_id""".stripMargin
 
+  // ---- BPE merge training (p69) ----
+
+  /** Distributed byte-pair-encoding merge training: learn the first k
+    * merge rules of a BPE tokenizer from the corpus. Classic
+    * frequency-weighted word-level BPE: start from the character split
+    * of every distinct word, and per round (1) count adjacent symbol
+    * pairs weighted by word frequency, (2) take the most frequent pair
+    * (ties: lexicographic on (left, right) — deterministic), (3) fuse
+    * every left-to-right non-overlapping occurrence of that pair into
+    * one symbol.
+    *
+    * Scale shape — the reason this survives 100 TB: all k rounds run
+    * on the DISTINCT-WORDS table (vocab-sized; the corpus compresses
+    * into it by the one word-count shuffle up front, and Heaps' law
+    * keeps |vocab| sublinear in corpus size). Each round is one
+    * pair-count shuffle over that small table plus a 1-row argmax
+    * collect (the Lloyd/centroid model-sized-collect contract), and
+    * the merge applies map-side as a higher-order [[aggregate]] fold —
+    * the fused symbol re-checks as fold carry, so a (x,x) rule over a
+    * run of x fuses pairs left-to-right exactly like the sequential
+    * algorithm. localCheckpoint keeps the per-round plan constant
+    * (the p20/Lloyd loop device).
+    *
+    * No DuckDB oracle: each round's argmax depends on the table the
+    * previous round produced, and SQL recursion cannot aggregate over
+    * the recursive term — rows-only, with an independent single-node
+    * BPE implementation pinning the merge sequence in the spec.
+    */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("sym"), col("freq"))
+      .localCheckpoint(eager = false)
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val best = words.filter(size(col("sym")) > 1)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("sym")) - 1),
+            j => struct(element_at(col("sym"), j).as("l"),
+                        element_at(col("sym"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .take(1)
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val fused = l + r
+        out += ((rank, l, r, fused, n))
+        val apply = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(apply.as("sym"), col("freq"))
+          .localCheckpoint(eager = false)
+        rank += 1
+      }
+    }
+    out.result().toDF("rank", "left", "right", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
+  /** p69: the first 12 BPE merges of the `documents` corpus. */
+  def bpeMergesQuery(s: SparkSession, d: String): DataFrame =
+    bpeMerges(documents(s, d), k = 12)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p51_dup_spans"        -> (dupSpans _),
     "p52_dup_span_coverage" -> (dupSpanCoverage _),
@@ -636,6 +707,7 @@ object Pipeline5 {
     "p39_weighted_sample"  -> (weightedSampleQuery _),
     "p42_weighted_sample_by" -> (weightedSampleByQuery _),
     "p43_mix_temperature"  -> (mixTemperatureQuery _),
+    "p69_bpe_merges"       -> (bpeMergesQuery _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -208,6 +208,70 @@ class Batch7Spec extends AnyFunSuite with SparkTestBase {
     assert(reduced.exceptAll(plain).isEmpty && plain.exceptAll(reduced).isEmpty)
   }
 
+  /** Sequential word-level BPE — shares no code with the distributed
+    * trainer: explicit index-scan merge (continue at i+2), mutable
+    * bigram counting, minBy tie-break.
+    */
+  private def refBpe(freqs: Seq[(String, Long)], k: Int): Seq[(Int, String, String, String, Long)] = {
+    var words = freqs.map { case (w, f) => (w.split("").toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (sym, f) =>
+        var i = 0
+        while (i + 1 < sym.length) {
+          val p = (sym(i), sym(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        val fused = l + r
+        out += ((rank, l, r, fused, n))
+        words = words.map { case (sym, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) { b += fused; i += 2 }
+            else { b += sym(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("p69: hand-checked BPE merge sequence, including a same-symbol run") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaab aaab"), (1L, "aaab ab")).toDF("doc_id", "text")
+    val got = Pipeline5.bpeMerges(docs, k = 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // aaab×3, ab×1: (a,a) 6 beats (a,b) 4; then (a,b) 4; then (aa,ab) 3;
+    // then every word is one symbol and training exhausts early
+    assert(got.toSeq === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 4L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("p69: distributed BPE merges equal the sequential reference on the corpus") {
+    val docs = Tables.documents(spark, dir)
+    val freqs = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val want = refBpe(freqs, 8)
+    val got = Pipeline5.bpeMerges(docs, k = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === want, "distributed BPE diverged from the sequential reference")
+  }
+
   test("p32: rebalance keeps exactly ceil(n/5) per stratum") {
     val kept = Pipeline4.mixRebalance(spark, dir)
       .groupBy(col("lang"), col("source"))

@@ -23,7 +23,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline5.queries, operators.Pipeline6.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 130,
+    assert(SparkEntry.queries.size >= 131,
       "registered-query surface shrank below the round-7 ledger")
   }
 
@@ -31,9 +31,13 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // p15 left this set in round 7: the raster decode carries a full
     // differential oracle now that the payload format is self-describing.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // p69: per-round argmax over the previous round's table — SQL
+    // recursion cannot aggregate over the recursive term, so the BPE
+    // trainer is pinned by an independent single-node implementation
+    // in Pipeline5Spec-land instead of a DuckDB oracle.
     assert(noOracle === Set("p16_approx_stats",
       "q61_sliding_distinct_hll", "q62_heavy_hitters", "p39_weighted_sample",
-      "p42_weighted_sample_by", "p56_pq_trained"))
+      "p42_weighted_sample_by", "p56_pq_trained", "p69_bpe_merges"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {
