@@ -102,11 +102,138 @@ object Pipeline7 {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Bigram-LM perplexity scoring (p71) ----
+
+  /** Add-α smoothing constant of the registered query (a plan-time
+    * literal on both sides of the differential).
+    */
+  private val LmAlpha = 0.5
+
+  /** Positional word bigrams of every document, built map-side: one
+    * `transform` over index positions then an explode — never a
+    * self-join on (doc_id, pos), which would shuffle the corpus twice
+    * to recover adjacency the row already holds.
+    */
+  private[operators] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+                      element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+
+  /** p71: score every document by its per-bigram cross-entropy under an
+    * add-α-smoothed word-bigram language model trained on the corpus —
+    * the CCNet/KenLM-style perplexity filter, the single most standard
+    * quality gate of LLM pretraining pipelines (boilerplate and
+    * keyboard-mash score high; fluent in-domain prose scores low).
+    *
+    * Model: P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V), c(w1) the CONTEXT
+    * count (Σ_w2 c(w1,w2), so rows never leak probability mass to
+    * doc-final positions), V the corpus vocabulary size. Score:
+    * xent(d) = −(1/n) Σ ln P over d's bigrams.
+    *
+    * Scale shape: bigram extraction is map-side ([[bigramsOf]]); the
+    * model is two keyed aggregations over the BIGRAM table (vocab²-
+    * bounded, Heaps-sublinear in the corpus — c(w1) derives from c12,
+    * never re-scans the corpus) plus a 1-row vocabulary count attached
+    * by broadcast (the p68 device). Scoring is one (w1,w2)-keyed join
+    * of the bigram stream against the model and one doc_id-keyed
+    * roll-up. When the model fits an executor (it usually does — vocab²
+    * is millions of rows, not corpus-sized), hint `broadcast(model)`
+    * and scoring becomes map-side too; the registered form keeps the
+    * shuffle join, the shape that cannot OOM.
+    *
+    * Float contract: each ln sits 9+ orders above the 1-ulp libm
+    * disagreement (the p45 analysis); the per-doc sum is order-free to
+    * ~1e-13 while the spec measures the unrounded scores' distance to
+    * their round(·,4) boundary at ≥1e-7 — margins, measured not
+    * assumed. Scored-on-train means every bigram is in the model, so
+    * the inner score join drops nothing (spec-pinned); scoring a
+    * HELD-OUT corpus needs the left-join + α/(c1+αV) unseen fallback,
+    * which [[perplexityScore]] provides.
+    */
+  def perplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // checkpoint: bg feeds both model training and scoring; hashed
+    // bigram rows materialize once (the shingleNovelty contract)
+    val bg = bigramsOf(docs).localCheckpoint(eager = false)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val model = c12.join(c1, "w1")
+    val per = bg.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (-log((col("c12") + LmAlpha) / (col("c1") + col("v") * LmAlpha))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("s"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("s") / col("n_bigrams"), 4), lit(0.0)).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library scoring entry: score `docs` under a model trained
+    * elsewhere ([[lmTrain]]) — left join with the α/(c1+αV) fallback
+    * for unseen bigrams (c12=0) and unseen contexts (c1=0), so a
+    * held-out document always gets a finite score. Sort-free.
+    */
+  def perplexityScore(docs: DataFrame, model: DataFrame, vocabV: Long): DataFrame =
+    bigramsOf(docs)
+      .join(model.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"), "left")
+      // context counts join SEPARATELY on w1: an unseen bigram whose
+      // CONTEXT is known must smooth against c(w1), not against 0 —
+      // reading c1 off the (absent) bigram row would overstate P
+      .join(model.groupBy(col("w1")).agg(max(col("c1")).as("c1")), Seq("w1"), "left")
+      .select(col("doc_id"),
+        (-log((coalesce(col("c12"), lit(0L)) + LmAlpha) /
+              (coalesce(col("c1"), lit(0L)) + lit(vocabV) * LmAlpha))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           (sum(col("nll")) / count(lit(1))).as("xent"))
+
+  /** Train the bigram model of [[perplexityScore]]: (w1, w2, c12, c1). */
+  def lmTrain(docs: DataFrame): DataFrame = {
+    val c12 = bigramsOf(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    c12.join(c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), "w1")
+  }
+
+  val perplexityOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(w)),
+       |                i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+       |       FROM ws WHERE len(w) >= 2),
+       |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM
+       |        (SELECT unnest(w) AS tok FROM ws)),
+       |model AS (SELECT c12.w1, c12.w2, c12.c12, c1.c1
+       |          FROM c12 JOIN c1 USING (w1)),
+       |sc AS (SELECT doc_id,
+       |              -ln((c12 + $LmAlpha) / (c1 + $LmAlpha * v)) AS nll
+       |       FROM bgf JOIN model USING (w1, w2) CROSS JOIN v),
+       |per AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+       |        FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(n_bigrams, 0) AS n_bigrams,
+       |       coalesce(round(s / n_bigrams, 4), CAST(0 AS DOUBLE)) AS xent
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p70_bpe_encode" -> (bpeEncodeQuery _),
+    "p71_perplexity" -> (perplexity _),
   )
 
   val oracles: Map[String, String] = Map(
     "p70_bpe_encode" -> bpeEncodeOracle,
+    "p71_perplexity" -> perplexityOracle,
   )
 }

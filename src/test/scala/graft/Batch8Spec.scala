@@ -81,6 +81,68 @@ class Batch8Spec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("p71: distributed perplexity equals an independent sequential bigram LM") {
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // sequential model: mutable maps, token-at-a-time — no Spark, no SQL
+    val c12 = scala.collection.mutable.Map[(String, String), Long]()
+    val c1 = scala.collection.mutable.Map[String, Long]()
+    val vocab = scala.collection.mutable.Set[String]()
+    texts.foreach { case (_, t) =>
+      val ws = t.split(" ")
+      vocab ++= ws
+      ws.sliding(2).filter(_.length == 2).foreach { p =>
+        c12((p(0), p(1))) = c12.getOrElse((p(0), p(1)), 0L) + 1
+        c1(p(0)) = c1.getOrElse(p(0), 0L) + 1
+      }
+    }
+    val v = vocab.size
+    val want = texts.map { case (id, t) =>
+      val bgs = t.split(" ").sliding(2).filter(_.length == 2).toSeq
+      val s = bgs.map(p => -math.log((c12((p(0), p(1))) + 0.5) / (c1(p(0)) + 0.5 * v))).sum
+      id -> (bgs.size.toLong, BigDecimal(s / bgs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = operators.Pipeline7.perplexity(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (n, x)) =>
+      assert(got(id)._1 === n, s"doc $id bigram count diverged")
+      assert(math.abs(got(id)._2 - x) < 5e-4, s"doc $id xent ${got(id)._2} vs $x")
+    }
+  }
+
+  test("p71: round-boundary margin of the unrounded scores is measured, not assumed") {
+    // the oracle compares round(xent, 4); the float licence is that no
+    // unrounded score sits within reorder-error distance (~1e-12) of a
+    // rounding boundary — measure the actual minimum
+    val docs = Tables.documents(spark, dir)
+    val model = operators.Pipeline7.lmTrain(docs)
+    val v = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val margins = operators.Pipeline7.perplexityScore(docs, model, v)
+      .select((abs(col("xent") * 1e4 - round(col("xent") * 1e4, 0))).as("m"))
+      .agg(min(col("m"))).collect()(0).getDouble(0)
+    assert(margins > 1e-6, f"min round-boundary margin $margins%.2e too thin")
+  }
+
+  test("p71: held-out scoring falls back finitely on unseen bigrams and contexts") {
+    import spark.implicits._
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val model = operators.Pipeline7.lmTrain(train)
+    // "c z" unseen bigram AND unseen context z; "a b" seen
+    val test = Seq((1L, "a b z q")).toDF("doc_id", "text")
+    val got = operators.Pipeline7.perplexityScore(test, model, 3L).collect()(0)
+    assert(got.getLong(1) === 3L)
+    val x = got.getDouble(2)
+    assert(!x.isNaN && !x.isInfinite && x > 0, s"held-out xent must be finite, got $x")
+    // hand-check: P(b|a)=(2+.5)/(2+1.5), P(z|b) unseen bigram seen ctx
+    // =(0+.5)/(2+1.5), P(q|z) unseen ctx =.5/1.5
+    val want = -(math.log(2.5 / 3.5) + math.log(0.5 / 3.5) + math.log(0.5 / 1.5)) / 3
+    assert(math.abs(x - want) < 1e-12)
+  }
+
   test("p70: encode is map-only — no exchange in the plan") {
     val plan = Pipeline7.bpeEncode(Tables.documents(spark, dir), Pipeline7.BpeRules)
       .queryExecution.executedPlan.toString
