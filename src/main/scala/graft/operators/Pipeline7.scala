@@ -227,13 +227,104 @@ object Pipeline7 {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- DSIR importance weighting (p72) ----
+
+  /** Hashed-feature space size and smoothing of the registered query.
+    * 1024 buckets is deliberately small: the POINT of DSIR's hashed
+    * n-gram device is that the model is B-bounded no matter the corpus
+    * — at 100 TB the ratio table is still 1024 rows.
+    */
+  private val DsirBuckets = 1024
+  private val DsirAlpha = 0.5
+
+  /** The cross-engine feature hash: md5's 7-hex-char prefix mod B —
+    * the p18/p67 device, bit-identical in Spark and DuckDB.
+    */
+  private def dsirBucket(tok: Column): Column =
+    pmod(conv(substring(md5(tok), 1, 7), 16, 10).cast("long"),
+      lit(DsirBuckets.toLong))
+
+  /** p72: DSIR-style importance weight of every document against a
+    * target domain (lang='en' here): per token, the log-ratio of the
+    * add-α-smoothed hashed-unigram probability under the TARGET
+    * distribution vs the SOURCE (whole-pool) distribution, averaged
+    * over the document — documents whose token distribution resembles
+    * the target get high weight, the importance-resampling signal for
+    * domain-targeted pretraining mixes (Xie et al.'s DSIR, re-expressed
+    * relationally).
+    *
+    * Scale shape: tokenize + hash are map-side; the two feature-count
+    * aggregations shuffle into a table bounded by B=1024 rows
+    * regardless of corpus size; total-count normalizers ride as
+    * broadcast 1-row frames (the p68 device); and because the ratio
+    * model IS B-bounded, the scoring join broadcasts — so scoring is
+    * map-side and the only corpus-keyed shuffle of the whole operator
+    * is the final per-doc roll-up. This is the DSIR trick made
+    * physical: hashing makes the model small enough that applying it
+    * never shuffles the corpus.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // checkpoint: toks feeds both count sides and the scoring pass
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("b"))
+      .localCheckpoint(eager = false)
+    val tgt = toks.filter(col("lang") === "en")
+    val ct = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cs = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val nt = tgt.agg(count(lit(1)).as("nt"))
+    val ns = toks.agg(count(lit(1)).as("ns"))
+    val denom = lit(DsirAlpha * DsirBuckets)
+    val ratio = cs.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + DsirAlpha) / (col("nt") + denom)) -
+         log((col("cs") + DsirAlpha) / (col("ns") + denom))).as("lr"))
+    // every token's bucket exists on the source side by construction,
+    // so the broadcast inner join drops nothing (spec-pinned)
+    val per = toks.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("sw"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(col("sw") / col("n_tokens"), 4), lit(0.0)).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 7)
+       |              AS BIGINT) % $DsirBuckets AS b
+       |  FROM documents),
+       |ct AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+       |cs AS (SELECT b, count(*) AS cs FROM toks GROUP BY b),
+       |nt AS (SELECT count(*) AS nt FROM toks WHERE lang = 'en'),
+       |ns AS (SELECT count(*) AS ns FROM toks),
+       |ratio AS (SELECT b,
+       |            ln((coalesce(ct, 0) + $DsirAlpha) / (nt + $DsirAlpha * $DsirBuckets)) -
+       |            ln((cs + $DsirAlpha) / (ns + $DsirAlpha * $DsirBuckets)) AS lr
+       |          FROM cs LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN ns),
+       |per AS (SELECT doc_id, count(*) AS n_tokens, sum(lr) AS sw
+       |        FROM toks JOIN ratio USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(n_tokens, 0) AS n_tokens,
+       |       coalesce(round(sw / n_tokens, 4), CAST(0 AS DOUBLE)) AS logw
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p70_bpe_encode" -> (bpeEncodeQuery _),
     "p71_perplexity" -> (perplexity _),
+    "p72_dsir_weights" -> (dsirWeights _),
   )
 
   val oracles: Map[String, String] = Map(
     "p70_bpe_encode" -> bpeEncodeOracle,
     "p71_perplexity" -> perplexityOracle,
+    "p72_dsir_weights" -> dsirWeightsOracle,
   )
 }

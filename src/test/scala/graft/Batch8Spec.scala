@@ -143,6 +143,56 @@ class Batch8Spec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(x - want) < 1e-12)
   }
 
+  test("p72: distributed DSIR weights equal an independent sequential implementation") {
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 1024
+    def bucket(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(7)
+      (java.lang.Long.parseLong(hex, 16) % B).toInt
+    }
+    val ct = new Array[Long](B); val cs = new Array[Long](B)
+    var nt = 0L; var ns = 0L
+    rows.foreach { case (_, lang, t) =>
+      t.split(" ").foreach { w =>
+        val b = bucket(w)
+        cs(b) += 1; ns += 1
+        if (lang == "en") { ct(b) += 1; nt += 1 }
+      }
+    }
+    val lr = Array.tabulate(B)(b =>
+      math.log((ct(b) + 0.5) / (nt + 0.5 * B)) - math.log((cs(b) + 0.5) / (ns + 0.5 * B)))
+    val want = rows.map { case (id, _, t) =>
+      val ws = t.split(" ")
+      id -> BigDecimal(ws.map(w => lr(bucket(w))).sum / ws.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = operators.Pipeline7.dsirWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 5e-4, s"doc $id logw ${got(id)} vs $w")
+    }
+  }
+
+  test("p72: the signal points at the target — en documents average a higher weight") {
+    val byLang = operators.Pipeline7.dsirWeights(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg(col("logw")).as("w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"target-domain docs must outweigh the rest: $byLang")
+  }
+
+  test("p72: scoring joins broadcast — the only corpus-keyed shuffle is the doc roll-up") {
+    val plan = operators.Pipeline7.dsirWeights(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"B-bounded ratio model must broadcast:\n$plan")
+  }
+
   test("p70: encode is map-only — no exchange in the plan") {
     val plan = Pipeline7.bpeEncode(Tables.documents(spark, dir), Pipeline7.BpeRules)
       .queryExecution.executedPlan.toString
