@@ -316,15 +316,94 @@ object Pipeline7 {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- Semantic dedup over IVF cells (p73) ----
+
+  /** Similarity threshold of the registered query. The corpus
+    * embeddings are near-random (within-cell cosines top out near 0.49
+    * at sf0.01), so 0.4 is a demo value that makes the operator
+    * non-trivial on the test tables — geometry-parametric exactly like
+    * the PQ demo codebook; production corpora with real near-dups run
+    * τ≈0.95+.
+    */
+  private val SemTau = 0.4
+
+  /** p73: SemDeDup — semantic deduplication via the IVF cell
+    * structure: assign every embedding to its max-cosine cell (the ONE
+    * assignment definition shared with p13/p41), then within each cell
+    * drop any vector that has a LOWER-id cell-mate at cosine ≥ τ.
+    * Output: (vec_id, cell, kept) for the whole corpus.
+    *
+    * Semantics: pairwise-witness dedup — a vector is dropped iff a
+    * lower-id witness sits within τ in its cell, whether or not that
+    * witness itself survives. This gives the guarantee that matters
+    * (no two KEPT cell-mates are within τ of each other — spec-pinned)
+    * without a transitive closure; when full ε-connected-component
+    * resolution is wanted, feed the τ-pairs to p20's label propagation
+    * — the composition, not a new operator.
+    *
+    * Scale shape: cell assignment is map-only against the broadcast
+    * centroid model; the candidate-pair join is keyed by cell, so the
+    * quadratic blow-up is bounded per cell (nCells grows with the
+    * corpus and the p44 balance report sizes it — the SemDeDup paper's
+    * own scaling argument); the witness set shuffles as bare ids. No
+    * all-pairs stage exists anywhere in the plan.
+    */
+  /** Library entry: SemDeDup `emb` against a given centroid model and
+    * threshold. Sort-free; the registered query orders for the oracle.
+    */
+  def semDedupOf(emb: DataFrame, cents: Array[(Int, Seq[Float])],
+                 tau: Double): DataFrame = {
+    // checkpoint: the assignment feeds both join sides and the output
+    val assigned = Similarity.assignCells(cents, emb)
+      .localCheckpoint(eager = false)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(graft.functions.VectorOps.cosine(
+        col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+  }
+
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    semDedupOf(emb, Similarity.seedCentroids(emb, 8), SemTau)
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupOracle: String = {
+    def duckDot(a: String, b: String) =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def duckCos(a: String, b: String) =
+      s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+    val ccos = duckCos("e.embedding", "c.ce")
+    val pcos = duckCos("a.embedding", "b.embedding")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+       |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       |       NOT EXISTS (SELECT 1 FROM assign b
+       |                   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+       |                     AND $pcos >= $SemTau) AS kept
+       |FROM assign a ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p70_bpe_encode" -> (bpeEncodeQuery _),
     "p71_perplexity" -> (perplexity _),
     "p72_dsir_weights" -> (dsirWeights _),
+    "p73_semdedup" -> (semDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "p70_bpe_encode" -> bpeEncodeOracle,
     "p71_perplexity" -> perplexityOracle,
     "p72_dsir_weights" -> dsirWeightsOracle,
+    "p73_semdedup" -> semDedupOracle,
   )
 }

@@ -193,6 +193,54 @@ class Batch8Spec extends AnyFunSuite with SparkTestBase {
       s"B-bounded ratio model must broadcast:\n$plan")
   }
 
+  test("p73: no two kept cell-mates are within tau (the guarantee), and no over-drop") {
+    // sf0.01: the corpus actually has pairs above the demo threshold,
+    // so both directions of the invariant are exercised non-trivially
+    val d01 = "/root/testdata/sf0.01"
+    val res = operators.Pipeline7.semDedup(spark, d01)
+    val emb = Tables.embeddings(spark, d01)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.exists(!_._3), "demo threshold must produce drops at sf0.01")
+    val byCell = rows.groupBy(_._2)
+    byCell.values.foreach { cell =>
+      val kept = cell.filter(_._3).map(_._1)
+      for (i <- kept.indices; j <- 0 until i)
+        assert(cos(emb(kept(i)), emb(kept(j))) < 0.4,
+          s"kept pair ${kept(j)},${kept(i)} within tau")
+      val ids = cell.map(_._1).toSet
+      cell.filterNot(_._3).foreach { case (v, _, _) =>
+        assert(ids.exists(u => u < v && cos(emb(u), emb(v)) >= 0.4),
+          s"vector $v dropped without a lower-id witness")
+      }
+    }
+  }
+
+  test("p73: on tight duplicate groups, exactly the lowest id of each group survives") {
+    import spark.implicits._
+    // ids 0..7: one-hot centroid seeds. ids 8..19: 3 groups x 4
+    // near-copies of diag(e_{2g}, e_{2g+1}) — cos 0.707 to any
+    // centroid (below tau, so seeds are never witnesses), ~1 within
+    // the group; the e_{2g} bias sends every copy to cell 2g
+    val seeds = (0 until 8).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1.0f else 0.0f), 0))
+    val groups = for (g <- 0 until 3; c <- 0 until 4) yield
+      ((8 + g * 4 + c).toLong, Seq.tabulate(8) { j =>
+        if (j == 2 * g) 1.0f + 0.001f * (c + 1)
+        else if (j == 2 * g + 1) 1.0f else 0.0f }, g + 1)
+    val emb = (seeds ++ groups).toDF("vec_id", "embedding", "label")
+    val cents = operators.Similarity.seedCentroids(emb, 8)
+    val dropped = operators.Pipeline7.semDedupOf(emb, cents, 0.95)
+      .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(9L, 10L, 11L, 13L, 14L, 15L, 17L, 18L, 19L),
+      "each duplicate group must keep exactly its lowest id")
+  }
+
   test("p70: encode is map-only — no exchange in the plan") {
     val plan = Pipeline7.bpeEncode(Tables.documents(spark, dir), Pipeline7.BpeRules)
       .queryExecution.executedPlan.toString
