@@ -580,4 +580,48 @@ object Engine {
       .select(col("cid").as("id"), col("rnk").as("vec_rnk"))
     Pipeline6.rrfFuse(lex, vec, k)
   }
+
+  // ---- tokenizer + corpus-quality-model facade ----
+
+  /** Learn the first k BPE merge rules from a corpus (p69) — the
+    * train half of the tokenizer: all rounds run on the vocab-sized
+    * distinct-words table.
+    */
+  def trainBpe(docs: DataFrame, k: Int): DataFrame =
+    operators.Pipeline5.bpeMerges(docs, k)
+
+  /** Apply an ordered BPE merge table to every document (p70) —
+    * map-only, the rules ship inside the plan; pair with
+    * [[trainBpe]]'s collected output or any published merge list.
+    */
+  def bpeTokenize(docs: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    operators.Pipeline7.bpeEncode(docs, rules)
+
+  /** Train the add-α bigram LM of [[scorePerplexity]] (p71):
+    * (w1, w2, c12, c1) over the vocab²-bounded bigram table.
+    */
+  def trainLm(docs: DataFrame): DataFrame =
+    operators.Pipeline7.lmTrain(docs)
+
+  /** Per-document cross-entropy under a [[trainLm]] model — the
+    * perplexity quality filter, with the held-out smoothing fallback
+    * for unseen bigrams and contexts.
+    */
+  def scorePerplexity(docs: DataFrame, model: DataFrame, vocabV: Long): DataFrame =
+    operators.Pipeline7.perplexityScore(docs, model, vocabV)
+
+  /** DSIR importance weight of every document against a target-domain
+    * predicate (p72): B-bounded hashed-feature ratio model, broadcast
+    * scoring, per-token-averaged log-ratio.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame =
+    operators.Pipeline7.dsirWeightsOf(docs, isTarget)
+
+  /** SemDeDup (p73): per-vector keep/drop by lower-id witness within
+    * IVF cells at cosine ≥ tau; feed τ-pairs to p20 when full
+    * ε-component resolution is wanted.
+    */
+  def semDedup(emb: DataFrame, cents: Array[(Int, Seq[Float])],
+               tau: Double): DataFrame =
+    operators.Pipeline7.semDedupOf(emb, cents, tau)
 }

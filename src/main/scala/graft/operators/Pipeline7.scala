@@ -107,7 +107,15 @@ object Pipeline7 {
   /** Add-α smoothing constant of the registered query (a plan-time
     * literal on both sides of the differential).
     */
-  private val LmAlpha = 0.5
+  private[graft] val LmAlpha = 0.5
+
+  /** THE smoothing formula, shared by the batch scorer and the
+    * streaming gate so they cannot drift: −ln((c12+α)/(c1+αV)) with
+    * null counts (unseen bigram / unseen context) coalesced to 0.
+    */
+  private[graft] def smoothedNll(c12: Column, c1: Column, vocabV: Long): Column =
+    -log((coalesce(c12, lit(0L)) + LmAlpha) /
+         (coalesce(c1, lit(0L)) + lit(vocabV) * LmAlpha))
 
   /** Positional word bigrams of every document, built map-side: one
     * `transform` over index positions then an explode — never a
@@ -189,9 +197,7 @@ object Pipeline7 {
       // CONTEXT is known must smooth against c(w1), not against 0 —
       // reading c1 off the (absent) bigram row would overstate P
       .join(model.groupBy(col("w1")).agg(max(col("c1")).as("c1")), Seq("w1"), "left")
-      .select(col("doc_id"),
-        (-log((coalesce(col("c12"), lit(0L)) + LmAlpha) /
-              (coalesce(col("c1"), lit(0L)) + lit(vocabV) * LmAlpha))).as("nll"))
+      .select(col("doc_id"), smoothedNll(col("c12"), col("c1"), vocabV).as("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
            (sum(col("nll")) / count(lit(1))).as("xent"))
@@ -263,15 +269,20 @@ object Pipeline7 {
     * physical: hashing makes the model small enough that applying it
     * never shuffles the corpus.
     */
-  def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOf(documents(s, d), col("lang") === "en").orderBy(col("doc_id"))
+
+  /** Library entry: DSIR weights of `docs` against an arbitrary
+    * target-membership predicate over the document row. Sort-free.
+    */
+  def dsirWeightsOf(docs: DataFrame, isTarget: Column): DataFrame = {
     // checkpoint: toks feeds both count sides and the scoring pass
     val toks = docs
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), isTarget.as("is_t"),
         explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("b"))
+      .select(col("doc_id"), col("is_t"), dsirBucket(col("tok")).as("b"))
       .localCheckpoint(eager = false)
-    val tgt = toks.filter(col("lang") === "en")
+    val tgt = toks.filter(col("is_t"))
     val ct = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val cs = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
     val nt = tgt.agg(count(lit(1)).as("nt"))
@@ -291,7 +302,6 @@ object Pipeline7 {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(round(col("sw") / col("n_tokens"), 4), lit(0.0)).as("logw"))
-      .orderBy(col("doc_id"))
   }
 
   val dsirWeightsOracle: String =

@@ -427,4 +427,48 @@ object StreamingOps {
       .select(xxhash64(col("s")).as("h")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
   }
+
+  /** Streaming perplexity scoring — the p71 quality filter applied to
+    * the ingestion tail: score each incoming document's cross-entropy
+    * under a BATCH-trained bigram LM ([[graft.operators.Pipeline7
+    * .lmTrain]]) and flag those above `threshold`, so low-quality
+    * documents are gated at ingest rather than by a later batch sweep.
+    *
+    * Shape: bigram extraction is the same positional map-side device
+    * as batch p71; the model attaches via two stream-STATIC broadcast
+    * joins (stateless — the model is a fixed batch frame, Spark plans
+    * these map-side); the ONLY streaming state is the per-(window,
+    * doc) aggregation, append-mode safe behind the watermark and
+    * evicted when the watermark passes. Unseen bigrams/contexts smooth
+    * through [[graft.operators.Pipeline7.smoothedNll]] — literally the
+    * batch formula object, so the gate cannot drift from p71
+    * (spec-pinned on identical documents).
+    */
+  def perplexityScoreStream(docs: DataFrame, model: DataFrame,
+                            vocabV: Long, threshold: Double,
+                            tsCol: String = "ts",
+                            watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Pipeline7
+    val ctx = model.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col(tsCol).as("ts"),
+        split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+                      element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("ts"), col("b.w1"), col("b.w2"))
+      .join(broadcast(model.select(col("w1"), col("w2"), col("c12"))),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .select(col("doc_id"), col("ts"),
+        Pipeline7.smoothedNll(col("c12"), col("c1"), vocabV).as("nll"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("s"))
+      .select(col("window.start").as("hr"), col("doc_id"),
+        col("n_bigrams"), (col("s") / col("n_bigrams")).as("xent"))
+      .withColumn("flagged", col("xent") > threshold)
+  }
 }

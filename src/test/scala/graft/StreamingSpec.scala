@@ -99,6 +99,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming perplexity gate scores exactly like batch p71 scoring, including held-out smoothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (100L, "the quick fox jumps over the lazy dog"),
+      (101L, "the quick dog naps under the warm sun")).toDF("doc_id", "text")
+    val model = graft.operators.Pipeline7.lmTrain(train)
+    val v = train.select(explode(split($"text", " ")).as("t"))
+      .agg(countDistinct($"t")).collect()(0).getLong(0)
+    val docs = Seq(
+      Doc(0L, "the quick fox jumps", ts("00:10")),       // all seen
+      Doc(1L, "purple elephants sing opera loudly", ts("00:20")), // all unseen
+      Doc(2L, "the quick zebra runs", ts("00:30")))       // mixed: seen ctx, unseen bigram
+    val ms = MemoryStream[Doc]
+    val q = StreamingOps.perplexityScoreStream(ms.toDF(), model, v, threshold = 4.0)
+      .writeStream.format("memory").queryName("ppl").outputMode("append")
+      .start()
+    try {
+      ms.addData(docs)
+      q.processAllAvailable()
+      // advance the watermark so the 00:00 window closes and emits
+      ms.addData(Seq(Doc(99L, "a b", ts("03:30"))))
+      q.processAllAvailable()
+      val got = spark.table("ppl")
+        .filter($"doc_id" < 99).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      val exp = graft.operators.Pipeline7
+        .perplexityScore(docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), model, v)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.keySet === exp.keySet)
+      exp.foreach { case (id, (n, x)) =>
+        assert(got(id)._1 === n, s"doc $id bigram count diverged from batch")
+        assert(math.abs(got(id)._2 - x) < 1e-12, s"doc $id xent diverged from batch")
+        assert(got(id)._3 === (x > 4.0), s"doc $id flag wrong")
+      }
+      // the gate orders the docs sensibly: fully-unseen > mixed > fully-seen
+      assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(0L)._2)
+    } finally q.stop()
+  }
+
   case class RasterDoc(doc_id: Long, payload: Array[Byte], ts: Timestamp)
 
   test("streaming perceptual dedup: first image per dHash survives, decode runs in-stream") {
