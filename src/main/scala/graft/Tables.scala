@@ -21,16 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and truncate to a proper
-    * microsecond TimestampType — same floor-truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so oracles line up exactly.
+  /** events.ts has shipped as two parquet generations: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read as raw nanos via the
+    * legacy conf and floor-truncate to micros, same truncation DuckDB
+    * applies casting TIMESTAMP_NS to TIMESTAMP) and plain TIMESTAMP(MICROS)
+    * without UTC adjustment (arrives as TIMESTAMP_NTZ — cast to the session
+    * TimestampType; sessions run UTC, so wall-clock instants are unchanged).
+    * Dispatch on the READ schema so both generations yield one canonical
+    * microsecond TimestampType and every downstream oracle lines up.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
