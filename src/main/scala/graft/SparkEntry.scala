@@ -13,20 +13,20 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Relational4.queries ++
       operators.Relational5.queries ++ operators.Relational6.queries ++
-      operators.Relational7.queries ++
+      operators.Relational7.queries ++ operators.Relational8.queries ++
       operators.PipelineQueries.queries ++ operators.Pipeline2.queries ++
       operators.Pipeline3.queries ++ operators.Pipeline4.queries ++
       operators.Pipeline5.queries ++ operators.Pipeline6.queries ++
-      operators.Pipeline7.queries
+      operators.Pipeline7.queries ++ operators.Pipeline8.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Relational4.oracles ++
       operators.Relational5.oracles ++ operators.Relational6.oracles ++
-      operators.Relational7.oracles ++
+      operators.Relational7.oracles ++ operators.Relational8.oracles ++
       operators.PipelineQueries.oracles ++ operators.Pipeline2.oracles ++
       operators.Pipeline3.oracles ++ operators.Pipeline4.oracles ++
       operators.Pipeline5.oracles ++ operators.Pipeline6.oracles ++
-      operators.Pipeline7.oracles
+      operators.Pipeline7.oracles ++ operators.Pipeline8.oracles
 }

@@ -17,7 +17,7 @@ import graft.functions.TextAnalysis._
   */
 object PipelineQueries {
 
-  private val ShingleN = 5
+  private[operators] val ShingleN = 5
 
   // ---- dedup ----
 
@@ -134,8 +134,12 @@ object PipelineQueries {
   /** The MinHash-LSH → connected-components → canonical-label CTE
     * chain shared by p20 and p67, ending in `lab(doc_id, canonical)`.
     */
-  private val clusterLabelCtes: String =
-    s"""RECURSIVE $shingleCte,
+  /** The MinHash-LSH candidate-pair CTE chain (p04's exact pipeline),
+    * ending in `prs(d1, d2)` — shared by the cluster-label chain below
+    * and by Pipeline8's cross-source overlap oracle.
+    */
+  private[operators] val lshPairCtes: String =
+    s"""$shingleCte,
        |hh AS (
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(ngram), 1, 7) AS BIGINT) AS h1,
@@ -151,7 +155,10 @@ object PipelineQueries {
        |  FROM hx GROUP BY doc_id, band),
        |prs AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val clusterLabelCtes: String =
+    s"""RECURSIVE $lshPairCtes,
        |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
        |r AS (SELECT a, b FROM e
        |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),

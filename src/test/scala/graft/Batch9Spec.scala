@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Pipeline8, Relational8}
+
+/** Round-7 batch-8 operators (quality rules, shard writer, source
+  * overlap, BFS reachability): pins the discrimination / completeness /
+  * determinism properties the oracles cannot see, plus the BFS
+  * invariants behind the recursive-oracle equivalence argument.
+  */
+class Batch9Spec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- p74 quality rules ----
+
+  test("p74: every rule discriminates and the composite keeps a middle slice") {
+    val v = Pipeline8.qualityRules(spark, dir).collect()
+    val n = v.length
+    assert(n > 0)
+    // each named rule fails at least one document (a rule nothing ever
+    // fails is dead weight; one everything fails annihilates the corpus)
+    Seq("r_wordcount", "r_wordlen", "r_stopword", "r_repetition",
+        "r_diversity").foreach { r =>
+      val i = v.head.fieldIndex(r)
+      val fails = v.count(!_.getBoolean(i))
+      assert(fails > 0, s"$r never fails")
+      assert(fails < n, s"$r fails everything")
+    }
+    val kept = v.count(_.getBoolean(v.head.fieldIndex("pass")))
+    assert(kept > n / 10 && kept < n * 9 / 10,
+      s"composite keeps $kept/$n — thresholds no longer discriminate")
+  }
+
+  test("p74: reason is the first failing rule, 'ok' iff pass") {
+    val rules = Seq("r_wordcount" -> "word_count", "r_wordlen" -> "word_len",
+      "r_stopword" -> "stopword", "r_repetition" -> "repetition",
+      "r_diversity" -> "diversity")
+    Pipeline8.qualityRules(spark, dir).collect().foreach { r =>
+      val want = rules.find { case (c, _) => !r.getBoolean(r.fieldIndex(c)) }
+        .map(_._2).getOrElse("ok")
+      assert(r.getAs[String]("reason") === want)
+      assert(r.getAs[Boolean]("pass") === (want == "ok"))
+    }
+  }
+
+  // ---- p75 shard manifest ----
+
+  test("p75: shards are exact-size, contiguous, and cover the corpus") {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.count()
+    val m = Pipeline8.seededShardManifest(docs, 64, "graft-shard-7")
+      .collect()
+    // shard ids are 0..k-1 with every shard full except possibly the last
+    assert(m.map(_.getInt(0)).toSeq === m.indices)
+    m.init.foreach(r => assert(r.getLong(1) === 64L))
+    assert(m.map(_.getLong(1)).sum === total)
+    // id checksum folds over ALL doc ids exactly once
+    val idSum = docs.agg(sum(col("doc_id"))).collect()(0).getLong(0)
+    assert(m.map(_.getAs[Long]("id_sum")).sum === idSum)
+    // the seeded order is a real permutation: shard key ranges are
+    // disjoint and ascending with the shard id
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("hi_key") <= b.getAs[String]("lo_key"))
+      case _ =>
+    }
+  }
+
+  test("p75: assignment is seed-deterministic and partition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val base = Pipeline8.seededShards(docs, "doc_id", 64, "graft-shard-7")
+      .select(col("doc_id"), col("shard"))
+    val again = Pipeline8.seededShards(docs.repartition(13), "doc_id", 64,
+        "graft-shard-7")
+      .select(col("doc_id"), col("shard"))
+    assert(base.exceptAll(again).isEmpty && again.exceptAll(base).isEmpty,
+      "shard assignment depends on input partitioning")
+    // a different seed is a different permutation (not a fixed identity)
+    val other = Pipeline8.seededShards(docs, "doc_id", 64, "other-seed")
+      .select(col("doc_id"), col("shard"))
+    assert(base.join(other, "doc_id")
+      .filter(base("shard") =!= other("shard")).count() > 0,
+      "seed does not influence the permutation")
+  }
+
+  // ---- p76 cross-source overlap ----
+
+  test("p76: matrix is canonical-ordered and folds every LSH pair once") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
+    val docs = Tables.documents(spark, d01)
+    val m = Pipeline8.crossSourceOverlap(spark, d01).collect()
+    assert(m.nonEmpty)
+    m.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    val nPairs = operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum === nPairs,
+      "matrix total != p04 pair count (pairs dropped or double-counted)")
+  }
+
+  // ---- q63 BFS reachability ----
+
+  test("q63: BFS invariants — seed at 0, parent at dist-1, frontier exhausts before the cap") {
+    val d01 = "/root/testdata/sf0.01"
+    val edges = Relational8.incidentEdges(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val got = Relational8.q63Reachability(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(0L) === 0)
+    assert(got.values.max < 10,
+      "depth cap binds — empty-frontier exit never happened")
+    // every non-seed visited node has an in-edge from a node at dist-1,
+    // and no edge ever skips a level downward (BFS layering)
+    got.foreach { case (node, dist) =>
+      if (node != 0L)
+        assert(edges.exists { case (s, t) =>
+          t == node && got.get(s).contains(dist - 1) },
+          s"node $node at dist $dist has no parent at ${dist - 1}")
+    }
+    edges.foreach { case (s, t) =>
+      for (ds <- got.get(s); dt <- got.get(t))
+        assert(dt <= ds + 1, s"edge $s->$t skips a BFS level")
+    }
+    // reachability is non-trivial on this graph (depth ≥ 3 exercises
+    // the loop, not just the seed's neighborhood)
+    assert(got.values.max >= 3)
+  }
+
+  test("q63: single-node BFS over the collected edge list agrees exactly") {
+    val d01 = "/root/testdata/sf0.01"
+    val adj = Relational8.incidentEdges(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var dist = Map(0L -> 0)
+    var frontier = Set(0L)
+    var d = 1
+    while (frontier.nonEmpty && d <= 10) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> d)
+      frontier = next
+      d += 1
+    }
+    val got = Relational8.q63Reachability(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === dist)
+  }
+}

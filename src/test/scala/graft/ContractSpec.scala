@@ -17,14 +17,14 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     val all = Seq(operators.Relational.queries, operators.Relational2.queries,
       operators.Relational3.queries, operators.Relational4.queries,
       operators.Relational5.queries, operators.Relational6.queries,
-      operators.Relational7.queries,
+      operators.Relational7.queries, operators.Relational8.queries,
       operators.PipelineQueries.queries, operators.Pipeline2.queries,
       operators.Pipeline3.queries, operators.Pipeline4.queries,
       operators.Pipeline5.queries, operators.Pipeline6.queries,
-      operators.Pipeline7.queries)
+      operators.Pipeline7.queries, operators.Pipeline8.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 135,
+    assert(SparkEntry.queries.size >= 139,
       "registered-query surface shrank below the round-7 ledger")
   }
 
