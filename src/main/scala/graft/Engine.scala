@@ -624,4 +624,33 @@ object Engine {
   def semDedup(emb: DataFrame, cents: Array[(Int, Seq[Float])],
                tau: Double): DataFrame =
     operators.Pipeline7.semDedupOf(emb, cents, tau)
+
+  /** Per-document Gopher-style rule verdicts + first-failing-rule
+    * reason (p74); [[operators.Pipeline8.qualityPass]] is the
+    * composite gate as a bare filter Column.
+    */
+  def qualityRules(docs: DataFrame): DataFrame =
+    operators.Pipeline8.qualityRulesOf(docs)
+
+  /** Deterministic seeded shuffle → fixed-size shard assignment (p75):
+    * `docs` plus `shard` and the 1-based global position `__rn`, with
+    * no single-partition sort anywhere (TwoLevel device).
+    */
+  def shardAssign(docs: DataFrame, idCol: String, shardSize: Int,
+                  seed: String): DataFrame =
+    operators.Pipeline8.seededShards(docs, idCol, shardSize, seed)
+
+  /** BFS min-hop distances from `seeds(node)` over `edges(src, dst)`
+    * (q63): iterative frontier with per-round lineage truncation.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame =
+    operators.Relational8.bfsDistances(edges, seeds, maxHops)
+
+  /** Exact fixed-point integer PageRank over `edges(src, dst)` (q64):
+    * damping 0.85, uniform teleport + dangling redistribution,
+    * bit-reproducible across runs and partitionings.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    operators.Relational8.pageRank(edges, iters)
 }

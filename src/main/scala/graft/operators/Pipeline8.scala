@@ -65,7 +65,11 @@ object Pipeline8 {
     * no-double-space corpus precondition is already spec-pinned for
     * the p70 oracle in Batch8Spec).
     */
-  def qualityRulesOf(docs: DataFrame): DataFrame = {
+  /** The five named rule verdicts as (name, predicate-over-`text`)
+    * pairs — one definition feeding the per-rule report (p74), the
+    * composite release gate (p77), and any caller-side filter.
+    */
+  private def ruleVerdicts: Seq[(String, Column)] = {
     val w = split(col("text"), " ")
     val wc = size(w)
     val stopArr = array(StopWords.map(lit): _*)
@@ -74,12 +78,20 @@ object Pipeline8 {
     val topFrac = array_max(transform(array_distinct(w),
       x => size(filter(w, y => y === x)))) / wc
     val distinctRatio = size(array_distinct(w)) / wc
-    docs.select(col("doc_id"), wc.as("n_words"),
-        (wc >= WcLo && wc <= WcHi).as("r_wordcount"),
-        (mwl >= MwlLo && mwl <= MwlHi).as("r_wordlen"),
-        (stopRatio >= StopMin).as("r_stopword"),
-        (topFrac <= TopFracMax).as("r_repetition"),
-        (distinctRatio >= DistinctMin).as("r_diversity"))
+    Seq("r_wordcount" -> (wc >= WcLo && wc <= WcHi),
+        "r_wordlen"   -> (mwl >= MwlLo && mwl <= MwlHi),
+        "r_stopword"  -> (stopRatio >= StopMin),
+        "r_repetition" -> (topFrac <= TopFracMax),
+        "r_diversity" -> (distinctRatio >= DistinctMin))
+  }
+
+  /** The composite gate: all five rules pass. Map-only over `text`. */
+  def qualityPass: Column = ruleVerdicts.map(_._2).reduce(_ && _)
+
+  def qualityRulesOf(docs: DataFrame): DataFrame = {
+    val wc = size(split(col("text"), " "))
+    docs.select(col("doc_id") +: wc.as("n_words") +:
+        ruleVerdicts.map { case (n, c) => c.as(n) }: _*)
       .withColumn("pass",
         col("r_wordcount") && col("r_wordlen") && col("r_stopword") &&
           col("r_repetition") && col("r_diversity"))
@@ -95,9 +107,12 @@ object Pipeline8 {
   def qualityRules(s: SparkSession, d: String): DataFrame =
     qualityRulesOf(documents(s, d)).orderBy(col("doc_id"))
 
-  val qualityRulesOracle: String = {
+  /** The quality-verdict CTE chain (s → m → v, ending in per-rule
+    * booleans), shared by the p74 oracle and the p77 release oracle.
+    */
+  private val qualityCtes: String = {
     val stopList = StopWords.map(sw => s"'$sw'").mkString(", ")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS w,
        |         len(string_split(text, ' ')) AS wc
        |  FROM documents),
@@ -117,7 +132,11 @@ object Pipeline8 {
        |         stop_ratio >= $StopMin AS r_stopword,
        |         top_frac <= $TopFracMax AS r_repetition,
        |         distinct_ratio >= $DistinctMin AS r_diversity
-       |  FROM m)
+       |  FROM m)""".stripMargin
+  }
+
+  val qualityRulesOracle: String =
+    s"""WITH $qualityCtes
        |SELECT doc_id, n_words, r_wordcount, r_wordlen, r_stopword,
        |       r_repetition, r_diversity,
        |       r_wordcount AND r_wordlen AND r_stopword AND r_repetition
@@ -129,7 +148,6 @@ object Pipeline8 {
        |            WHEN NOT r_diversity THEN 'diversity'
        |            ELSE 'ok' END AS reason
        |FROM v ORDER BY doc_id""".stripMargin
-  }
 
   // ---- Deterministic shuffle-and-shard (p75) ----
 
@@ -206,11 +224,14 @@ object Pipeline8 {
       .orderBy(col("shard"))
   }
 
-  val shardManifestOracle: String =
-    s"""WITH k AS (
+  /** The manifest CTE tail (key → rank → per-shard roll-up) over any
+    * (doc_id, text) source CTE — shared by the p75 and p77 oracles.
+    */
+  private def shardManifestSql(src: String): String =
+    s"""k AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
        |         md5('$ShardSeed:' || doc_id) AS k
-       |  FROM documents),
+       |  FROM $src),
        |r AS (
        |  SELECT doc_id, n_words, k,
        |         row_number() OVER (ORDER BY k, doc_id) AS rn
@@ -222,6 +243,45 @@ object Pipeline8 {
        |       min(k) AS lo_key, max(k) AS hi_key
        |FROM r
        |GROUP BY shard ORDER BY shard""".stripMargin
+
+  val shardManifestOracle: String =
+    s"WITH ${shardManifestSql("documents")}"
+
+  // ---- Composed release recipe (p77) ----
+
+  /** p77: the release recipe as ONE oracle-checked composition —
+    * quality gate ([[qualityPass]], map-only) → exact dedup (keep the
+    * minimum doc id per identical text, the p01 semantics) → seeded
+    * shard manifest ([[seededShardManifest]]). This is the "switch to
+    * this library" proof for the publishing path: the three stages
+    * compose into a single declarative plan (no materialization
+    * between them — Catalyst sees gate, dedup and manifest at once and
+    * pipelines the gate into the scan), and the composition itself is
+    * hash-checked against DuckDB running the same three stages as
+    * chained CTEs.
+    *
+    * Scale shape: gate is map-only; dedup is one text-keyed shuffle
+    * (at corpus scale, group by a fingerprint first — p02 — so the
+    * shuffle carries 16-byte keys; the registered form keeps full-text
+    * keys for exact p01 parity); the manifest is the p75 two-level
+    * device. Nothing global, nothing driver-side.
+    */
+  def releaseManifest(s: SparkSession, d: String): DataFrame = {
+    val survivors = documents(s, d)
+      .filter(qualityPass)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    seededShardManifest(survivors, ShardSize, ShardSeed)
+  }
+
+  val releaseManifestOracle: String =
+    s"""WITH $qualityCtes,
+       |q AS (SELECT doc_id FROM v
+       |      WHERE r_wordcount AND r_wordlen AND r_stopword
+       |        AND r_repetition AND r_diversity),
+       |dd AS (SELECT min(d.doc_id) AS doc_id, d.text
+       |       FROM documents d JOIN q USING (doc_id)
+       |       GROUP BY d.text),
+       |${shardManifestSql("dd")}""".stripMargin
 
   // ---- Cross-source near-dup overlap matrix (p76) ----
 
@@ -269,11 +329,13 @@ object Pipeline8 {
     "p74_quality_rules"   -> (qualityRules _),
     "p75_shard_manifest"  -> (shardManifest _),
     "p76_source_overlap"  -> (crossSourceOverlap _),
+    "p77_release_manifest" -> (releaseManifest _),
   )
 
   val oracles: Map[String, String] = Map(
     "p74_quality_rules"   -> qualityRulesOracle,
     "p75_shard_manifest"  -> shardManifestOracle,
     "p76_source_overlap"  -> crossSourceOverlapOracle,
+    "p77_release_manifest" -> releaseManifestOracle,
   )
 }

@@ -102,11 +102,121 @@ object Relational8 {
        |SELECT node, CAST(min(dist) AS INTEGER) AS dist
        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
+  // ---- Integer PageRank (q64) ----
+
+  /** Fixed-point scale and iteration count of the registered query.
+    * S = 1e12 keeps every intermediate below 2^63 (contrib sums are
+    * ≤ n·S = 2e14 at n ≤ 200 nodes; at web scale S drops to 1e9 and
+    * the same bound holds to 10^9 nodes) while leaving 12 decimal
+    * digits of rank resolution.
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 3
+
+  /** q64: PageRank over the incident graph in EXACT fixed-point
+    * integer arithmetic — damping 0.85, uniform teleport, dangling
+    * mass redistributed uniformly, 3 iterations:
+    *
+    *   pr'(v) = (15·S DIV 100) DIV n
+    *          + 85·(Σ_{u→v} pr(u) DIV outdeg(u) + D DIV n) DIV 100
+    *
+    * with D = Σ pr over dangling (no-out-edge) nodes. Every operation
+    * is integer add / integer DIV, so the result is bit-identical
+    * across engines, run orders, and partitionings — the same device
+    * q55 uses for higher moments, applied to an ITERATIVE numeric
+    * fixpoint. (Float PageRank sums contributions in partition order;
+    * its low bits are not reproducible on a cluster. Curation actually
+    * wants reproducible ranks: they gate which documents survive.)
+    *
+    * Scale shape: textbook Pregel-as-joins — per iteration, ONE keyed
+    * join (ranks ⋈ out-degrees on node), one keyed join of the
+    * resulting per-edge contributions (edges ⋈ ranks on src), one
+    * groupBy dst, one left join back onto the node set; the dangling
+    * total and node count ride as broadcast 1-row frames (the p68
+    * device). localCheckpoint truncates lineage per iteration so round
+    * N never replays rounds 1..N−1 — the p20/q63 loop discipline.
+    *
+    * The oracle UNROLLS the 3 iterations as mechanically generated CTE
+    * blocks (SQL recursion cannot aggregate over the recursive term —
+    * the p69 precedent, solved here by generation instead of giving up
+    * the oracle).
+    */
+  def q64PageRank(s: SparkSession, d: String): DataFrame =
+    pageRank(incidentEdges(s, d), PrIters).orderBy(col("node"))
+
+  /** Library entry: integer PageRank of a directed edge frame. */
+  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("od")).localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$PrScale DIV n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withDeg = pr.join(deg, Seq("node"), "left")
+      val dang = withDeg.filter(col("od").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("d"))
+      val contrib = withDeg.filter(col("od").isNotNull)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("pr DIV od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+        .select(col("node"),
+          expr(s"(15 * $PrScale DIV 100) DIV n + " +
+               s"85 * (coalesce(insum, CAST(0 AS BIGINT)) + d DIV n) DIV 100")
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  val q64Oracle: String = {
+    val S = PrScale
+    val iterBlocks = (1 to PrIters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""dang$i AS (
+         |  SELECT coalesce(sum(p.pr), 0) AS d
+         |  FROM $prev p LEFT JOIN deg ON p.node = deg.node
+         |  WHERE deg.od IS NULL),
+         |ins$i AS (
+         |  SELECT e.dst, sum(p.pr // deg.od) AS insum
+         |  FROM $prev p JOIN deg ON p.node = deg.node
+         |  JOIN edges e ON e.src = p.node
+         |  GROUP BY e.dst),
+         |pr$i AS (
+         |  SELECT nodes.node,
+         |         (15 * $S // 100) // n.n +
+         |         85 * (coalesce(i.insum, 0) + g.d // n.n) // 100 AS pr
+         |  FROM nodes LEFT JOIN ins$i i ON nodes.node = i.dst
+         |  CROSS JOIN nn n CROSS JOIN dang$i g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM events a JOIN events b ON b.event_id = a.event_id + 1
+       |  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+       |    AND a.user_id <> b.user_id),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |deg AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST($S // n AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN nn),
+       |$iterBlocks
+       |SELECT node, CAST(pr AS BIGINT) AS pr
+       |FROM pr$PrIters ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_reachability" -> (q63Reachability _),
+    "q64_pagerank"     -> (q64PageRank _),
   )
 
   val oracles: Map[String, String] = Map(
     "q63_reachability" -> q63Oracle,
+    "q64_pagerank"     -> q64Oracle,
   )
 }

@@ -127,6 +127,48 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(got.values.max >= 3)
   }
 
+  test("p77: release manifest covers exactly the deduped quality survivors") {
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs.filter(operators.Pipeline8.qualityPass)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.size < docs.count())
+    val m = operators.Pipeline8.releaseManifest(spark, dir).collect()
+    assert(m.map(_.getLong(1)).sum === survivors.size)
+    assert(m.map(_.getAs[Long]("id_sum")).sum === survivors.sum)
+    m.init.foreach(r => assert(r.getLong(1) === 64L))
+  }
+
+  test("q64: distributed integer PageRank equals a single-node fold, mass conserved") {
+    val d01 = "/root/testdata/sf0.01"
+    val S = 1000000000000L
+    val edges = Relational8.incidentEdges(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outDeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    // single-node fold of the IDENTICAL integer recurrence
+    var pr = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val dang = nodes.filterNot(outDeg.contains).map(pr).sum
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / outDeg(u) }.sum
+      }
+      pr = nodes.map(v => v ->
+        ((15 * S / 100) / n + 85 * (in.getOrElse(v, 0L) + dang / n) / 100)).toMap
+    }
+    val got = Relational8.q64PageRank(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // integer DIV only ever truncates: total mass stays within the
+    // worst-case truncation slack of the true S
+    val total = got.values.sum
+    assert(total <= S && total > S * 95 / 100,
+      s"rank mass $total strayed from scale $S")
+    // ranks differentiate (a constant vector means the joins are dead)
+    assert(got.values.toSet.size > 1)
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
