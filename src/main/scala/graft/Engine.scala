@@ -625,6 +625,29 @@ object Engine {
                tau: Double): DataFrame =
     operators.Pipeline7.semDedupOf(emb, cents, tau)
 
+  /** Attach the fixture WAV payload (p78's "microphone"); production
+    * replaces this with reading real audio files into `payload`.
+    */
+  def attachWave(docs: DataFrame): DataFrame =
+    operators.Multimodal.attachWave(docs)
+
+  /** REAL RIFF/PCM decode → exact integer waveform stats + the 60-bit
+    * four-profile fingerprint (p78). Decode at the codec boundary;
+    * shuffle features, never blobs.
+    */
+  def decodeWave(withWave: DataFrame): DataFrame =
+    operators.Multimodal.decodeWave(withWave)
+
+  /** Near-duplicate audio pairs at Hamming ≤ maxHamming on the
+    * [[decodeWave]] fingerprint (p79) — the image dHash banding reused
+    * on the audio profile.
+    */
+  def audioNearDups(withWave: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Multimodal.perceptualNearDupPairs(
+      operators.Multimodal.decodeWave(withWave)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("afp").as("dhash")), maxHamming)
+
   /** Per-document Gopher-style rule verdicts + first-failing-rule
     * reason (p74); [[operators.Pipeline8.qualityPass]] is the
     * composite gate as a bare filter Column.

@@ -253,6 +253,166 @@ object Multimodal {
       })(encoder)
   }
 
+  // ---- real audio decode (RIFF/WAVE PCM) ---------------------------
+
+  /** Deterministic sample formula behind [[attachWave]] — the fixture
+    * "microphone". A sawtooth `((13t + phase) mod period)·8 − 4·period`
+    * (16-bit mono, 8 kHz): `period` picks the scene's pitch, `phase`
+    * its offset, and the `(id / 80) % 2` epoch bit jitters the phase by
+    * one step — the same near-duplicate device as the raster fixture
+    * (ids 80 apart share every parameter except the jitter bit; ids
+    * 160 apart render byte-identical audio).
+    */
+  private[graft] def waveParams(id: Long): (Int, Int, Int) =
+    ((16 + (id % 8) * 4).toInt,
+     (3 * (id % 16) + (id / 80) % 2).toInt,
+     (256 + (id % 5) * 64).toInt)
+
+  private[graft] def sampleAt(period: Int, phase: Int, t: Int): Int =
+    ((13 * t + phase) % period) * 8 - period * 4
+
+  private[graft] val WaveRate = 8000
+
+  /** Render one document's canonical 44-byte-header RIFF/WAVE PCM
+    * file: fmt chunk (PCM, mono, 16-bit, 8 kHz) + data chunk of
+    * little-endian int16 samples.
+    */
+  private[graft] def waveBytes(id: Long): Array[Byte] = {
+    val (period, phase, n) = waveParams(id)
+    val dataSize = n * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putTag(i: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, i)
+    def putU32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putU16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putU32(4, 36L + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putU32(16, 16L)
+    putU16(20, 1); putU16(22, 1); putU32(24, WaveRate.toLong)
+    putU32(28, WaveRate.toLong * 2); putU16(32, 2); putU16(34, 16)
+    putTag(36, "data"); putU32(40, dataSize.toLong)
+    var t = 0
+    while (t < n) { putU16(44 + t * 2, sampleAt(period, phase, t) & 0xffff); t += 1 }
+    out
+  }
+
+  private val waveSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Attach a self-describing WAV payload to each document — the
+    * fixture stand-in for reading real audio files. Rebalance-then-
+    * render, as [[attachRaster]].
+    */
+  def attachWave(docs: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(waveSchema)
+    Parallelism.ensureParallel(docs).select(col("doc_id"))
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, waveBytes(id))
+      })(encoder)
+  }
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def leS16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) | (b(i + 1) << 8)).toShort.toInt
+
+  /** The 60-bit audio profile fingerprint — the dHash analog for
+    * waveforms: 16 equal sample windows, four 15-bit rise profiles
+    * (energy Σ|s|, peak max|s|, zero-crossing count, positive-sample
+    * count), bit set iff the measure RISES into the next window.
+    * Profile shapes survive the ±1 phase jitter (only comparisons that
+    * were nearly tied flip) while different scenes diverge — and 60
+    * bits means [[perceptualNearDupPairs]]'s 4×15 banding applies
+    * unchanged.
+    */
+  private[graft] def waveFingerprint(s: Array[Int]): Long = {
+    val n = s.length
+    val e = new Array[Long](16); val m = new Array[Long](16)
+    val z = new Array[Long](16); val p = new Array[Long](16)
+    var t = 0
+    while (t < n) {
+      val v = s(t); val a = math.abs(v); val w = (t * 16) / n
+      e(w) += a; if (a > m(w)) m(w) = a; if (v > 0) p(w) += 1
+      if (t >= 1 && s(t - 1).toLong * v < 0) z(w) += 1
+      t += 1
+    }
+    var afp = 0L
+    var w = 0
+    while (w < 15) {
+      if (e(w + 1) > e(w)) afp |= 1L << w
+      if (m(w + 1) > m(w)) afp |= 1L << (15 + w)
+      if (z(w + 1) > z(w)) afp |= 1L << (30 + w)
+      if (p(w + 1) > p(w)) afp |= 1L << (45 + w)
+      w += 1
+    }
+    afp
+  }
+
+  private val waveDecodedSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_s", LongType, nullable = false),
+    StructField("max_amp", IntegerType, nullable = false),
+    StructField("zero_cross", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** REAL audio decode kernel: walk the RIFF chunk list (magic checks,
+    * little-endian sizes, arbitrary chunk order tolerated), require
+    * canonical PCM (format 1, mono, 16-bit), parse the int16 sample
+    * block, and emit exact integer waveform statistics plus the
+    * [[waveFingerprint]] — all integers, so the registered query
+    * carries a full cell-exact DuckDB oracle re-derived from the
+    * generator formula, the raster-decode discipline applied to a
+    * second modality. Corrupt payloads fail loudly with the doc id.
+    */
+  def decodeWave(withWave: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(waveDecodedSchema)
+    withWave.select(col("doc_id"), col("payload"))
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        require(b.length >= 44 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(b, 8, 4, "US-ASCII") == "WAVE", s"doc $id: not RIFF/WAVE")
+        var i = 12
+        var rate = -1; var dataOff = -1; var dataLen = -1
+        while (i + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+          val tag = new String(b, i, 4, "US-ASCII")
+          val size = leU32(b, i + 4).toInt
+          if (tag == "fmt ") {
+            require(leU16(b, i + 8) == 1 && leU16(b, i + 10) == 1 &&
+              leU16(b, i + 22) == 16, s"doc $id: not mono 16-bit PCM")
+            rate = leU32(b, i + 12).toInt
+          } else if (tag == "data") { dataOff = i + 8; dataLen = size }
+          i += 8 + size + (size & 1)
+        }
+        require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
+          s"doc $id: missing fmt/data chunk")
+        val n = dataLen / 2
+        val s = new Array[Int](n)
+        var t = 0
+        while (t < n) { s(t) = leS16(b, dataOff + t * 2); t += 1 }
+        var sum = 0L; var maxAmp = 0; var zc = 0L
+        t = 0
+        while (t < n) {
+          val v = s(t); sum += v
+          val a = math.abs(v); if (a > maxAmp) maxAmp = a
+          if (t >= 1 && s(t - 1).toLong * v < 0) zc += 1
+          t += 1
+        }
+        Row.fromSeq(Seq[Any](id, rate, n, sum, maxAmp, zc, waveFingerprint(s)))
+      })(encoder)
+  }
+
   /** Near-duplicate image pairs (Hamming distance ≤ maxHamming on the
     * 60-bit dHash) from a `(doc_id, dhash)` frame — 4×15-bit band
     * blocking, then exact verification, the [[Dedup.simhashPairs]]

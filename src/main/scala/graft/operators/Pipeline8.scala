@@ -325,11 +325,116 @@ object Pipeline8 {
        |JOIN documents sb ON prs.d2 = sb.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- Audio decode + fingerprint near-dup (p78/p79) ----
+
+  /** Shared SQL fragments for the audio oracles: the generator's
+    * per-doc synth constants and the sample formula, inlined so DuckDB
+    * re-derives what the Scala decoder parsed from RIFF bytes — the
+    * raster-oracle discipline ([[PipelineQueries]] `rasterDocsCte`)
+    * applied to the second modality.
+    */
+  private val waveDocsCte =
+    """wd AS (SELECT doc_id,
+      |              16 + (doc_id % 8) * 4 AS period,
+      |              3 * (doc_id % 16) + ((doc_id // 80) % 2) AS phase,
+      |              256 + (doc_id % 5) * 64 AS n
+      |       FROM documents)""".stripMargin
+
+  /** Sample stream: s(t) plus the previous sample sp (for crossings),
+    * re-derived from the formula rather than lag() so the CTE stays a
+    * pure per-row map.
+    */
+  private val waveSampleCte =
+    """sm AS (SELECT doc_id, n, t,
+      |              ((13 * t + phase) % period) * 8 - period * 4 AS s,
+      |              CASE WHEN t >= 1 THEN
+      |                ((13 * (t - 1) + phase) % period) * 8 - period * 4 END AS sp
+      |       FROM wd, unnest(range(0, n)) tt(t))""".stripMargin
+
+  /** Windowed measures + the 60-bit four-profile fingerprint (exact
+    * mirror of Multimodal.waveFingerprint). Window = (t·16) DIV n is
+    * exact: every n is a multiple of 64, so the 16 windows are equal.
+    */
+  private val waveFpCtes =
+    """en AS (SELECT doc_id, (t * 16) // n AS w,
+      |              sum(abs(s)) AS e, max(abs(s)) AS m,
+      |              sum(CASE WHEN sp IS NOT NULL AND sp * s < 0
+      |                       THEN 1 ELSE 0 END) AS z,
+      |              sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS p
+      |       FROM sm GROUP BY doc_id, w),
+      |fp AS (SELECT a.doc_id,
+      |              CAST(sum(
+      |                (CASE WHEN b.e > a.e
+      |                      THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END) +
+      |                (CASE WHEN b.m > a.m
+      |                      THEN CAST(1 AS BIGINT) << CAST(15 + a.w AS INT) ELSE 0 END) +
+      |                (CASE WHEN b.z > a.z
+      |                      THEN CAST(1 AS BIGINT) << CAST(30 + a.w AS INT) ELSE 0 END) +
+      |                (CASE WHEN b.p > a.p
+      |                      THEN CAST(1 AS BIGINT) << CAST(45 + a.w AS INT) ELSE 0 END)
+      |              ) AS BIGINT) AS afp
+      |       FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      |       GROUP BY a.doc_id)""".stripMargin
+
+  /** p78: decode every document's WAV payload — RIFF chunk walk, PCM
+    * int16 parse — into exact integer waveform statistics plus the
+    * four-profile fingerprint. See [[Multimodal.decodeWave]] for the
+    * kernel and the scale notes (decode at the codec boundary, shuffle
+    * features, never blobs).
+    */
+  def audioDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeWave(Multimodal.attachWave(documents(s, d)))
+      .orderBy(col("doc_id"))
+
+  val audioDecodeOracle: String =
+    s"""WITH $waveDocsCte,
+       |$waveSampleCte,
+       |$waveFpCtes,
+       |ag AS (SELECT doc_id,
+       |              CAST(sum(s) AS BIGINT) AS sum_s,
+       |              CAST(max(abs(s)) AS INTEGER) AS max_amp,
+       |              CAST(sum(CASE WHEN sp IS NOT NULL AND sp * s < 0
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       |       FROM sm GROUP BY doc_id)
+       |SELECT wd.doc_id, ${Multimodal.WaveRate} AS sample_rate,
+       |       CAST(n AS INTEGER) AS n_samples,
+       |       sum_s, max_amp, zero_cross, afp
+       |FROM wd JOIN ag USING (doc_id) JOIN fp USING (doc_id)
+       |ORDER BY wd.doc_id""".stripMargin
+
+  /** p79: near-duplicate audio pairs — Hamming ≤ 3 on the 60-bit
+    * fingerprint via the SAME lossless 4×15 banding as image dHash
+    * pairs ([[Multimodal.perceptualNearDupPairs]], reused verbatim:
+    * the fingerprint was sized 60-bit exactly so the banding and its
+    * pigeonhole argument carry over). The fixture guarantees structure:
+    * ids 160 apart are byte-identical audio (Hamming 0), ids 80 apart
+    * are phase-jittered near-dups. Oracle: brute-force all-pairs over
+    * formula-derived fingerprints.
+    */
+  def audioNearDup(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualNearDupPairs(
+        Multimodal.decodeWave(Multimodal.attachWave(documents(s, d)))
+          .select(col("doc_id"), col("afp").as("dhash")),
+        maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+
+  val audioNearDupOracle: String =
+    s"""WITH $waveDocsCte,
+       |$waveSampleCte,
+       |$waveFpCtes
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p74_quality_rules"   -> (qualityRules _),
     "p75_shard_manifest"  -> (shardManifest _),
     "p76_source_overlap"  -> (crossSourceOverlap _),
     "p77_release_manifest" -> (releaseManifest _),
+    "p78_audio_decode"    -> (audioDecode _),
+    "p79_audio_neardup"   -> (audioNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +442,7 @@ object Pipeline8 {
     "p75_shard_manifest"  -> shardManifestOracle,
     "p76_source_overlap"  -> crossSourceOverlapOracle,
     "p77_release_manifest" -> releaseManifestOracle,
+    "p78_audio_decode"    -> audioDecodeOracle,
+    "p79_audio_neardup"   -> audioNearDupOracle,
   )
 }

@@ -169,6 +169,50 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(got.values.toSet.size > 1)
   }
 
+  test("p78: wave decode round-trips the generator exactly (shared-nothing recompute)") {
+    import operators.Multimodal
+    val got = Multimodal.decodeWave(
+        Multimodal.attachWave(Tables.documents(spark, dir)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, r) =>
+      val (period, phase, n) = Multimodal.waveParams(id)
+      val s = Array.tabulate(n)(t => Multimodal.sampleAt(period, phase, t))
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("n_samples") === n)
+      assert(r.getAs[Long]("sum_s") === s.map(_.toLong).sum)
+      assert(r.getAs[Int]("max_amp") === s.map(math.abs).max)
+      assert(r.getAs[Long]("zero_cross") ===
+        s.sliding(2).count(p => p(0).toLong * p(1) < 0).toLong)
+      assert(r.getAs[Long]("afp") === Multimodal.waveFingerprint(s))
+    }
+  }
+
+  test("p78: decoder rejects corrupt payloads loudly") {
+    import spark.implicits._
+    import operators.Multimodal
+    val bad = Seq((7L, "RIFFxxxxJUNK".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWave(bad).collect()
+    }
+    assert(ex.getMessage.contains("7") || ex.getCause != null)
+  }
+
+  test("p79: byte-identical scenes (ids 160 apart) pair at Hamming 0") {
+    val d01 = "/root/testdata/sf0.01"
+    val pairs = operators.Pipeline8.audioNearDup(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    val byPair = pairs.map { case (a, b, h) => (a, b) -> h }.toMap
+    val n = Tables.documents(spark, d01).count()
+    (0L until n - 160).foreach { id =>
+      assert(byPair.get((id, id + 160)).contains(0),
+        s"ids $id/${id + 160} should be byte-identical audio")
+    }
+    pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
