@@ -257,19 +257,29 @@ object Multimodal {
 
   /** Deterministic sample formula behind [[attachWave]] — the fixture
     * "microphone". A sawtooth `((13t + phase) mod period)·8 − 4·period`
+    * under a stepped amplitude envelope `1 + ((t·k) DIV n) mod 4`
     * (16-bit mono, 8 kHz): `period` picks the scene's pitch, `phase`
-    * its offset, and the `(id / 80) % 2` epoch bit jitters the phase by
-    * one step — the same near-duplicate device as the raster fixture
-    * (ids 80 apart share every parameter except the jitter bit; ids
-    * 160 apart render byte-identical audio).
+    * its offset, `k` the envelope's step rate, and the `(id / 80) % 2`
+    * epoch bit jitters the phase by one step — the raster fixture's
+    * near-duplicate device (ids 80 apart share every parameter except
+    * the jitter bit; ids 160 apart render byte-identical audio). The
+    * envelope is what makes the signal NON-stationary: a bare periodic
+    * sawtooth has identical statistics in every analysis window, which
+    * would collapse every rise-profile fingerprint to zero — the
+    * classic degenerate-feature trap for windowed audio signatures.
+    * Every parameter is a function of `id mod {16,8,5,4}` (all
+    * divisors of 80) so the jitter-twin structure survives.
     */
-  private[graft] def waveParams(id: Long): (Int, Int, Int) =
+  private[graft] def waveParams(id: Long): (Int, Int, Int, Int) =
     ((16 + (id % 8) * 4).toInt,
      (3 * (id % 16) + (id / 80) % 2).toInt,
-     (256 + (id % 5) * 64).toInt)
+     (256 + (id % 5) * 64).toInt,
+     (1 + (id % 16)).toInt)
 
-  private[graft] def sampleAt(period: Int, phase: Int, t: Int): Int =
-    ((13 * t + phase) % period) * 8 - period * 4
+  private[graft] def sampleAt(period: Int, phase: Int, n: Int, k: Int,
+                              t: Int): Int =
+    (((13 * t + phase) % period) * 8 - period * 4) *
+      (1 + ((t * k) / n) % 4)
 
   private[graft] val WaveRate = 8000
 
@@ -278,7 +288,7 @@ object Multimodal {
     * little-endian int16 samples.
     */
   private[graft] def waveBytes(id: Long): Array[Byte] = {
-    val (period, phase, n) = waveParams(id)
+    val (period, phase, n, k) = waveParams(id)
     val dataSize = n * 2
     val out = new Array[Byte](44 + dataSize)
     def putTag(i: Int, s: String): Unit =
@@ -296,7 +306,9 @@ object Multimodal {
     putU32(28, WaveRate.toLong * 2); putU16(32, 2); putU16(34, 16)
     putTag(36, "data"); putU32(40, dataSize.toLong)
     var t = 0
-    while (t < n) { putU16(44 + t * 2, sampleAt(period, phase, t) & 0xffff); t += 1 }
+    while (t < n) {
+      putU16(44 + t * 2, sampleAt(period, phase, n, k, t) & 0xffff); t += 1
+    }
     out
   }
 
@@ -357,14 +369,13 @@ object Multimodal {
     afp
   }
 
-  private val waveDecodedSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
+  private val waveDecodedFields = Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_samples", IntegerType, nullable = false),
     StructField("sum_s", LongType, nullable = false),
     StructField("max_amp", IntegerType, nullable = false),
     StructField("zero_cross", LongType, nullable = false),
-    StructField("afp", LongType, nullable = false)))
+    StructField("afp", LongType, nullable = false))
 
   /** REAL audio decode kernel: walk the RIFF chunk list (magic checks,
     * little-endian sizes, arbitrary chunk order tolerated), require
@@ -375,9 +386,19 @@ object Multimodal {
     * generator formula, the raster-decode discipline applied to a
     * second modality. Corrupt payloads fail loudly with the doc id.
     */
-  def decodeWave(withWave: DataFrame): DataFrame = {
-    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(waveDecodedSchema)
-    withWave.select(col("doc_id"), col("payload"))
+  def decodeWave(withWave: DataFrame): DataFrame =
+    decodeWaveKeeping(withWave, Nil)
+
+  /** [[decodeWave]] with passthrough columns — same contract as
+    * [[decodeRasterKeeping]] (streaming callers thread their event
+    * time through the codec boundary).
+    */
+  def decodeWaveKeeping(withWave: DataFrame, keep: Seq[String]): DataFrame = {
+    val keepFields = keep.map(n => withWave.schema(n))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: keepFields ++: waveDecodedFields)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    withWave.select(col("doc_id") +: col("payload") +: keep.map(col): _*)
       .mapPartitions(rows => rows.map { r =>
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]](1)
@@ -409,7 +430,8 @@ object Multimodal {
           if (t >= 1 && s(t - 1).toLong * v < 0) zc += 1
           t += 1
         }
-        Row.fromSeq(Seq[Any](id, rate, n, sum, maxAmp, zc, waveFingerprint(s)))
+        Row.fromSeq(Seq[Any](id) ++ keep.indices.map(k => r.get(2 + k)) ++
+          Seq[Any](rate, n, sum, maxAmp, zc, waveFingerprint(s)))
       })(encoder)
   }
 

@@ -337,19 +337,24 @@ object Pipeline8 {
     """wd AS (SELECT doc_id,
       |              16 + (doc_id % 8) * 4 AS period,
       |              3 * (doc_id % 16) + ((doc_id // 80) % 2) AS phase,
-      |              256 + (doc_id % 5) * 64 AS n
+      |              256 + (doc_id % 5) * 64 AS n,
+      |              1 + (doc_id % 16) AS k
       |       FROM documents)""".stripMargin
 
   /** Sample stream: s(t) plus the previous sample sp (for crossings),
     * re-derived from the formula rather than lag() so the CTE stays a
     * pure per-row map.
     */
+  private def waveSampleSql(t: String): String =
+    s"""(((13 * ($t) + phase) % period) * 8 - period * 4) *
+       |                (1 + ((($t) * k) // n) % 4)""".stripMargin
+
   private val waveSampleCte =
-    """sm AS (SELECT doc_id, n, t,
-      |              ((13 * t + phase) % period) * 8 - period * 4 AS s,
-      |              CASE WHEN t >= 1 THEN
-      |                ((13 * (t - 1) + phase) % period) * 8 - period * 4 END AS sp
-      |       FROM wd, unnest(range(0, n)) tt(t))""".stripMargin
+    s"""sm AS (SELECT doc_id, n, t,
+       |              ${waveSampleSql("t")} AS s,
+       |              CASE WHEN t >= 1 THEN
+       |                ${waveSampleSql("t - 1")} END AS sp
+       |       FROM wd, unnest(range(0, n)) tt(t))""".stripMargin
 
   /** Windowed measures + the 60-bit four-profile fingerprint (exact
     * mirror of Multimodal.waveFingerprint). Window = (t·16) DIV n is

@@ -88,6 +88,20 @@ object StreamingOps {
       .withWatermark(tsCol, "2 hours")
       .dropDuplicatesWithinWatermark("dhash")
 
+  /** Streaming perceptual AUDIO dedup — the waveform twin of
+    * [[perceptualDedupStream]]: decode each micro-batch's WAV payloads
+    * in the same codec boundary ([[graft.operators.Multimodal
+    * .decodeWaveKeeping]], event time passing through), keep the FIRST
+    * clip per 60-bit profile fingerprint with watermark-bounded state.
+    * Exact-signature gate only; Hamming-radius audio dedup is the
+    * batch pair path (p79) run as the compaction-time sweep — the same
+    * split as the image and text streams.
+    */
+  def audioDedupStream(withWave: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Multimodal.decodeWaveKeeping(withWave, Seq(tsCol))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("afp")
+
   /** Stream-stream interval join — the unbounded form of the batch
     * as-of/range joins (q32/q33): each click joined to same-user
     * purchases at most 1 hour older. Both sides carry watermarks so

@@ -176,8 +176,8 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(got.nonEmpty)
     got.foreach { case (id, r) =>
-      val (period, phase, n) = Multimodal.waveParams(id)
-      val s = Array.tabulate(n)(t => Multimodal.sampleAt(period, phase, t))
+      val (period, phase, n, k) = Multimodal.waveParams(id)
+      val s = Array.tabulate(n)(t => Multimodal.sampleAt(period, phase, n, k, t))
       assert(r.getAs[Int]("sample_rate") === 8000)
       assert(r.getAs[Int]("n_samples") === n)
       assert(r.getAs[Long]("sum_s") === s.map(_.toLong).sum)
@@ -211,6 +211,12 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
         s"ids $id/${id + 160} should be byte-identical audio")
     }
     pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+    // the fingerprint DISCRIMINATES: a stationary synth collapses every
+    // profile to the same value and the pair set explodes to all-pairs
+    // (the degenerate-feature trap this fixture's envelope exists to
+    // avoid) — pin that the radius keeps out the vast majority
+    assert(pairs.length < n * (n - 1) / 2 / 20,
+      s"${pairs.length} pairs of ${n * (n - 1) / 2} — fingerprint degenerate")
   }
 
   test("q63: single-node BFS over the collected edge list agrees exactly") {

@@ -140,6 +140,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   case class RasterDoc(doc_id: Long, payload: Array[Byte], ts: Timestamp)
 
+  test("streaming audio dedup: first clip per fingerprint survives, decode runs in-stream") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RasterDoc] // same (doc_id, payload, ts) shape
+    val q = StreamingOps.audioDedupStream(ms.toDF(), "ts")
+      .writeStream.format("memory").queryName("adedup").outputMode("append")
+      .start()
+    try {
+      val fp = (id: Long) => {
+        val (period, phase, n, k) = Multimodal.waveParams(id)
+        Multimodal.waveFingerprint(
+          Array.tabulate(n)(t => Multimodal.sampleAt(period, phase, n, k, t)))
+      }
+      // 0 and 160 are byte-identical audio (every synth param shared);
+      // 1 is a different scene with a distinct profile
+      assert(fp(0L) === fp(160L), "fixture: 0/160 must share the fingerprint")
+      assert(fp(0L) !== fp(1L), "fixture: different scenes must differ")
+      ms.addData(Seq(
+        RasterDoc(0L, Multimodal.waveBytes(0L), ts("00:10")),
+        RasterDoc(160L, Multimodal.waveBytes(160L), ts("00:20")),
+        RasterDoc(1L, Multimodal.waveBytes(1L), ts("00:30"))))
+      q.processAllAvailable()
+      ms.addData(Seq( // 320 = dup of 0 arriving in a LATER micro-batch
+        RasterDoc(320L, Multimodal.waveBytes(320L), ts("00:40"))))
+      q.processAllAvailable()
+      val kept = spark.table("adedup").select($"doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(0L, 1L),
+        s"expected first-per-fingerprint {0,1}, got $kept")
+      // decoded stats flow through alongside the dedup key
+      val row0 = spark.table("adedup").filter($"doc_id" === 0L).collect()(0)
+      assert(row0.getAs[Int]("n_samples") === Multimodal.waveParams(0L)._3)
+    } finally q.stop()
+  }
+
   test("streaming perceptual dedup: first image per dHash survives, decode runs in-stream") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
