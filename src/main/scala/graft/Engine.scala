@@ -663,6 +663,29 @@ object Engine {
                   seed: String): DataFrame =
     operators.Pipeline8.seededShards(docs, idCol, shardSize, seed)
 
+  /** Write the [[shardAssign]] output as hive-partitioned parquet
+    * (`path/shard=<i>/`, one file per shard, rows in the seeded order)
+    * and return the shard manifest. The physical release step: a
+    * trainer's loader reads shard directories sequentially; the
+    * manifest (written alongside as `path/_manifest/`) lets a resumed
+    * publish verify untouched shards by counts and checksums without
+    * re-reading them.
+    */
+  def shardWrite(docs: DataFrame, idCol: String, path: String,
+                 shardSize: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val assigned = operators.Pipeline8.seededShards(docs, idCol, shardSize, seed)
+      .localCheckpoint() // one computation feeds both the write and the manifest
+    assigned.repartition(col("shard")).sortWithinPartitions(col("__rn"))
+      .drop("__rn")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(idCol)).as("id_sum"))
+      .orderBy(col("shard"))
+    manifest.write.mode("overwrite").parquet(path + "/_manifest")
+    manifest
+  }
+
   /** BFS min-hop distances from `seeds(node)` over `edges(src, dst)`
     * (q63): iterative frontier with per-round lineage truncation.
     */

@@ -69,8 +69,11 @@ object Relational8 {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint()
+      // visited is a UNION of already-checkpointed layers — its lineage
+      // stays one union node per round, so re-checkpointing it each
+      // round would only add a per-round materialization job (measured
+      // ~25% of the loop's wall-clock at bench scale) for nothing
       visited = visited.union(next.withColumn("dist", lit(depth)))
-        .localCheckpoint()
       frontier = next
       depth += 1
     }
@@ -210,13 +213,64 @@ object Relational8 {
        |FROM pr$PrIters ORDER BY node""".stripMargin
   }
 
+  // ---- Triangle counting (q65) ----
+
+  /** q65: per-node triangle participation over the undirected support
+    * of the incident graph — the canonical graph-analytics benchmark
+    * (clustering-coefficient numerator, community-density signal).
+    *
+    * Orientation device: edges are canonicalized to a < b and the
+    * three-way join enumerates each triangle exactly once as the
+    * ordered wedge a < b < c closed by the (a, c) edge — two keyed
+    * equi-joins, no DISTINCT-after-the-fact, no double counting to
+    * repair. At web scale the standard refinement is DEGREE ordering
+    * instead of id ordering (orient each edge toward the higher-degree
+    * endpoint, bounding every join fan-out by sqrt(|E|) — the same
+    * join shape, one extra degree computation); id orientation keeps
+    * the oracle trivially mirrorable and is exact regardless.
+    *
+    * Scale shape: one shuffle to canonicalize+distinct, two hash joins
+    * keyed on node ids, one corner-explode roll-up. All integers.
+    */
+  def q65Triangles(s: SparkSession, d: String): DataFrame = {
+    val und = incidentEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
+  val q65Oracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM events a JOIN events b ON b.event_id = a.event_id + 1
+      |  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+      |    AND a.user_id <> b.user_id),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM edges),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+      |SELECT node, count(*) AS n_triangles
+      |FROM n GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_reachability" -> (q63Reachability _),
     "q64_pagerank"     -> (q64PageRank _),
+    "q65_triangles"    -> (q65Triangles _),
   )
 
   val oracles: Map[String, String] = Map(
     "q63_reachability" -> q63Oracle,
     "q64_pagerank"     -> q64Oracle,
+    "q65_triangles"    -> q65Oracle,
   )
 }

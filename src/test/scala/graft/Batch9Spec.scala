@@ -219,6 +219,44 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
       s"${pairs.length} pairs of ${n * (n - 1) / 2} — fingerprint degenerate")
   }
 
+  test("q65: per-node counts equal a single-node triangle enumeration") {
+    val d01 = "/root/testdata/sf0.01"
+    val und = Relational8.incidentEdges(spark, d01).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).distinct
+    val edgeSet = und.toSet
+    val counts = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- und; (b2, c) <- und if b2 == b && edgeSet((a, c))) {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    val got = Relational8.q65Triangles(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === counts.toMap)
+    assert(got.nonEmpty && got.values.sum % 3 === 0,
+      "each triangle must contribute exactly three corners")
+  }
+
+  test("Engine.shardWrite: partitioned layout + manifest round-trip") {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Engine.shardWrite(docs, "doc_id", out, 64, "graft-shard-7")
+      .collect()
+    // layout: one directory per manifest shard, re-read equals source
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length === manifest.length)
+    // re-read shard sizes match the manifest
+    val sizes = back.groupBy(col("shard")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    manifest.foreach(m => assert(sizes(m.getInt(0)) === m.getLong(1)))
+    // the written assignment IS the seeded one
+    val want = operators.Pipeline8.seededShards(docs, "doc_id", 64, "graft-shard-7")
+      .select(col("doc_id"), col("shard"))
+    assert(back.select(col("doc_id"), col("shard")).exceptAll(want).isEmpty)
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
