@@ -262,15 +262,102 @@ object Relational8 {
       |SELECT node, count(*) AS n_triangles
       |FROM n GROUP BY node ORDER BY node""".stripMargin
 
+  // ---- k-core decomposition (q66) ----
+
+  /** Core threshold and peel-round budget of the registered query.
+    * The operator is defined as EXACTLY `CoreRounds` peel rounds (both
+    * engines run the identical bounded recursion, so the oracle can be
+    * generated as unrolled CTE blocks — the q64 device); peeling
+    * reaches its fixpoint in ≤5 rounds on both test SFs (measured;
+    * Batch9Spec asserts the fixpoint was actually reached inside the
+    * budget, so a data regeneration that needed more rounds flags
+    * loudly instead of silently shipping a partial peel). Pathological
+    * chain graphs need O(n) rounds — at that point raise the budget or
+    * switch to bucket-peeling; the per-round plan is unchanged.
+    */
+  private val CoreK = 3
+  private val CoreRounds = 8
+
+  /** q66: k-core decomposition — iteratively peel nodes of degree < k
+    * until (bounded) fixpoint; emit the surviving core with each
+    * node's within-core degree. The density gate of graph curation: a
+    * citation/link graph's k-core is the "well-attested" region, the
+    * standard precursor to trusting link-derived quality signals
+    * (PageRank over the full graph is dominated by its sparse fringe).
+    *
+    * Scale shape: per round, the survivor set semi-joins BOTH endpoint
+    * sides of the directed edge list (two hash joins keyed on node
+    * ids) and one groupBy recounts degrees; survivors shuffle as bare
+    * ids and localCheckpoint truncates lineage per round (the q63/p20
+    * loop discipline). Early exit on fixpoint skips the remaining
+    * budget.
+    */
+  def q66KCore(s: SparkSession, d: String): DataFrame = {
+    val und = incidentEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dir = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var surv = dir.select(col("u").as("node")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (rounds < CoreRounds && !done) {
+      val deg = dir
+        .join(surv.withColumnRenamed("node", "u"), Seq("u"))
+        .join(surv.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= CoreK).select(col("node"))
+        .localCheckpoint()
+      done = next.count() == surv.count() // survivors only ever shrink
+      surv = next
+      rounds += 1
+    }
+    dir.join(surv.withColumnRenamed("node", "u"), Seq("u"))
+      .join(surv.withColumnRenamed("node", "v"), Seq("v"))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+  }
+
+  val q66Oracle: String = {
+    val rounds = (1 to CoreRounds).map { i =>
+      val prev = s"s${i - 1}"
+      s"""d$i AS (
+         |  SELECT dir.u AS node, count(*) AS deg
+         |  FROM dir JOIN $prev su ON dir.u = su.node
+         |           JOIN $prev sv ON dir.v = sv.node
+         |  GROUP BY dir.u),
+         |s$i AS (SELECT node FROM d$i WHERE deg >= $CoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM events a JOIN events b ON b.event_id = a.event_id + 1
+       |  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+       |    AND a.user_id <> b.user_id),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges),
+       |dir AS (SELECT a AS u, b AS v FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |s0 AS (SELECT DISTINCT u AS node FROM dir),
+       |$rounds
+       |SELECT dir.u AS node, count(*) AS deg
+       |FROM dir JOIN s$CoreRounds su ON dir.u = su.node
+       |         JOIN s$CoreRounds sv ON dir.v = sv.node
+       |GROUP BY dir.u ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_reachability" -> (q63Reachability _),
     "q64_pagerank"     -> (q64PageRank _),
     "q65_triangles"    -> (q65Triangles _),
+    "q66_kcore"        -> (q66KCore _),
   )
 
   val oracles: Map[String, String] = Map(
     "q63_reachability" -> q63Oracle,
     "q64_pagerank"     -> q64Oracle,
     "q65_triangles"    -> q65Oracle,
+    "q66_kcore"        -> q66Oracle,
   )
 }

@@ -236,6 +236,36 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
       "each triangle must contribute exactly three corners")
   }
 
+  test("q66: k-core equals single-node peeling and reaches fixpoint inside the round budget") {
+    val d01 = "/root/testdata/sf0.01"
+    val und = Relational8.incidentEdges(spark, d01).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).distinct
+    var surv = und.flatMap(e => Seq(e._1, e._2)).toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      for ((a, b) <- und if surv(a) && surv(b)) { deg(a) += 1; deg(b) += 1 }
+      val next = surv.filter(deg(_) >= 3)
+      changed = next != surv
+      if (changed) rounds += 1
+      surv = next
+    }
+    assert(rounds <= 8,
+      s"peeling took $rounds rounds — raise CoreRounds or the oracle diverges")
+    val finalDeg = {
+      val deg = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((a, b) <- und if surv(a) && surv(b)) { deg(a) += 1; deg(b) += 1 }
+      deg.toMap
+    }
+    val got = Relational8.q66KCore(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === finalDeg)
+    assert(got.nonEmpty && got.values.forall(_ >= 3),
+      "every core member must keep degree >= k within the core")
+  }
+
   test("Engine.shardWrite: partitioned layout + manifest round-trip") {
     val docs = Tables.documents(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("shards").toString

@@ -24,7 +24,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline7.queries, operators.Pipeline8.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 144,
+    assert(SparkEntry.queries.size >= 145,
       "registered-query surface shrank below the round-7 ledger")
   }
 
