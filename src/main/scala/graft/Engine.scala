@@ -625,6 +625,16 @@ object Engine {
                tau: Double): DataFrame =
     operators.Pipeline7.semDedupOf(emb, cents, tau)
 
+  /** RM3-style pseudo-relevance-feedback search (p80): seed query →
+    * feedback top docs → heaviest non-seed terms expand the query →
+    * re-rank, under the all-integer quantized-idf model. The recall
+    * lever for vocabulary mismatch; compose with [[bm25Search]] or the
+    * stored index for the serving-grade final ranking.
+    */
+  def prfSearch(docs: DataFrame, seed: Seq[String], fbDocs: Int = 10,
+                expTerms: Int = 5, k: Int = 10): DataFrame =
+    operators.Pipeline9.rm3SearchOf(docs, seed, fbDocs, expTerms, k)
+
   /** Attach the fixture WAV payload (p78's "microphone"); production
     * replaces this with reading real audio files into `payload`.
     */

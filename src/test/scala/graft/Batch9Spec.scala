@@ -287,6 +287,37 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(back.select(col("doc_id"), col("shard")).exceptAll(want).isEmpty)
   }
 
+  test("p80: expansion changes the ranking and stays disjoint from the seed") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d01)
+    val seed = Seq("merge", "stream", "vector")
+    val withExp = operators.Pipeline9.rm3SearchOf(docs, seed, 10, 5, 10)
+      .collect().map(r => r.getLong(1)).toSeq
+    // expTerms = 0 degenerates to the plain seed search
+    val seedOnly = operators.Pipeline9.rm3SearchOf(docs, seed, 10, 0, 10)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(withExp.size === 10 && seedOnly.size === 10)
+    assert(withExp !== seedOnly,
+      "expansion had no effect on the ranking — PRF is dead weight")
+    // recompute the expansion terms independently and check disjointness
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val w = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), expr(s"CAST($n * 1000 DIV df AS BIGINT)").as("w"))
+    val fb = tf.join(seed.toDF("term"), Seq("term")).join(w, Seq("term"))
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("w")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(10).select(col("doc_id"))
+    val exp = tf.join(fb, Seq("doc_id"))
+      .filter(!col("term").isInCollection(seed))
+      .groupBy(col("term")).agg(sum(col("tf")).as("t"))
+      .orderBy(col("t").desc, col("term")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    assert(exp.size === 5 && exp.intersect(seed.toSet).isEmpty)
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()

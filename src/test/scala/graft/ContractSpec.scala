@@ -21,10 +21,11 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.PipelineQueries.queries, operators.Pipeline2.queries,
       operators.Pipeline3.queries, operators.Pipeline4.queries,
       operators.Pipeline5.queries, operators.Pipeline6.queries,
-      operators.Pipeline7.queries, operators.Pipeline8.queries)
+      operators.Pipeline7.queries, operators.Pipeline8.queries,
+      operators.Pipeline9.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 145,
+    assert(SparkEntry.queries.size >= 146,
       "registered-query surface shrank below the round-7 ledger")
   }
 
