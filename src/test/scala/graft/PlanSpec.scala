@@ -214,6 +214,39 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p53.contains("SortMergeJoin"), "token stream shuffled into the encode join")
   }
 
+  test("p74: the quality gate is map-only — its sole exchange is the oracle sort") {
+    val p = plan("p74_quality_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the per-rule verdicts shuffled — the gate must pipeline into the scan")
+    // statistics come from the row's own token array, never a corpus agg
+    assert(!p.contains("HashAggregate"), "a corpus aggregate crept into the gate")
+  }
+
+  test("p75: the global shard rank never runs a single-partition corpus window") {
+    val p = plan("p75_shard_manifest")
+    // the TwoLevel device: per-shard windows partitioned by the derived
+    // shard key, plus a broadcast offset table — a corpus-wide
+    // Window.orderBy with no partitioning would appear as an Exchange
+    // SinglePartition feeding a Window
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    // the <=shards-row offset table legitimately uses one (bounded) global
+    // window; the corpus-sized path must not
+    assert(single <= 1, s"saw $single single-partition exchanges — the corpus is being globally sorted on one task")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "shard offsets no longer broadcast")
+  }
+
+  // (q63/q64/q66 iterate through eager localCheckpoints, so the
+  // registered query's final plan is a scan of the checkpointed result
+  // — their per-round shapes are exercised live by Batch9Spec's
+  // differentials instead of a plan-text pin.)
+
+  test("p80: both PRF scoring passes broadcast their term sets") {
+    val p = plan("p80_rm3_expand")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "a term-set join stopped broadcasting — the corpus would shuffle per scoring pass")
+  }
+
   test("p49: the IVF-PQ probe scan prunes partitions to the probed cells") {
     val p = plan("p49_ivfpq_stored")
     assert(p.contains("dynamicpruningexpression"),
