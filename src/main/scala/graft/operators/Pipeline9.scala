@@ -124,11 +124,98 @@ object Pipeline9 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- Append-stable shard publishing (p81) ----
+
+  /** Seed/size shared with p75; the registered query splits the corpus
+    * into a base (doc_id % 5 ≠ 0) and an increment (doc_id % 5 = 0) so
+    * the append path is exercised against a non-trivial base at every
+    * SF.
+    */
+  private val ShardSeed = "graft-shard-7"
+  private val ShardSize = 64
+
+  /** p81: append-stable sharding — the incremental-release twin of
+    * p75. A global re-shuffle (p75) re-permutes EVERY doc when the
+    * corpus grows, so a daily ingest would rewrite every shard;
+    * the append discipline instead freezes the base assignment and
+    * places new docs at positions base_count+1… in their own seeded
+    * order — the last partial shard fills up, fresh shards extend the
+    * tail, and every FULL base shard's bytes (and manifest row) are
+    * untouched (spec-pinned). The trade: appended docs mix only among
+    * themselves, not into old shards — the documented stability/mixing
+    * trade-off of release engineering; re-run p75 when a full remix is
+    * worth republishing the corpus.
+    *
+    * Scale shape: two independent TwoLevel global ranks (each the p75
+    * no-single-partition-sort device) + one broadcast 1-row base
+    * count; the union is append-only.
+    */
+  def shardAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    shardAppendManifest(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), ShardSize, ShardSeed)
+  }
+
+  /** Library entry: combined manifest of a frozen `base` plus an
+    * appended `inc`, both (doc_id, text) frames.
+    */
+  def shardAppendManifest(base: DataFrame, inc: DataFrame, shardSize: Int,
+                          seed: String): DataFrame = {
+    def ranked(df: DataFrame): DataFrame =
+      TwoLevel.withGlobalRankBy(
+        df.select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_words"))
+          .withColumn("__k",
+            md5(concat(lit(seed + ":"), col("doc_id").cast("string")))),
+        shardExpr = conv(substring(col("__k"), 1, 2), 16, 10).cast("long"),
+        order = Seq(col("__k"), col("doc_id")),
+        outCol = "__rn")
+    val nb = base.agg(count(lit(1)).as("nb"))
+    val all = ranked(base).crossJoin(broadcast(nb))
+      .select(col("doc_id"), col("n_words"), col("__k"), col("__rn"))
+      .union(ranked(inc).crossJoin(broadcast(nb))
+        .select(col("doc_id"), col("n_words"), col("__k"),
+                (col("__rn") + col("nb")).as("__rn")))
+    all.withColumn("shard", expr(s"CAST((__rn - 1) DIV $shardSize AS INT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).cast("long").as("n_tokens"),
+           sum(col("doc_id")).as("id_sum"),
+           min(col("__k")).as("lo_key"),
+           max(col("__k")).as("hi_key"))
+      .orderBy(col("shard"))
+  }
+
+  val shardAppendOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |nb AS (SELECT count(*) AS nb FROM base),
+       |rb AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |              md5('$ShardSeed:' || doc_id) AS k,
+       |              row_number() OVER (ORDER BY md5('$ShardSeed:' || doc_id),
+       |                                 doc_id) AS rn
+       |       FROM base),
+       |ri AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |              md5('$ShardSeed:' || doc_id) AS k,
+       |              row_number() OVER (ORDER BY md5('$ShardSeed:' || doc_id),
+       |                                 doc_id) + nb AS rn
+       |       FROM inc CROSS JOIN nb),
+       |r AS (SELECT * FROM rb UNION ALL SELECT * FROM ri)
+       |SELECT CAST((rn - 1) // $ShardSize AS INTEGER) AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       min(k) AS lo_key, max(k) AS hi_key
+       |FROM r
+       |GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p80_rm3_expand" -> (rm3Search _),
+    "p80_rm3_expand"  -> (rm3Search _),
+    "p81_shard_append" -> (shardAppend _),
   )
 
   val oracles: Map[String, String] = Map(
-    "p80_rm3_expand" -> rm3Oracle,
+    "p80_rm3_expand"  -> rm3Oracle,
+    "p81_shard_append" -> shardAppendOracle,
   )
 }

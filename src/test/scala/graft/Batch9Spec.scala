@@ -318,6 +318,25 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(exp.size === 5 && exp.intersect(seed.toSet).isEmpty)
   }
 
+  test("p81: appending never touches a full base shard") {
+    import operators.Pipeline8
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val baseOnly = Pipeline8.seededShardManifest(base, 64, "graft-shard-7")
+      .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val combined = operators.Pipeline9.shardAppendManifest(
+        base, docs.filter(col("doc_id") % 5 === 0), 64, "graft-shard-7")
+      .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val nb = base.count()
+    val fullBaseShards = (nb / 64).toInt
+    (0 until fullBaseShards).foreach { sh =>
+      assert(combined(sh) === baseOnly(sh),
+        s"append rewrote full base shard $sh — stability broken")
+    }
+    // the whole corpus is covered exactly once
+    assert(combined.values.map(_(1).asInstanceOf[Long]).sum === docs.count())
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
