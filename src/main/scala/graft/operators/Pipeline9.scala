@@ -209,13 +209,102 @@ object Pipeline9 {
        |FROM r
        |GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- Token-distribution drift report (p82) ----
+
+  /** Hashed-feature space of the drift report (the DSIR/p72 device:
+    * B-bounded no matter the corpus) and the report size.
+    */
+  private val DriftBuckets = 1024
+  private val DriftTopN = 20
+
+  /** The established cross-engine feature hash: md5 7-hex-prefix mod B. */
+  private def driftBucket(tok: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(tok), 1, 7), 16, 10).cast("long"),
+      lit(DriftBuckets.toLong))
+
+  /** p82: token-distribution drift between a base corpus and an
+    * ingestion increment — the monitoring gate that catches a feed
+    * going bad (language flip, boilerplate flood, encoding breakage)
+    * BEFORE the increment is admitted. Each side's hashed-unigram
+    * distribution is reduced to per-bucket occurrence rates in exact
+    * integer parts-per-million (`rate = count·10⁶ DIV total`); the
+    * report is the top-N buckets by squared rate difference (ppm²),
+    * ties by bucket — all integer arithmetic, so the ranking is
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: tokenize+hash are map-side; each side folds into a
+    * B=1024-row count table (map-side partial agg does the heavy
+    * lifting); totals ride as broadcast 1-row frames; the compare and
+    * top-N run on 2·B rows — corpus-independent, like every model
+    * table in this library. The registered split (doc_id mod 5) stands
+    * in for yesterday's corpus vs today's batch.
+    */
+  def driftReport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    driftReportOf(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), DriftTopN)
+  }
+
+  /** Library entry: drift report between any two (…, text) frames. */
+  def driftReportOf(base: DataFrame, inc: DataFrame, topN: Int): DataFrame = {
+    def buckets(df: DataFrame): DataFrame =
+      df.select(explode(split(col("text"), " ")).as("tok"))
+        .select(driftBucket(col("tok")).as("b"))
+    def rates(df: DataFrame, cnt: String, rate: String): DataFrame = {
+      val bk = buckets(df)
+      val total = bk.agg(count(lit(1)).as("t"))
+      bk.groupBy(col("b")).agg(count(lit(1)).as(cnt))
+        .crossJoin(broadcast(total))
+        .select(col("b"), col(cnt),
+          expr(s"CAST($cnt * 1000000 DIV t AS BIGINT)").as(rate))
+    }
+    rates(base, "cb", "rb")
+      .join(rates(inc, "ci", "ri"), Seq("b"), "full_outer")
+      .select(col("b").cast("int").as("bucket"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("ci"), lit(0L)).as("ci"),
+        coalesce(col("rb"), lit(0L)).as("rb"),
+        coalesce(col("ri"), lit(0L)).as("ri"))
+      .withColumn("drift",
+        (col("ri") - col("rb")) * (col("ri") - col("rb")))
+      .orderBy(col("drift").desc, col("bucket"))
+      .limit(topN)
+  }
+
+  val driftOracle: String =
+    s"""WITH bb AS (
+       |  SELECT CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 7)
+       |              AS BIGINT) % $DriftBuckets AS b
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |bi AS (
+       |  SELECT CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 7)
+       |              AS BIGINT) % $DriftBuckets AS b
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |cb AS (SELECT b, count(*) AS cb,
+       |              CAST(count(*) * 1000000 // (SELECT count(*) FROM bb)
+       |                   AS BIGINT) AS rb
+       |       FROM bb GROUP BY b),
+       |ci AS (SELECT b, count(*) AS ci,
+       |              CAST(count(*) * 1000000 // (SELECT count(*) FROM bi)
+       |                   AS BIGINT) AS ri
+       |       FROM bi GROUP BY b),
+       |j AS (SELECT CAST(b AS INTEGER) AS bucket,
+       |             coalesce(cb, 0) AS cb, coalesce(ci, 0) AS ci,
+       |             coalesce(rb, 0) AS rb, coalesce(ri, 0) AS ri
+       |      FROM cb FULL OUTER JOIN ci USING (b))
+       |SELECT bucket, cb, ci, rb, ri,
+       |       CAST((ri - rb) * (ri - rb) AS BIGINT) AS drift
+       |FROM j ORDER BY drift DESC, bucket LIMIT $DriftTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p80_rm3_expand"  -> (rm3Search _),
     "p81_shard_append" -> (shardAppend _),
+    "p82_drift_report" -> (driftReport _),
   )
 
   val oracles: Map[String, String] = Map(
     "p80_rm3_expand"  -> rm3Oracle,
     "p81_shard_append" -> shardAppendOracle,
+    "p82_drift_report" -> driftOracle,
   )
 }

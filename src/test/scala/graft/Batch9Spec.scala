@@ -337,6 +337,28 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(combined.values.map(_(1).asInstanceOf[Long]).sum === docs.count())
   }
 
+  test("p82: a simulated feed flood dominates the drift report") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // increment = base plus a boilerplate flood: one token repeated
+    // corpus-wide must surface its bucket at rank 1
+    val flood = Seq.fill(50)((99999L, Array.fill(40)("zzzflood").mkString(" ")))
+      .zipWithIndex.map { case ((_, t), i) => (99000L + i, t) }
+      .toDF("doc_id", "text")
+    val report = operators.Pipeline9.driftReportOf(docs, docs.unionByName(
+        flood.withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(docs.columns.map(col): _*)), 20)
+      .collect()
+    assert(report.nonEmpty)
+    val floodBucket = spark.range(1)
+      .select(pmod(conv(substring(md5(lit("zzzflood")), 1, 7), 16, 10)
+        .cast("long"), lit(1024L)).as("b")).collect()(0).getLong(0)
+    assert(report(0).getInt(0) === floodBucket.toInt,
+      "the flooded token's bucket should lead the drift ranking")
+    assert(report(0).getAs[Long]("drift") > report.last.getAs[Long]("drift"))
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
