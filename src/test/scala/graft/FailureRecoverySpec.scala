@@ -36,6 +36,24 @@ class FailureRecoverySpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(1) === expected.getLong(1))
   }
 
+  test("iterative BFS survives an injected failure mid-loop with exact distances") {
+    // The loop materializes each round via localCheckpoint; a task
+    // failure inside a round must recompute from lineage, not corrupt
+    // the visited set or drop a frontier layer. The flaky edge column
+    // fails the first attempt of partition 0 of whatever stage first
+    // evaluates the edge frame.
+    val clean = operators.Relational8.incidentEdges(spark, dir)
+    val expected = operators.Relational8
+      .bfsDistances(clean, spark.range(1).select(lit(0L).as("node")), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flakyEdges = clean.withColumn("src", flaky(col("src")))
+    val got = operators.Relational8
+      .bfsDistances(flakyEdges, spark.range(1).select(lit(0L).as("node")), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected,
+      "a transient failure inside the BFS loop changed the distances")
+  }
+
   test("existence query survives an injected failure (no false notfound)") {
     // The reference's exact failure mode: the scanned partition dies,
     // the verdict counter treats it as a miss. Here the needle's row is
