@@ -709,4 +709,18 @@ object Engine {
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame =
     operators.Relational8.pageRank(edges, iters)
+
+  /** Connected components of an arbitrary `edges(src, dst)` frame:
+    * every node labeled with its component's minimum node id, via the
+    * O(log n) large-star/small-star contraction behind p33. The
+    * generic-graph door to the dedup cluster machinery.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    operators.Dedup.dedupClustersLogN(nodes, "node",
+        edges.select(col("src").as("d1"), col("dst").as("d2")))
+      .select(col("doc_id").as("node"), col("canonical").as("component"))
+  }
 }

@@ -359,6 +359,30 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(report(0).getAs[Long]("drift") > report.last.getAs[Long]("drift"))
   }
 
+  test("Engine.connectedComponents: generic edges equal single-node union-find") {
+    val d01 = "/root/testdata/sf0.01"
+    val edges = Relational8.incidentEdges(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = Engine.connectedComponents(Relational8.incidentEdges(spark, d01))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // every label is its component's minimum member
+    got.groupBy(_._2).foreach { case (comp, members) =>
+      assert(comp === members.keys.min)
+    }
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
