@@ -245,21 +245,25 @@ object Pipeline9 {
       docs.filter(col("doc_id") % 5 === 0), DriftTopN)
   }
 
+  /** Per-bucket hashed-token occurrence rates of a (…, text) frame in
+    * exact integer ppm — the B-bounded "distribution signature" shared
+    * by the batch report and the streaming gate.
+    */
+  private[graft] def bucketRates(df: DataFrame, cnt: String,
+                                 rate: String): DataFrame = {
+    val bk = df.select(explode(split(col("text"), " ")).as("tok"))
+      .select(driftBucket(col("tok")).as("b"))
+    val total = bk.agg(count(lit(1)).as("t"))
+    bk.groupBy(col("b")).agg(count(lit(1)).as(cnt))
+      .crossJoin(broadcast(total))
+      .select(col("b"), col(cnt),
+        expr(s"CAST($cnt * 1000000 DIV t AS BIGINT)").as(rate))
+  }
+
   /** Library entry: drift report between any two (…, text) frames. */
   def driftReportOf(base: DataFrame, inc: DataFrame, topN: Int): DataFrame = {
-    def buckets(df: DataFrame): DataFrame =
-      df.select(explode(split(col("text"), " ")).as("tok"))
-        .select(driftBucket(col("tok")).as("b"))
-    def rates(df: DataFrame, cnt: String, rate: String): DataFrame = {
-      val bk = buckets(df)
-      val total = bk.agg(count(lit(1)).as("t"))
-      bk.groupBy(col("b")).agg(count(lit(1)).as(cnt))
-        .crossJoin(broadcast(total))
-        .select(col("b"), col(cnt),
-          expr(s"CAST($cnt * 1000000 DIV t AS BIGINT)").as(rate))
-    }
-    rates(base, "cb", "rb")
-      .join(rates(inc, "ci", "ri"), Seq("b"), "full_outer")
+    bucketRates(base, "cb", "rb")
+      .join(bucketRates(inc, "ci", "ri"), Seq("b"), "full_outer")
       .select(col("b").cast("int").as("bucket"),
         coalesce(col("cb"), lit(0L)).as("cb"),
         coalesce(col("ci"), lit(0L)).as("ci"),

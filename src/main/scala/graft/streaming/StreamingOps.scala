@@ -88,6 +88,27 @@ object StreamingOps {
       .withWatermark(tsCol, "2 hours")
       .dropDuplicatesWithinWatermark("dhash")
 
+  /** Streaming drift gate — p82's ingestion monitor at the stream
+    * boundary, in the same `foreachBatch` discipline as the index
+    * ingestion paths: score ONE micro-batch's hashed-token bucket
+    * rates against a frozen base signature
+    * ([[graft.operators.Pipeline9.bucketRates]] of yesterday's
+    * corpus, precomputed and tiny — B=1024 rows, so it broadcasts),
+    * returning the buckets whose squared ppm rate difference exceeds
+    * `thresholdPpm2`. Empty result = batch admitted; non-empty = the
+    * feed drifted and the rows say where. All integer, so the gate
+    * fires identically however the batch was partitioned.
+    */
+  def driftGateBatch(batch: DataFrame, baseRates: DataFrame,
+                     thresholdPpm2: Long): DataFrame =
+    graft.operators.Pipeline9.bucketRates(batch, "ci", "ri")
+      .join(broadcast(baseRates.select(col("b"), col("rb"))), Seq("b"), "left")
+      .select(col("b").cast("int").as("bucket"), col("ci"), col("ri"),
+        coalesce(col("rb"), lit(0L)).as("rb"))
+      .withColumn("drift", (col("ri") - col("rb")) * (col("ri") - col("rb")))
+      .filter(col("drift") > thresholdPpm2)
+      .orderBy(col("drift").desc, col("bucket"))
+
   /** Streaming perceptual AUDIO dedup — the waveform twin of
     * [[perceptualDedupStream]]: decode each micro-batch's WAV payloads
     * in the same codec boundary ([[graft.operators.Multimodal

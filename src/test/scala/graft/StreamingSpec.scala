@@ -140,6 +140,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   case class RasterDoc(doc_id: Long, payload: Array[Byte], ts: Timestamp)
 
+  test("drift gate: a clean batch passes, a flooded batch names the bad bucket") {
+    import graft.operators.Pipeline9
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = Pipeline9.bucketRates(docs, "cb", "rb").cache()
+    // a batch drawn from the same distribution: nothing should fire at
+    // a threshold comfortably above sampling noise
+    val clean = StreamingOps.driftGateBatch(
+      docs.limit(100), base, thresholdPpm2 = 10000L * 10000L)
+    assert(clean.isEmpty, "clean batch tripped the drift gate")
+    // a boilerplate flood must fire, naming the flooded token's bucket
+    val flood = spark.range(60).select(col("id").as("doc_id"),
+      lit(Seq.fill(40)("zzzflood").mkString(" ")).as("text"))
+    val fired = StreamingOps.driftGateBatch(flood, base, 10000L * 10000L)
+      .collect()
+    assert(fired.nonEmpty, "flooded batch passed the gate")
+    val floodBucket = spark.range(1)
+      .select(pmod(conv(substring(md5(lit("zzzflood")), 1, 7), 16, 10)
+        .cast("long"), lit(1024L))).collect()(0).getLong(0).toInt
+    assert(fired(0).getInt(0) === floodBucket)
+  }
+
   test("streaming audio dedup: first clip per fingerprint survives, decode runs in-stream") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
