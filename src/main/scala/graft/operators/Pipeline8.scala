@@ -110,7 +110,7 @@ object Pipeline8 {
   /** The quality-verdict CTE chain (s → m → v, ending in per-rule
     * booleans), shared by the p74 oracle and the p77 release oracle.
     */
-  private val qualityCtes: String = {
+  private[operators] val qualityCtes: String = {
     val stopList = StopWords.map(sw => s"'$sw'").mkString(", ")
     s"""s AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS w,

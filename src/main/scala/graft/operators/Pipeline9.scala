@@ -300,15 +300,76 @@ object Pipeline9 {
        |       CAST((ri - rb) * (ri - rb) AS BIGINT) AS drift
        |FROM j ORDER BY drift DESC, bucket LIMIT $DriftTopN""".stripMargin
 
+  // ---- Eval-set release composition (p83) ----
+
+  /** Per-source cap of the registered eval release. */
+  private val EvalCapPerSource = 3
+
+  /** p83: the EVAL-set release recipe as one oracle-checked
+    * composition across three operator families — leak-free split
+    * (p67: a document's side is the md5 bucket of its near-dup
+    * CLUSTER's canonical id, so no duplicate pair straddles
+    * train/eval), quality gate (p74's composite), and per-source
+    * stratified caps (p23's exact row_number semantics) — yielding a
+    * small, clean, leak-free, source-balanced eval set. This is the
+    * artifact an evaluation team actually consumes, and the
+    * composition is the point: cluster resolution (iterative
+    * contraction), map-only gating, and a per-source window all fuse
+    * into one declarative plan, hash-checked end to end (the oracle
+    * chains the recursive cluster-label CTEs, the quality CTEs and
+    * the stratified window).
+    *
+    * Scale shape: the split rides p20's cluster labels (the one
+    * near-dup-pair machinery run); the gate is map-only; the cap is a
+    * per-source window over the already-small eval slice. Nothing new
+    * shuffles beyond what the ingredients already pay.
+    */
+  def evalRelease(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
+    val evalIds = Dedup.leakFreeSplit(docs, "doc_id", pairs, evalPct = 10)
+      .filter(col("split") === "eval").select(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.filter(Pipeline8.qualityPass)
+      .join(evalIds, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= EvalCapPerSource)
+      .select(col("doc_id"), col("source"), col("rnk").cast("int").as("rnk"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val evalReleaseOracle: String =
+    s"""WITH ${PipelineQueries.clusterLabelCtes},
+       |ev AS (SELECT doc_id FROM lab
+       |       WHERE CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 7)
+       |                  AS BIGINT) % 100 < 10),
+       |${Pipeline8.qualityCtes},
+       |q AS (SELECT doc_id FROM v
+       |      WHERE r_wordcount AND r_wordlen AND r_stopword
+       |        AND r_repetition AND r_diversity),
+       |el AS (SELECT d.doc_id, d.source
+       |       FROM documents d JOIN ev USING (doc_id) JOIN q USING (doc_id)),
+       |rk AS (SELECT doc_id, source,
+       |              row_number() OVER (PARTITION BY source
+       |                                 ORDER BY doc_id) AS rnk
+       |       FROM el)
+       |SELECT doc_id, source, CAST(rnk AS INTEGER) AS rnk
+       |FROM rk WHERE rnk <= $EvalCapPerSource
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p80_rm3_expand"  -> (rm3Search _),
     "p81_shard_append" -> (shardAppend _),
     "p82_drift_report" -> (driftReport _),
+    "p83_eval_release" -> (evalRelease _),
   )
 
   val oracles: Map[String, String] = Map(
     "p80_rm3_expand"  -> rm3Oracle,
     "p81_shard_append" -> shardAppendOracle,
     "p82_drift_report" -> driftOracle,
+    "p83_eval_release" -> evalReleaseOracle,
   )
 }

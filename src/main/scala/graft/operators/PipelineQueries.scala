@@ -157,7 +157,7 @@ object PipelineQueries {
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bd a JOIN bd b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
-  private val clusterLabelCtes: String =
+  private[operators] val clusterLabelCtes: String =
     s"""RECURSIVE $lshPairCtes,
        |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
        |r AS (SELECT a, b FROM e

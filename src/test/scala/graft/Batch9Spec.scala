@@ -383,6 +383,38 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p83: every eval row passes the gate, sits on the eval side, respects the cap") {
+    import operators.{Dedup, Pipeline8, PipelineQueries => PQ}
+    val d01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d01)
+    val got = operators.Pipeline9.evalRelease(spark, d01).collect()
+    assert(got.nonEmpty)
+    // cap respected per source
+    got.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+    }
+    val ids = got.map(_.getLong(0)).toSet
+    // every member passes the quality gate
+    val passIds = docs.filter(Pipeline8.qualityPass)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(passIds))
+    // every member is on the eval side of the leak-free split — and so
+    // is every near-dup of it (the leak-free guarantee, re-checked here
+    // through the composition)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 5,
+      numHashes = 16, bands = 4)
+    val split = Dedup.leakFreeSplit(docs, "doc_id", pairs, evalPct = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ids.forall(split(_) == "eval"))
+    pairs.collect().map(r => (r.getLong(0), r.getLong(1))).foreach {
+      case (a, b) =>
+        if (ids(a) || ids(b))
+          assert(split(a) == "eval" && split(b) == "eval",
+            s"near-dup pair ($a,$b) straddles the split with an eval member")
+    }
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
