@@ -352,6 +352,9 @@ object Relational8 {
     "q64_pagerank"     -> (q64PageRank _),
     "q65_triangles"    -> (q65Triangles _),
     "q66_kcore"        -> (q66KCore _),
+    // DDSketch-style log-histogram quantiles — the rare sketch whose
+    // state is order-free, so unlike q61/q62 it carries a FULL oracle
+    "q67_quantile_sketch" -> (Sketches.quantileSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,5 +362,6 @@ object Relational8 {
     "q64_pagerank"     -> q64Oracle,
     "q65_triangles"    -> q65Oracle,
     "q66_kcore"        -> q66Oracle,
+    "q67_quantile_sketch" -> Sketches.quantileSketchOracle,
   )
 }

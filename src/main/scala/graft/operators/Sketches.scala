@@ -116,4 +116,89 @@ object Sketches {
            sum(col("n_events")).as("n_events"))
       .orderBy(col("eh"))
   }
+
+  /** Sub-bucket bits of the q67 log-histogram: 5 bits = 32 sub-buckets
+    * per octave, worst-case relative error 2⁻⁶ ≈ 1.6 % at the bucket's
+    * lower bound. Values below 2⁶ get exact unit buckets.
+    */
+  private val QSubBits = 5
+  private val QPcts = Seq(50, 95, 99)
+
+  /** q67: DDSketch-style log-histogram quantiles — per group, the
+    * {50,95,99}th percentiles of `l_extendedprice` estimated from a
+    * relative-error-bounded logarithmic histogram, with the WHOLE
+    * sketch oracle-checkable: unlike HLL/SpaceSaving (q61/q62, order-
+    * sensitive → rows-only), this sketch's state is a bucket→count
+    * vector — a pure set aggregate, identical under any update or
+    * merge order — and the bucket function is pure integer bit
+    * arithmetic (cents → binary length → top sub-bits; no log() whose
+    * last ulp could straddle a boundary between engines), so the
+    * estimates hash-match DuckDB exactly.
+    *
+    * This is THE percentile plan that survives 100 TB: the exact form
+    * must globally sort (or at least shuffle one row per value) per
+    * group, while the histogram folds map-side into ≤ 64·2⁵ counters
+    * per group regardless of row count, merges by addition, and the
+    * quantile extraction is a window over the model-sized histogram.
+    * Error contract: every estimate is the true value's bucket lower
+    * bound, so est ≤ truth < est·(1+2⁻⁵) — SketchesSpec pins the
+    * envelope against the exact percentile twin.
+    */
+  def quantileSketch(s: SparkSession, d: String): DataFrame =
+    quantileSketchOf(
+      lineitem(s, d).select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("c")),
+      QPcts)
+
+  /** Library entry: per-`flag` log-histogram percentiles of positive
+    * long `c`. `pcts` are integer percents.
+    */
+  def quantileSketchOf(vals: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val nSub = 1 << QSubBits
+    val lb = when(col("c") < nSub * 2, col("c"))
+      .otherwise(expr(
+        s"shiftleft($nSub + (shiftright(c, length(bin(c)) - ${QSubBits + 1}) " +
+        s"& ${nSub - 1}), length(bin(c)) - ${QSubBits + 1})"))
+    val hist = vals.select(col("flag"), lb.as("lb"))
+      .groupBy(col("flag"), col("lb")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("lb"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))))
+    cum.crossJoin(pcts.toDF("pct"))
+      .filter(col("cum") >= expr("(n * pct + 99) DIV 100"))
+      .groupBy(col("flag"), col("pct"))
+      .agg(min(col("lb")).as("est_cents"))
+      .select(col("flag"), col("pct").cast("int").as("pct"), col("est_cents"))
+      .orderBy(col("flag"), col("pct"))
+  }
+
+  val quantileSketchOracle: String = {
+    val nSub = 32; val sb = 6
+    s"""WITH v AS (SELECT l_returnflag AS flag,
+       |                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+       |           FROM lineitem),
+       |b AS (SELECT flag,
+       |             CASE WHEN c < ${nSub * 2} THEN c
+       |                  ELSE (($nSub + ((c >> (length(bin(c)) - $sb))
+       |                                  & ${nSub - 1}))
+       |                        << (length(bin(c)) - $sb)) END AS lb
+       |      FROM v),
+       |h AS (SELECT flag, lb, count(*) AS cnt FROM b GROUP BY flag, lb),
+       |cum AS (SELECT flag, lb, cnt,
+       |               sum(cnt) OVER (PARTITION BY flag ORDER BY lb) AS cum,
+       |               sum(cnt) OVER (PARTITION BY flag) AS n
+       |        FROM h),
+       |p AS (SELECT unnest([${QPcts.mkString(", ")}]) AS pct)
+       |SELECT flag, CAST(pct AS INTEGER) AS pct,
+       |       CAST(min(lb) AS BIGINT) AS est_cents
+       |FROM cum CROSS JOIN p
+       |WHERE cum >= (n * pct + 99) // 100
+       |GROUP BY flag, pct
+       |ORDER BY flag, pct""".stripMargin
+  }
 }

@@ -84,6 +84,44 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("q67: log-histogram quantiles bound the exact percentile from below within 2^-5") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val est = operators.Sketches.quantileSketch(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+           expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"))
+      .collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val flag = r.getString(0)
+      Seq(50 -> r.getDouble(1), 95 -> r.getDouble(2), 99 -> r.getDouble(3))
+        .foreach { case (p, truthPrice) =>
+          val truthCents = math.floor(truthPrice * 100).toLong
+          val e = est((flag, p))
+          // the estimate is the truth's bucket lower bound
+          assert(e <= truthCents, s"$flag p$p: est $e above truth $truthCents")
+          assert(truthCents < e + (e >> 5) + 1,
+            s"$flag p$p: est $e more than 2^-5 below truth $truthCents")
+        }
+    }
+  }
+
+  test("q67: the histogram state is order-free — repartitioned input gives identical output") {
+    val d = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions._
+    val base = operators.Sketches.quantileSketch(spark, d).collect().toSeq
+    val shuffled = operators.Sketches.quantileSketchOf(
+      Tables.lineitem(spark, d).select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+        .repartition(7), Seq(50, 95, 99))
+      .collect().toSeq
+    assert(base.map(_.toString) === shuffled.map(_.toString))
+  }
+
   test("heavy hitters: SpaceSaving bounds hold vs exact counts, top ranks repartition-stable") {
     import spark.implicits._
     import org.apache.spark.sql.graftext.HeavyHitters.heavyHitters
