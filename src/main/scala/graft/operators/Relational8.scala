@@ -320,6 +320,50 @@ object Relational8 {
       .orderBy(col("node"))
   }
 
+  /** Retention horizon of the registered query (hours after first
+    * activity), bounding the matrix at cohorts × 49 rows.
+    */
+  private val RetentionHorizon = 48
+
+  /** q68: retention cohort matrix — users bucketed by their FIRST
+    * activity hour (the cohort), then for every (cohort, offset) the
+    * count of cohort members active `offset` hours later. The product-
+    * analytics staple (funnel q46's longitudinal sibling): row 0 is
+    * cohort size, the decay along an offset row is the retention
+    * curve. All integer (hour arithmetic in integral micros DIV,
+    * distinct-user counts), so fully hash-checked.
+    *
+    * Scale shape: first-activity is one user-keyed aggregate; activity
+    * de-dup is one (user, hour) aggregate; the join is user-keyed
+    * (both sides shuffle once on the same key — AQE reuses the
+    * partitioning); the matrix itself is cohorts × horizon, model-
+    * sized. At 100 TB the only corpus-width work is the two keyed
+    * aggregates, both map-side-combining to one row per user(-hour).
+    */
+  def q68Retention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+    val firstH = e.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
+    val active = e.select(col("user_id"), col("h")).distinct()
+    active.join(firstH, Seq("user_id"))
+      .select(col("cohort"), (col("h") - col("cohort")).as("off"))
+      .filter(col("off") <= RetentionHorizon)
+      .groupBy(col("cohort"), col("off"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("off"))
+  }
+
+  val q68Oracle: String =
+    s"""WITH e AS (SELECT user_id,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+       |           FROM events),
+       |f AS (SELECT user_id, min(h) AS cohort FROM e GROUP BY user_id),
+       |a AS (SELECT DISTINCT user_id, h FROM e)
+       |SELECT cohort, h - cohort AS off, count(*) AS n_users
+       |FROM a JOIN f USING (user_id)
+       |WHERE h - cohort <= $RetentionHorizon
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q66Oracle: String = {
     val rounds = (1 to CoreRounds).map { i =>
       val prev = s"s${i - 1}"
@@ -355,6 +399,7 @@ object Relational8 {
     // DDSketch-style log-histogram quantiles — the rare sketch whose
     // state is order-free, so unlike q61/q62 it carries a FULL oracle
     "q67_quantile_sketch" -> (Sketches.quantileSketch _),
+    "q68_retention"    -> (q68Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,5 +408,6 @@ object Relational8 {
     "q65_triangles"    -> q65Oracle,
     "q66_kcore"        -> q66Oracle,
     "q67_quantile_sketch" -> Sketches.quantileSketchOracle,
+    "q68_retention"    -> q68Oracle,
   )
 }
