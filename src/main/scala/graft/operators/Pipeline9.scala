@@ -300,6 +300,105 @@ object Pipeline9 {
        |       CAST((ri - rb) * (ri - rb) AS BIGINT) AS drift
        |FROM j ORDER BY drift DESC, bucket LIMIT $DriftTopN""".stripMargin
 
+  // ---- MaxP passage retrieval (p84) ----
+
+  private val PassageTerms = Seq("merge", "stream", "vector")
+  private val PassageStride = 80
+  private val PassageWidth = 100
+  private val PassageTopK = 10
+
+  /** p84: passage-level retrieval with MaxP aggregation — score every
+    * overlapping character window (the p38 chunker: stride 80, width
+    * 100) for the query terms, then rank DOCUMENTS by their best
+    * passage (max chunk score, ties to the earliest chunk). This is
+    * the long-document retrieval discipline (Dai & Callan's MaxP):
+    * a 10k-token document about many things ranks by its most relevant
+    * passage, not by its diluted whole-document statistics — and the
+    * winning (start, chunk) offsets are exactly what a RAG pipeline
+    * feeds the model.
+    *
+    * Scoring: occurrences-in-window × quantized idf — `tf` counted by
+    * the replace-and-measure device ((len − len(replace(chunk, t)))
+    * DIV len(t), substring semantics: a term cut by a window boundary
+    * counts in neither window, the documented chunking trade-off) and
+    * the p80 integer idf (N·1000 DIV df), so the whole data-dependent
+    * pipeline hash-checks.
+    *
+    * Scale shape: chunk explosion and scoring are MAP-ONLY (the term
+    * list and the two 1-row stats frames — doc count and per-term dfs
+    * — broadcast; the score is a plan-literal fold over them); MaxP is
+    * one doc-keyed reduce; the final cut is a bounded TakeOrdered.
+    * The corpus pays one pass, exploded ×(width/stride).
+    */
+  def maxpSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dfExprs = PassageTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("text").contains(t), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val dfs = docs.agg(dfExprs.head, dfExprs.tail: _*)
+    val chunks = docs
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        explode(sequence(lit(0L),
+          expr(s"greatest(n_chars - 1, 0) DIV $PassageStride"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * PassageStride).as("start"),
+        expr(s"substring(text, CAST(chunk_idx * $PassageStride + 1 AS INT), " +
+          s"$PassageWidth)").as("chunk"))
+    val score = PassageTerms.zipWithIndex.map { case (t, i) =>
+      ((length(col("chunk")) - length(regexp_replace(col("chunk"),
+          java.util.regex.Pattern.quote(t), ""))) / lit(t.length)).cast("long") *
+        expr(s"CAST(n * 1000 DIV df$i AS BIGINT)")
+    }.reduce(_ + _)
+    val best = chunks.crossJoin(broadcast(n)).crossJoin(broadcast(dfs))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        score.as("score"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("chunk_idx"))))
+      .filter(col("rn") === 1 && col("score") > 0)
+    best.orderBy(col("score").desc, col("doc_id")).limit(PassageTopK)
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("chunk_idx"), col("start"),
+        col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val maxpOracle: String = {
+    val dfsSel = PassageTerms.zipWithIndex.map { case (t, i) =>
+      s"count(*) FILTER (WHERE contains(text, '$t')) AS df$i"
+    }.mkString(", ")
+    val scoreSql = PassageTerms.zipWithIndex.map { case (t, i) =>
+      s"((length(chunk) - length(replace(chunk, '$t', ''))) // ${t.length})" +
+        s" * (n * 1000 // df$i)"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |dfs AS (SELECT $dfsSel FROM documents),
+       |ch AS (SELECT doc_id, i AS chunk_idx, i * $PassageStride AS start,
+       |              substr(text, CAST(i * $PassageStride + 1 AS INTEGER),
+       |                     $PassageWidth) AS chunk
+       |       FROM documents,
+       |            unnest(range(0, greatest(n_chars - 1, 0) // $PassageStride
+       |                            + 1)) AS t(i)),
+       |sc AS (SELECT doc_id, chunk_idx, start,
+       |              CAST($scoreSql AS BIGINT) AS score
+       |       FROM ch CROSS JOIN n CROSS JOIN dfs),
+       |best AS (SELECT doc_id, chunk_idx, start, score,
+       |                row_number() OVER (PARTITION BY doc_id
+       |                  ORDER BY score DESC, chunk_idx) AS rn
+       |         FROM sc)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |         AS rank,
+       |       doc_id, chunk_idx, start, score
+       |FROM (SELECT doc_id, chunk_idx, start, score FROM best
+       |      WHERE rn = 1 AND score > 0
+       |      ORDER BY score DESC, doc_id LIMIT $PassageTopK)
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- Eval-set release composition (p83) ----
 
   /** Per-source cap of the registered eval release. */
@@ -364,6 +463,7 @@ object Pipeline9 {
     "p81_shard_append" -> (shardAppend _),
     "p82_drift_report" -> (driftReport _),
     "p83_eval_release" -> (evalRelease _),
+    "p84_maxp_search"  -> (maxpSearch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,5 +471,6 @@ object Pipeline9 {
     "p81_shard_append" -> shardAppendOracle,
     "p82_drift_report" -> driftOracle,
     "p83_eval_release" -> evalReleaseOracle,
+    "p84_maxp_search"  -> maxpOracle,
   )
 }

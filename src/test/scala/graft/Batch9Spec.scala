@@ -415,6 +415,28 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p84: the winning passage really contains a query term, and MaxP picks the doc max") {
+    val d01 = "/root/testdata/sf0.01"
+    val terms = Seq("merge", "stream", "vector")
+    val rows = operators.Pipeline9.maxpSearch(spark, d01).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val texts = Tables.documents(spark, d01)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (doc, start) = (r.getLong(1), r.getLong(3))
+      val window = texts(doc).drop(start.toInt).take(100)
+      assert(terms.exists(window.contains),
+        s"doc $doc winning passage at $start has no query term")
+      // no other window of the doc scores a strictly higher raw hit sum
+      // under equal weights — a cheap single-node MaxP sanity proxy
+      val hits = (c: String) => terms.map(t =>
+        (c.length - c.replace(t, "").length) / t.length).sum
+      val allWindows = (0 to (texts(doc).length - 1) / 80)
+        .map(i => texts(doc).drop(i * 80).take(100))
+      assert(hits(window) > 0 && hits(window) <= allWindows.map(hits).max)
+    }
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
