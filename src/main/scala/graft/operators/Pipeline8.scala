@@ -333,7 +333,7 @@ object Pipeline8 {
     * raster-oracle discipline ([[PipelineQueries]] `rasterDocsCte`)
     * applied to the second modality.
     */
-  private val waveDocsCte =
+  private[operators] val waveDocsCte =
     """wd AS (SELECT doc_id,
       |              16 + (doc_id % 8) * 4 AS period,
       |              3 * (doc_id % 16) + ((doc_id // 80) % 2) AS phase,
@@ -349,7 +349,7 @@ object Pipeline8 {
     s"""(((13 * ($t) + phase) % period) * 8 - period * 4) *
        |                (1 + ((($t) * k) // n) % 4)""".stripMargin
 
-  private val waveSampleCte =
+  private[operators] val waveSampleCte =
     s"""sm AS (SELECT doc_id, n, t,
        |              ${waveSampleSql("t")} AS s,
        |              CASE WHEN t >= 1 THEN
@@ -360,7 +360,7 @@ object Pipeline8 {
     * mirror of Multimodal.waveFingerprint). Window = (t·16) DIV n is
     * exact: every n is a multiple of 64, so the 16 windows are equal.
     */
-  private val waveFpCtes =
+  private[operators] val waveFpCtes =
     """en AS (SELECT doc_id, (t * 16) // n AS w,
       |              sum(abs(s)) AS e, max(abs(s)) AS m,
       |              sum(CASE WHEN sp IS NOT NULL AND sp * s < 0

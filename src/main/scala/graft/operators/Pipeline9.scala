@@ -399,6 +399,73 @@ object Pipeline9 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- Cross-modal dedup clusters (p85) ----
+
+  /** p85: duplicate resolution across THREE modalities at once — exact
+    * text pairs (same `text`), perceptual image pairs (dHash Hamming
+    * ≤ 3 over the decoded rasters), and audio fingerprint pairs (the
+    * p79 radius) union into ONE edge set, and the O(log n) contraction
+    * labels every document with its cross-modal cluster's minimum id.
+    * This is the dedup semantics a real multimodal corpus needs: two
+    * documents whose text differs but whose image matches a third
+    * document's audio twin are STILL one cluster — duplicate evidence
+    * composes transitively across modalities, which per-modality
+    * dedup silently misses.
+    *
+    * Scale shape: each modality contributes its already-banded pair
+    * generation (never all-pairs); the union is pair-sized; the
+    * contraction is p33's O(log n) loop. The oracle chains all three
+    * formula-derived pair CTEs and resolves with recursive closure —
+    * the largest composed oracle in the registry, which is the point:
+    * the whole cross-modal pipeline hash-checks.
+    */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val textPairs = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val imgPairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.decodeRaster(Multimodal.attachRaster(docs))
+          .select(col("doc_id"), col("dhash")), maxHamming = 3)
+      .select(col("d1"), col("d2"))
+    val audioPairs = Multimodal.perceptualNearDupPairs(
+        Multimodal.decodeWave(Multimodal.attachWave(docs))
+          .select(col("doc_id"), col("afp").as("dhash")), maxHamming = 3)
+      .select(col("d1"), col("d2"))
+    Dedup.dedupClustersLogN(docs, "doc_id",
+        textPairs.union(imgPairs).union(audioPairs))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalDedupOracle: String =
+    s"""WITH RECURSIVE ${PipelineQueries.rasterDocsCte},
+       |${PipelineQueries.rasterDhashCte},
+       |${Pipeline8.waveDocsCte},
+       |${Pipeline8.waveSampleCte},
+       |${Pipeline8.waveFpCtes},
+       |tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM documents a JOIN documents b
+       |         ON a.text = b.text AND a.doc_id < b.doc_id),
+       |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |ap AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+       |prs AS (SELECT d1, d2 FROM tp UNION
+       |        SELECT d1, d2 FROM ip UNION
+       |        SELECT d1, d2 FROM ap),
+       |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+       |           AS canonical
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
+
   // ---- Eval-set release composition (p83) ----
 
   /** Per-source cap of the registered eval release. */
@@ -464,6 +531,7 @@ object Pipeline9 {
     "p82_drift_report" -> (driftReport _),
     "p83_eval_release" -> (evalRelease _),
     "p84_maxp_search"  -> (maxpSearch _),
+    "p85_multimodal_dedup" -> (multimodalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -472,5 +540,6 @@ object Pipeline9 {
     "p82_drift_report" -> driftOracle,
     "p83_eval_release" -> evalReleaseOracle,
     "p84_maxp_search"  -> maxpOracle,
+    "p85_multimodal_dedup" -> multimodalDedupOracle,
   )
 }

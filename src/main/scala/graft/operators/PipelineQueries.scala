@@ -581,7 +581,7 @@ object PipelineQueries {
     * per-doc constants and the pixel / grayscale formulas, inlined so
     * DuckDB recomputes what the Scala decoder read from bytes.
     */
-  private val rasterDocsCte =
+  private[operators] val rasterDocsCte =
     """d AS (SELECT doc_id,
       |             CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w,
       |             CAST(48 + (doc_id % 5) * 16 AS BIGINT) AS h,
@@ -598,7 +598,7 @@ object PipelineQueries {
     * grayscale grid, bit j*10+i set iff brightness rises — the exact
     * mirror of Multimodal.dHash, re-derived from the formula.
     */
-  private val rasterDhashCte = {
+  private[operators] val rasterDhashCte = {
     val xi = "((i * w) // 11)"
     val xn = "(((i + 1) * w) // 11)"
     val yj = "((j * h) // 6)"

@@ -437,6 +437,45 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p85: every modality's pair endpoints land in one cluster; labels are minima") {
+    import operators.Multimodal
+    val d01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d01)
+    val lbl = operators.Pipeline9.multimodalDedup(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // image and audio pair endpoints must always share a cluster
+    val imgPairs = Multimodal.perceptualNearDupPairs(
+      Multimodal.decodeRaster(Multimodal.attachRaster(docs))
+        .select(col("doc_id"), col("dhash")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val audPairs = Multimodal.perceptualNearDupPairs(
+      Multimodal.decodeWave(Multimodal.attachWave(docs))
+        .select(col("doc_id"), col("afp").as("dhash")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(imgPairs.nonEmpty && audPairs.nonEmpty)
+    (imgPairs ++ audPairs).foreach { case (a, b) =>
+      assert(lbl(a) === lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are component minima
+    lbl.groupBy(_._2).foreach { case (c, m) => assert(c === m.keys.min) }
+    // the fusion is real: some cluster is strictly larger than what
+    // either single modality's pairs alone would produce
+    def ccSize(pairs: Seq[(Long, Long)]): Map[Long, Int] = {
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .groupBy(find).map { case (r, m) => r -> m.size }
+    }
+    val fusedMax = lbl.groupBy(_._2).values.map(_.size).max
+    val soloMax = (ccSize(imgPairs.toSeq).values ++ ccSize(audPairs.toSeq).values).max
+    assert(fusedMax >= soloMax, "fused clusters lost members vs a single modality")
+  }
+
   test("q63: single-node BFS over the collected edge list agrees exactly") {
     val d01 = "/root/testdata/sf0.01"
     val adj = Relational8.incidentEdges(spark, d01).collect()
