@@ -320,6 +320,43 @@ object Relational8 {
       .orderBy(col("node"))
   }
 
+  /** q69: per-user exponential moving average of event values — the
+    * sequential stateful fold class (`s' = (3·v + 7·s) DIV 10`,
+    * α = 0.3 in exact integer tenths over cents, seeded with the
+    * user's first value). Order-dependent state is the one thing a
+    * shuffle cannot reorder-and-merge, so the shape is: ONE key
+    * shuffle, collect the user's (ts, id, cents) triples, sort within
+    * the row, fold with a higher-order `aggregate` — the same
+    * per-key-bounded-state contract as mapGroupsWithState, whose
+    * streaming twin (`StreamingOps.runningUserTotals`) carries the
+    * unbounded form. Integer arithmetic end to end, so the fold is
+    * bit-identical to DuckDB's `list_reduce` mirror (which also seeds
+    * with the head element — the seeding convention is part of the
+    * differential).
+    */
+  def q69Ewma(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("us"), col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"),
+           count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(slice(transform(es, x -> x.c), 2, size(es) - 1), " +
+             "element_at(transform(es, x -> x.c), 1), " +
+             "(acc, v) -> (3 * v + 7 * acc) DIV 10)").as("ewma_cents"))
+      .orderBy(col("user_id"))
+
+  val q69Oracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(list_reduce(
+      |              list(CAST(floor(value * 100) AS BIGINT)
+      |                   ORDER BY ts, event_id),
+      |              (acc, v) -> (3 * v + 7 * acc) // 10) AS BIGINT)
+      |         AS ewma_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Retention horizon of the registered query (hours after first
     * activity), bounding the matrix at cohorts × 49 rows.
     */
@@ -400,6 +437,7 @@ object Relational8 {
     // state is order-free, so unlike q61/q62 it carries a FULL oracle
     "q67_quantile_sketch" -> (Sketches.quantileSketch _),
     "q68_retention"    -> (q68Retention _),
+    "q69_ewma"         -> (q69Ewma _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,5 +447,6 @@ object Relational8 {
     "q66_kcore"        -> q66Oracle,
     "q67_quantile_sketch" -> Sketches.quantileSketchOracle,
     "q68_retention"    -> q68Oracle,
+    "q69_ewma"         -> q69Oracle,
   )
 }
