@@ -357,6 +357,53 @@ object Relational8 {
       |         AS ewma_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q70: longest hourly activity streak per user — the canonical
+    * gaps-and-islands analytic (p51 used the device on token spans;
+    * this is its time-domain face): distinct active hours minus their
+    * per-user rank are constant within a consecutive run, so one
+    * window + one aggregate finds every streak and a tie-broken pick
+    * (longest, then earliest) reports each user's best. All integer.
+    *
+    * Scale shape: one (user, hour) distinct aggregate, one user-keyed
+    * window, one user-keyed roll-up — every stage shares the user
+    * hash partitioning, so AQE plans a single exchange.
+    */
+  def q70Streaks(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .distinct()
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("h"))
+    val runs = e.withColumn("isl", col("h") - row_number().over(wI))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("streak_hours"), min(col("h")).as("start_h"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("streak_hours").desc, col("start_h"))
+    runs.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("streak_hours"), col("start_h"))
+      .orderBy(col("user_id"))
+  }
+
+  val q70Oracle: String =
+    """WITH e AS (SELECT DISTINCT user_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+      |           FROM events),
+      |i AS (SELECT user_id, h,
+      |             h - row_number() OVER (PARTITION BY user_id ORDER BY h)
+      |               AS isl
+      |      FROM e),
+      |s AS (SELECT user_id, isl, count(*) AS streak_hours,
+      |             min(h) AS start_h
+      |      FROM i GROUP BY 1, 2),
+      |b AS (SELECT user_id, streak_hours, start_h,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY streak_hours DESC, start_h) AS rn
+      |      FROM s)
+      |SELECT user_id, streak_hours, start_h
+      |FROM b WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Retention horizon of the registered query (hours after first
     * activity), bounding the matrix at cohorts × 49 rows.
     */
@@ -438,6 +485,7 @@ object Relational8 {
     "q67_quantile_sketch" -> (Sketches.quantileSketch _),
     "q68_retention"    -> (q68Retention _),
     "q69_ewma"         -> (q69Ewma _),
+    "q70_streaks"      -> (q70Streaks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +496,6 @@ object Relational8 {
     "q67_quantile_sketch" -> Sketches.quantileSketchOracle,
     "q68_retention"    -> q68Oracle,
     "q69_ewma"         -> q69Oracle,
+    "q70_streaks"      -> q70Oracle,
   )
 }
