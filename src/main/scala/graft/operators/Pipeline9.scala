@@ -399,6 +399,75 @@ object Pipeline9 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- Per-source dataset scorecard (p86) ----
+
+  /** p86: the dataset-card table — one row per source with its doc
+    * and token totals, per-rule quality failure counts (the p74
+    * verdicts aggregated, i.e. the reason histogram the thresholds
+    * get audited with), composite pass count, and exact-duplicate
+    * statistics (docs sharing their text with another doc of the SAME
+    * source). This is the artifact a curator publishes next to a
+    * corpus release and the first thing a consumer reads; every cell
+    * is an integer count, so the whole card hash-checks.
+    *
+    * Scale shape: verdicts are map-only (p74); the roll-up is one
+    * source-keyed aggregate; the within-source dup count is one
+    * (source, text)-keyed aggregate joined back — all map-side
+    * combining, output bounded by |sources|.
+    */
+  def sourceScorecard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val verdicts = Pipeline8.qualityRulesOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val card = verdicts.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words").cast("long")).as("n_tokens"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(when(!col("r_wordcount"), 1L).otherwise(0L)).as("f_wordcount"),
+      sum(when(!col("r_wordlen"), 1L).otherwise(0L)).as("f_wordlen"),
+      sum(when(!col("r_stopword"), 1L).otherwise(0L)).as("f_stopword"),
+      sum(when(!col("r_repetition"), 1L).otherwise(0L)).as("f_repetition"),
+      sum(when(!col("r_diversity"), 1L).otherwise(0L)).as("f_diversity"))
+    val dups = docs.groupBy(col("source"), col("text"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dup_docs"))
+    card.join(dups, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  val sourceScorecardOracle: String =
+    s"""WITH ${Pipeline8.qualityCtes},
+       |vs AS (SELECT v.*, d.source
+       |       FROM v JOIN documents d USING (doc_id)),
+       |card AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN r_wordcount AND r_wordlen AND r_stopword
+       |                        AND r_repetition AND r_diversity
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |         CAST(sum(CASE WHEN NOT r_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS f_wordcount,
+       |         CAST(sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS f_wordlen,
+       |         CAST(sum(CASE WHEN NOT r_stopword THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS f_stopword,
+       |         CAST(sum(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS f_repetition,
+       |         CAST(sum(CASE WHEN NOT r_diversity THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS f_diversity
+       |  FROM vs GROUP BY source),
+       |dup AS (
+       |  SELECT source,
+       |         CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+       |           AS n_dup_docs
+       |  FROM (SELECT source, text, count(*) AS n
+       |        FROM documents GROUP BY source, text)
+       |  GROUP BY source)
+       |SELECT card.*, dup.n_dup_docs
+       |FROM card JOIN dup USING (source)
+       |ORDER BY source""".stripMargin
+
   // ---- Cross-modal dedup clusters (p85) ----
 
   /** p85: duplicate resolution across THREE modalities at once — exact
@@ -532,6 +601,7 @@ object Pipeline9 {
     "p83_eval_release" -> (evalRelease _),
     "p84_maxp_search"  -> (maxpSearch _),
     "p85_multimodal_dedup" -> (multimodalDedup _),
+    "p86_source_scorecard" -> (sourceScorecard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -541,5 +611,6 @@ object Pipeline9 {
     "p83_eval_release" -> evalReleaseOracle,
     "p84_maxp_search"  -> maxpOracle,
     "p85_multimodal_dedup" -> multimodalDedupOracle,
+    "p86_source_scorecard" -> sourceScorecardOracle,
   )
 }
