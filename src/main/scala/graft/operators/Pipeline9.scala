@@ -399,6 +399,66 @@ object Pipeline9 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- Greedy LM decode (p87) ----
+
+  private val DecodeSeed = "data"
+  private val DecodeSteps = 8
+
+  /** p87: greedy argmax decoding from the corpus bigram LM — from a
+    * seed word, repeatedly follow the most frequent continuation
+    * (ties to the lexicographically first word) for up to 8 steps,
+    * emitting (step, word). The "eval the model you just trained"
+    * smoke of a data pipeline: the p71 LM's counts drive an iterative
+    * SCALAR chase, the third iteration class in the registry after
+    * frontier loops (q63) and fixpoint peels (q66) — each step is a
+    * 1-row argmax whose input is the previous step's OUTPUT VALUE,
+    * which neither joins nor recursion express without one round-trip
+    * per step.
+    *
+    * Scale shape: the chase runs on the MODEL (vocab²-bounded, the
+    * p69-argmax driver-side contract — one tiny action per step, the
+    * corpus is never rescanned); decoding is 8 actions over a
+    * localCheckpointed 961-row frame here. The oracle unrolls the
+    * steps as chained LIMIT-1 CTEs; an exhausted word (no outgoing
+    * bigram) ends both sides' chains identically because an empty CTE
+    * propagates through the chain.
+    */
+  def lmDecode(s: SparkSession, d: String): DataFrame = {
+    val model = Pipeline7.lmTrain(documents(s, d))
+      .select(col("w1"), col("w2"), col("c12")).localCheckpoint()
+    val steps = scala.collection.mutable.ArrayBuffer(0 -> DecodeSeed)
+    var word = DecodeSeed
+    var i = 1
+    var live = true
+    while (i <= DecodeSteps && live) {
+      val nxt = model.filter(col("w1") === word)
+        .orderBy(col("c12").desc, col("w2")).limit(1).collect()
+      if (nxt.isEmpty) live = false
+      else { word = nxt(0).getString(1); steps += (i -> word); i += 1 }
+    }
+    import s.implicits._
+    steps.toSeq.toDF("step", "word").orderBy(col("step"))
+  }
+
+  val lmDecodeOracle: String = {
+    val stepCtes = (1 to DecodeSteps).map { i =>
+      s"""w$i AS (SELECT $i AS step, c12.w2 AS w
+         |        FROM c12 JOIN w${i - 1} p ON c12.w1 = p.w
+         |        ORDER BY c12.c DESC, c12.w2 LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to DecodeSteps)
+      .map(i => s"SELECT step, w FROM w$i").mkString("\nUNION ALL ")
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       |       FROM ws, unnest(range(1, len(w))) t(i)),
+       |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+       |w0 AS (SELECT 0 AS step, '$DecodeSeed' AS w),
+       |$stepCtes
+       |SELECT CAST(step AS INTEGER) AS step, w AS word
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
   // ---- Per-source dataset scorecard (p86) ----
 
   /** p86: the dataset-card table — one row per source with its doc
@@ -602,6 +662,7 @@ object Pipeline9 {
     "p84_maxp_search"  -> (maxpSearch _),
     "p85_multimodal_dedup" -> (multimodalDedup _),
     "p86_source_scorecard" -> (sourceScorecard _),
+    "p87_lm_decode"    -> (lmDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -612,5 +673,6 @@ object Pipeline9 {
     "p84_maxp_search"  -> maxpOracle,
     "p85_multimodal_dedup" -> multimodalDedupOracle,
     "p86_source_scorecard" -> sourceScorecardOracle,
+    "p87_lm_decode"    -> lmDecodeOracle,
   )
 }
