@@ -357,6 +357,45 @@ object Relational8 {
       |         AS ewma_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q71: UNPIVOT — q21 pivot's inverse, melting the lineitem measure
+    * columns (quantity / extendedprice / discount, exact cents/units)
+    * into (measure, value) rows and aggregating the long form. The
+    * wide→long reshape is how metric tables feed generic dashboards;
+    * Spark's `unpivot` (melt) plans it as a single generate — map-only
+    * before the roll-up, no join, no shuffle beyond the final
+    * aggregate.
+    */
+  def q71Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("quantity_c"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("discount_c"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity_c"), col("price_c"), col("discount_c")),
+        "measure", "v")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+           min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q71Oracle: String =
+    """WITH w AS (SELECT l_returnflag,
+      |                  CAST(floor(l_quantity * 100) AS BIGINT) AS quantity_c,
+      |                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |                  CAST(floor(l_discount * 100) AS BIGINT) AS discount_c
+      |           FROM lineitem),
+      |l AS (
+      |  SELECT l_returnflag, 'quantity_c' AS measure, quantity_c AS v FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'price_c', price_c FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount_c', discount_c FROM w)
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |       CAST(sum(v) AS BIGINT) AS total,
+      |       min(v) AS lo, max(v) AS hi
+      |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q70: longest hourly activity streak per user — the canonical
     * gaps-and-islands analytic (p51 used the device on token spans;
     * this is its time-domain face): distinct active hours minus their
@@ -486,6 +525,7 @@ object Relational8 {
     "q68_retention"    -> (q68Retention _),
     "q69_ewma"         -> (q69Ewma _),
     "q70_streaks"      -> (q70Streaks _),
+    "q71_unpivot"      -> (q71Unpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,5 +537,6 @@ object Relational8 {
     "q68_retention"    -> q68Oracle,
     "q69_ewma"         -> q69Oracle,
     "q70_streaks"      -> q70Oracle,
+    "q71_unpivot"      -> q71Oracle,
   )
 }
