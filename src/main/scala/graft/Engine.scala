@@ -635,6 +635,14 @@ object Engine {
                 expTerms: Int = 5, k: Int = 10): DataFrame =
     operators.Pipeline9.rm3SearchOf(docs, seed, fbDocs, expTerms, k)
 
+  /** Token-distribution drift report between a base corpus and an
+    * ingestion increment (p82): top-N hashed-token buckets by squared
+    * integer-ppm rate difference. The batch face of
+    * `StreamingOps.driftGateBatch`.
+    */
+  def driftReport(base: DataFrame, inc: DataFrame, topN: Int = 20): DataFrame =
+    operators.Pipeline9.driftReportOf(base, inc, topN)
+
   /** Attach the fixture WAV payload (p78's "microphone"); production
     * replaces this with reading real audio files into `payload`.
     */
