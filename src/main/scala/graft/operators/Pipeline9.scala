@@ -399,6 +399,67 @@ object Pipeline9 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- Corpus snapshot diff (p88) ----
+
+  /** p88: snapshot diff between two corpus versions — every doc id
+    * classified added / removed / changed / unchanged (text equality
+    * decides "changed") and rolled up per status with id checksums.
+    * The versioning artifact every managed corpus needs: a release
+    * note is literally this table, and an incremental pipeline
+    * (p35/p81) consumes exactly the added+changed slice. The
+    * registered query simulates two snapshots from the one corpus
+    * with deterministic id-mod slices (old drops ids ≡9 (mod 10), new
+    * drops ≡0 and uppercases ≡5 — both sides of the differential
+    * apply the same transform, so "changed" is non-trivial).
+    *
+    * Scale shape: one full-outer id-keyed join of two (id, text)
+    * projections — at scale join on (id, fingerprint) from p02 so the
+    * text never shuffles — and a 4-row roll-up.
+    */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    corpusDiffOf(
+      docs.filter(col("doc_id") % 10 =!= 9).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5, upper(col("text")))
+            .otherwise(col("text")).as("text")))
+  }
+
+  /** Library entry: status summary between any two (doc_id, text)
+    * snapshots.
+    */
+  def corpusDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), col("text").as("t_old"))
+    val n = newSnap.select(col("doc_id"), col("text").as("t_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("t_old").isNull, "added")
+          .when(col("t_new").isNull, "removed")
+          .when(col("t_old") =!= col("t_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("status"))
+  }
+
+  val corpusDiffOracle: String =
+    """WITH o AS (SELECT doc_id, text AS t_old FROM documents
+      |           WHERE doc_id % 10 <> 9),
+      |n AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 10 = 5 THEN upper(text) ELSE text END
+      |               AS t_new
+      |      FROM documents WHERE doc_id % 10 <> 0),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |             CASE WHEN o.doc_id IS NULL THEN 'added'
+      |                  WHEN n.doc_id IS NULL THEN 'removed'
+      |                  WHEN t_old <> t_new THEN 'changed'
+      |                  ELSE 'unchanged' END AS status
+      |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // ---- Greedy LM decode (p87) ----
 
   private val DecodeSeed = "data"
@@ -663,6 +724,7 @@ object Pipeline9 {
     "p85_multimodal_dedup" -> (multimodalDedup _),
     "p86_source_scorecard" -> (sourceScorecard _),
     "p87_lm_decode"    -> (lmDecode _),
+    "p88_corpus_diff"  -> (corpusDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,5 +736,6 @@ object Pipeline9 {
     "p85_multimodal_dedup" -> multimodalDedupOracle,
     "p86_source_scorecard" -> sourceScorecardOracle,
     "p87_lm_decode"    -> lmDecodeOracle,
+    "p88_corpus_diff"  -> corpusDiffOracle,
   )
 }
