@@ -227,6 +227,25 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
               col("n_users_approx"), col("n_events"))
 
+  /** Sliding trending terms — q62's SpaceSaving aggregate riding a
+    * watermarked streaming window: per 3h/1h window, the
+    * capacity-bounded approximate top terms of the arriving documents.
+    * The point is the composition: a custom TypedImperativeAggregate
+    * merges associatively, so Structured Streaming's partial/final
+    * (and state-store) aggregation paths drive it exactly like a
+    * builtin — the same property that makes it shuffle-bounded in
+    * batch makes it STATE-bounded here (capacity counters per open
+    * window, not one per distinct term).
+    */
+  def trendingTermsStream(docs: DataFrame, tsCol: String,
+                          capacity: Int, topN: Int): DataFrame =
+    docs.withWatermark(tsCol, "2 hours")
+      .select(col(tsCol), explode(split(col("text"), " ")).as("term"))
+      .groupBy(window(col(tsCol), "3 hours", "1 hour"))
+      .agg(graft.Engine.heavyHittersAgg(col("term"), capacity).as("hh"))
+      .select(col("window.start").as("w_start"),
+        expr(s"slice(hh, 1, $topN)").as("top_terms"))
+
   /** Idempotent micro-batch parquet writer for `foreachBatch`: lands
     * each batch under `path/batch=<id>` guarded by a commit marker, so
     * a batch RE-DELIVERED after a failure-and-restart (foreachBatch's

@@ -161,6 +161,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(fired(0).getInt(0) === floodBucket)
   }
 
+  test("trending terms: the streaming SpaceSaving window agrees with its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = StreamingOps.trendingTermsStream(ms.toDF(), "ts",
+        capacity = 8, topN = 3)
+      .writeStream.format("memory").queryName("trend").outputMode("complete")
+      .start()
+    try {
+      val docs = Seq(
+        Doc(0L, "alpha alpha alpha beta gamma", ts("00:10")),
+        Doc(1L, "alpha beta beta delta", ts("00:30")),
+        Doc(2L, "epsilon alpha beta", ts("01:10")))
+      ms.addData(docs.take(2)); q.processAllAvailable()
+      ms.addData(docs.drop(2)); q.processAllAvailable()
+      val got = spark.table("trend")
+        .orderBy($"w_start").collect()
+      assert(got.nonEmpty)
+      // batch twin per window over the same data
+      val batch = docs.map(d => (d.text, d.ts)).toDF("text", "ts")
+        .select($"ts", explode(split($"text", " ")).as("term"))
+        .groupBy(window($"ts", "3 hours", "1 hour"))
+        .agg(Engine.heavyHittersAgg($"term", 8).as("hh"))
+        .select($"window.start".as("w_start"), expr("slice(hh, 1, 3)").as("top_terms"))
+        .orderBy($"w_start").collect()
+      assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq,
+        "streaming windows diverged from the batch twin")
+      // the dominant term leads its windows
+      val first = got.head.getSeq[org.apache.spark.sql.Row](1)
+      assert(first.head.getString(0) === "alpha")
+    } finally q.stop()
+  }
+
   test("streaming audio dedup: first clip per fingerprint survives, decode runs in-stream") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
