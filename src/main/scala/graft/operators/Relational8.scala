@@ -213,6 +213,105 @@ object Relational8 {
        |FROM pr$PrIters ORDER BY node""".stripMargin
   }
 
+  // ---- Weighted PageRank (q72) ----
+
+  /** The incident graph WITH transition multiplicities — q49's Markov
+    * counts as an edge-weight matrix (same derivation as
+    * [[incidentEdges]] minus the DISTINCT, then a (src, dst) count).
+    */
+  private[graft] def incidentEdgesWeighted(s: SparkSession,
+                                           d: String): DataFrame = {
+    val ev = events(s, d)
+    val a = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id").as("src"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select((col("event_id") - 1).as("eid"), col("user_id").as("dst"))
+    a.join(b, "eid").filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
+  }
+
+  /** q72: weighted PageRank — q64 with edge multiplicities: a node's
+    * rank flows to its successors PROPORTIONALLY to transition counts
+    * (`pr·wt DIV wsum` instead of `pr DIV outdeg`), which is PageRank
+    * over the empirical Markov chain q49 counts. Same exact-integer
+    * contract, same Pregel-as-joins iteration, same generated-CTE
+    * oracle; multiplicities stay well inside the overflow budget
+    * (pr ≤ 10¹², wt ≤ events).
+    */
+  def q72PageRankWeighted(s: SparkSession, d: String): DataFrame =
+    pageRankWeighted(incidentEdgesWeighted(s, d), PrIters)
+      .orderBy(col("node"))
+
+  /** Library entry: integer PageRank of a weighted (src, dst, wt)
+    * edge frame.
+    */
+  def pageRankWeighted(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val wsum = edges.groupBy(col("src").as("node"))
+      .agg(sum(col("wt")).as("ws")).localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$PrScale DIV n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withW = pr.join(wsum, Seq("node"), "left")
+      val dang = withW.filter(col("ws").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("d"))
+      val contrib = withW.filter(col("ws").isNotNull)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("pr * wt DIV ws").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+        .select(col("node"),
+          expr(s"(15 * $PrScale DIV 100) DIV n + " +
+               s"85 * (coalesce(insum, CAST(0 AS BIGINT)) + d DIV n) DIV 100")
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  val q72Oracle: String = {
+    val S = PrScale
+    val iterBlocks = (1 to PrIters).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""dang$i AS (
+         |  SELECT coalesce(sum(p.pr), 0) AS d
+         |  FROM $prev p LEFT JOIN wsum ON p.node = wsum.node
+         |  WHERE wsum.ws IS NULL),
+         |ins$i AS (
+         |  SELECT e.dst, sum(p.pr * e.wt // wsum.ws) AS insum
+         |  FROM $prev p JOIN wsum ON p.node = wsum.node
+         |  JOIN edges e ON e.src = p.node
+         |  GROUP BY e.dst),
+         |pr$i AS (
+         |  SELECT nodes.node,
+         |         (15 * $S // 100) // n.n +
+         |         85 * (coalesce(i.insum, 0) + g.d // n.n) // 100 AS pr
+         |  FROM nodes LEFT JOIN ins$i i ON nodes.node = i.dst
+         |  CROSS JOIN nn n CROSS JOIN dang$i g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT a.user_id AS src, b.user_id AS dst, count(*) AS wt
+       |  FROM events a JOIN events b ON b.event_id = a.event_id + 1
+       |  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+       |    AND a.user_id <> b.user_id
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |wsum AS (SELECT src AS node, CAST(sum(wt) AS BIGINT) AS ws
+       |         FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST($S // n AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN nn),
+       |$iterBlocks
+       |SELECT node, CAST(pr AS BIGINT) AS pr
+       |FROM pr$PrIters ORDER BY node""".stripMargin
+  }
+
   // ---- Triangle counting (q65) ----
 
   /** q65: per-node triangle participation over the undirected support
@@ -526,6 +625,7 @@ object Relational8 {
     "q69_ewma"         -> (q69Ewma _),
     "q70_streaks"      -> (q70Streaks _),
     "q71_unpivot"      -> (q71Unpivot _),
+    "q72_pagerank_weighted" -> (q72PageRankWeighted _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,5 +638,6 @@ object Relational8 {
     "q69_ewma"         -> q69Oracle,
     "q70_streaks"      -> q70Oracle,
     "q71_unpivot"      -> q71Oracle,
+    "q72_pagerank_weighted" -> q72Oracle,
   )
 }
