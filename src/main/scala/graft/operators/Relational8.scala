@@ -213,6 +213,53 @@ object Relational8 {
        |FROM pr$PrIters ORDER BY node""".stripMargin
   }
 
+  // ---- Robust statistics: median absolute deviation (q73) ----
+
+  /** q73: per-type robust location/scale — median and MAD (median
+    * absolute deviation) in exact integral cents. MAD is the
+    * outlier-resistant twin of q48's z-score device: one wild value
+    * shifts a mean/stddev arbitrarily but moves a median by at most
+    * one rank — the screen you run BEFORE trusting moment-based
+    * anomaly gates (a robust outlier test is then the float-free
+    * cross-multiplication `|c−med|·10000 > 3·mad·14826`).
+    *
+    * Scale shape: two exact percentile passes (percentile_disc keyed
+    * by type — Spark's ordered-set aggregate) with the per-type median
+    * riding back as a broadcast-joined model frame; all arithmetic in
+    * integral cents. At corpus scale swap pass one for the q67
+    * log-histogram sketch and keep pass two exact over the
+    * already-bounded residuals.
+    */
+  def q73Mad(s: SparkSession, d: String): DataFrame = {
+    val v = events(s, d).select(col("event_type"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+    val m = v.groupBy(col("event_type"))
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) " +
+        "AS BIGINT)").as("med"))
+    v.join(broadcast(m), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(c - med))" +
+          " AS BIGINT)").as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q73Oracle: String =
+    """WITH v AS (SELECT event_type,
+      |                  CAST(floor(value * 100) AS BIGINT) AS c
+      |           FROM events),
+      |m AS (SELECT event_type,
+      |             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+      |                  AS BIGINT) AS med
+      |      FROM v GROUP BY 1)
+      |SELECT v.event_type, any_value(med) AS med,
+      |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(c - med))
+      |            AS BIGINT) AS mad,
+      |       count(*) AS n
+      |FROM v JOIN m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- Weighted PageRank (q72) ----
 
   /** The incident graph WITH transition multiplicities — q49's Markov
@@ -626,6 +673,7 @@ object Relational8 {
     "q70_streaks"      -> (q70Streaks _),
     "q71_unpivot"      -> (q71Unpivot _),
     "q72_pagerank_weighted" -> (q72PageRankWeighted _),
+    "q73_mad"          -> (q73Mad _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -639,5 +687,6 @@ object Relational8 {
     "q70_streaks"      -> q70Oracle,
     "q71_unpivot"      -> q71Oracle,
     "q72_pagerank_weighted" -> q72Oracle,
+    "q73_mad"          -> q73Oracle,
   )
 }
