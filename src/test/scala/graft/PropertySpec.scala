@@ -300,4 +300,34 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
     assert(again === got.toSet, "mix depends on partition layout")
   }
+
+  test("p74: map-side rule statistics equal a Scala reference on generated corpora") {
+    forAll(corpus, n = 4) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = operators.Pipeline8.qualityRulesOf(df).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val w = t.split(" ")
+        val wc = w.length
+        val stop = Set("the", "a", "of", "and", "to")
+        val mwl = (t.length - wc + 1).toDouble / wc
+        val stopRatio = w.count(stop).toDouble / wc
+        val topFrac = w.groupBy(identity).values.map(_.length).max.toDouble / wc
+        val distinctRatio = w.distinct.length.toDouble / wc
+        val want = Seq(
+          "r_wordcount" -> (wc >= 20 && wc <= 90),
+          "r_wordlen" -> (mwl >= 4.2 && mwl <= 4.8),
+          "r_stopword" -> (stopRatio >= 0.02),
+          "r_repetition" -> (topFrac <= 0.15),
+          "r_diversity" -> (distinctRatio >= 0.32))
+        val row = got(i.toLong)
+        want.foreach { case (c, v) =>
+          assert(row.getAs[Boolean](c) === v,
+            s"doc '$t': $c diverged from the reference")
+        }
+        assert(row.getAs[Boolean]("pass") === want.forall(_._2))
+      }
+    }
+  }
 }
