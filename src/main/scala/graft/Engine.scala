@@ -694,7 +694,12 @@ object Engine {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val assigned = operators.Pipeline8.seededShards(docs, idCol, shardSize, seed)
       .localCheckpoint() // one computation feeds both the write and the manifest
-    assigned.repartition(col("shard")).sortWithinPartitions(col("__rn"))
+    // sort by (shard, __rn): the dynamic-partition writer requires
+    // ordering by the partition column anyway — providing it up front
+    // avoids the writer's own inserted sort and makes per-file row
+    // order guaranteed by construction, not by sort stability
+    assigned.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__rn"))
       .drop("__rn")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     val manifest = assigned.groupBy(col("shard"))

@@ -409,6 +409,11 @@ object Multimodal {
         while (i + 8 <= b.length && (rate < 0 || dataOff < 0)) {
           val tag = new String(b, i, 4, "US-ASCII")
           val size = leU32(b, i + 4).toInt
+          // untrusted size: a low-32-bits value like 0xFFFFFFF8 reads
+          // as toInt = -8 and would make the walk step zero/negative —
+          // an executor-task infinite loop instead of a loud failure
+          require(size >= 0 && i + 8 + size <= b.length,
+            s"doc $id: bad chunk size $size at offset $i")
           if (tag == "fmt ") {
             require(leU16(b, i + 8) == 1 && leU16(b, i + 10) == 1 &&
               leU16(b, i + 22) == 16, s"doc $id: not mono 16-bit PCM")

@@ -181,7 +181,10 @@ object Pipeline7 {
     docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(round(col("s") / col("n_bigrams"), 4), lit(0.0)).as("xent"))
+        // + 0.0: the p72 signed-zero normalizer, applied here too —
+        // xent is provably positive on-train, but the guard is free
+        coalesce(round(col("s") / col("n_bigrams"), 4) + lit(0.0),
+          lit(0.0)).as("xent"))
       .orderBy(col("doc_id"))
   }
 
@@ -229,7 +232,7 @@ object Pipeline7 {
        |        FROM sc GROUP BY doc_id)
        |SELECT d.doc_id,
        |       coalesce(n_bigrams, 0) AS n_bigrams,
-       |       coalesce(round(s / n_bigrams, 4), CAST(0 AS DOUBLE)) AS xent
+       |       coalesce(round(s / n_bigrams, 4) + 0.0, CAST(0 AS DOUBLE)) AS xent
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
@@ -301,7 +304,11 @@ object Pipeline7 {
     docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(round(col("sw") / col("n_tokens"), 4), lit(0.0)).as("logw"))
+        // + 0.0 canonicalizes IEEE -0.0 → +0.0: a mean log-ratio that
+        // rounds to zero must hash identically in both engines (the
+        // r7 p72 red row was a single sign-bit diff at value 0)
+        coalesce(round(col("sw") / col("n_tokens"), 4) + lit(0.0),
+          lit(0.0)).as("logw"))
   }
 
   val dsirWeightsOracle: String =
@@ -322,7 +329,7 @@ object Pipeline7 {
        |        FROM toks JOIN ratio USING (b) GROUP BY doc_id)
        |SELECT d.doc_id,
        |       coalesce(n_tokens, 0) AS n_tokens,
-       |       coalesce(round(sw / n_tokens, 4), CAST(0 AS DOUBLE)) AS logw
+       |       coalesce(round(sw / n_tokens, 4) + 0.0, CAST(0 AS DOUBLE)) AS logw
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 

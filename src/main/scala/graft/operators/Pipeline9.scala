@@ -608,12 +608,30 @@ object Pipeline9 {
     * formula-derived pair CTEs and resolves with recursive closure —
     * the largest composed oracle in the registry, which is the point:
     * the whole cross-modal pipeline hash-checks.
+    *
+    * Text modality emits STAR edges, not pairs: a raw-text self-join
+    * would shuffle full document text as the join key and emit K²/2
+    * pairs for a K-copy group — on a real corpus whose most common
+    * duplicates are exact ones (a boilerplate page with 10⁶ copies →
+    * 5·10¹¹ pairs), that is the scale-killer. One window over the
+    * 8-byte text hash gives the K−1 edges (doc → group-min), which
+    * yield IDENTICAL components under the contraction; the oracle's
+    * all-pairs `tp` CTE closes to the same components by transitivity.
+    * The hash key doubles xxhash64 with length(text): a 64-bit
+    * collision at 10⁹ docs is ~3 % birthday odds, and a collision
+    * would WRONGLY merge clusters — the composite drives it below
+    * 2⁻⁸⁰ while keeping the shuffle key fixed-width.
     */
   def multimodalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
-    val textPairs = docs.as("a").join(docs.as("b"),
-        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val textPairs = docs
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("th"), length(col("text")).as("tl"))
+      .withColumn("d1",
+        min(col("doc_id")).over(Window.partitionBy(col("th"), col("tl"))))
+      .filter(col("d1") < col("doc_id"))
+      .select(col("d1"), col("doc_id").as("d2"))
     val imgPairs = Multimodal.perceptualNearDupPairs(
         Multimodal.decodeRaster(Multimodal.attachRaster(docs))
           .select(col("doc_id"), col("dhash")), maxHamming = 3)

@@ -101,9 +101,15 @@ object StreamingOps {
     */
   def driftGateBatch(batch: DataFrame, baseRates: DataFrame,
                      thresholdPpm2: Long): DataFrame =
+    // full_outer, matching batch p82's semantics: a base bucket with
+    // ZERO occurrences in the micro-batch (vanished content) scores as
+    // (0 − rb)² and the report can name it. Both sides are B-bounded
+    // (≤1024 rows), so the unbroadcastable full-outer join is trivial.
     graft.operators.Pipeline9.bucketRates(batch, "ci", "ri")
-      .join(broadcast(baseRates.select(col("b"), col("rb"))), Seq("b"), "left")
-      .select(col("b").cast("int").as("bucket"), col("ci"), col("ri"),
+      .join(baseRates.select(col("b"), col("rb")), Seq("b"), "full_outer")
+      .select(col("b").cast("int").as("bucket"),
+        coalesce(col("ci"), lit(0L)).as("ci"),
+        coalesce(col("ri"), lit(0L)).as("ri"),
         coalesce(col("rb"), lit(0L)).as("rb"))
       .withColumn("drift", (col("ri") - col("rb")) * (col("ri") - col("rb")))
       .filter(col("drift") > thresholdPpm2)

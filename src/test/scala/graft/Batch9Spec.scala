@@ -199,6 +199,25 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("7") || ex.getCause != null)
   }
 
+  test("p78: negative-reading chunk size fails fast instead of looping") {
+    import spark.implicits._
+    import operators.Multimodal
+    // a chunk size whose low 32 bits read as 0xFFFFFFF8 (toInt = -8)
+    // once made the RIFF walk's step zero/negative — an executor-task
+    // infinite loop; the guard must reject it loudly in bounded time
+    val b = new Array[Byte](48)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, b, 0, 4)
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, b, 8, 4)
+    System.arraycopy("junk".getBytes("US-ASCII"), 0, b, 12, 4)
+    b(16) = 0xF8.toByte; b(17) = 0xFF.toByte
+    b(18) = 0xFF.toByte; b(19) = 0xFF.toByte
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWave(Seq((9L, b)).toDF("doc_id", "payload")).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("bad chunk size"))
+  }
+
   test("p79: byte-identical scenes (ids 160 apart) pair at Hamming 0") {
     val d01 = "/root/testdata/sf0.01"
     val pairs = operators.Pipeline8.audioNearDup(spark, d01).collect()

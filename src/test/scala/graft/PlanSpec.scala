@@ -51,6 +51,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), "unexpected hash shuffle")
   }
 
+  test("p85: no shuffle is keyed on full document text (star edges, not pairs)") {
+    val p = plan("p85_multimodal_dedup")
+    // the r7 form self-joined documents on text — K²/2 pairs per K-copy
+    // group and the raw text as shuffle key; the star-edge form windows
+    // over the 8-byte (xxhash64, length) composite only
+    assert(!p.matches("(?s).*hashpartitioning\\(text#.*"),
+      "a shuffle keyed on raw document text crept back into p85")
+  }
+
   test("q52: salted join stays a shuffled hash join (replicated dim never broadcast)") {
     val p = plan("q52_salted_join")
     assert(p.contains("ShuffledHashJoin"), "salted join lost its shuffle-hash hint")
