@@ -723,6 +723,46 @@ object Engine {
   def pageRank(edges: DataFrame, iters: Int): DataFrame =
     operators.Relational8.pageRank(edges, iters)
 
+  /** Weighted PageRank over `edges(src, dst, wt)` (q72): rank flows
+    * proportionally to transition weights — PageRank over an empirical
+    * Markov chain. Same exact-integer contract as [[pageRank]].
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame =
+    operators.Relational8.pageRankWeighted(edges, iters)
+
+  /** k-core of `edges(src, dst)` (q66): iteratively peel nodes of
+    * within-core degree < k (at most `maxRounds` rounds); returns the
+    * surviving nodes with their within-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame =
+    operators.Relational8.kCore(edges, k, maxRounds)
+
+  /** Per-node triangle participation counts of `edges(src, dst)`
+    * (q65). `degreeOrdered = true` (the default) orients each edge
+    * toward its higher-(degree, id) endpoint, bounding every join
+    * fan-out by sqrt(|E|) on power-law graphs — the form to use at
+    * scale; `false` is the id-ordered variant (identical counts,
+    * property-pinned; one less aggregation).
+    */
+  def triangleCounts(edges: DataFrame,
+                     degreeOrdered: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    if (degreeOrdered) operators.Relational8.trianglesDegreeOrdered(und)
+    else operators.Relational8.trianglesIdOrdered(und)
+  }
+
+  /** Bounded-state per-key EWMA over a normalized
+    * `(user_id, us, event_id, c)` frame (q69's heavy-key form):
+    * repartition + external partition sort + streaming fold, O(1)
+    * state per key — the shape that survives a 10⁸-event power user.
+    */
+  def ewmaBounded(ev: DataFrame): DataFrame =
+    operators.Relational8.ewmaBounded(ev)
+
   /** Connected components of an arbitrary `edges(src, dst)` frame:
     * every node labeled with its component's minimum node id, via the
     * O(log n) large-star/small-star contraction behind p33. The

@@ -369,20 +369,29 @@ object Relational8 {
     * three-way join enumerates each triangle exactly once as the
     * ordered wedge a < b < c closed by the (a, c) edge — two keyed
     * equi-joins, no DISTINCT-after-the-fact, no double counting to
-    * repair. At web scale the standard refinement is DEGREE ordering
-    * instead of id ordering (orient each edge toward the higher-degree
-    * endpoint, bounding every join fan-out by sqrt(|E|) — the same
-    * join shape, one extra degree computation); id orientation keeps
-    * the oracle trivially mirrorable and is exact regardless.
+    * repair. Id orientation keeps the oracle trivially mirrorable and
+    * is exact regardless; the DEGREE-ordered refinement that bounds
+    * every join fan-out by sqrt(|E|) on power-law graphs is
+    * [[trianglesDegreeOrdered]] (property-pinned equal — the count is
+    * orientation-invariant), the form to reach for at web scale.
     *
     * Scale shape: one shuffle to canonicalize+distinct, two hash joins
     * keyed on node ids, one corner-explode roll-up. All integers.
     */
-  def q65Triangles(s: SparkSession, d: String): DataFrame = {
-    val und = incidentEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint()
+  def q65Triangles(s: SparkSession, d: String): DataFrame =
+    trianglesIdOrdered(
+        incidentEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+                  greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      .orderBy(col("node"))
+
+  /** Library entry behind q65: per-node triangle participation of a
+    * canonical undirected edge frame `und(a, b)` with `a < b`,
+    * id-ordered orientation. Sort-free.
+    */
+  def trianglesIdOrdered(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint()
     val tri = und.as("e1")
       .join(und.as("e2"), col("e2.a") === col("e1.b"))
       .join(und.as("e3"),
@@ -390,7 +399,55 @@ object Relational8 {
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("node"))
+  }
+
+  /** Degree-ordered triangle counting — the web-scale refinement of
+    * [[trianglesIdOrdered]]: orient every edge toward its higher-
+    * (degree, id) endpoint and enumerate each triangle once at its
+    * lowest-ordered corner. Id orientation lets a hub node of degree D
+    * anchor O(D²) wedge candidates just because its id is small;
+    * degree orientation bounds EVERY node's out-degree by O(sqrt(|E|))
+    * (a node with out-degree d has d neighbors of degree ≥ its own, so
+    * d² ≤ Σdeg = 2|E|), which bounds the wedge join's per-key fan-out
+    * — the difference between a finishing and a dead job on a
+    * power-law graph at 100×. Same two-join plan shape; one extra
+    * degree aggregation; the (deg, id) tie-break makes the orientation
+    * a total order, so the count is exactly the id-ordered count
+    * (property-pinned on random graphs).
+    */
+  def trianglesDegreeOrdered(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: src = lower (deg, id) endpoint; carry the head's rank
+    // key (dd, dst) for the wedge ordering below
+    val ori = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"))
+      .localCheckpoint()
+    // wedge at src: two out-neighbors ordered by (deg, id); closed by
+    // the oriented edge between them (orientation is a total order, so
+    // the closing edge necessarily runs lower→higher corner)
+    val tri = ori.as("e1")
+      .join(ori.as("e2"),
+        col("e2.src") === col("e1.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .join(ori.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+              col("e2.dst").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
   val q65Oracle: String =
@@ -438,8 +495,16 @@ object Relational8 {
     * loop discipline). Early exit on fixpoint skips the remaining
     * budget.
     */
-  def q66KCore(s: SparkSession, d: String): DataFrame = {
-    val und = incidentEdges(s, d)
+  def q66KCore(s: SparkSession, d: String): DataFrame =
+    kCore(incidentEdges(s, d), CoreK, CoreRounds).orderBy(col("node"))
+
+  /** Library entry behind q66: the k-core of an arbitrary directed
+    * `edges(src, dst)` frame (undirected support is taken internally),
+    * peeled for at most `maxRounds` rounds. Sort-free; same per-round
+    * plan as the registered query.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    val und = edges
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -449,12 +514,12 @@ object Relational8 {
     var surv = dir.select(col("u").as("node")).distinct().localCheckpoint()
     var rounds = 0
     var done = false
-    while (rounds < CoreRounds && !done) {
+    while (rounds < maxRounds && !done) {
       val deg = dir
         .join(surv.withColumnRenamed("node", "u"), Seq("u"))
         .join(surv.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= CoreK).select(col("node"))
+      val next = deg.filter(col("deg") >= k).select(col("node"))
         .localCheckpoint()
       done = next.count() == surv.count() // survivors only ever shrink
       surv = next
@@ -463,7 +528,6 @@ object Relational8 {
     dir.join(surv.withColumnRenamed("node", "u"), Seq("u"))
       .join(surv.withColumnRenamed("node", "v"), Seq("v"))
       .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("node"))
   }
 
   /** q69: per-user exponential moving average of event values — the
@@ -481,10 +545,22 @@ object Relational8 {
     * differential).
     */
   def q69Ewma(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .select(col("user_id"),
-        struct(expr("unix_micros(ts)").as("us"), col("event_id"),
-          expr("CAST(floor(value * 100) AS BIGINT)").as("c")).as("e"))
+    ewmaCollected(
+        events(s, d).select(col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("c")))
+      .orderBy(col("user_id"))
+
+  /** Library entry behind q69: the collect-and-fold form over a
+    * normalized `(user_id, us, event_id, c)` frame. One key shuffle;
+    * per-key state is the user's whole event array IN ONE ROW — fine
+    * up to ~10⁶ events/key, the oracle-mirrorable form. For heavy-key
+    * corpora use [[ewmaBounded]] (identical results, property-pinned;
+    * constant per-row state).
+    */
+  def ewmaCollected(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        struct(col("us"), col("event_id"), col("c")).as("e"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("e"))).as("es"),
            count(lit(1)).as("n_events"))
@@ -492,7 +568,54 @@ object Relational8 {
         expr("aggregate(slice(transform(es, x -> x.c), 2, size(es) - 1), " +
              "element_at(transform(es, x -> x.c), 1), " +
              "(acc, v) -> (3 * v + 7 * acc) DIV 10)").as("ewma_cents"))
-      .orderBy(col("user_id"))
+
+  /** Bounded-state twin of [[ewmaCollected]]: repartition by user,
+    * sort WITHIN partitions by (user, ts, id), stream-fold each
+    * contiguous user run in a `mapPartitions` pass. Same ONE key
+    * shuffle (repartition), but the sort is Spark's external
+    * spill-to-disk partition sort and the fold holds O(1) state per
+    * key — a power user with 10⁸ events costs sort time, never a
+    * multi-GB `collect_list` row. This is the form that survives
+    * skewed keys at 100 TB; `(3·v + 7·acc) DIV 10` is evaluated in
+    * Long arithmetic, whose truncation-toward-zero matches Spark SQL's
+    * integral DIV bit-for-bit (property-pinned against the collected
+    * form on generated skewed corpora, negative cents included).
+    */
+  def ewmaBounded(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("ewma_cents", LongType, nullable = false)))
+    val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    ev.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("c").cast("long"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private var pending: Row = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = pending != null
+          def next(): Row = {
+            val uid = pending.getLong(0)
+            var n = 1L
+            var acc = pending.getLong(3)
+            pending = null
+            var run = true
+            while (run && it.hasNext) {
+              val r = it.next()
+              if (r.getLong(0) == uid) {
+                acc = (3L * r.getLong(3) + 7L * acc) / 10L
+                n += 1L
+              } else { pending = r; run = false }
+            }
+            Row(uid, n, acc)
+          }
+        }
+      }(enc)
+  }
 
   val q69Oracle: String =
     """SELECT user_id, count(*) AS n_events,

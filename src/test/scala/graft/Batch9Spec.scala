@@ -402,6 +402,28 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Engine graph facades delegate to the registered library forms") {
+    val d01 = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val edges = Relational8.incidentEdges(spark, d01)
+    assert(rows(Engine.pageRankWeighted(
+        Relational8.incidentEdgesWeighted(spark, d01), 5)) ===
+      rows(Relational8.pageRankWeighted(
+        Relational8.incidentEdgesWeighted(spark, d01), 5)))
+    assert(rows(Engine.kCore(edges, 3, 8)) ===
+      rows(Relational8.q66KCore(spark, d01)))
+    // both orientations through the facade equal the registered q65
+    val want = rows(Relational8.q65Triangles(spark, d01))
+    assert(rows(Engine.triangleCounts(edges, degreeOrdered = false)) === want)
+    assert(rows(Engine.triangleCounts(edges)) === want)
+    val ev = Tables.events(spark, d01).select(col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("event_id"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+    assert(rows(Engine.ewmaBounded(ev)) ===
+      rows(Relational8.q69Ewma(spark, d01)))
+  }
+
   test("p83: every eval row passes the gate, sits on the eval side, respects the cap") {
     import operators.{Dedup, Pipeline8, PipelineQueries => PQ}
     val d01 = "/root/testdata/sf0.01"

@@ -330,4 +330,46 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q69: bounded-state EWMA equals the collect_list fold on skewed corpora") {
+    // one heavy user (far above average), negative cents, timestamp
+    // ties broken by event_id — the exact conditions under which the
+    // two physical shapes could diverge if the fold order or the Long
+    // `/` vs Spark DIV semantics disagreed
+    val ev = for {
+      nUsers <- Gen.choose(2, 5)
+      heavy <- Gen.choose(40, 120)
+      rows <- Gen.listOfN(heavy, Gen.zip(
+        Gen.frequency(7 -> Gen.const(0L), 3 -> Gen.choose(1L, nUsers.toLong)),
+        Gen.choose(0L, 5L), // coarse → frequent ts ties
+        Gen.choose(-500L, 500L)))
+    } yield rows.zipWithIndex.map { case ((u, ts, c), i) => (u, ts, i.toLong, c) }
+    forAll(ev, n = 4) { rows =>
+      val df = rows.toDF("user_id", "us", "event_id", "c")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val slow = operators.Relational8.ewmaCollected(df).collect().map(key).toSet
+      val fast = operators.Relational8.ewmaBounded(df).collect().map(key).toSet
+      assert(fast === slow)
+    }
+  }
+
+  test("q65: degree-ordered triangle counts equal id-ordered on random graphs") {
+    val graph = for {
+      nNodes <- Gen.choose(4, 14)
+      nEdges <- Gen.choose(3, 40)
+      es <- Gen.listOfN(nEdges, Gen.zip(
+        Gen.choose(0L, nNodes.toLong), Gen.choose(0L, nNodes.toLong)))
+    } yield es.filter { case (a, b) => a != b }
+    forAll(graph, n = 5) { es =>
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("a", "b")
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+      val byId = operators.Relational8.trianglesIdOrdered(und)
+        .collect().map(key).toSet
+      val byDeg = operators.Relational8.trianglesDegreeOrdered(und)
+        .collect().map(key).toSet
+      assert(byDeg === byId)
+    }
+  }
 }
