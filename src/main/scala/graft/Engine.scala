@@ -666,6 +666,27 @@ object Engine {
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("afp").as("dhash")), maxHamming)
 
+  /** Attach the fixture raw-PPM-stream clip payload (p89's "camera
+    * roll"); production replaces this with reading real video files.
+    */
+  def attachVideo(docs: DataFrame): DataFrame =
+    operators.Multimodal.attachVideo(docs)
+
+  /** REAL frame walk of a raw PPM stream → one row per frame with its
+    * perceptual dHash (p89). Blobs never leave the decode partition;
+    * what shuffles is (doc, frame, signature).
+    */
+  def decodeVideoFrames(withVideo: DataFrame): DataFrame =
+    operators.Multimodal.decodeVideoFrames(withVideo)
+
+  /** Temporal near-duplicate clip pairs (p90): same frame count, every
+    * aligned frame within Hamming ≤ maxHamming; frame-0 banding makes
+    * the blocking lossless at radius ≤ 3.
+    */
+  def videoNearDups(withVideo: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Multimodal.videoNearDupPairs(
+      operators.Multimodal.decodeVideoFrames(withVideo), maxHamming)
+
   /** Per-document Gopher-style rule verdicts + first-failing-rule
     * reason (p74); [[operators.Pipeline8.qualityPass]] is the
     * composite gate as a bare filter Column.

@@ -463,4 +463,147 @@ object Multimodal {
               ham.cast("int").as("hamming"))
       .distinct()
   }
+
+  // ---- real video decode (raw PPM stream) --------------------------
+
+  /** Video fixture geometry: every modulus divides 160, so documents
+    * whose ids are 160 apart render BYTE-IDENTICAL clips and ids 80
+    * apart differ by the same ±1 brightness jitter as the still
+    * rasters — the temporal near-duplicate family the pair tests need.
+    * Frame f's scene phase advances by 37·f, so frames within one clip
+    * are genuinely distinct (37 is coprime to 256) while aligned
+    * frames of jittered twins stay 1 apart.
+    */
+  private[graft] def videoParams(id: Long): (Int, Int, Int) =
+    ((32 + (id % 4) * 8).toInt, (24 + (id % 5) * 8).toInt,
+     (2 + (id % 8) % 3).toInt)
+
+  private[graft] def videoFrameBase(id: Long, f: Int): Int =
+    rasterBase(id) + 37 * f
+
+  /** Render one document's clip: a RAW PPM STREAM — concatenated
+    * self-describing P6 frames, the uncompressed video interchange
+    * format ffmpeg's `image2pipe`/`ppm` muxer produces. No container
+    * index: like a real stream, frame boundaries come from each
+    * frame's own header, which is exactly what [[decodeVideoFrames]]
+    * must parse its way through.
+    */
+  private[graft] def videoBytes(id: Long): Array[Byte] = {
+    val (w, h, nf) = videoParams(id)
+    val hd = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte]((hd.length + w * h * 3) * nf)
+    var o = 0
+    var f = 0
+    while (f < nf) {
+      System.arraycopy(hd, 0, out, o, hd.length)
+      o += hd.length
+      val base = videoFrameBase(id, f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) { out(o) = pixel(base, x, y, c).toByte; o += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  private val videoSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Attach a raw-PPM-stream clip payload to each document — the
+    * fixture stand-in for reading real video files; same conditional
+    * rebalance as [[attachBinary]].
+    */
+  def attachVideo(docs: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoSchema)
+    Parallelism.ensureParallel(docs).select(col("doc_id"))
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, videoBytes(id))
+      })(encoder)
+  }
+
+  private val videoFrameFields = Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fhash", LongType, nullable = false))
+
+  /** REAL video decode kernel: walk the raw PPM stream frame by frame
+    * — each frame is parsed by the same header logic as
+    * [[decodeRaster]] (magic, comment-tolerant ints, pixel block) and
+    * hashed with the same [[dHash]] — emitting ONE ROW PER FRAME
+    * `(doc_id, frame, n_frames, width, height, fhash)`. This is the
+    * frame-explode boundary a production pipeline puts right after
+    * ffmpeg: blobs never shuffle; what leaves the decode partition is
+    * 8-byte signatures. Truncated or misaligned streams fail loudly
+    * with the doc id and frame index.
+    */
+  def decodeVideoFrames(withVideo: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: videoFrameFields)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    withVideo.select(col("doc_id"), col("payload"))
+      .mapPartitions(rows => rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val frames = Vector.newBuilder[(Int, Int, Int, Long)]
+        var off = 0
+        var f = 0
+        while (off < b.length) {
+          require(off + 2 <= b.length && b(off) == 'P' && b(off + 1) == '6',
+            s"doc $id: frame $f is not a P6 header at offset $off")
+          val (w, i1) = ppmInt(b, off + 2)
+          val (h, i2) = ppmInt(b, i1)
+          val (maxval, i3) = ppmInt(b, i2)
+          require(maxval == 255, s"doc $id: frame $f maxval $maxval")
+          val po = i3 + 1
+          require(w > 0 && h > 0 && po + w * h * 3 <= b.length,
+            s"doc $id: frame $f pixel block overruns the stream")
+          frames += ((f, w, h, dHash(b, po, w, h)))
+          off = po + w * h * 3
+          f += 1
+        }
+        val nf = f
+        frames.result().map { case (fi, w, h, hash) =>
+          Row.fromSeq(Seq[Any](id, fi, nf, w, h, hash))
+        }
+      })(encoder)
+  }
+
+  /** Temporal near-duplicate clip pairs: two videos are near-dups iff
+    * they have the SAME frame count and EVERY aligned frame pair is
+    * within `maxHamming` on its dHash — the strict alignment semantics
+    * under which frame-0 banding is a lossless blocking (the aligned
+    * maximum bounds frame 0's distance, and ≤3-bit banding is lossless
+    * by pigeonhole, so every qualifying pair surfaces as a frame-0
+    * candidate). Verification joins only the candidates' frame rows —
+    * never all-pairs, never the blobs.
+    */
+  def videoNearDupPairs(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val cand = perceptualNearDupPairs(
+        frames.filter(col("frame") === 0)
+          .select(col("doc_id"), col("fhash").as("dhash")),
+        maxHamming)
+      .select(col("d1"), col("d2"))
+    val fa = frames.select(col("doc_id").as("d1"), col("frame"),
+      col("n_frames").as("nf1"), col("fhash").as("h1"))
+    val fb = frames.select(col("doc_id").as("d2"), col("frame"),
+      col("n_frames").as("nf2"), col("fhash").as("h2"))
+    cand.join(fa, Seq("d1")).join(fb, Seq("d2", "frame"))
+      .filter(col("nf1") === col("nf2"))
+      .groupBy(col("d1"), col("d2"), col("nf1"))
+      .agg(max(bit_count(col("h1").bitwiseXOR(col("h2")))).as("mh"))
+      .filter(col("mh") <= maxHamming)
+      .select(col("d1"), col("d2"), col("nf1").as("n_frames"),
+              col("mh").cast("int").as("max_hamming"))
+  }
 }

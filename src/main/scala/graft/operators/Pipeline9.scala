@@ -591,10 +591,11 @@ object Pipeline9 {
 
   // ---- Cross-modal dedup clusters (p85) ----
 
-  /** p85: duplicate resolution across THREE modalities at once — exact
-    * text pairs (same `text`), perceptual image pairs (dHash Hamming
-    * ≤ 3 over the decoded rasters), and audio fingerprint pairs (the
-    * p79 radius) union into ONE edge set, and the O(log n) contraction
+  /** p85: duplicate resolution across FOUR modalities at once — exact
+    * text star edges (same `text`), perceptual image pairs (dHash
+    * Hamming ≤ 3 over the decoded rasters), audio fingerprint pairs
+    * (the p79 radius), and temporal video pairs (p90's aligned-frame
+    * distance) union into ONE edge set, and the O(log n) contraction
     * labels every document with its cross-modal cluster's minimum id.
     * This is the dedup semantics a real multimodal corpus needs: two
     * documents whose text differs but whose image matches a third
@@ -640,8 +641,12 @@ object Pipeline9 {
         Multimodal.decodeWave(Multimodal.attachWave(docs))
           .select(col("doc_id"), col("afp").as("dhash")), maxHamming = 3)
       .select(col("d1"), col("d2"))
+    val videoPairs = Multimodal.videoNearDupPairs(
+        Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs)),
+        maxHamming = 3)
+      .select(col("d1"), col("d2"))
     Dedup.dedupClustersLogN(docs, "doc_id",
-        textPairs.union(imgPairs).union(audioPairs))
+        textPairs.union(imgPairs).union(audioPairs).union(videoPairs))
       .orderBy(col("doc_id"))
   }
 
@@ -660,9 +665,17 @@ object Pipeline9 {
        |ap AS (SELECT a.doc_id AS d1, b.doc_id AS d2
        |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |       WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+       |${Pipeline10.videoDocsCte},
+       |${Pipeline10.videoFhashCte},
+       |vp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM vh a JOIN vh b
+       |         ON b.doc_id > a.doc_id AND b.nf = a.nf AND b.f = a.f
+       |       GROUP BY a.doc_id, b.doc_id
+       |       HAVING max(bit_count(xor(a.fhash, b.fhash))) <= 3),
        |prs AS (SELECT d1, d2 FROM tp UNION
        |        SELECT d1, d2 FROM ip UNION
-       |        SELECT d1, d2 FROM ap),
+       |        SELECT d1, d2 FROM ap UNION
+       |        SELECT d1, d2 FROM vp),
        |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
        |r AS (SELECT a, b FROM e
        |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),

@@ -588,10 +588,10 @@ object PipelineQueries {
       |             29 * (doc_id % 16) + ((doc_id // 80) % 2) AS base
       |      FROM documents)""".stripMargin
 
-  private def pixSql(x: String, y: String, c: Int): String =
+  private[operators] def pixSql(x: String, y: String, c: Int): String =
     s"((7 * ($x) + 13 * ($y) + ${31 * c} + base) % 256)"
 
-  private def graySql(x: String, y: String): String =
+  private[operators] def graySql(x: String, y: String): String =
     s"((${pixSql(x, y, 0)} + ${pixSql(x, y, 1)} + ${pixSql(x, y, 2)}) // 3)"
 
   /** Per-doc dHash CTE (expects `d` in scope): 11×6 point-sampled

@@ -133,4 +133,75 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.exists { case (a, b, ham) => ham === 0 && (b - a) % 160 === 0 })
     assert(brute.nonEmpty)
   }
+
+  test("video decode: per-frame dHash re-derived from the pixel formula") {
+    val vdocs = Seq(3L, 81L, 163L, 240L).toDF("doc_id")
+      .withColumn("text", lit(""))
+    val got = Multimodal.decodeVideoFrames(Multimodal.attachVideo(vdocs))
+      .orderBy($"doc_id", $"frame").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getAs[Int]("frame")
+      val (w, h, nf) = Multimodal.videoParams(id)
+      assert(r.getAs[Int]("n_frames") === nf)
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      // independent render: straight from the pixel formula, no stream
+      // walking shared with the decoder
+      val base = Multimodal.videoFrameBase(id, f)
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = Multimodal.pixel(base, x, y, c).toByte
+      assert(r.getAs[Long]("fhash") === Multimodal.dHash(px, 0, w, h),
+        s"doc $id frame $f hash diverged from the formula")
+    }
+    assert(got.count(_.getLong(0) == 3L) ===
+      Multimodal.videoParams(3L)._3, "one row per frame")
+  }
+
+  test("video decode rejects truncated and misaligned streams loudly") {
+    val good = Multimodal.videoBytes(5L)
+    val torn = good.dropRight(3)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(Seq((5L, torn)).toDF("doc_id", "payload"))
+        .collect()
+    }
+    val m1 = e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse("")
+    assert(m1.contains("doc 5"))
+    // a stray byte between frames breaks the next header's magic
+    val (w0, h0, _) = Multimodal.videoParams(5L)
+    val frame0Len = s"P6\n$w0 $h0\n255\n".length + w0 * h0 * 3
+    val misaligned = (good.take(frame0Len) :+ 0.toByte) ++
+      good.drop(frame0Len)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(
+          Seq((5L, misaligned)).toDF("doc_id", "payload")).collect()
+    }
+    val m2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("not a P6 header"))
+  }
+
+  test("video near-dup: byte-identical clips pair at 0, banding equals brute force") {
+    val ids = (0L until 400L by 7L) ++ Seq(160L, 320L, 87L, 167L)
+    val vdocs = ids.distinct.toDF("doc_id").withColumn("text", lit(""))
+    val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(vdocs))
+      .localCheckpoint()
+    val got = Multimodal.videoNearDupPairs(frames, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // brute force on the driver: same frame count, aligned max Hamming
+    val fs = frames.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("frame"), r.getAs[Int]("n_frames"),
+        r.getAs[Long]("fhash")))
+      .groupBy(_._1).view
+      .mapValues(a => (a.head._3, a.sortBy(_._2).map(_._4).toVector)).toMap
+    val brute = (for {
+      (a, (nfa, ha)) <- fs.toSeq; (b, (nfb, hb)) <- fs.toSeq
+      if a < b && nfa == nfb
+      mh = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.max
+      if mh <= 3
+    } yield (a, b, mh)).toSet
+    assert(got === brute, "frame-0 banding lost or invented clip pairs")
+    assert(brute.exists { case (a, b, mh) => mh === 0 && (b - a) % 160 === 0 },
+      "mod-160 twins must pair at distance 0")
+  }
 }
