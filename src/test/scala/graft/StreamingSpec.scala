@@ -642,4 +642,73 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(store).count() === want,
       "lost tombstone re-appended an already-folded batch")
   }
+
+  test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
+    // The integration seam the per-store specs don't cross: actual
+    // Structured Streaming queries (MemoryStream → foreachBatch) drive
+    // the lexical AND the vector ingestion, the operator-scheduled
+    // merges fold both stores, and then RETRIEVAL runs over the
+    // just-merged stores — a phrase probe (p58) and an IVF-PQ probe
+    // (p49) — asserting row-for-row parity with one-shot batch builds
+    // over the same union corpus.
+    import graft.operators.{Pipeline6, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .localCheckpoint()
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val table = "graft_postings_e2e_spec"
+    val store = java.nio.file.Files.createTempDirectory("e2e_vec_live").toString
+    val lexStage = java.nio.file.Files.createTempDirectory("e2e_lex_stage").toString
+    val vecStage = java.nio.file.Files.createTempDirectory("e2e_vec_stage").toString
+    Pipeline6.postingsWrite(docs.filter($"doc_id" < 30), table, nBuckets = 8)
+    Pipeline6.ivfPqWrite(cents, cb, emb.filter($"vec_id" < 30), store)
+    val docStream = MemoryStream[(Long, String)]
+    val lexQ = docStream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingOps.lexicalIngestBatch(lexStage) _)
+      .start()
+    val vecStream = MemoryStream[(Long, Seq[Float], Int)]
+    val vecQ = vecStream.toDF().toDF("vec_id", "embedding", "label")
+      .writeStream.outputMode("append")
+      .foreachBatch(StreamingOps.ivfPqIngestBatch(cents, cb, vecStage) _)
+      .start()
+    try {
+      val docRows = docs.filter($"doc_id" >= 30)
+        .as[(Long, String)].collect()
+      val vecRows = emb.filter($"vec_id" >= 30)
+        .as[(Long, Seq[Float], Int)].collect()
+      // two micro-batches per stream, split mid-corpus
+      docStream.addData(docRows.take(docRows.length / 2).toSeq)
+      vecStream.addData(vecRows.take(vecRows.length / 2).toSeq)
+      lexQ.processAllAvailable(); vecQ.processAllAvailable()
+      docStream.addData(docRows.drop(docRows.length / 2).toSeq)
+      vecStream.addData(vecRows.drop(vecRows.length / 2).toSeq)
+      lexQ.processAllAvailable(); vecQ.processAllAvailable()
+    } finally { lexQ.stop(); vecQ.stop() }
+    assert(StreamingOps.lexicalMergeStaged(spark, lexStage, table, 8) === 2)
+    assert(StreamingOps.ivfPqMergeStaged(spark, vecStage, store) === 2)
+    // retrieval over the just-merged stores vs one-shot batch builds
+    val fullTable = "graft_postings_e2e_spec_full"
+    Pipeline6.postingsWrite(docs, fullTable, nBuckets = 8)
+    val fullStore = java.nio.file.Files.createTempDirectory("e2e_vec_full").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, fullStore)
+    val phrase = Seq("table", "hash") // p58's pinned phrase
+    val gotPhrase = Pipeline6.phraseTopKStored(spark, table, phrase, 20)
+      .collect().map(_.toSeq).toSeq
+    val wantPhrase = Pipeline6.phraseTopKStored(spark, fullTable, phrase, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(gotPhrase.nonEmpty, "pinned phrase found nothing — dead probe")
+    assert(gotPhrase === wantPhrase,
+      "phrase results over the streamed store diverge from the batch build")
+    val queries = emb.filter($"vec_id" < 3)
+    def probe(p: String) =
+      Pipeline6.ivfPqTopKStored(spark, p, queries, cents, cb, k = 10, nProbe = 3)
+        .orderBy($"qid", $"rnk").collect().map(_.toSeq).toSeq
+    val gotVec = probe(store)
+    assert(gotVec.nonEmpty && gotVec === probe(fullStore),
+      "vector probe over the streamed store diverges from the batch build")
+  }
 }
