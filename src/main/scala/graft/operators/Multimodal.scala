@@ -470,16 +470,21 @@ object Multimodal {
     * whose ids are 160 apart render BYTE-IDENTICAL clips and ids 80
     * apart differ by the same ±1 brightness jitter as the still
     * rasters — the temporal near-duplicate family the pair tests need.
-    * Frame f's scene phase advances by 37·f, so frames within one clip
-    * are genuinely distinct (37 is coprime to 256) while aligned
-    * frames of jittered twins stay 1 apart.
+    * Clips have SCENE structure: frames come in two-frame scenes whose
+    * phase advances by 1 WITHIN a scene (the jitter-sized step — a few
+    * wrap-straddling samples flip) and by 37 ACROSS scene boundaries
+    * (a large phase jump — a wide band of dHash bits flips). So
+    * consecutive-frame dHash distance separates cleanly into "same
+    * scene" and "cut", which is what makes scene-cut detection (p92) a
+    * real discrimination task instead of a constant; aligned frames of
+    * mod-80 jittered twins still differ by exactly 1.
     */
   private[graft] def videoParams(id: Long): (Int, Int, Int) =
     ((32 + (id % 4) * 8).toInt, (24 + (id % 5) * 8).toInt,
      (2 + (id % 8) % 3).toInt)
 
   private[graft] def videoFrameBase(id: Long, f: Int): Int =
-    rasterBase(id) + 37 * f
+    rasterBase(id) + 37 * (f / 2) + (f % 2)
 
   /** Render one document's clip: a RAW PPM STREAM — concatenated
     * self-describing P6 frames, the uncompressed video interchange
@@ -547,6 +552,30 @@ object Multimodal {
     * 8-byte signatures. Truncated or misaligned streams fail loudly
     * with the doc id and frame index.
     */
+  /** Shared stream walk of [[decodeVideoFrames]]/[[decodeVideoClip]]:
+    * parse every frame of one raw PPM stream to (frame, w, h, dHash).
+    */
+  private def walkVideo(id: Long, b: Array[Byte]): Vector[(Int, Int, Int, Long)] = {
+    val frames = Vector.newBuilder[(Int, Int, Int, Long)]
+    var off = 0
+    var f = 0
+    while (off < b.length) {
+      require(off + 2 <= b.length && b(off) == 'P' && b(off + 1) == '6',
+        s"doc $id: frame $f is not a P6 header at offset $off")
+      val (w, i1) = ppmInt(b, off + 2)
+      val (h, i2) = ppmInt(b, i1)
+      val (maxval, i3) = ppmInt(b, i2)
+      require(maxval == 255, s"doc $id: frame $f maxval $maxval")
+      val po = i3 + 1
+      require(w > 0 && h > 0 && po + w * h * 3 <= b.length,
+        s"doc $id: frame $f pixel block overruns the stream")
+      frames += ((f, w, h, dHash(b, po, w, h)))
+      off = po + w * h * 3
+      f += 1
+    }
+    frames.result()
+  }
+
   def decodeVideoFrames(withVideo: DataFrame): DataFrame = {
     val outSchema = StructType(
       StructField("doc_id", LongType, nullable = false) +: videoFrameFields)
@@ -554,30 +583,68 @@ object Multimodal {
     withVideo.select(col("doc_id"), col("payload"))
       .mapPartitions(rows => rows.flatMap { r =>
         val id = r.getLong(0)
-        val b = r.getAs[Array[Byte]](1)
-        val frames = Vector.newBuilder[(Int, Int, Int, Long)]
-        var off = 0
-        var f = 0
-        while (off < b.length) {
-          require(off + 2 <= b.length && b(off) == 'P' && b(off + 1) == '6',
-            s"doc $id: frame $f is not a P6 header at offset $off")
-          val (w, i1) = ppmInt(b, off + 2)
-          val (h, i2) = ppmInt(b, i1)
-          val (maxval, i3) = ppmInt(b, i2)
-          require(maxval == 255, s"doc $id: frame $f maxval $maxval")
-          val po = i3 + 1
-          require(w > 0 && h > 0 && po + w * h * 3 <= b.length,
-            s"doc $id: frame $f pixel block overruns the stream")
-          frames += ((f, w, h, dHash(b, po, w, h)))
-          off = po + w * h * 3
-          f += 1
-        }
-        val nf = f
-        frames.result().map { case (fi, w, h, hash) =>
+        val frames = walkVideo(id, r.getAs[Array[Byte]](1))
+        val nf = frames.length
+        frames.map { case (fi, w, h, hash) =>
           Row.fromSeq(Seq[Any](id, fi, nf, w, h, hash))
         }
       })(encoder)
   }
+
+  /** 64-bit avalanche mixer (MurmurHash3's fmix64 — public domain
+    * constants): position must bind to its frame hash NONLINEARLY
+    * before the XOR fold, because XOR alone distributes —
+    * `⊕(h_f ^ f·K)` separates into `⊕h_f ^ ⊕f·K` and a permuted clip
+    * would sign identically.
+    */
+  private def fmix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
+  /** The exact CLIP signature: XOR over frames of
+    * `fmix64(fhash + (frame+1) · golden)` — order-sensitive (the
+    * avalanche binds each hash to its position, so any permutation
+    * signs differently with overwhelming probability), equal for
+    * byte-identical clips, deterministic across partitionings. An
+    * EXACT gate only — near-dup clips go through
+    * [[videoNearDupPairs]]'s aligned-frame Hamming, the same
+    * exact/perceptual split as text (p01 vs p04) and images
+    * (p02 vs p59).
+    */
+  private[graft] def clipSignature(frames: Seq[(Int, Long)]): Long =
+    frames.foldLeft(0L) { case (acc, (f, h)) =>
+      acc ^ fmix64(h + (f + 1L) * 0x9e3779b97f4a7c15L)
+    }
+
+  /** One-row-per-clip decode: walk the stream once, emit
+    * `(doc_id, keep…, n_frames, vhash)` with the [[clipSignature]]
+    * fold done inside the codec boundary — the shape a streaming
+    * dedup gate needs (stateful operators key on a scalar signature
+    * column, not on an exploded frame table).
+    */
+  def decodeVideoClipKeeping(withVideo: DataFrame, keep: Seq[String]): DataFrame = {
+    val keepFields = keep.map(n => withVideo.schema(n))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: keepFields ++: Seq(
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("vhash", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    withVideo.select(col("doc_id") +: col("payload") +: keep.map(col): _*)
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        val frames = walkVideo(id, r.getAs[Array[Byte]](1))
+        Row.fromSeq(Seq[Any](id) ++ keep.indices.map(k => r.get(2 + k)) ++
+          Seq[Any](frames.length,
+            clipSignature(frames.map { case (f, _, _, h) => (f, h) })))
+      })(encoder)
+  }
+
+  def decodeVideoClip(withVideo: DataFrame): DataFrame =
+    decodeVideoClipKeeping(withVideo, Nil)
 
   /** Temporal near-duplicate clip pairs: two videos are near-dups iff
     * they have the SAME frame count and EVERY aligned frame pair is

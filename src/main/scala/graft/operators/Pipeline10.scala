@@ -42,7 +42,8 @@ object Pipeline10 {
     val xn = "(((i + 1) * w) // 11)"
     val yj = "((j * h) // 6)"
     val g = (x: String) =>
-      PipelineQueries.graySql(x, yj).replace("base", "(base0 + 37 * f)")
+      PipelineQueries.graySql(x, yj)
+        .replace("base", "(base0 + 37 * (f // 2) + (f % 2))")
     s"""vh AS (
        |  SELECT doc_id, nf, f,
        |         CAST(sum(CASE WHEN ${g(xn)} > ${g(xi)}
@@ -110,13 +111,107 @@ object Pipeline10 {
        |HAVING max(bit_count(xor(a.fhash, b.fhash))) <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  /** p91: temporal video dedup CLUSTERS — p90's near-dup pairs
+    * resolved to canonical labels with the O(log n) contraction, the
+    * clip twin of p60 (images) and the audio cluster path. The
+    * retention decision a curation pipeline actually makes: not "these
+    * two clips look alike" but "keep exactly one representative per
+    * clip family".
+    *
+    * Scale shape: p90's banded pair generation + p33's contraction —
+    * composition-priced, no new corpus-wide stage.
+    */
+  def videoDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.dedupClustersLogN(docs, "doc_id",
+        Multimodal.videoNearDupPairs(
+            Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs)),
+            maxHamming = 3)
+          .select(col("d1"), col("d2")))
+      .orderBy(col("doc_id"))
+  }
+
+  val videoDedupClustersOracle: String =
+    s"""WITH RECURSIVE $videoDocsCte,
+       |$videoFhashCte,
+       |vp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM vh a JOIN vh b
+       |         ON b.doc_id > a.doc_id AND b.nf = a.nf AND b.f = a.f
+       |       GROUP BY a.doc_id, b.doc_id
+       |       HAVING max(bit_count(xor(a.fhash, b.fhash))) <= 3),
+       |e AS (SELECT d1 AS a, d2 AS b FROM vp UNION SELECT d2, d1 FROM vp),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+       |           AS canonical
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
+
+  /** Cut threshold of the registered scene-cut query: the fixture's
+    * within-scene step (+1 phase) flips only wrap-straddling dHash
+    * samples (measured max 6 bits over sf0.01's 500 clips) while the
+    * cross-scene step (+37) flips a wide band (measured min 10), so 8
+    * sits mid-gap — MultimodalSpec pins the gap itself. Geometry-
+    * parametric like every perceptual radius in this library — real
+    * footage tunes τ on a labeled clip sample.
+    */
+  private val CutTau = 8
+
+  /** p92: scene-cut detection — the consecutive-frame dHash distance
+    * per clip, emitting the frames whose distance to their predecessor
+    * exceeds τ. THE canonical video curation primitive: cuts segment a
+    * clip into scenes, scenes drive keyframe selection (sample one
+    * frame per scene, not per clip), and cut-rate is a quality signal
+    * (slideshow vs static footage). All-integer (positions, XOR,
+    * popcount), so the oracle is a full differential mirror.
+    *
+    * Scale shape: decode is the map-side codec boundary; the lag runs
+    * in ONE window keyed by clip over frame rows that are already
+    * (doc, frame, 8-byte hash) — the shuffle moves signatures, never
+    * pixels, and a clip's frames are a few rows, so no key is ever
+    * heavy.
+    */
+  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d)))
+      .select(col("doc_id"), col("frame"), col("fhash"))
+      .withColumn("ph", lag(col("fhash"), 1).over(w))
+      .filter(col("ph").isNotNull)
+      .select(col("doc_id"), col("frame"),
+        bit_count(col("fhash").bitwiseXOR(col("ph"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") > CutTau)
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  val sceneCutsOracle: String =
+    s"""WITH $videoDocsCte,
+       |$videoFhashCte,
+       |lagged AS (
+       |  SELECT doc_id, f, fhash,
+       |         lag(fhash) OVER (PARTITION BY doc_id ORDER BY f) AS ph
+       |  FROM vh)
+       |SELECT doc_id, CAST(f AS INTEGER) AS frame,
+       |       CAST(bit_count(xor(fhash, ph)) AS INTEGER) AS hamming
+       |FROM lagged
+       |WHERE ph IS NOT NULL AND bit_count(xor(fhash, ph)) > $CutTau
+       |ORDER BY doc_id, frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
+    "p91_video_clusters" -> (videoDedupClusters _),
+    "p92_scene_cuts"     -> (sceneCuts _),
   )
 
   val oracles: Map[String, String] = Map(
     "p89_video_decode"   -> videoDecodeOracle,
     "p90_video_near_dup" -> videoNearDupOracle,
+    "p91_video_clusters" -> videoDedupClustersOracle,
+    "p92_scene_cuts"     -> sceneCutsOracle,
   )
 }

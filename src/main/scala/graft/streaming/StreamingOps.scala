@@ -129,6 +129,21 @@ object StreamingOps {
       .withWatermark(tsCol, "2 hours")
       .dropDuplicatesWithinWatermark("afp")
 
+  /** Streaming VIDEO dedup — the clip twin of [[audioDedupStream]]:
+    * decode each micro-batch's raw PPM streams in the codec boundary
+    * ([[graft.operators.Multimodal.decodeVideoClipKeeping]] — the walk
+    * folds per-frame dHashes to ONE exact clip signature per row, so
+    * the stateful gate keys on a scalar, not an exploded frame table),
+    * keep the FIRST clip per signature with watermark-bounded state.
+    * Exact gate only; temporal near-dup (aligned-frame Hamming) is the
+    * batch pair path (p90) run as the compaction-time sweep — the same
+    * split as the text, image, and audio streams.
+    */
+  def videoDedupStream(withVideo: DataFrame, tsCol: String): DataFrame =
+    graft.operators.Multimodal.decodeVideoClipKeeping(withVideo, Seq(tsCol))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("vhash")
+
   /** Stream-stream interval join — the unbounded form of the batch
     * as-of/range joins (q32/q33): each click joined to same-user
     * purchases at most 1 hour older. Both sides carry watermarks so

@@ -204,4 +204,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.exists { case (a, b, mh) => mh === 0 && (b - a) % 160 === 0 },
       "mod-160 twins must pair at distance 0")
   }
+
+  test("clip signature: equal for identical clips, distinct scenes, order-sensitive") {
+    val vdocs = Seq(0L, 1L, 160L).toDF("doc_id").withColumn("text", lit(""))
+    val sig = Multimodal.decodeVideoClip(Multimodal.attachVideo(vdocs))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("vhash")).toMap
+    assert(sig(0L) === sig(160L), "byte-identical clips must sign equal")
+    assert(sig(0L) !== sig(1L), "different scenes must sign differently")
+    // the position mix makes a permuted clip sign differently
+    val hs = Seq((0, 11L), (1, 22L), (2, 33L))
+    assert(Multimodal.clipSignature(hs) !==
+      Multimodal.clipSignature(Seq((0, 22L), (1, 11L), (2, 33L))))
+  }
+
+  test("scene structure: within-scene dHash steps sit under the cut gap, cross-scene above") {
+    val vdocs = (0L until 40L).toDF("doc_id").withColumn("text", lit(""))
+    val fr = Multimodal.decodeVideoFrames(Multimodal.attachVideo(vdocs))
+      .orderBy($"doc_id", $"frame").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("frame"), r.getAs[Long]("fhash")))
+    val trans = fr.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(_._2).sliding(2).collect { case Array(a, b) =>
+        (b._2, java.lang.Long.bitCount(a._3 ^ b._3))
+      }
+    }.toSeq
+    val (cross, within) = trans.partition(_._1 % 2 == 0) // scenes are 2 frames
+    assert(within.nonEmpty && cross.nonEmpty)
+    // the p92 threshold (8) must sit strictly inside this measured gap
+    assert(within.map(_._2).max <= 6,
+      s"within-scene step leaked over the gap: ${within.map(_._2).max}")
+    assert(cross.map(_._2).min >= 10,
+      s"cross-scene step fell into the gap: ${cross.map(_._2).min}")
+  }
 }

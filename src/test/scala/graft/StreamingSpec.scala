@@ -228,6 +228,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming video dedup: first clip per signature survives, walk runs in-stream") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RasterDoc] // same (doc_id, payload, ts) shape
+    val q = StreamingOps.videoDedupStream(ms.toDF(), "ts")
+      .writeStream.format("memory").queryName("vdedup").outputMode("append")
+      .start()
+    try {
+      // 0 and 160 are byte-identical clips (every geometry modulus
+      // divides 160); 1 is a different scene family
+      ms.addData(Seq(
+        RasterDoc(0L, Multimodal.videoBytes(0L), ts("00:10")),
+        RasterDoc(160L, Multimodal.videoBytes(160L), ts("00:20")),
+        RasterDoc(1L, Multimodal.videoBytes(1L), ts("00:30"))))
+      q.processAllAvailable()
+      ms.addData(Seq( // 320 = dup of 0 arriving in a LATER micro-batch
+        RasterDoc(320L, Multimodal.videoBytes(320L), ts("00:40"))))
+      q.processAllAvailable()
+      val kept = spark.table("vdedup").select($"doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(0L, 1L),
+        s"expected first-per-signature {0,1}, got $kept")
+      assert(spark.table("vdedup").filter($"doc_id" === 0L)
+        .collect()(0).getAs[Int]("n_frames") === Multimodal.videoParams(0L)._3)
+    } finally q.stop()
+  }
+
   test("streaming perceptual dedup: first image per dHash survives, decode runs in-stream") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
