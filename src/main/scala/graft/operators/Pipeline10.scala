@@ -201,11 +201,59 @@ object Pipeline10 {
        |WHERE ph IS NOT NULL AND bit_count(xor(fhash, ph)) > $CutTau
        |ORDER BY doc_id, frame""".stripMargin
 
+  /** p93: keyframe selection — ONE representative frame per scene (the
+    * first frame of the clip plus the first frame after every p92
+    * cut), each labeled with its scene index (running cut count). This
+    * is how video becomes training data: downstream image pipelines
+    * (p59 dedup, caption/embedding extraction) run on keyframes, not
+    * on every frame — the scene segmentation IS the sampling rate.
+    * Composes p92 in one window pass; all-integer, full oracle.
+    */
+  def keyframes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d)))
+      .select(col("doc_id"), col("frame"), col("fhash"))
+      .withColumn("ph", lag(col("fhash"), 1).over(w))
+      .withColumn("cut",
+        when(col("ph").isNull, lit(0))
+          .otherwise((bit_count(col("fhash").bitwiseXOR(col("ph"))) > CutTau)
+            .cast("int")))
+      .withColumn("scene", sum(col("cut")).over(w).cast("int"))
+      .filter(col("ph").isNull || col("cut") === 1)
+      .select(col("doc_id"), col("frame"), col("scene"))
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  val keyframesOracle: String =
+    s"""WITH $videoDocsCte,
+       |$videoFhashCte,
+       |lg AS (
+       |  SELECT doc_id, f, fhash,
+       |         lag(fhash) OVER (PARTITION BY doc_id ORDER BY f) AS ph
+       |  FROM vh),
+       |ct AS (
+       |  SELECT doc_id, f,
+       |         CASE WHEN ph IS NULL THEN 0
+       |              WHEN bit_count(xor(fhash, ph)) > $CutTau THEN 1
+       |              ELSE 0 END AS cut,
+       |         ph IS NULL AS first
+       |  FROM lg),
+       |sc AS (
+       |  SELECT doc_id, f, cut, first,
+       |         sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+       |  FROM ct)
+       |SELECT doc_id, CAST(f AS INTEGER) AS frame,
+       |       CAST(scene AS INTEGER) AS scene
+       |FROM sc WHERE first OR cut = 1
+       |ORDER BY doc_id, frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
     "p91_video_clusters" -> (videoDedupClusters _),
     "p92_scene_cuts"     -> (sceneCuts _),
+    "p93_keyframes"      -> (keyframes _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +261,6 @@ object Pipeline10 {
     "p90_video_near_dup" -> videoNearDupOracle,
     "p91_video_clusters" -> videoDedupClustersOracle,
     "p92_scene_cuts"     -> sceneCutsOracle,
+    "p93_keyframes"      -> keyframesOracle,
   )
 }
