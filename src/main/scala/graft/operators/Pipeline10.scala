@@ -248,12 +248,88 @@ object Pipeline10 {
        |FROM sc WHERE first OR cut = 1
        |ORDER BY doc_id, frame""".stripMargin
 
+  /** Contamination rule of the registered query: a document is dropped
+    * when ≥ 5 % of its distinct 3-gram shingles appear in the
+    * benchmark set — the published decontamination rule (GPT-3
+    * appendix C / Llama's n-gram variant) as an EXACT integer
+    * cross-multiplication, no float ratio anywhere. Shingle width is
+    * corpus-parametric: published rules use 8–13-gram shingles on real
+    * prose; this corpus's short synthetic sentences only overlap at
+    * 3-grams (measured: 16/494 dropped at 3, zero at 5 — the 5-gram
+    * rule would be a dead gate here).
+    */
+  private val DecontPct = 5
+  private val DecontShingleN = 3
+
+  /** p94: fuzzy benchmark decontamination — the DECISION TABLE p30's
+    * overlap report stops short of. p30 counts shared shingles for the
+    * docs that have any; the published drop rule needs three more
+    * things: each doc's TOTAL distinct shingles (the denominator),
+    * zero-hit docs (the kept majority — absent rows are not a
+    * verdict), and the threshold comparison itself. Output: one row
+    * per candidate doc with (n_shingles, n_hit, contaminated), the
+    * audit artifact a release pipeline stores next to the drop list.
+    *
+    * Scale shape: the benchmark index is DISTINCT bench shingle hashes
+    * — benchmark suites are model-sized, so it broadcasts and the
+    * corpus-side membership probe is map-side (the p30 device); the
+    * only corpus-keyed shuffles are the distinct-shingle expansion and
+    * the doc roll-up. Same md5-free xxhash64 shingle-key trick as p30:
+    * the oracle counts distinct STRINGS, the engine distinct HASHES —
+    * equal short of a 64-bit collision.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sh = Dedup.shinglePairs(docs, "doc_id", "text", DecontShingleN)
+      .select(col("doc_id"), xxhash64(col("ngram")).as("ng"))
+      .distinct().localCheckpoint(eager = false)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("ng")).distinct().withColumn("hit", lit(1))
+    val agg = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated",
+        col("n_shingles") > 0 &&
+          col("n_hit") * 100 >= lit(DecontPct) * col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ngram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+       |                 i -> array_to_string(w[i:i+2], ' '))) AS ngram
+       |  FROM ws)),
+       |bench AS (SELECT DISTINCT ngram FROM sh WHERE doc_id % 97 = 0),
+       |agg AS (
+       |  SELECT c.doc_id, count(*) AS n_shingles,
+       |         count(b.ngram) AS n_hit
+       |  FROM sh c LEFT JOIN bench b USING (ngram)
+       |  WHERE c.doc_id % 97 <> 0
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       |       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |       coalesce(n_shingles, 0) > 0 AND
+       |         coalesce(n_hit, 0) * 100 >= $DecontPct * coalesce(n_shingles, 0)
+       |         AS contaminated
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
     "p91_video_clusters" -> (videoDedupClusters _),
     "p92_scene_cuts"     -> (sceneCuts _),
     "p93_keyframes"      -> (keyframes _),
+    "p94_decontaminate"  -> (decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +338,6 @@ object Pipeline10 {
     "p91_video_clusters" -> videoDedupClustersOracle,
     "p92_scene_cuts"     -> sceneCutsOracle,
     "p93_keyframes"      -> keyframesOracle,
+    "p94_decontaminate"  -> decontaminateOracle,
   )
 }
