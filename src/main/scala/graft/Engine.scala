@@ -425,6 +425,58 @@ object Engine {
       .filter(col("cum_tokens") <= tokenBudget)
   }
 
+  /** End-to-end CLIP curation — the video twin of [[curate]], composed
+    * from the p89–p93 devices in retention order:
+    *   1. exact dedup — one clip per [[operators.Multimodal
+    *      .decodeVideoClip]] signature (lowest doc_id survives), the
+    *      cheap gate that removes the bulk of real-corpus duplication
+    *      before anything quadratic-ish runs;
+    *   2. temporal near-dedup — p90 aligned-frame pairs AMONG THE
+    *      SURVIVORS through the O(log n) contraction, keep each
+    *      cluster's minimum id;
+    *   3. keyframe extraction — scene cuts (p92's mid-gap threshold)
+    *      over the retained clips, emitting `(doc_id, frame, scene,
+    *      fhash)`: one representative frame per scene, WITH its
+    *      perceptual hash so the output feeds the image pipeline
+    *      (p59 dedup, captioning, embedding) directly.
+    *
+    * Scale shape: one decode pass per stage over only the surviving
+    * clips (signatures shuffle, pixels never do), stage 1 is one
+    * scalar-keyed window, stage 2 is banded pairs + contraction, stage
+    * 3 one clip-keyed window. The frame table is never materialized
+    * corpus-wide twice at the same stage.
+    */
+  def curateClips(withVideo: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val mm = operators.Multimodal
+    val video = withVideo.localCheckpoint() // payloads feed stages 1 and 3
+    val exact = mm.decodeVideoClip(video)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vhash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+    val survivors = video.join(exact, Seq("doc_id")).localCheckpoint()
+    val frames = mm.decodeVideoFrames(survivors).localCheckpoint()
+    val clusters = operators.Dedup.dedupClustersLogN(
+      frames.select(col("doc_id")).distinct(), "doc_id",
+      mm.videoNearDupPairs(frames, maxHamming = 3)
+        .select(col("d1"), col("d2")))
+    val kept = clusters.filter(col("doc_id") === col("canonical"))
+      .select(col("doc_id"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    frames.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("frame"), col("fhash"))
+      .withColumn("ph", lag(col("fhash"), 1).over(w))
+      .withColumn("cut",
+        when(col("ph").isNull, lit(0))
+          .otherwise((bit_count(col("fhash").bitwiseXOR(col("ph"))) > 8)
+            .cast("int")))
+      .withColumn("scene", sum(col("cut")).over(w).cast("int"))
+      .filter(col("ph").isNull || col("cut") === 1)
+      .select(col("doc_id"), col("frame"), col("scene"), col("fhash"))
+  }
+
   // ---- SQL front door ----
 
   /** Register every test-data table of `dir` as a temp view (plus the

@@ -96,4 +96,60 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set(mpbKey, oldMpb)
     }
   }
+
+  test("curateClips: every stage equals an independent driver-side pipeline") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // exact-dup family {0,160,320}, jitter twin 80, a second family
+    // {1,161}, and unrelated scenes 3 and 6
+    val ids = Seq(0L, 1L, 3L, 6L, 80L, 160L, 161L, 320L)
+    val withVideo = Multimodal.attachVideo(
+      ids.toDF("doc_id").withColumn("text", lit("")))
+    val got = Engine.curateClips(withVideo)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("frame"),
+        r.getAs[Int]("scene"))).toSet
+
+    // independent reference: hashes from the formula, not the decoder
+    def frameHashes(id: Long): Vector[Long] = {
+      val (w, h, nf) = Multimodal.videoParams(id)
+      Vector.tabulate(nf) { f =>
+        val base = Multimodal.videoFrameBase(id, f)
+        val px = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          px((y * w + x) * 3 + c) = Multimodal.pixel(base, x, y, c).toByte
+        Multimodal.dHash(px, 0, w, h)
+      }
+    }
+    val hs = ids.map(id => id -> frameHashes(id)).toMap
+    // stage 1: exact dedup on the full frame-hash sequence, min id wins
+    val exact = ids.groupBy(hs).values.map(_.min).toSet
+    // stage 2: near-dup union-find among survivors (same nf, aligned max <= 3)
+    val surv = exact.toSeq.sorted
+    val parent = collection.mutable.Map(surv.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- surv; b <- surv if a < b && hs(a).length == hs(b).length)
+      if (hs(a).zip(hs(b)).map { case (x, y) =>
+            java.lang.Long.bitCount(x ^ y) }.max <= 3) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val kept = surv.filter(i => find(i) == i)
+    // stage 3: keyframes of the kept clips
+    val want = (for {
+      id <- kept
+      h = hs(id)
+      cuts = h.indices.map(f =>
+        if (f == 0) 0
+        else if (java.lang.Long.bitCount(h(f) ^ h(f - 1)) > 8) 1 else 0)
+      scenes = cuts.scanLeft(0)(_ + _).drop(1)
+      f <- h.indices if f == 0 || cuts(f) == 1
+    } yield (id, f, scenes(f))).toSet
+    assert(got === want, "curateClips diverged from the reference pipeline")
+    // sanity: the fixture exercised every stage
+    assert(!got.exists(_._1 == 160L) && !got.exists(_._1 == 320L),
+      "exact stage should have dropped the mod-160 twins")
+    assert(kept.size < surv.size || surv.size < ids.size)
+    assert(got.exists(_._3 > 0), "no multi-scene clip in the fixture")
+  }
 }

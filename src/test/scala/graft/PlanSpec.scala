@@ -60,6 +60,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "a shuffle keyed on raw document text crept back into p85")
   }
 
+  test("p92/p93: scene windows share ONE doc-keyed shuffle (signatures, never pixels)") {
+    // decode is map-side; the lag window (and p93's second, same-key
+    // window) must reuse a single hashpartitioning(doc_id) exchange —
+    // a second hash shuffle would mean the frame table moved twice
+    for (q <- Seq("p92_scene_cuts", "p93_keyframes")) {
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+      assert(shuffles === 1, s"$q: expected 1 hash shuffle, saw $shuffles")
+    }
+  }
+
+  test("p94: benchmark membership probes stay broadcast joins") {
+    val p = plan("p94_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench shingle index no longer broadcasts — the map-side probe degraded")
+  }
+
   test("q52: salted join stays a shuffled hash join (replicated dim never broadcast)") {
     val p = plan("q52_salted_join")
     assert(p.contains("ShuffledHashJoin"), "salted join lost its shuffle-hash hint")
