@@ -739,6 +739,21 @@ object Engine {
     operators.Multimodal.videoNearDupPairs(
       operators.Multimodal.decodeVideoFrames(withVideo), maxHamming)
 
+  /** Scene-cut frames of each clip (p92): consecutive-frame dHash
+    * distance > `tau`. */
+  def sceneCuts(withVideo: DataFrame, tau: Int = 8): DataFrame =
+    operators.Pipeline10.sceneCutsOf(
+      operators.Multimodal.decodeVideoFrames(withVideo), tau)
+
+  /** Keyframes of each clip (p93): first frame plus first frame after
+    * every cut, with scene index and perceptual hash. The zero-shuffle
+    * kernel twin for streams is
+    * [[streaming.StreamingOps.videoKeyframesStream]].
+    */
+  def keyframes(withVideo: DataFrame, tau: Int = 8): DataFrame =
+    operators.Pipeline10.keyframesOf(
+      operators.Multimodal.decodeVideoFrames(withVideo), tau)
+
   /** Per-document Gopher-style rule verdicts + first-failing-rule
     * reason (p74); [[operators.Pipeline8.qualityPass]] is the
     * composite gate as a bare filter Column.

@@ -646,6 +646,49 @@ object Multimodal {
   def decodeVideoClip(withVideo: DataFrame): DataFrame =
     decodeVideoClipKeeping(withVideo, Nil)
 
+  /** Per-clip KEYFRAME extraction inside the codec boundary: a clip's
+    * scene cuts depend only on its own frames, which all live in its
+    * one payload row — so the whole p92+p93 computation (consecutive
+    * dHash distance, cut threshold, running scene index) runs in the
+    * decode kernel with ZERO shuffles and zero cross-row state. The
+    * relational twin ([[Pipeline10.keyframesOf]], one window pass)
+    * exists because a frame TABLE (e.g. an at-rest store) has no
+    * payload rows to walk; this form is what a stream wants —
+    * stateless, so it runs in append mode with no watermark at all.
+    * Emits `(doc_id, keep…, frame, scene, fhash)`, parity with the
+    * window form spec-pinned.
+    */
+  def decodeVideoKeyframesKeeping(withVideo: DataFrame, tau: Int,
+                                  keep: Seq[String]): DataFrame = {
+    val keepFields = keep.map(n => withVideo.schema(n))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: keepFields ++: Seq(
+        StructField("frame", IntegerType, nullable = false),
+        StructField("scene", IntegerType, nullable = false),
+        StructField("fhash", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    withVideo.select(col("doc_id") +: col("payload") +: keep.map(col): _*)
+      .mapPartitions(rows => rows.flatMap { r =>
+        val id = r.getLong(0)
+        val hs = walkVideo(id, r.getAs[Array[Byte]](1))
+          .map { case (f, _, _, h) => (f, h) }
+        var scene = 0
+        var prev = 0L
+        hs.flatMap { case (f, h) =>
+          val cut = f > 0 && java.lang.Long.bitCount(h ^ prev) > tau
+          if (cut) scene += 1
+          prev = h
+          if (f == 0 || cut)
+            Some(Row.fromSeq(Seq[Any](id) ++
+              keep.indices.map(k => r.get(2 + k)) ++ Seq[Any](f, scene, h)))
+          else None
+        }
+      })(encoder)
+  }
+
+  def decodeVideoKeyframes(withVideo: DataFrame, tau: Int): DataFrame =
+    decodeVideoKeyframesKeeping(withVideo, tau, Nil)
+
   /** Temporal near-duplicate clip pairs: two videos are near-dups iff
     * they have the SAME frame count and EVERY aligned frame pair is
     * within `maxHamming` on its dHash — the strict alignment semantics

@@ -174,18 +174,26 @@ object Pipeline10 {
     * pixels, and a clip's frames are a few rows, so no key is ever
     * heavy.
     */
-  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+  def sceneCuts(s: SparkSession, d: String): DataFrame =
+    sceneCutsOf(
+        Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d))),
+        CutTau)
+      .orderBy(col("doc_id"), col("frame"))
+
+  /** Library entry behind p92: cuts of a decoded frame frame
+    * (`doc_id, frame, fhash`), any threshold. Sort-free.
+    */
+  def sceneCutsOf(frames: DataFrame, tau: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
-    Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d)))
+    frames
       .select(col("doc_id"), col("frame"), col("fhash"))
       .withColumn("ph", lag(col("fhash"), 1).over(w))
       .filter(col("ph").isNotNull)
       .select(col("doc_id"), col("frame"),
         bit_count(col("fhash").bitwiseXOR(col("ph"))).cast("int")
           .as("hamming"))
-      .filter(col("hamming") > CutTau)
-      .orderBy(col("doc_id"), col("frame"))
+      .filter(col("hamming") > tau)
   }
 
   val sceneCutsOracle: String =
@@ -209,20 +217,32 @@ object Pipeline10 {
     * on every frame — the scene segmentation IS the sampling rate.
     * Composes p92 in one window pass; all-integer, full oracle.
     */
-  def keyframes(s: SparkSession, d: String): DataFrame = {
+  def keyframes(s: SparkSession, d: String): DataFrame =
+    keyframesOf(
+        Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d))),
+        CutTau)
+      .select(col("doc_id"), col("frame"), col("scene"))
+      .orderBy(col("doc_id"), col("frame"))
+
+  /** Library entry behind p93: keyframes of a decoded frame frame,
+    * any threshold; keeps the keyframe's `fhash` so the output feeds
+    * image-pipeline stages directly. Sort-free. (The per-clip kernel
+    * twin — zero shuffles, for streams — is
+    * [[Multimodal.decodeVideoKeyframes]].)
+    */
+  def keyframesOf(frames: DataFrame, tau: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
-    Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d)))
+    frames
       .select(col("doc_id"), col("frame"), col("fhash"))
       .withColumn("ph", lag(col("fhash"), 1).over(w))
       .withColumn("cut",
         when(col("ph").isNull, lit(0))
-          .otherwise((bit_count(col("fhash").bitwiseXOR(col("ph"))) > CutTau)
+          .otherwise((bit_count(col("fhash").bitwiseXOR(col("ph"))) > tau)
             .cast("int")))
       .withColumn("scene", sum(col("cut")).over(w).cast("int"))
       .filter(col("ph").isNull || col("cut") === 1)
-      .select(col("doc_id"), col("frame"), col("scene"))
-      .orderBy(col("doc_id"), col("frame"))
+      .select(col("doc_id"), col("frame"), col("scene"), col("fhash"))
   }
 
   val keyframesOracle: String =

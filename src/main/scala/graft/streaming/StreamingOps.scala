@@ -144,6 +144,19 @@ object StreamingOps {
       .withWatermark(tsCol, "2 hours")
       .dropDuplicatesWithinWatermark("vhash")
 
+  /** Streaming keyframe extraction — STATELESS, unlike every dedup
+    * gate here: a clip's scene cuts depend only on its own payload
+    * row, so [[graft.operators.Multimodal.decodeVideoKeyframesKeeping]]
+    * computes cuts + scene indexes inside the codec boundary and this
+    * is a pure row-local transform (append mode, no watermark, no
+    * state store — the infinitely-scalable kind). Batch parity with
+    * p93's window form is spec-pinned.
+    */
+  def videoKeyframesStream(withVideo: DataFrame, tau: Int,
+                           tsCol: String): DataFrame =
+    graft.operators.Multimodal.decodeVideoKeyframesKeeping(
+      withVideo, tau, Seq(tsCol))
+
   /** Stream-stream interval join — the unbounded form of the batch
     * as-of/range joins (q32/q33): each click joined to same-user
     * purchases at most 1 hour older. Both sides carry watermarks so

@@ -217,6 +217,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.clipSignature(Seq((0, 22L), (1, 11L), (2, 33L))))
   }
 
+  test("kernel keyframes equal the window form for every threshold in the gap") {
+    val vdocs = (0L until 60L by 3L).toDF("doc_id").withColumn("text", lit(""))
+    val withVideo = Multimodal.attachVideo(vdocs).localCheckpoint()
+    for (tau <- Seq(0, 6, 8, 9, 60)) {
+      val kernel = Multimodal.decodeVideoKeyframes(withVideo, tau)
+        .collect().map(_.toSeq).toSet
+      val window = graft.operators.Pipeline10.keyframesOf(
+          Multimodal.decodeVideoFrames(withVideo), tau)
+        .collect().map(_.toSeq).toSet
+      assert(kernel === window, s"kernel/window keyframes diverged at tau=$tau")
+    }
+  }
+
   test("scene structure: within-scene dHash steps sit under the cut gap, cross-scene above") {
     val vdocs = (0L until 40L).toDF("doc_id").withColumn("text", lit(""))
     val fr = Multimodal.decodeVideoFrames(Multimodal.attachVideo(vdocs))

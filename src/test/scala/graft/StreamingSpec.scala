@@ -255,6 +255,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming keyframes: stateless kernel extraction matches batch p93 rows") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RasterDoc]
+    val q = StreamingOps.videoKeyframesStream(ms.toDF(), tau = 8, "ts")
+      .writeStream.format("memory").queryName("vkeyf").outputMode("append")
+      .start()
+    try {
+      val ids = Seq(0L, 1L, 6L, 9L)
+      ms.addData(ids.map(i => RasterDoc(i, Multimodal.videoBytes(i), ts("00:10"))))
+      q.processAllAvailable()
+      val got = spark.table("vkeyf")
+        .select($"doc_id", $"frame", $"scene", $"fhash")
+        .collect().map(_.toSeq).toSet
+      val want = graft.operators.Pipeline10.keyframesOf(
+          Multimodal.decodeVideoFrames(Multimodal.attachVideo(
+            ids.toDF("doc_id"))), tau = 8)
+        .collect().map(_.toSeq).toSet
+      assert(got === want, "streamed keyframes diverged from batch p93")
+    } finally q.stop()
+  }
+
   test("streaming perceptual dedup: first image per dHash survives, decode runs in-stream") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
