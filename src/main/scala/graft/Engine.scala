@@ -427,10 +427,10 @@ object Engine {
 
   /** End-to-end CLIP curation — the video twin of [[curate]], composed
     * from the p89–p93 devices in retention order:
-    *   1. exact dedup — one clip per [[operators.Multimodal
-    *      .decodeVideoClip]] signature (lowest doc_id survives), the
-    *      cheap gate that removes the bulk of real-corpus duplication
-    *      before anything quadratic-ish runs;
+    *   1. exact-signature dedup — one clip per ordered frame-hash
+    *      sequence (lowest doc_id survives), the cheap gate that
+    *      removes the bulk of real-corpus duplication before anything
+    *      quadratic-ish runs;
     *   2. temporal near-dedup — p90 aligned-frame pairs AMONG THE
     *      SURVIVORS through the O(log n) contraction, keep each
     *      cluster's minimum id;
@@ -440,41 +440,46 @@ object Engine {
     *      perceptual hash so the output feeds the image pipeline
     *      (p59 dedup, captioning, embedding) directly.
     *
-    * Scale shape: one decode pass per stage over only the surviving
-    * clips (signatures shuffle, pixels never do), stage 1 is one
-    * scalar-keyed window, stage 2 is banded pairs + contraction, stage
-    * 3 one clip-keyed window. The frame table is never materialized
-    * corpus-wide twice at the same stage.
+    * Scale shape: the payloads are decoded ONCE and never cached,
+    * shuffled, or re-walked — all three stages run over the pinned
+    * (doc, frame, 8-byte hash) signature table. Stage 1 is one
+    * clip-keyed aggregate + one sequence-keyed window, stage 2 banded
+    * pairs + contraction, stage 3 one clip-keyed window.
     */
   def curateClips(withVideo: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val mm = operators.Multimodal
-    val video = withVideo.localCheckpoint() // payloads feed stages 1 and 3
-    val exact = mm.decodeVideoClip(video)
+    // ONE decode pass; everything downstream runs on (doc, frame,
+    // 8-byte hash) rows. The blobs are read exactly once and never
+    // cached, shuffled, or re-walked — the only thing localCheckpoint
+    // pins is the signature table, which is what lets three stages
+    // consume it without re-decoding.
+    val frames = mm.decodeVideoFrames(withVideo)
+      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+      .localCheckpoint()
+    // stage 1: exact-signature dedup — group on the ordered per-frame
+    // hash sequence (a few 8-byte values per clip), lowest id survives
+    val exact = frames
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(expr("transform(array_sort(collect_list(struct(frame, fhash)))," +
+                " x -> x.fhash)").as("hseq"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vhash")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("n_frames"), col("hseq"))
+          .orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"))
-    val survivors = video.join(exact, Seq("doc_id")).localCheckpoint()
-    val frames = mm.decodeVideoFrames(survivors).localCheckpoint()
+    val survFrames = frames.join(exact, Seq("doc_id")).localCheckpoint()
+    // stage 2: temporal near-dedup among survivors
     val clusters = operators.Dedup.dedupClustersLogN(
-      frames.select(col("doc_id")).distinct(), "doc_id",
-      mm.videoNearDupPairs(frames, maxHamming = 3)
+      survFrames.select(col("doc_id")).distinct(), "doc_id",
+      mm.videoNearDupPairs(survFrames, maxHamming = 3)
         .select(col("d1"), col("d2")))
     val kept = clusters.filter(col("doc_id") === col("canonical"))
       .select(col("doc_id"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
-    frames.join(kept, Seq("doc_id"))
-      .select(col("doc_id"), col("frame"), col("fhash"))
-      .withColumn("ph", lag(col("fhash"), 1).over(w))
-      .withColumn("cut",
-        when(col("ph").isNull, lit(0))
-          .otherwise((bit_count(col("fhash").bitwiseXOR(col("ph"))) > 8)
-            .cast("int")))
-      .withColumn("scene", sum(col("cut")).over(w).cast("int"))
-      .filter(col("ph").isNull || col("cut") === 1)
-      .select(col("doc_id"), col("frame"), col("scene"), col("fhash"))
+    // stage 3: keyframes of the retained clips
+    operators.Pipeline10.keyframesOf(survFrames.join(kept, Seq("doc_id")),
+      tau = 8)
   }
 
   // ---- SQL front door ----
