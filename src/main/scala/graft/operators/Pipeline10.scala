@@ -343,6 +343,92 @@ object Pipeline10 {
        |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** p95: span-level contamination EXCISION — the surgical variant of
+    * p94's drop rule (the Lee et al. "deduplicate-text-datasets" move
+    * applied to decontamination): instead of discarding a document
+    * whose shingles overlap the benchmark, remove exactly the token
+    * positions covered by a benchmark-matching 3-gram occurrence and
+    * keep the rest. Emits (doc_id, n_tokens, n_removed, clean_text)
+    * for every candidate doc — the repair table; a doc with zero hits
+    * passes through verbatim, a fully-contaminated doc survives as an
+    * empty string (an explicit verdict, not an absent row).
+    *
+    * Plan: ONE doc-keyed shuffle does everything — the positional
+    * trigram build (two leads), the coverage explode, the anti-join
+    * back to token positions, and the ordered re-aggregation all share
+    * the doc_id partitioning; the benchmark index rides in as the p94
+    * broadcast. Token surgery is exact integer position arithmetic,
+    * so the rebuilt string is oracle-exact (DuckDB mirrors with
+    * `string_agg(... ORDER BY pos)`).
+    */
+  def decontaminateSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .localCheckpoint(eager = false) // feeds bench build + both sides below
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = toks
+      .withColumn("t1", lead(col("term"), 1).over(w))
+      .withColumn("t2", lead(col("term"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", col("term"), col("t1"), col("t2"))).as("ng"))
+    val bench = tri.filter(col("doc_id") % 97 === 0)
+      .select(col("ng")).distinct()
+    val covered = tri.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("ng"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+      .distinct()
+    val cleanToks = toks.filter(col("doc_id") % 97 =!= 0)
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = cleanToks
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, term)))," +
+               " x -> x.term)")).as("clean_text"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSpansOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |tri AS (SELECT doc_id, i - 1 AS pos,
+       |               array_to_string(w[i:i+2], ' ') AS ngram
+       |        FROM ws, unnest(range(1, len(w)-1)) t(i)),
+       |bench AS (SELECT DISTINCT ngram FROM tri WHERE doc_id % 97 = 0),
+       |cov AS (SELECT DISTINCT t.doc_id, t.pos + o.o AS pos
+       |        FROM tri t JOIN bench b USING (ngram),
+       |             unnest(range(0, 3)) o(o)
+       |        WHERE t.doc_id % 97 <> 0),
+       |toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+       |         FROM ws, unnest(range(1, len(w)+1)) t(i)
+       |         WHERE doc_id % 97 <> 0),
+       |clean AS (SELECT tk.doc_id, tk.pos, tk.term
+       |          FROM toks tk LEFT JOIN cov
+       |            ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+       |          WHERE cov.doc_id IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |               string_agg(term, ' ' ORDER BY pos) AS clean_text
+       |        FROM clean GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(len(string_split(d.text, ' ')) - coalesce(n_kept, 0)
+       |            AS BIGINT) AS n_removed,
+       |       coalesce(clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
@@ -350,6 +436,7 @@ object Pipeline10 {
     "p92_scene_cuts"     -> (sceneCuts _),
     "p93_keyframes"      -> (keyframes _),
     "p94_decontaminate"  -> (decontaminate _),
+    "p95_decontaminate_spans" -> (decontaminateSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,5 +446,6 @@ object Pipeline10 {
     "p92_scene_cuts"     -> sceneCutsOracle,
     "p93_keyframes"      -> keyframesOracle,
     "p94_decontaminate"  -> decontaminateOracle,
+    "p95_decontaminate_spans" -> decontaminateSpansOracle,
   )
 }
