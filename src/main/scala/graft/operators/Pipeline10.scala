@@ -429,6 +429,60 @@ object Pipeline10 {
        |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-cell cap of the registered cluster-balanced sample. */
+  private val SamplePerCell = 20
+
+  /** p96: cluster-balanced sampling — at most `SamplePerCell` vectors
+    * per IVF cell, chosen by a deterministic seeded hash order within
+    * the cell. THE diversity-sampling device of embedding-era curation
+    * (SemDeDup/DBSCAN-prune pipelines sample per cluster, not
+    * globally): a global uniform sample keeps the corpus's topic skew
+    * — the dominant cluster dominates the sample — while a per-cell
+    * cap yields a topic-balanced subset with bounded size
+    * `nCells · k`. Hash order (the p75 md5 seed device, mirrored
+    * bytewise in both engines) makes the within-cell choice unbiased
+    * by id while staying reproducible and append-stable for ids
+    * already sampled.
+    *
+    * Scale shape: cell assignment is the shared p13 map-only broadcast
+    * argmax; ONE cell-keyed window ranks; the output is model-sized.
+    */
+  def clusterSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(concat(lit("p96:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    Similarity.assignCells(cents, emb)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= SamplePerCell)
+      .orderBy(col("cell"), col("vec_id"))
+  }
+
+  val clusterSampleOracle: String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |r AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY cell
+       |              ORDER BY md5(concat('p96:', CAST(vec_id AS VARCHAR))),
+       |                       vec_id) AS rnk
+       |  FROM assign)
+       |SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= $SamplePerCell
+       |ORDER BY cell, vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
@@ -437,6 +491,7 @@ object Pipeline10 {
     "p93_keyframes"      -> (keyframes _),
     "p94_decontaminate"  -> (decontaminate _),
     "p95_decontaminate_spans" -> (decontaminateSpans _),
+    "p96_cluster_sample" -> (clusterSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +502,6 @@ object Pipeline10 {
     "p93_keyframes"      -> keyframesOracle,
     "p94_decontaminate"  -> decontaminateOracle,
     "p95_decontaminate_spans" -> decontaminateSpansOracle,
+    "p96_cluster_sample" -> clusterSampleOracle,
   )
 }

@@ -270,7 +270,7 @@ object PipelineQueries {
   private def duckDot(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
-  private def duckCos(a: String, b: String) =
+  private[operators] def duckCos(a: String, b: String) =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   def simTopK(s: SparkSession, d: String): DataFrame = {
