@@ -464,6 +464,30 @@ object Multimodal {
       .distinct()
   }
 
+  /** Two-table banded Hamming PROBE — [[perceptualNearDupPairs]]'s
+    * 4×15-bit banding generalized from self-join to query-vs-corpus:
+    * both sides band, candidates meet per (band_i, band_v), exact
+    * popcount verifies. Lossless at radius ≤ 3 by the same pigeonhole.
+    * `queries` must carry (qid, qhash); `corpus` a `dhash` column plus
+    * any payload columns, which ride through to the output with the
+    * exact `hamming`. The probe shape of perceptual retrieval: find
+    * every corpus signature near each query signature without scanning
+    * corpus × queries.
+    */
+  def perceptualProbe(queries: DataFrame, corpus: DataFrame,
+                      maxHamming: Int = 3): DataFrame = {
+    def band(df: DataFrame, hCol: String) = df
+      .withColumn("band_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_v", expr(s"shiftright($hCol, 15 * band_i) & 32767"))
+    val ham = bit_count(col("qhash").bitwiseXOR(col("dhash")))
+    val out = corpus.columns.filterNot(_ == "dhash").map(col)
+    band(queries.select(col("qid"), col("qhash")), "qhash")
+      .join(band(corpus, "dhash"), Seq("band_i", "band_v"))
+      .filter(ham <= maxHamming)
+      .select(col("qid") +: out :+ ham.cast("int").as("hamming"): _*)
+      .distinct()
+  }
+
   // ---- real video decode (raw PPM stream) --------------------------
 
   /** Video fixture geometry: every modulus divides 160, so documents

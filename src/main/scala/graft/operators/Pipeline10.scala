@@ -483,6 +483,36 @@ object Pipeline10 {
        |ORDER BY cell, vec_id""".stripMargin
   }
 
+  /** p97: cross-modal frame probe — given query IMAGE signatures (the
+    * first frames of clips 0–4 here; in production, any dHashed image
+    * set), find every clip frame within Hamming ≤ 3: "which videos
+    * contain this picture", the copy-detection probe that links the
+    * image and video pipelines. Uses the two-table banded probe
+    * ([[Multimodal.perceptualProbe]]) — both sides band on 4×15 bits,
+    * lossless at radius 3, never queries × frames.
+    */
+  def frameProbe(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.decodeVideoFrames(
+        Multimodal.attachVideo(documents(s, d)))
+      .select(col("doc_id"), col("frame"), col("fhash"))
+      .localCheckpoint(eager = false) // feeds both probe sides
+    val qs = frames.filter(col("doc_id") < 5 && col("frame") === 0)
+      .select(col("doc_id").as("qid"), col("fhash").as("qhash"))
+    Multimodal.perceptualProbe(qs,
+        frames.withColumnRenamed("fhash", "dhash"), maxHamming = 3)
+      .orderBy(col("qid"), col("doc_id"), col("frame"))
+  }
+
+  val frameProbeOracle: String =
+    s"""WITH $videoDocsCte,
+       |$videoFhashCte,
+       |q AS (SELECT doc_id AS qid, fhash AS qhash FROM vh
+       |      WHERE doc_id < 5 AND f = 0)
+       |SELECT qid, v.doc_id, CAST(v.f AS INTEGER) AS frame,
+       |       CAST(bit_count(xor(qhash, v.fhash)) AS INTEGER) AS hamming
+       |FROM q JOIN vh v ON bit_count(xor(qhash, v.fhash)) <= 3
+       |ORDER BY qid, v.doc_id, v.f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
@@ -492,6 +522,7 @@ object Pipeline10 {
     "p94_decontaminate"  -> (decontaminate _),
     "p95_decontaminate_spans" -> (decontaminateSpans _),
     "p96_cluster_sample" -> (clusterSample _),
+    "p97_frame_probe"    -> (frameProbe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +534,6 @@ object Pipeline10 {
     "p94_decontaminate"  -> decontaminateOracle,
     "p95_decontaminate_spans" -> decontaminateSpansOracle,
     "p96_cluster_sample" -> clusterSampleOracle,
+    "p97_frame_probe"    -> frameProbeOracle,
   )
 }

@@ -797,6 +797,17 @@ object Relational8 {
     "q71_unpivot"      -> (q71Unpivot _),
     "q72_pagerank_weighted" -> (q72PageRankWeighted _),
     "q73_mad"          -> (q73Mad _),
+    // same oracle as q65: triangle counts are orientation-invariant,
+    // so the degree-ordered web-scale path is hash-checked against the
+    // identical DuckDB mirror — the scale form itself sits under the
+    // correctness gate, not just under a property test
+    "q74_triangles_degree" -> ((s: SparkSession, d: String) =>
+      trianglesDegreeOrdered(
+          incidentEdges(s, d)
+            .select(least(col("src"), col("dst")).as("a"),
+                    greatest(col("src"), col("dst")).as("b"))
+            .distinct())
+        .orderBy(col("node"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -811,5 +822,6 @@ object Relational8 {
     "q71_unpivot"      -> q71Oracle,
     "q72_pagerank_weighted" -> q72Oracle,
     "q73_mad"          -> q73Oracle,
+    "q74_triangles_degree" -> q65Oracle,
   )
 }
