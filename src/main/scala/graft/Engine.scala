@@ -744,6 +744,16 @@ object Engine {
     operators.Multimodal.videoNearDupPairs(
       operators.Multimodal.decodeVideoFrames(withVideo), maxHamming)
 
+  /** Trim-robust clip containment: (short, long, offset) where the
+    * short clip's frames match a contiguous window of the long clip
+    * within `maxHamming` — the trimmed-re-upload case equal-length
+    * near-dup pairs cannot see. Anchored on the short clip's first
+    * frame via the banded probe; never clips × clips.
+    */
+  def clipContainment(withVideo: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Multimodal.clipContainment(
+      operators.Multimodal.decodeVideoFrames(withVideo), maxHamming)
+
   /** Scene-cut frames of each clip (p92): consecutive-frame dHash
     * distance > `tau`. */
   def sceneCuts(withVideo: DataFrame, tau: Int = 8): DataFrame =

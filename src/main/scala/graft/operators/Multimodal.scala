@@ -713,6 +713,53 @@ object Multimodal {
   def decodeVideoKeyframes(withVideo: DataFrame, tau: Int): DataFrame =
     decodeVideoKeyframesKeeping(withVideo, tau, Nil)
 
+  /** Trim-robust clip CONTAINMENT: every (short, long, offset) where
+    * the short clip's whole frame sequence matches a contiguous window
+    * of the long clip at `offset`, frame-for-frame within `maxHamming`
+    * — the case [[videoNearDupPairs]]'s equal-length alignment cannot
+    * see: a clip re-uploaded with leading/trailing frames trimmed is
+    * THE most common video near-duplicate in the wild. Anchor device:
+    * the short clip's FIRST frame must match the long clip's frame at
+    * `offset`, so banding the short frame-0 signatures against ALL
+    * frames ([[perceptualProbe]], lossless at radius ≤ 3) yields every
+    * candidate (short, long, offset); verification joins only the
+    * candidates' frame windows keyed on (long, frame) — never
+    * clips × clips, never sequences in memory.
+    *
+    * `frames` is a [[decodeVideoFrames]]-shaped table. Equal-length
+    * containment at offset 0 is reported too (it equals the p90
+    * relation); self-matches are excluded.
+    */
+  def clipContainment(frames: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val f0 = frames.filter(col("frame") === 0)
+      .select(col("doc_id").as("qid"), col("n_frames").as("nfs"),
+        col("fhash").as("qhash"))
+    val cand = perceptualProbe(
+        f0.select(col("qid"), col("qhash")),
+        frames.select(col("doc_id").as("did"), col("frame").as("off"),
+          col("n_frames").as("nfl"), col("fhash").as("dhash")),
+        maxHamming)
+      .join(f0.select(col("qid"), col("nfs")), Seq("qid"))
+      .filter(col("did") =!= col("qid") &&
+        col("off") + col("nfs") <= col("nfl"))
+      .select(col("qid"), col("did"), col("off"), col("nfs"))
+    val fa = frames.select(col("doc_id").as("qid"), col("frame").as("f"),
+      col("fhash").as("h1"))
+    val fb = frames.select(col("doc_id").as("did"), col("frame").as("fl"),
+      col("fhash").as("h2"))
+    cand.join(fa, Seq("qid"))
+      .withColumn("fl", col("f") + col("off"))
+      .join(fb, Seq("did", "fl"))
+      .groupBy(col("qid"), col("did"), col("off"), col("nfs"))
+      .agg(count(lit(1)).as("n_aligned"),
+        max(bit_count(col("h1").bitwiseXOR(col("h2")))).as("mh"))
+      .filter(col("n_aligned") === col("nfs") && col("mh") <= maxHamming)
+      .select(col("qid").as("short_id"), col("did").as("long_id"),
+        col("off").cast("int").as("offset"),
+        col("mh").cast("int").as("max_hamming"))
+      .distinct()
+  }
+
   /** Temporal near-duplicate clip pairs: two videos are near-dups iff
     * they have the SAME frame count and EVERY aligned frame pair is
     * within `maxHamming` on its dHash — the strict alignment semantics

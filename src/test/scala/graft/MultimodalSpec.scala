@@ -205,6 +205,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "mod-160 twins must pair at distance 0")
   }
 
+  test("clip containment finds trimmed re-uploads at their offset (brute-force parity)") {
+    // hand-built payloads: slice videoBytes(2) (4 frames) at frame
+    // boundaries — a trimmed re-upload is a byte-suffix/-slice of the
+    // original stream, exactly what a real trim produces
+    val full = Multimodal.videoBytes(2L)
+    val (w, h, nf) = Multimodal.videoParams(2L)
+    assert(nf === 4)
+    val frameLen = s"P6\n$w $h\n255\n".length + w * h * 3
+    val docs = Seq(
+      100L -> full,                                        // original
+      101L -> full.drop(frameLen),                         // head-trimmed (3f)
+      102L -> Multimodal.videoBytes(3L),                   // unrelated
+      103L -> full.slice(frameLen, 3 * frameLen))          // middle slice (2f)
+    val frames = Multimodal.decodeVideoFrames(
+      docs.toDF("doc_id", "payload"))
+    val got = Multimodal.clipContainment(frames, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Int]("offset"), r.getAs[Int]("max_hamming"))).toSet
+    // driver-side brute force over the decoded hashes
+    val hs = frames.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("frame"), r.getAs[Long]("fhash")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val want = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a != b
+      off <- 0 to (hb.length - ha.length)
+      ds = ha.indices.map(f => java.lang.Long.bitCount(ha(f) ^ hb(off + f)))
+      if ds.max <= 3
+    } yield (a, b, off, ds.max)).toSet
+    assert(got === want, "containment diverged from brute force")
+    assert(got.contains((101L, 100L, 1, 0)), "head-trim not found at offset 1")
+    assert(got.contains((103L, 100L, 1, 0)) && got.contains((103L, 101L, 0, 0)))
+    assert(!got.exists(c => c._1 == 102L || c._2 == 102L),
+      "unrelated clip must not be contained")
+  }
+
   test("clip signature: equal for identical clips, distinct scenes, order-sensitive") {
     val vdocs = Seq(0L, 1L, 160L).toDF("doc_id").withColumn("text", lit(""))
     val sig = Multimodal.decodeVideoClip(Multimodal.attachVideo(vdocs))
