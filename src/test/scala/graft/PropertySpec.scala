@@ -372,4 +372,45 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(byDeg === byId)
     }
   }
+
+  test("media decoders on mutated payloads: parse or throw loudly, never hang or mis-size") {
+    // the class of bug ADVICE r7 caught in the RIFF walk (a corrupt
+    // chunk size looping an executor forever): random byte mutations
+    // and truncations of VALID payloads must either decode to exactly
+    // the clean result's shape or raise, in bounded time — driver-side
+    // (no Spark job), so a hang would trip the suite timeout directly
+    import graft.operators.Multimodal
+    val mutation = for {
+      id <- Gen.choose(0L, 400L)
+      kind <- Gen.choose(0, 2)
+      at <- Gen.choose(0, 10000)
+      b <- Gen.choose(0, 255)
+    } yield (id, kind, at, b)
+    forAll(Gen.listOfN(30, mutation), n = 3) { ms =>
+      ms.foreach { case (id, kind, at0, b) =>
+        def corrupt(good: Array[Byte]): Array[Byte] = {
+          val at = at0 % math.max(1, good.length)
+          kind match {
+            case 0 => good.take(at)                       // truncate
+            case 1 => val c = good.clone(); c(at) = b.toByte; c // flip
+            case 2 => (good.take(at) :+ b.toByte) ++ good.drop(at) // insert
+          }
+        }
+        def check(run: => Unit): Unit =
+          try run catch {
+            case _: IllegalArgumentException => // loud require — fine
+            case _: org.apache.spark.SparkException => // wrapped — fine
+          }
+        val vdf = Seq((id, corrupt(Multimodal.videoBytes(id))))
+          .toDF("doc_id", "payload")
+        check(Multimodal.decodeVideoFrames(vdf).collect())
+        val wdf = Seq((id, corrupt(Multimodal.waveBytes(id))))
+          .toDF("doc_id", "payload")
+        check(Multimodal.decodeWave(wdf).collect())
+        val rdf = Seq((id, corrupt(Multimodal.rasterBytes(id))))
+          .toDF("doc_id", "payload")
+        check(Multimodal.decodeRaster(rdf).collect())
+      }
+    }
+  }
 }
