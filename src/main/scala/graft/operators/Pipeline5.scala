@@ -571,6 +571,72 @@ object Pipeline5 {
        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
        |ORDER BY t.doc_id, t.pos""".stripMargin
 
+  /** p98: DETOKENIZE + round-trip verification — the inverse of p53's
+    * encode and the guard a tokenizer deployment actually ships with:
+    * encode every document to ids, decode the ids back through the
+    * same vocabulary (OOV sentinel -1 → `<unk>`), and verify the
+    * round trip reproduces the original text EXACTLY whenever the
+    * document contains no OOV token. A corpus whose round_trip_ok
+    * rate drops after a vocab rebuild has a broken tokenizer deploy —
+    * this table is how that regression is caught before training.
+    *
+    * Scale shape: identical to p53 — the vocabulary is the bounded
+    * top-n model, BOTH the encode and the decode joins broadcast it,
+    * and the only corpus-keyed work is the doc-ordered re-aggregation.
+    */
+  def detokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val ord = Seq(col("c").desc, col("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(ord: _*).limit(VocabSize)
+      .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)) - 1)
+      .select(col("term"), col("token_id"))
+    val enc = toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+    val dec = enc
+      .join(broadcast(vocab.select(col("token_id"),
+        col("term").as("dterm"))), Seq("token_id"), "left")
+      .select(col("doc_id"), col("pos"),
+        (col("token_id") === -1).cast("long").as("unk"),
+        coalesce(col("dterm"), lit("<unk>")).as("dterm"))
+    val agg = dec.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("unk")).as("n_unk"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, dterm)))," +
+               " x -> x.dterm)")).as("decoded"))
+    docs.join(agg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        (col("n_unk") === 0 && col("decoded") === col("text"))
+          .as("round_trip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val detokenizeOracle: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, w[t.i] AS term
+       |         FROM ws, unnest(range(1, len(w) + 1)) t(i)),
+       |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       |vocab AS (SELECT term,
+       |            CAST(row_number() OVER (ORDER BY c DESC, term) - 1 AS INTEGER)
+       |              AS token_id
+       |          FROM counts QUALIFY token_id < $VocabSize),
+       |dec AS (SELECT t.doc_id, t.pos,
+       |               CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS unk,
+       |               coalesce(v.term, '<unk>') AS dterm
+       |        FROM toks t LEFT JOIN vocab v ON t.term = v.term),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |               CAST(sum(unk) AS BIGINT) AS n_unk,
+       |               string_agg(dterm, ' ' ORDER BY pos) AS decoded
+       |        FROM dec GROUP BY doc_id)
+       |SELECT d.doc_id, a.n_tokens, a.n_unk,
+       |       (a.n_unk = 0 AND a.decoded = d.text) AS round_trip_ok
+       |FROM documents d JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Apply p51's cut-list: drop every token inside a duplicated span
     * and emit the cleaned text — the third leg of the span family
     * (detect p51 → score p52 → CUT p54). Policy: every occurrence of a
@@ -698,6 +764,7 @@ object Pipeline5 {
     "p51_dup_spans"        -> (dupSpans _),
     "p52_dup_span_coverage" -> (dupSpanCoverage _),
     "p53_vocab_encode"     -> (vocabEncode _),
+    "p98_detokenize"       -> (detokenize _),
     "p54_apply_span_cuts"  -> (applySpanCuts _),
     "p34_shingle_novelty"  -> (shingleNovelty _),
     "p35_incremental_dedup" -> (incrementalDedup _),
@@ -714,6 +781,7 @@ object Pipeline5 {
     "p51_dup_spans"        -> dupSpansOracle,
     "p52_dup_span_coverage" -> dupSpanCoverageOracle,
     "p53_vocab_encode"     -> vocabEncodeOracle,
+    "p98_detokenize"       -> detokenizeOracle,
     "p54_apply_span_cuts"  -> applySpanCutsOracle,
     "p34_shingle_novelty"  -> shingleNoveltyOracle,
     "p35_incremental_dedup" -> incrementalDedupOracle,
