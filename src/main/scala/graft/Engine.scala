@@ -744,6 +744,30 @@ object Engine {
     operators.Multimodal.videoNearDupPairs(
       operators.Multimodal.decodeVideoFrames(withVideo), maxHamming)
 
+  /** Fuzzy benchmark decontamination decision table (p94): per doc,
+    * distinct n-gram shingles, benchmark hits, and the ≥ pct%
+    * integer-cross-multiplied `contaminated` verdict. The benchmark
+    * shingle index broadcasts.
+    */
+  def decontaminate(docs: DataFrame, benchDocs: DataFrame,
+                    n: Int = 3, pct: Int = 5): DataFrame =
+    operators.Pipeline10.decontaminateOf(docs, benchDocs, n, pct)
+
+  /** Span-level contamination excision (p95): remove exactly the token
+    * positions covered by a benchmark-matching trigram and rebuild the
+    * text — (doc_id, n_tokens, n_removed, clean_text).
+    */
+  def exciseContaminatedSpans(docs: DataFrame,
+                              benchDocs: DataFrame): DataFrame =
+    operators.Pipeline10.exciseSpansOf(docs, benchDocs)
+
+  /** Cluster-balanced embedding sample (p96): at most `k` vectors per
+    * IVF cell of the given centroid model, in a seeded hash order.
+    */
+  def clusterSample(emb: DataFrame, cents: Array[(Int, Seq[Float])],
+                    k: Int, seed: String = "sample"): DataFrame =
+    operators.Pipeline10.clusterSampleOf(emb, cents, k, seed)
+
   /** Trim-robust clip containment: (short, long, offset) where the
     * short clip's frames match a contiguous window of the long clip
     * within `maxHamming` — the trimmed-re-upload case equal-length

@@ -300,24 +300,36 @@ object Pipeline10 {
     */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val sh = Dedup.shinglePairs(docs, "doc_id", "text", DecontShingleN)
+    decontaminateOf(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        n = DecontShingleN, pct = DecontPct)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library entry behind p94: the decision table of `docs` against an
+    * arbitrary benchmark frame (same doc_id/text shape), any shingle
+    * width and threshold percent. Sort-free.
+    */
+  def decontaminateOf(docs: DataFrame, benchDocs: DataFrame,
+                      n: Int, pct: Int): DataFrame = {
+    val sh = Dedup.shinglePairs(docs, "doc_id", "text", n)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ng"))
-      .distinct().localCheckpoint(eager = false)
-    val bench = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("ng")).distinct().withColumn("hit", lit(1))
-    val agg = sh.filter(col("doc_id") % 97 =!= 0)
+      .distinct()
+    val bench = Dedup.shinglePairs(benchDocs, "doc_id", "text", n)
+      .select(xxhash64(col("ngram")).as("ng")).distinct()
+      .withColumn("hit", lit(1))
+    val agg = sh
       .join(broadcast(bench), Seq("ng"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
-    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contaminated",
         col("n_shingles") > 0 &&
-          col("n_hit") * 100 >= lit(DecontPct) * col("n_shingles"))
-      .orderBy(col("doc_id"))
+          col("n_hit") * 100 >= lit(pct) * col("n_shingles"))
   }
 
   val decontaminateOracle: String =
@@ -362,42 +374,51 @@ object Pipeline10 {
     * `string_agg(... ORDER BY pos)`).
     */
   def decontaminateSpans(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
-    val toks = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-      .localCheckpoint(eager = false) // feeds bench build + both sides below
+    exciseSpansOf(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library entry behind p95: span surgery of `docs` against an
+    * arbitrary benchmark frame. Trigram width fixed (the covered-span
+    * arithmetic is width-specific); sort-free.
+    */
+  def exciseSpansOf(docs: DataFrame, benchDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tri = toks
+    def triFromToks(t: DataFrame): DataFrame = t
       .withColumn("t1", lead(col("term"), 1).over(w))
       .withColumn("t2", lead(col("term"), 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("pos"),
         xxhash64(concat_ws(" ", col("term"), col("t1"), col("t2"))).as("ng"))
-    val bench = tri.filter(col("doc_id") % 97 === 0)
-      .select(col("ng")).distinct()
-    val covered = tri.filter(col("doc_id") % 97 =!= 0)
+    def toksOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val toks = toksOf(docs)
+      .localCheckpoint(eager = false) // feeds the trigram pass + the anti-join
+    val tri = triFromToks(toks)
+    val bench = triFromToks(toksOf(benchDocs)).select(col("ng")).distinct()
+    val covered = tri
       .join(broadcast(bench), Seq("ng"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
       .distinct()
-    val cleanToks = toks.filter(col("doc_id") % 97 =!= 0)
+    val agg = toks
       .join(covered, Seq("doc_id", "pos"), "left_anti")
-    val agg = cleanToks
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",
           expr("transform(array_sort(collect_list(struct(pos, term)))," +
                " x -> x.term)")).as("clean_text"))
-    docs.filter(col("doc_id") % 97 =!= 0)
+    docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
         .as("n_tokens"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val decontaminateSpansOracle: String =
@@ -448,17 +469,25 @@ object Pipeline10 {
     * argmax; ONE cell-keyed window ranks; the output is model-sized.
     */
   def clusterSample(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = embeddings(s, d)
-    val cents = Similarity.seedCentroids(emb, 8)
+    clusterSampleOf(emb, Similarity.seedCentroids(emb, 8),
+        k = SamplePerCell, seed = "p96")
+      .orderBy(col("cell"), col("vec_id"))
+  }
+
+  /** Library entry behind p96: a per-cell-capped sample of `emb`
+    * against an arbitrary centroid model, seeded order. Sort-free.
+    */
+  def clusterSampleOf(emb: DataFrame, cents: Array[(Int, Seq[Float])],
+                      k: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cell"))
-      .orderBy(md5(concat(lit("p96:"), col("vec_id").cast("string"))),
+      .orderBy(md5(concat(lit(s"$seed:"), col("vec_id").cast("string"))),
         col("vec_id"))
     Similarity.assignCells(cents, emb)
       .select(col("vec_id"), col("cell"))
       .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= SamplePerCell)
-      .orderBy(col("cell"), col("vec_id"))
+      .filter(col("rnk") <= k)
   }
 
   val clusterSampleOracle: String = {

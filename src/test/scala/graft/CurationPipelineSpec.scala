@@ -97,6 +97,25 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curation facades delegate to the registered library forms") {
+    import spark.implicits._
+    import graft.operators.{Pipeline10, Similarity}
+    val d01 = "/root/testdata/sf0.01"
+    val all = Tables.documents(spark, d01)
+    val cand = all.filter(col("doc_id") % 97 =!= 0)
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Engine.decontaminate(cand, bench)) ===
+      rows(Pipeline10.decontaminate(spark, d01)))
+    assert(rows(Engine.exciseContaminatedSpans(cand, bench)) ===
+      rows(Pipeline10.decontaminateSpans(spark, d01)))
+    val emb = Tables.embeddings(spark, d01)
+    assert(rows(Engine.clusterSample(emb,
+        Similarity.seedCentroids(emb, 8), 20, seed = "p96")) ===
+      rows(Pipeline10.clusterSample(spark, d01)))
+  }
+
   test("curateClips: every stage equals an independent driver-side pipeline") {
     import spark.implicits._
     import graft.operators.Multimodal
