@@ -115,6 +115,34 @@ object StreamingOps {
       .filter(col("drift") > thresholdPpm2)
       .orderBy(col("drift").desc, col("bucket"))
 
+  /** Streaming OOV gate — the tokenizer-health twin of
+    * [[driftGateBatch]], in the same `foreachBatch` discipline: score
+    * ONE micro-batch's out-of-vocabulary rate against a frozen
+    * vocabulary (broadcast — vocabularies are model-sized) and, when
+    * the integer ppm rate meets `thresholdPpm`, return the `topN` most
+    * frequent unknown terms so the report NAMES the arriving
+    * vocabulary instead of just flagging it. Empty result = batch
+    * admitted. A rising OOV rate is how a tokenizer deploy discovers
+    * its vocab no longer fits the feed (new language, new markup, new
+    * spam family) BEFORE perplexity and packing silently degrade.
+    */
+  def oovGateBatch(batch: DataFrame, vocab: DataFrame,
+                   thresholdPpm: Long, topN: Int = 20): DataFrame = {
+    val toks = batch
+      .select(explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(vocab.select(col("term")).withColumn("inv", lit(1))),
+        Seq("term"), "left")
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    toks.filter(col("inv").isNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("n_oov") * 1000000L >= lit(thresholdPpm) * col("n"))
+      .select(col("term"), col("n_term"), col("n_oov"), col("n"))
+      .orderBy(col("n_term").desc, col("term"))
+      .limit(topN)
+  }
+
   /** Streaming perceptual AUDIO dedup — the waveform twin of
     * [[perceptualDedupStream]]: decode each micro-batch's WAV payloads
     * in the same codec boundary ([[graft.operators.Multimodal

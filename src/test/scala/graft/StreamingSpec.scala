@@ -161,6 +161,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(fired(0).getInt(0) === floodBucket)
   }
 
+  test("oov gate: in-vocab batch passes, a new-vocabulary flood names its top terms") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("term"))
+      .distinct().cache()
+    // a batch whose every token is in the frozen vocab: zero OOV
+    val clean = StreamingOps.oovGateBatch(docs.limit(80), vocab,
+      thresholdPpm = 1L)
+    assert(clean.isEmpty, "in-vocab batch tripped the OOV gate")
+    // a feed shift: half the tokens are a vocabulary the tokenizer has
+    // never seen — the gate must fire and rank the new terms
+    val shifted = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("join filter "),
+        lit(Seq.fill(6)("zzznew wwwnew zzznew").mkString(" "))).as("text"))
+    val fired = StreamingOps.oovGateBatch(shifted, vocab,
+      thresholdPpm = 100000L).collect() // fires at >= 10% OOV
+    assert(fired.nonEmpty, "shifted batch passed the OOV gate")
+    assert(fired(0).getString(0) === "zzznew", "top OOV term not ranked first")
+    assert(fired.map(_.getString(0)).toSet === Set("zzznew", "wwwnew"))
+    val n = fired(0).getAs[Long]("n")
+    val nOov = fired(0).getAs[Long]("n_oov")
+    assert(nOov * 1000000L >= 100000L * n)
+  }
+
   test("trending terms: the streaming SpaceSaving window agrees with its batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Doc]
