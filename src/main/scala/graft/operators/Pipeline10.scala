@@ -542,6 +542,46 @@ object Pipeline10 {
        |FROM q JOIN vh v ON bit_count(xor(qhash, v.fhash)) <= 3
        |ORDER BY qid, v.doc_id, v.f""".stripMargin
 
+  /** p99: trim-robust clip containment over the corpus — every
+    * (short, long, offset) where one clip's whole frame sequence sits
+    * as a contiguous window of another within Hamming ≤ 3 per frame
+    * ([[Multimodal.clipContainment]]). On this corpus the relation's
+    * instances are the equal-length twins at offset 0 (the fixture has
+    * no cross-clip trims — true head/middle trims are exercised by the
+    * hand-sliced-payload spec); the oracle is the full
+    * all-pairs-all-offsets scan, so the banded anchor + window-verify
+    * path is proven against brute force at corpus scale, not just on
+    * the spec's fixture.
+    */
+  def clipContainmentQuery(s: SparkSession, d: String): DataFrame =
+    Multimodal.clipContainment(
+        Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d))),
+        maxHamming = 3)
+      .orderBy(col("short_id"), col("long_id"), col("offset"))
+
+  val clipContainmentOracle: String =
+    s"""WITH $videoDocsCte,
+       |$videoFhashCte,
+       |clips AS (SELECT DISTINCT doc_id, nf FROM vh),
+       |cand AS (
+       |  SELECT s.doc_id AS sid, s.nf AS nfs, l.doc_id AS lid, o.off
+       |  FROM clips s JOIN clips l
+       |    ON l.doc_id <> s.doc_id AND l.nf >= s.nf,
+       |  LATERAL unnest(range(0, l.nf - s.nf + 1)) o(off)),
+       |agg AS (
+       |  SELECT c.sid, c.lid, c.off, c.nfs,
+       |         count(*) AS n_aligned,
+       |         max(bit_count(xor(a.fhash, b.fhash))) AS mh
+       |  FROM cand c
+       |  JOIN vh a ON a.doc_id = c.sid
+       |  JOIN vh b ON b.doc_id = c.lid AND b.f = a.f + c.off
+       |  GROUP BY c.sid, c.lid, c.off, c.nfs)
+       |SELECT sid AS short_id, lid AS long_id,
+       |       CAST(off AS INTEGER) AS offset,
+       |       CAST(mh AS INTEGER) AS max_hamming
+       |FROM agg WHERE n_aligned = nfs AND mh <= 3
+       |ORDER BY short_id, long_id, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
@@ -551,6 +591,7 @@ object Pipeline10 {
     "p94_decontaminate"  -> (decontaminate _),
     "p95_decontaminate_spans" -> (decontaminateSpans _),
     "p96_cluster_sample" -> (clusterSample _),
+    "p99_clip_containment" -> (clipContainmentQuery _),
     "p97_frame_probe"    -> (frameProbe _),
   )
 
@@ -563,6 +604,7 @@ object Pipeline10 {
     "p94_decontaminate"  -> decontaminateOracle,
     "p95_decontaminate_spans" -> decontaminateSpansOracle,
     "p96_cluster_sample" -> clusterSampleOracle,
+    "p99_clip_containment" -> clipContainmentOracle,
     "p97_frame_probe"    -> frameProbeOracle,
   )
 }
