@@ -111,23 +111,49 @@ object Pipeline10 {
        |HAVING max(bit_count(xor(a.fhash, b.fhash))) <= 3
        |ORDER BY d1, d2""".stripMargin
 
-  /** p91: temporal video dedup CLUSTERS — p90's near-dup pairs
+  /** p91: temporal video dedup CLUSTERS — the p90 near-dup relation
     * resolved to canonical labels with the O(log n) contraction, the
     * clip twin of p60 (images) and the audio cluster path. The
     * retention decision a curation pipeline actually makes: not "these
     * two clips look alike" but "keep exactly one representative per
     * clip family".
     *
-    * Scale shape: p90's banded pair generation + p33's contraction —
-    * composition-priced, no new corpus-wide stage.
+    * Scale shape — exact-first, the order a real dedup pipeline runs:
+    * byte-identical clips (same ordered frame-hash sequence) collapse
+    * to STAR edges first (K−1 edges per K-copy family, the p85 text
+    * device), and the banded near-dup pair stage runs only among the
+    * family REPRESENTATIVES. The clusters are provably identical to
+    * contracting the full p90 relation — identical clips have
+    * identical frame hashes, so a ≈ b implies every a-twin ≈ every
+    * b-twin and one representative pair plus the stars closes the same
+    * components — but the pair stage's input shrinks by the family
+    * width (~31× at sf0.1, where the full relation is ~141 k pairs)
+    * and at 100 TB, where boilerplate families are 10⁶ wide, it is the
+    * difference between a finishing and a dead job. The oracle is
+    * still the FULL all-pairs relation plus recursive closure.
     */
   def videoDedupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
-    Dedup.dedupClustersLogN(docs, "doc_id",
-        Multimodal.videoNearDupPairs(
-            Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs)),
-            maxHamming = 3)
-          .select(col("d1"), col("d2")))
+    val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+      .localCheckpoint()
+    val fams = frames
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(expr("transform(array_sort(collect_list(struct(frame, fhash)))," +
+                " x -> x.fhash)").as("hseq"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("n_frames"), col("hseq"))))
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint()
+    val starEdges = fams.filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    val repFrames = frames
+      .join(fams.filter(col("rep") === col("doc_id")).select(col("doc_id")),
+        Seq("doc_id"))
+    val repPairs = Multimodal.videoNearDupPairs(repFrames, maxHamming = 3)
+      .select(col("d1"), col("d2"))
+    Dedup.dedupClustersLogN(docs, "doc_id", starEdges.union(repPairs))
       .orderBy(col("doc_id"))
   }
 
