@@ -744,6 +744,22 @@ object Engine {
     operators.Multimodal.videoNearDupPairs(
       operators.Multimodal.decodeVideoFrames(withVideo), maxHamming)
 
+  /** Persist a decoded frame table as the at-rest banded signature
+    * store (p100's layout): hive-partitioned by band, sorted by band
+    * value for row-group skipping.
+    */
+  def frameStoreWrite(frames: DataFrame, path: String): Unit =
+    operators.Multimodal.frameStoreWrite(frames, path)
+
+  /** Probe a [[frameStoreWrite]] store with a literal (qid, dHash)
+    * batch (p100): partition pruning + pushed band filter; returns
+    * every stored frame within `maxHamming` of each query hash.
+    */
+  def frameProbeStored(spark: SparkSession, path: String,
+                       queryHashes: Seq[(Long, Long)],
+                       maxHamming: Int = 3): DataFrame =
+    operators.Multimodal.frameProbeStored(spark, path, queryHashes, maxHamming)
+
   /** Fuzzy benchmark decontamination decision table (p94): per doc,
     * distinct n-gram shingles, benchmark hits, and the ≥ pct%
     * integer-cross-multiplied `contaminated` verdict. The benchmark

@@ -488,6 +488,58 @@ object Multimodal {
       .distinct()
   }
 
+  /** At-rest banded signature store: persist a decoded frame table as
+    * band-exploded rows, hive-partitioned by `band_i` (4 directories)
+    * and SORTED by `band_v` within each file — so a stored probe's
+    * pushed `band_v IN (…)` filter skips row groups via parquet
+    * min/max, the p50 posting-store discipline applied to perceptual
+    * signatures. 4× row amplification (one row per band), each row a
+    * handful of scalars — the store is still ~32 bytes/frame against
+    * the ~2 KB+ frames they index.
+    */
+  def frameStoreWrite(frames: DataFrame, path: String): Unit =
+    frames
+      .withColumn("band_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_v", expr("shiftright(fhash, 15 * band_i) & 32767"))
+      .repartition(col("band_i"))
+      .sortWithinPartitions(col("band_i"), col("band_v"))
+      .write.mode("overwrite").partitionBy("band_i").parquet(path)
+
+  /** Stored twin of [[perceptualProbe]]: answer a LITERAL query-hash
+    * batch from a [[frameStoreWrite]] store. The query hashes are
+    * plan-time literals (query batches are model-sized — the
+    * centroid/posting-term precedent), so the probe is a pure scan
+    * with partition pruning on `band_i` and a pushed `band_v IN`
+    * filter that reads only the row groups holding candidate bands —
+    * no join on the store side at all until the verified-candidate
+    * set, which is banding-sparse by construction.
+    */
+  def frameProbeStored(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queryHashes: Seq[(Long, Long)],
+                       maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    require(queryHashes.nonEmpty, "empty probe batch")
+    val bvByBand: Map[Int, Seq[Long]] = (0 until 4).map { b =>
+      b -> queryHashes.map { case (_, h) => (h >>> (15 * b)) & 32767L }
+        .distinct
+    }.toMap
+    val cond = (0 until 4).map { b =>
+      col("band_i") === b && col("band_v").isin(bvByBand(b): _*)
+    }.reduce(_ || _)
+    val qs = typedLit(queryHashes.map { case (q, h) => (q, h) })
+    spark.read.parquet(path)
+      .filter(cond)
+      .select(col("doc_id"), col("frame"), col("fhash"), col("band_i"),
+        col("band_v"),
+        explode(qs).as("q"))
+      .filter(expr("shiftright(q._2, band_i * 15) & 32767") === col("band_v"))
+      .filter(bit_count(col("q._2").bitwiseXOR(col("fhash"))) <= maxHamming)
+      .select(col("q._1").as("qid"), col("doc_id"), col("frame"),
+        bit_count(col("q._2").bitwiseXOR(col("fhash"))).cast("int")
+          .as("hamming"))
+      .distinct()
+  }
+
   // ---- real video decode (raw PPM stream) --------------------------
 
   /** Video fixture geometry: every modulus divides 160, so documents

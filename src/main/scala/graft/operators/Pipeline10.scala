@@ -608,6 +608,40 @@ object Pipeline10 {
        |FROM agg WHERE n_aligned = nfs AND mh <= 3
        |ORDER BY short_id, long_id, "offset"""".stripMargin
 
+  /** Per-JVM memoized frame-signature stores (the p41/p50 index
+    * contract: first invocation pays the one-pass build, warm probes
+    * measure the steady-state pruned read).
+    */
+  private val frameStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p100: the STORED frame probe — p97 answered from the at-rest
+    * banded signature store ([[Multimodal.frameStoreWrite]]) instead
+    * of a fresh decode: partition pruning on `band_i` plus a pushed
+    * `band_v IN (…)` row-group filter, query hashes as plan literals
+    * (a probe batch is model-sized — the centroid/posting-term
+    * precedent; here the 5 hashes are collected once from a 5-doc
+    * decode). Same oracle as p97: the layout must be
+    * semantics-preserving.
+    */
+  def frameProbeStored(s: SparkSession, d: String): DataFrame = {
+    val store = frameStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_frame_store_").toString
+      Multimodal.frameStoreWrite(
+        Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d)))
+          .select(col("doc_id"), col("frame"), col("fhash")), p)
+      p
+    })
+    val qs = Multimodal.decodeVideoFrames(
+        Multimodal.attachVideo(documents(s, d).filter(col("doc_id") < 5)))
+      .filter(col("frame") === 0)
+      .select(col("doc_id"), col("fhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    Multimodal.frameProbeStored(s, store, qs, maxHamming = 3)
+      .orderBy(col("qid"), col("doc_id"), col("frame"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
@@ -618,6 +652,7 @@ object Pipeline10 {
     "p95_decontaminate_spans" -> (decontaminateSpans _),
     "p96_cluster_sample" -> (clusterSample _),
     "p99_clip_containment" -> (clipContainmentQuery _),
+    "p100_frame_probe_stored" -> (frameProbeStored _),
     "p97_frame_probe"    -> (frameProbe _),
   )
 
@@ -631,6 +666,7 @@ object Pipeline10 {
     "p95_decontaminate_spans" -> decontaminateSpansOracle,
     "p96_cluster_sample" -> clusterSampleOracle,
     "p99_clip_containment" -> clipContainmentOracle,
+    "p100_frame_probe_stored" -> frameProbeOracle,
     "p97_frame_probe"    -> frameProbeOracle,
   )
 }

@@ -76,6 +76,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bench shingle index no longer broadcasts — the map-side probe degraded")
   }
 
+  test("p100: stored frame probe pushes the band filter into the parquet scan") {
+    val p = plan("p100_frame_probe_stored")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*band_v.*"),
+      "band_v filter no longer reaches the store scan — row-group " +
+      "skipping is dead and the probe reads the whole store")
+  }
+
   test("q52: salted join stays a shuffled hash join (replicated dim never broadcast)") {
     val p = plan("q52_salted_join")
     assert(p.contains("ShuffledHashJoin"), "salted join lost its shuffle-hash hint")
