@@ -501,6 +501,10 @@ object Multimodal {
     frames
       .withColumn("band_i", explode(sequence(lit(0), lit(3))))
       .withColumn("band_v", expr("shiftright(fhash, 15 * band_i) & 32767"))
+      // ingest_batch -1 marks the initial build — the column the
+      // streaming merge's exactly-once presence probe keys on, as in
+      // every other at-rest store here
+      .withColumn("ingest_batch", lit(-1L))
       .repartition(col("band_i"))
       .sortWithinPartitions(col("band_i"), col("band_v"))
       .write.mode("overwrite").partitionBy("band_i").parquet(path)

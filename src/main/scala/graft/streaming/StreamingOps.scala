@@ -443,7 +443,17 @@ object StreamingOps {
     * half-read. Run merges serially from one scheduler.
     */
   def ivfPqMergeStaged(spark: org.apache.spark.sql.SparkSession,
-                       stagePath: String, storePath: String): Int = {
+                       stagePath: String, storePath: String): Int =
+    mergeStagedPartitioned(spark, stagePath, storePath, "cell")
+
+  /** The shared exactly-once fold of the hive-partitioned stores
+    * ([[ivfPqMergeStaged]] on `cell`, [[frameMergeStaged]] on
+    * `band_i`): fold staged-and-committed batches with the
+    * `ingest_batch` presence probe, tombstone after.
+    */
+  private def mergeStagedPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                     stagePath: String, storePath: String,
+                                     partCol: String): Int = {
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(stage)) return 0
@@ -454,11 +464,38 @@ object StreamingOps {
       if (!alreadyFolded)
         graft.sources.Partitioned.appendBy(
           spark.read.parquet(p.toString).withColumn("ingest_batch", lit(id)),
-          storePath, "cell")
+          storePath, partCol)
       fs.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED"), true).close()
     }
     ready.length
   }
+
+  /** Streaming FRAME-SIGNATURE ingestion, stage 1: decode each
+    * micro-batch's clips to per-frame dHash rows, band-explode them to
+    * the [[graft.operators.Multimodal.frameStoreWrite]] row shape, and
+    * land them exactly-once in the staging zone — the perceptual-index
+    * twin of [[ivfPqIngestBatch]]. Contract: batch doc_ids must be new
+    * to the store.
+    */
+  def frameIngestBatch(stagePath: String)(batch: DataFrame, id: Long): Unit =
+    idempotentParquetBatch(stagePath)(
+      graft.operators.Multimodal.decodeVideoFrames(batch)
+        .select(col("doc_id"), col("frame"), col("fhash"))
+        .withColumn("band_i", explode(sequence(lit(0), lit(3))))
+        .withColumn("band_v", expr("shiftright(fhash, 15 * band_i) & 32767")),
+      id)
+
+  /** Streaming frame-signature ingestion, stage 2: fold staged batches
+    * into the live [[graft.operators.Multimodal.frameStoreWrite]]
+    * store — same exactly-once discipline as [[ivfPqMergeStaged]].
+    * Appended files are not band_v-sorted; run
+    * `sources.Maintenance.compactPartitioned` periodically to restore
+    * row-group skipping on the appended tail (probe CORRECTNESS never
+    * depends on the sort — only read amplification does).
+    */
+  def frameMergeStaged(spark: org.apache.spark.sql.SparkSession,
+                       stagePath: String, storePath: String): Int =
+    mergeStagedPartitioned(spark, stagePath, storePath, "band_i")
 
   /** Streaming LEXICAL index ingestion, stage 1: tokenize each
     * micro-batch of (doc_id, text) documents into posting rows (the

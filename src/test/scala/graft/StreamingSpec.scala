@@ -715,6 +715,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "lost tombstone re-appended an already-folded batch")
   }
 
+  test("frame-signature streaming ingest: staged exactly-once, merged store probes like a full rebuild") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id").localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("frame_live").toString
+    val stage = java.nio.file.Files.createTempDirectory("frame_stage").toString
+    Multimodal.frameStoreWrite(
+      Multimodal.decodeVideoFrames(Multimodal.attachVideo(
+        docs.filter($"doc_id" < 30)))
+        .select($"doc_id", $"frame", $"fhash"), store)
+    // a REAL stream drives the ingest through foreachBatch
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingOps.frameIngestBatch(stage)(
+          Multimodal.attachVideo(batch), id)
+      }
+      .start()
+    try {
+      val rest = docs.filter($"doc_id" >= 30).as[Long].collect()
+      ms.addData(rest.take(rest.length / 2).toSeq); q.processAllAvailable()
+      ms.addData(rest.drop(rest.length / 2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingOps.frameMergeStaged(spark, stage, store) === 2)
+    assert(StreamingOps.frameMergeStaged(spark, stage, store) === 0)
+    // crash window: lost tombstone must repair without duplicate rows
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/batch=0/_GRAFT_MERGED"), false)
+    val want = spark.read.parquet(store).count()
+    assert(StreamingOps.frameMergeStaged(spark, stage, store) === 1)
+    assert(spark.read.parquet(store).count() === want,
+      "lost tombstone re-appended an already-folded frame batch")
+    // the merged store answers identically to a one-shot full build
+    val full = java.nio.file.Files.createTempDirectory("frame_full").toString
+    Multimodal.frameStoreWrite(
+      Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+        .select($"doc_id", $"frame", $"fhash"), full)
+    val qs = Multimodal.decodeVideoFrames(Multimodal.attachVideo(
+        docs.filter($"doc_id" < 5)))
+      .filter($"frame" === 0)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("fhash"))).toSeq
+    def probe(p: String) =
+      Multimodal.frameProbeStored(spark, p, qs, maxHamming = 3)
+        .orderBy($"qid", $"doc_id", $"frame").collect().map(_.toSeq).toSeq
+    val got = probe(store)
+    assert(got.nonEmpty && got === probe(full),
+      "streamed-and-merged frame store diverges from a full rebuild")
+  }
+
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
     // The integration seam the per-store specs don't cross: actual
     // Structured Streaming queries (MemoryStream → foreachBatch) drive
