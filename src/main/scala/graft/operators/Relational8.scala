@@ -530,6 +530,48 @@ object Relational8 {
       .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** q75: hierarchical SUBTREE ROLLUP — every node's aggregate over
+    * its whole subtree (count + n_chars sum) in the implicit binary
+    * tree `parent(id) = id DIV 2` over document ids (the heap-shaped
+    * stand-in for a category/org/BOM hierarchy; node 0 is the root).
+    * This is the recursive-aggregation class (`WITH RECURSIVE` +
+    * descendant closure in SQL engines) — distinct from BFS (min-hop)
+    * and PageRank (fixpoint): an AGGREGATE over all descendants.
+    *
+    * Device: NO iteration at all — each node explodes its O(depth)
+    * ancestor chain (`id >> k`, ≤ 64 entries however large the id
+    * space) map-side and ONE ancestor-keyed aggregation sums every
+    * node into all of its ancestors at once. O(N·depth) rows, one
+    * shuffle; the driver-looped level-by-level alternative costs
+    * depth JOBS and carries frontier state — for bounded-depth
+    * hierarchies (every real category tree) the explode form is the
+    * plan you want at 100 TB. Root-skew note: every row lands on the
+    * root's key among others — but the per-ancestor partial aggregate
+    * is map-side combined, so the hot key receives one partial per
+    * task, not one row per node (the q34 salted-agg argument applies
+    * if partials themselves overwhelm).
+    */
+  def q75SubtreeRollup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(array_distinct(
+          expr("transform(sequence(0, 31), k -> shiftright(doc_id, k))")))
+          .as("anc"))
+      .groupBy(col("anc").as("doc_id"))
+      .agg(count(lit(1)).as("subtree_count"),
+           sum(col("n_chars")).cast("long").as("subtree_chars"))
+      .orderBy(col("doc_id"))
+
+  val q75Oracle: String =
+    """WITH anc AS (
+      |  SELECT doc_id, n_chars,
+      |         unnest(list_distinct(list_transform(range(0, 32),
+      |           k -> doc_id >> CAST(k AS INTEGER)))) AS anc
+      |  FROM documents)
+      |SELECT anc AS doc_id, count(*) AS subtree_count,
+      |       CAST(sum(n_chars) AS BIGINT) AS subtree_chars
+      |FROM anc GROUP BY anc ORDER BY doc_id""".stripMargin
+
   /** q69: per-user exponential moving average of event values — the
     * sequential stateful fold class (`s' = (3·v + 7·s) DIV 10`,
     * α = 0.3 in exact integer tenths over cents, seeded with the
@@ -797,6 +839,7 @@ object Relational8 {
     "q71_unpivot"      -> (q71Unpivot _),
     "q72_pagerank_weighted" -> (q72PageRankWeighted _),
     "q73_mad"          -> (q73Mad _),
+    "q75_subtree_rollup" -> (q75SubtreeRollup _),
     // same oracle as q65: triangle counts are orientation-invariant,
     // so the degree-ordered web-scale path is hash-checked against the
     // identical DuckDB mirror — the scale form itself sits under the
@@ -823,5 +866,6 @@ object Relational8 {
     "q72_pagerank_weighted" -> q72Oracle,
     "q73_mad"          -> q73Oracle,
     "q74_triangles_degree" -> q65Oracle,
+    "q75_subtree_rollup" -> q75Oracle,
   )
 }
