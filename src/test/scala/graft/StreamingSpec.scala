@@ -765,6 +765,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val got = probe(store)
     assert(got.nonEmpty && got === probe(full),
       "streamed-and-merged frame store diverges from a full rebuild")
+    // compaction (which restores band_v row-group skipping on the
+    // appended tail) must not change a single probe answer
+    val compacted = java.nio.file.Files.createTempDirectory("frame_compact").toString
+    graft.sources.Maintenance.compactPartitioned(spark, store, compacted, "band_i")
+    assert(probe(compacted) === got,
+      "compaction changed probe results on the live frame store")
   }
 
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
