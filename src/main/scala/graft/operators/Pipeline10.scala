@@ -642,6 +642,60 @@ object Pipeline10 {
       .orderBy(col("qid"), col("doc_id"), col("frame"))
   }
 
+  /** Batch size and length-bucket quantum of the registered query. */
+  private val BatchDocs = 8
+  private val LenQuantum = 16
+
+  /** p101: length-bucketed batching — assign documents to fixed-size
+    * inference/training batches WITHIN length buckets (token count
+    * rounded up to the next multiple of 16), so every batch pads to
+    * its bucket width instead of to the corpus maximum. THE serving-
+    * side padding-waste lever: batching by arrival order pads every
+    * sequence to the longest in the batch (waste ∝ length variance);
+    * bucketing first bounds the waste per row by the quantum. Output:
+    * each doc's bucket, its batch coordinates, and its exact pad
+    * waste — the audit table a batcher's cost model reads.
+    *
+    * Scale shape: the p31 sharding device — batches are formed within
+    * (bucket, shard = doc_id % 8), so the per-key window sorts
+    * corpus/|buckets|/8 rows and no bucket becomes a single heavy key;
+    * more shards = more parallelism, batch coordinates stay stable
+    * under any shard count because they are derived, not assigned.
+    * All-integer.
+    */
+  def lengthBatching(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        expr(s"((n_tokens + ${LenQuantum - 1}) DIV $LenQuantum) * $LenQuantum"))
+      .withColumn("shard", (col("doc_id") % 8).cast("int"))
+      .withColumn("batch_idx",
+        expr(s"CAST((row_number() OVER (PARTITION BY bucket, shard " +
+             s"ORDER BY n_tokens DESC, doc_id) - 1) DIV $BatchDocs AS INT)"))
+      .withColumn("pad_waste", col("bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
+        col("batch_idx"), col("pad_waste"))
+      .orderBy(col("doc_id"))
+
+  val lengthBatchingOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |         ((n_tokens + ${LenQuantum - 1}) // $LenQuantum) * $LenQuantum
+       |           AS bucket,
+       |         CAST(doc_id % 8 AS INTEGER) AS shard
+       |  FROM t)
+       |SELECT doc_id, n_tokens, bucket, shard,
+       |       CAST((row_number() OVER (PARTITION BY bucket, shard
+       |              ORDER BY n_tokens DESC, doc_id) - 1) // $BatchDocs
+       |            AS INTEGER) AS batch_idx,
+       |       bucket - n_tokens AS pad_waste
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p89_video_decode"   -> (videoDecode _),
     "p90_video_near_dup" -> (videoNearDup _),
@@ -653,6 +707,7 @@ object Pipeline10 {
     "p96_cluster_sample" -> (clusterSample _),
     "p99_clip_containment" -> (clipContainmentQuery _),
     "p100_frame_probe_stored" -> (frameProbeStored _),
+    "p101_length_batching" -> (lengthBatching _),
     "p97_frame_probe"    -> (frameProbe _),
   )
 
@@ -667,6 +722,7 @@ object Pipeline10 {
     "p96_cluster_sample" -> clusterSampleOracle,
     "p99_clip_containment" -> clipContainmentOracle,
     "p100_frame_probe_stored" -> frameProbeOracle,
+    "p101_length_batching" -> lengthBatchingOracle,
     "p97_frame_probe"    -> frameProbeOracle,
   )
 }

@@ -25,7 +25,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline9.queries, operators.Pipeline10.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 175,
+    assert(SparkEntry.queries.size >= 176,
       "registered-query surface shrank below the round-8 ledger")
   }
 
