@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 11: LEARNED filters — a linear classifier
+  * trained relationally with EXACT integer arithmetic (batch
+  * perceptron over hashed bag-of-words features), the fastText-style
+  * quality-classifier shape (CCNet/GPT-3 filtering) expressed so both
+  * the training loop and the scoring pass carry a full DuckDB oracle.
+  */
+object Pipeline11 {
+
+  /** Hashed-feature space (md5 7-hex device, cross-engine) and
+    * training-round budget of the registered query. B=256 keeps the
+    * weight vector broadcastable-by-construction (the DSIR argument);
+    * the 22-round budget is
+    * MEASURED, not guessed: raw batch perceptron oscillates once it
+    * leaves the all-positive basin (rounds 1–13 here — the +/− class
+    * imbalance swamps early batch updates), and 22 is inside the
+    * window where the learned model beats the majority-class baseline
+    * with a non-trivial prediction split at ALL THREE test SFs. A
+    * training op, priced like p56's Lloyd rounds.
+    */
+  private val PcB = 256
+  private val PcRounds = 22
+
+  /** The distillation target: p74's stopword-floor rule
+    * `stop_ratio ≥ 0.02`, chosen because it is EXACTLY linear in raw
+    * counts (`50·n_stop − n_total ≥ 0`), so the concept is genuinely
+    * learnable by a linear model over count features — distilling an
+    * expensive rule into a cheap hashed-feature scorer is precisely
+    * what pipeline classifiers are for. The fixed stop list is p74's.
+    */
+  private val PcStops = Seq("the", "a", "of", "and", "to")
+
+  /** p102: integer BATCH-PERCEPTRON training + scoring, fully
+    * relational. Per round: score every document against the current
+    * weights (one broadcast join on the B-bounded weight table + one
+    * doc-keyed roll-up), collect the misclassified set's summed
+    * feature updates into ≤ B rows, add. Batch updates make each round
+    * ORDER-FREE (pure sums — unlike the sequential classic, any
+    * partitioning gives identical weights), which is what lets the
+    * oracle unroll the rounds as generated CTE blocks (the q64/q72
+    * device) and the engine run them as keyed aggregations. Everything
+    * is a bounded integer: y ∈ {−1,+1}, counts, weights — no float
+    * enters the plan, so the hash compare is exact, not margin-argued.
+    *
+    * Output: each doc's final margin, prediction, label, and
+    * correctness — the audit table that decides whether the distilled
+    * model can replace the rule it mimics.
+    *
+    * Scale shape: the feature table is built once (map-side hash +
+    * one (doc, bucket) aggregation) and checkpointed; each round
+    * touches the corpus only through feats — one broadcast-weights
+    * scoring join (weights are B ≤ 256 rows BY CONSTRUCTION) and one
+    * misclassified-set semi-join folding into B rows. Training cost is
+    * rounds × two keyed passes; scoring a NEW corpus is one broadcast
+    * join — the whole point of distilling into a linear model.
+    */
+  def perceptronQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val stops = PcStops.map(lit(_))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    // exact-integer label: 50·n_stop − n_total ≥ 0  ⟺  ratio ≥ 0.02
+    val labels = toks
+      .groupBy(col("doc_id"))
+      .agg((lit(50) * sum(col("term").isin(stops: _*).cast("long")) -
+            count(lit(1))).as("lm"))
+      .select(col("doc_id"),
+        when(col("lm") >= 0, lit(1L)).otherwise(lit(-1L)).as("y"))
+    // hashed unigram counts + a bias feature (bucket −1, count 1)
+    val feats = toks
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"),
+          lit(PcB.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.select(col("doc_id"), lit(-1L).as("b"),
+        lit(1L).as("cnt")))
+      .join(labels, Seq("doc_id"))
+      .localCheckpoint(eager = false)
+    var w = feats.select(col("b")).distinct()
+      .withColumn("w", lit(0L)).localCheckpoint()
+    for (_ <- 1 to PcRounds) {
+      val margins = feats.join(broadcast(w), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+      val mis = margins.filter(col("y") * col("margin") <= 0)
+        .select(col("doc_id"))
+      val delta = feats.join(mis, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("y") * col("cnt")).as("dw"))
+      w = w.join(delta, Seq("b"), "left")
+        .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+        .localCheckpoint()
+    }
+    feats.join(broadcast(w), Seq("b"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+      .select(col("doc_id"), col("y"), col("margin"),
+        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+      .withColumn("correct", col("pred") === col("y"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perceptronOracle: String = {
+    val stopList = PcStops.map(w => s"'$w'").mkString(", ")
+    val rounds = (1 to PcRounds).map { t =>
+      val prevW = s"w${t - 1}"
+      // AS MATERIALIZED: DuckDB inlines plain CTEs, so a chained
+      // w_t → w_{t-1} reference would expand EXPONENTIALLY across 22
+      // rounds (and re-open the parquet per expansion — the first run
+      // died on file descriptors); materialization makes the unrolled
+      // oracle linear in rounds, like the engine
+      s"""m$t AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y,
+         |         sum(f.cnt * coalesce(w.w, 0)) AS margin
+         |  FROM f LEFT JOIN $prevW w USING (b) GROUP BY f.doc_id, f.y),
+         |mis$t AS (SELECT doc_id FROM m$t WHERE y * margin <= 0),
+         |d$t AS MATERIALIZED (
+         |  SELECT f.b, CAST(sum(f.y * f.cnt) AS BIGINT) AS dw
+         |  FROM f JOIN mis$t USING (doc_id) GROUP BY f.b),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.b, w.w + coalesce(d.dw, 0) AS w
+         |  FROM $prevW w LEFT JOIN d$t d USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |labels AS (
+       |  SELECT doc_id,
+       |         CASE WHEN 50 * sum(CASE WHEN term IN ($stopList)
+       |                                 THEN 1 ELSE 0 END) - count(*) >= 0
+       |              THEN 1 ELSE -1 END AS y
+       |  FROM toks GROUP BY doc_id),
+       |f AS MATERIALIZED (
+       |  SELECT h.doc_id, h.b, h.cnt, l.y
+       |  FROM (SELECT doc_id,
+       |               CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % $PcB
+       |                 AS b,
+       |               count(*) AS cnt
+       |        FROM toks GROUP BY 1, 2
+       |        UNION ALL
+       |        SELECT doc_id, -1, 1 FROM documents) h
+       |  JOIN labels l USING (doc_id)),
+       |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM f),
+       |$rounds
+       |SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |       CAST(margin AS BIGINT) AS margin,
+       |       CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |       margin > 0 AND y = 1 OR margin <= 0 AND y = -1 AS correct
+       |FROM (SELECT f.doc_id, f.y,
+       |             sum(f.cnt * coalesce(w.w, 0)) AS margin
+       |      FROM f LEFT JOIN w$PcRounds w USING (b)
+       |      GROUP BY f.doc_id, f.y)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p102_perceptron_quality" -> (perceptronQuality _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p102_perceptron_quality" -> perceptronOracle,
+  )
+}

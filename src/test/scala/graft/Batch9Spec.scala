@@ -402,6 +402,24 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p102: the distilled perceptron beats the majority-class baseline with a real split") {
+    // guards the training demo against silent death by testdata
+    // regeneration: the learned model must actually discriminate, not
+    // collapse to the majority class (the all-positive basin batch
+    // perceptron sits in for its first ~13 rounds here)
+    val rows = operators.Pipeline11.perceptronQuality(spark, "/root/testdata/sf0.01")
+      .collect()
+    val n = rows.length.toDouble
+    val acc = rows.count(_.getAs[Boolean]("correct")) / n
+    val majority = math.max(rows.count(_.getAs[Long]("y") == 1L) / n,
+      rows.count(_.getAs[Long]("y") == -1L) / n)
+    val posPred = rows.count(_.getAs[Long]("pred") == 1L) / n
+    assert(acc > majority + 0.02,
+      f"accuracy $acc%.3f does not beat the majority baseline $majority%.3f")
+    assert(posPred > 0.05 && posPred < 0.95,
+      f"prediction split $posPred%.3f is degenerate")
+  }
+
   test("Engine graph facades delegate to the registered library forms") {
     val d01 = "/root/testdata/sf0.01"
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -22,10 +22,11 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline3.queries, operators.Pipeline4.queries,
       operators.Pipeline5.queries, operators.Pipeline6.queries,
       operators.Pipeline7.queries, operators.Pipeline8.queries,
-      operators.Pipeline9.queries, operators.Pipeline10.queries)
+      operators.Pipeline9.queries, operators.Pipeline10.queries,
+      operators.Pipeline11.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 176,
+    assert(SparkEntry.queries.size >= 177,
       "registered-query surface shrank below the round-8 ledger")
   }
 
