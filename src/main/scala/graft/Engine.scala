@@ -760,6 +760,18 @@ object Engine {
                        maxHamming: Int = 3): DataFrame =
     operators.Multimodal.frameProbeStored(spark, path, queryHashes, maxHamming)
 
+  /** Train the p102 exact-integer batch perceptron on `docs`; returns
+    * the B-bounded (bucket, weight) model frame.
+    */
+  def perceptronTrain(docs: DataFrame): DataFrame =
+    operators.Pipeline11.perceptronTrain(docs)
+
+  /** Score ANY corpus under a [[perceptronTrain]] model — one
+    * broadcast join + one doc roll-up; unseen buckets score zero.
+    */
+  def perceptronScore(docs: DataFrame, weights: DataFrame): DataFrame =
+    operators.Pipeline11.perceptronScore(docs, weights)
+
   /** Fuzzy benchmark decontamination decision table (p94): per doc,
     * distinct n-gram shingles, benchmark hits, and the ≥ pct%
     * integer-cross-multiplied `contaminated` verdict. The benchmark

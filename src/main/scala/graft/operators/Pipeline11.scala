@@ -61,25 +61,43 @@ object Pipeline11 {
     */
   def perceptronQuality(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    val w = perceptronTrain(docs)
+    perceptronScore(docs, w)
+      .join(labelsOf(docs), Seq("doc_id"))
+      .select(col("doc_id"), col("y"), col("margin"), col("pred"))
+      .withColumn("correct", col("pred") === col("y"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The exact-integer distillation label of the registered query:
+    * `50·n_stop − n_total ≥ 0` ⟺ p74's stop_ratio ≥ 0.02 rule.
+    */
+  private def labelsOf(docs: DataFrame): DataFrame = {
     val stops = PcStops.map(lit(_))
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    // exact-integer label: 50·n_stop − n_total ≥ 0  ⟺  ratio ≥ 0.02
-    val labels = toks
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"))
       .agg((lit(50) * sum(col("term").isin(stops: _*).cast("long")) -
             count(lit(1))).as("lm"))
       .select(col("doc_id"),
         when(col("lm") >= 0, lit(1L)).otherwise(lit(-1L)).as("y"))
-    // hashed unigram counts + a bias feature (bucket −1, count 1)
-    val feats = toks
+  }
+
+  /** Hashed unigram-count features + the bias feature (bucket −1). */
+  private def featsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long"),
           lit(PcB.toLong)).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
       .unionByName(docs.select(col("doc_id"), lit(-1L).as("b"),
         lit(1L).as("cnt")))
-      .join(labels, Seq("doc_id"))
+
+  /** Library TRAIN entry behind p102: the (bucket, weight) model of
+    * `docs` under the registered label, after the fixed round budget.
+    */
+  def perceptronTrain(docs: DataFrame): DataFrame = {
+    val feats = featsOf(docs)
+      .join(labelsOf(docs), Seq("doc_id"))
       .localCheckpoint(eager = false)
     var w = feats.select(col("b")).distinct()
       .withColumn("w", lit(0L)).localCheckpoint()
@@ -95,14 +113,20 @@ object Pipeline11 {
         .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
         .localCheckpoint()
     }
-    feats.join(broadcast(w), Seq("b"), "left")
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
-      .select(col("doc_id"), col("y"), col("margin"),
-        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
-      .withColumn("correct", col("pred") === col("y"))
-      .orderBy(col("doc_id"))
+    w
   }
+
+  /** Library SCORE entry — the deploy half: score ANY corpus (held-out
+    * included) under a trained weight frame. ONE broadcast join + one
+    * doc-keyed roll-up; unseen buckets score zero via the left join,
+    * so a held-out document always gets a finite margin.
+    */
+  def perceptronScore(docs: DataFrame, weights: DataFrame): DataFrame =
+    featsOf(docs).join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
 
   val perceptronOracle: String = {
     val stopList = PcStops.map(w => s"'$w'").mkString(", ")

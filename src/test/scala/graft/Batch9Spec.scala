@@ -420,6 +420,29 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
       f"prediction split $posPred%.3f is degenerate")
   }
 
+  test("p102: the model trained on half the corpus generalizes to the held-out half") {
+    // the deploy half: train on even ids, score odd ids the model has
+    // never seen — a distilled classifier is only useful if it beats
+    // the baseline OFF its training set
+    val all = Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = Engine.perceptronTrain(all.filter(col("doc_id") % 2 === 0))
+    val held = all.filter(col("doc_id") % 2 === 1)
+    val scored = Engine.perceptronScore(held, w)
+      .join(held.select(col("doc_id"),
+        expr("CASE WHEN 50 * size(filter(split(text, ' '), " +
+             "t -> t IN ('the','a','of','and','to'))) - " +
+             "size(split(text, ' ')) >= 0 THEN 1 ELSE -1 END").as("y")),
+        Seq("doc_id"))
+      .collect()
+    val n = scored.length.toDouble
+    val acc = scored.count(r => r.getAs[Long]("pred") ==
+      r.getAs[Int]("y").toLong) / n
+    val majority = math.max(scored.count(_.getAs[Int]("y") == 1) / n,
+      scored.count(_.getAs[Int]("y") == -1) / n)
+    assert(acc > majority,
+      f"held-out accuracy $acc%.3f does not beat the baseline $majority%.3f")
+  }
+
   test("Engine graph facades delegate to the registered library forms") {
     val d01 = "/root/testdata/sf0.01"
     def rows(df: org.apache.spark.sql.DataFrame) =
