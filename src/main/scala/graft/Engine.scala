@@ -458,16 +458,10 @@ object Engine {
     val frames = mm.decodeVideoFrames(withVideo)
       .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
       .localCheckpoint()
-    // stage 1: exact-signature dedup — group on the ordered per-frame
-    // hash sequence (a few 8-byte values per clip), lowest id survives
-    val exact = frames
-      .groupBy(col("doc_id"), col("n_frames"))
-      .agg(expr("transform(array_sort(collect_list(struct(frame, fhash)))," +
-                " x -> x.fhash)").as("hseq"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("n_frames"), col("hseq"))
-          .orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+    // stage 1: exact-signature dedup — THE shared family labeling
+    // (Multimodal.exactClipFamilies, also behind p91), lowest id wins
+    val exact = mm.exactClipFamilies(frames)
+      .filter(col("rep") === col("doc_id"))
       .select(col("doc_id"))
     val survFrames = frames.join(exact, Seq("doc_id")).localCheckpoint()
     // stage 2: temporal near-dedup among survivors
@@ -477,9 +471,11 @@ object Engine {
         .select(col("d1"), col("d2")))
     val kept = clusters.filter(col("doc_id") === col("canonical"))
       .select(col("doc_id"))
-    // stage 3: keyframes of the retained clips
+    // stage 3: keyframes of the retained clips, at THE measured p92
+    // threshold (referenced, not re-typed — a CutTau retune reaches
+    // this path at compile time)
     operators.Pipeline10.keyframesOf(survFrames.join(kept, Seq("doc_id")),
-      tau = 8)
+      tau = operators.Pipeline10.CutTau)
   }
 
   // ---- SQL front door ----
@@ -808,7 +804,8 @@ object Engine {
 
   /** Scene-cut frames of each clip (p92): consecutive-frame dHash
     * distance > `tau`. */
-  def sceneCuts(withVideo: DataFrame, tau: Int = 8): DataFrame =
+  def sceneCuts(withVideo: DataFrame,
+                tau: Int = operators.Pipeline10.CutTau): DataFrame =
     operators.Pipeline10.sceneCutsOf(
       operators.Multimodal.decodeVideoFrames(withVideo), tau)
 
@@ -817,7 +814,8 @@ object Engine {
     * kernel twin for streams is
     * [[streaming.StreamingOps.videoKeyframesStream]].
     */
-  def keyframes(withVideo: DataFrame, tau: Int = 8): DataFrame =
+  def keyframes(withVideo: DataFrame,
+                tau: Int = operators.Pipeline10.CutTau): DataFrame =
     operators.Pipeline10.keyframesOf(
       operators.Multimodal.decodeVideoFrames(withVideo), tau)
 
@@ -901,11 +899,7 @@ object Engine {
     */
   def triangleCounts(edges: DataFrame,
                      degreeOrdered: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{col, greatest, least}
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = operators.Relational8.canonicalUndirected(edges)
     if (degreeOrdered) operators.Relational8.trianglesDegreeOrdered(und)
     else operators.Relational8.trianglesIdOrdered(und)
   }

@@ -154,12 +154,20 @@ object Multimodal {
     i
   }
 
-  /** Parse one ASCII unsigned int; returns (value, next offset). */
+  /** Parse one ASCII unsigned int; returns (value, next offset). The
+    * value is capped at 10⁸ so untrusted headers can never overflow
+    * the Int accumulator (or downstream w·h products computed in
+    * Long) — a corrupt header fails loudly at the parse.
+    */
   private def ppmInt(b: Array[Byte], from: Int): (Int, Int) = {
     var i = skipPpmSpace(b, from)
     var v = 0
     require(i < b.length && b(i) >= '0' && b(i) <= '9', s"P6 header: digit expected at $i")
-    while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+    while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+      v = v * 10 + (b(i) - '0')
+      require(v <= 100000000, s"P6 header: unreasonable integer at $i")
+      i += 1
+    }
     (v, i)
   }
 
@@ -233,8 +241,9 @@ object Multimodal {
         val (maxval, i3) = ppmInt(b, i2)
         val off = i3 + 1 // single whitespace byte separates header and pixels
         val nPix = b.length - off
-        require(nPix == w * h * 3,
-          s"doc $id: pixel block is $nPix bytes, header promises ${w * h * 3}")
+        // Long compare: untrusted dims must not wrap the promised size
+        require(nPix.toLong == w.toLong * h * 3L,
+          s"doc $id: pixel block is $nPix bytes, header promises ${w.toLong * h * 3L}")
         var pixSum = 0L
         var i = off
         while (i < b.length) { pixSum += (b(i) & 0xff); i += 1 }
@@ -411,8 +420,11 @@ object Multimodal {
           val size = leU32(b, i + 4).toInt
           // untrusted size: a low-32-bits value like 0xFFFFFFF8 reads
           // as toInt = -8 and would make the walk step zero/negative —
-          // an executor-task infinite loop instead of a loud failure
-          require(size >= 0 && i + 8 + size <= b.length,
+          // an executor-task infinite loop instead of a loud failure.
+          // The sum is compared in LONG: a large positive size like
+          // 0x7FFFFFF0 would wrap i+8+size negative in Int and slip
+          // past the guard into a raw index exception
+          require(size >= 0 && i + 8L + size <= b.length,
             s"doc $id: bad chunk size $size at offset $i")
           if (tag == "fmt ") {
             require(leU16(b, i + 8) == 1 && leU16(b, i + 10) == 1 &&
@@ -488,6 +500,35 @@ object Multimodal {
       .distinct()
   }
 
+  /** THE band layout of the at-rest signature store — one definition
+    * shared by the batch writer ([[frameStoreWrite]]) and the
+    * streaming ingester ([[graft.streaming.StreamingOps
+    * .frameIngestBatch]]): the stored probe's losslessness depends on
+    * writer and ingester agreeing bit-for-bit on this shape.
+    */
+  private[graft] def bandFrames(frames: DataFrame): DataFrame =
+    frames
+      .withColumn("band_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_v", expr("shiftright(fhash, 15 * band_i) & 32767"))
+
+  /** THE exact clip-family labeling — one definition shared by the
+    * registered p91 clusters and [[graft.Engine.curateClips]]: group
+    * clips by their ordered frame-hash sequence, label each with the
+    * family's minimum doc_id (`rep`). A future change to the family
+    * key (e.g. folding in geometry) lands in both curation paths at
+    * once.
+    */
+  private[graft] def exactClipFamilies(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    frames
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(expr("transform(array_sort(collect_list(struct(frame, fhash)))," +
+                " x -> x.fhash)").as("hseq"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("n_frames"), col("hseq"))))
+      .select(col("doc_id"), col("rep"))
+  }
+
   /** At-rest banded signature store: persist a decoded frame table as
     * band-exploded rows, hive-partitioned by `band_i` (4 directories)
     * and SORTED by `band_v` within each file — so a stored probe's
@@ -498,9 +539,7 @@ object Multimodal {
     * the ~2 KB+ frames they index.
     */
   def frameStoreWrite(frames: DataFrame, path: String): Unit =
-    frames
-      .withColumn("band_i", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_v", expr("shiftright(fhash, 15 * band_i) & 32767"))
+    bandFrames(frames)
       // ingest_batch -1 marks the initial build — the column the
       // streaming merge's exactly-once presence probe keys on, as in
       // every other at-rest store here
@@ -647,7 +686,11 @@ object Multimodal {
       val (maxval, i3) = ppmInt(b, i2)
       require(maxval == 255, s"doc $id: frame $f maxval $maxval")
       val po = i3 + 1
-      require(w > 0 && h > 0 && po + w * h * 3 <= b.length,
+      // bounds compared in LONG: header dims are untrusted bytes, and
+      // an Int w*h*3 for hostile dims (e.g. 37838×37838) wraps to a
+      // small positive that would pass the guard and silently mis-hash
+      require(w > 0 && h > 0 &&
+          po.toLong + w.toLong * h * 3L <= b.length,
         s"doc $id: frame $f pixel block overruns the stream")
       frames += ((f, w, h, dHash(b, po, w, h)))
       off = po + w * h * 3

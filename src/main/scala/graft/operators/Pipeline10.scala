@@ -133,19 +133,11 @@ object Pipeline10 {
     * still the FULL all-pairs relation plus recursive closure.
     */
   def videoDedupClusters(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
     val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
       .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
       .localCheckpoint()
-    val fams = frames
-      .groupBy(col("doc_id"), col("n_frames"))
-      .agg(expr("transform(array_sort(collect_list(struct(frame, fhash)))," +
-                " x -> x.fhash)").as("hseq"))
-      .withColumn("rep", min(col("doc_id")).over(
-        Window.partitionBy(col("n_frames"), col("hseq"))))
-      .select(col("doc_id"), col("rep"))
-      .localCheckpoint()
+    val fams = Multimodal.exactClipFamilies(frames).localCheckpoint()
     val starEdges = fams.filter(col("rep") < col("doc_id"))
       .select(col("rep").as("d1"), col("doc_id").as("d2"))
     val repFrames = frames
@@ -184,7 +176,7 @@ object Pipeline10 {
     * parametric like every perceptual radius in this library — real
     * footage tunes τ on a labeled clip sample.
     */
-  private val CutTau = 8
+  private[graft] val CutTau = 8
 
   /** p92: scene-cut detection — the consecutive-frame dHash distance
     * per clip, emitting the frames whose distance to their predecessor

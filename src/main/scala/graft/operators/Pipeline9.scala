@@ -618,19 +618,24 @@ object Pipeline9 {
     * 8-byte text hash gives the K−1 edges (doc → group-min), which
     * yield IDENTICAL components under the contraction; the oracle's
     * all-pairs `tp` CTE closes to the same components by transitivity.
-    * The hash key doubles xxhash64 with length(text): a 64-bit
-    * collision at 10⁹ docs is ~3 % birthday odds, and a collision
-    * would WRONGLY merge clusters — the composite drives it below
-    * 2⁻⁸⁰ while keeping the shuffle key fixed-width.
+    * The hash key is TWO independently-seeded xxhash64 values (the
+    * second mixes an extra literal column): a single 64-bit hash at
+    * 10⁹ docs carries ~3 % birthday odds of a collision, and a
+    * collision here WRONGLY merges clusters — 128 effective bits put
+    * the wrong-merge probability near 2⁻⁶⁴·n²≈10⁻²⁰ while keeping the
+    * shuffle key fixed-width (16 bytes). Length would NOT do as the
+    * second component: boilerplate near-duplicates concentrate on few
+    * lengths, exactly where the guard is needed.
     */
   def multimodalDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
     val textPairs = docs
       .select(col("doc_id"),
-        xxhash64(col("text")).as("th"), length(col("text")).as("tl"))
+        xxhash64(col("text")).as("th"),
+        xxhash64(lit("p85-salt"), col("text")).as("th2"))
       .withColumn("d1",
-        min(col("doc_id")).over(Window.partitionBy(col("th"), col("tl"))))
+        min(col("doc_id")).over(Window.partitionBy(col("th"), col("th2"))))
       .filter(col("d1") < col("doc_id"))
       .select(col("d1"), col("doc_id").as("d2"))
     val imgPairs = Multimodal.perceptualNearDupPairs(

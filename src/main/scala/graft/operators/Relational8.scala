@@ -361,6 +361,21 @@ object Relational8 {
 
   // ---- Triangle counting (q65) ----
 
+  /** THE canonical undirected support of a directed edge frame: self-
+    * loops dropped, endpoints ordered `a < b`, distinct. One shared
+    * definition for every graph operator (triangles both orientations,
+    * k-core, the Engine facade) — the self-loop filter is part of it
+    * because a (u,u) edge makes phantom wedges close on any shared
+    * neighbor, a hazard an upstream source without incidentEdges'
+    * `src <> dst` filter would otherwise smuggle in.
+    */
+  private[graft] def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
   /** q65: per-node triangle participation over the undirected support
     * of the incident graph — the canonical graph-analytics benchmark
     * (clustering-coefficient numerator, community-density signal).
@@ -379,11 +394,7 @@ object Relational8 {
     * keyed on node ids, one corner-explode roll-up. All integers.
     */
   def q65Triangles(s: SparkSession, d: String): DataFrame =
-    trianglesIdOrdered(
-        incidentEdges(s, d)
-          .select(least(col("src"), col("dst")).as("a"),
-                  greatest(col("src"), col("dst")).as("b"))
-          .distinct())
+    trianglesIdOrdered(canonicalUndirected(incidentEdges(s, d)))
       .orderBy(col("node"))
 
   /** Library entry behind q65: per-node triangle participation of a
@@ -504,10 +515,7 @@ object Relational8 {
     * plan as the registered query.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = canonicalUndirected(edges)
     val dir = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
@@ -555,7 +563,7 @@ object Relational8 {
     documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         explode(array_distinct(
-          expr("transform(sequence(0, 31), k -> shiftright(doc_id, k))")))
+          expr("transform(sequence(0, 63), k -> shiftright(doc_id, k))")))
           .as("anc"))
       .groupBy(col("anc").as("doc_id"))
       .agg(count(lit(1)).as("subtree_count"),
@@ -565,7 +573,7 @@ object Relational8 {
   val q75Oracle: String =
     """WITH anc AS (
       |  SELECT doc_id, n_chars,
-      |         unnest(list_distinct(list_transform(range(0, 32),
+      |         unnest(list_distinct(list_transform(range(0, 64),
       |           k -> doc_id >> CAST(k AS INTEGER)))) AS anc
       |  FROM documents)
       |SELECT anc AS doc_id, count(*) AS subtree_count,
@@ -845,11 +853,7 @@ object Relational8 {
     // identical DuckDB mirror — the scale form itself sits under the
     // correctness gate, not just under a property test
     "q74_triangles_degree" -> ((s: SparkSession, d: String) =>
-      trianglesDegreeOrdered(
-          incidentEdges(s, d)
-            .select(least(col("src"), col("dst")).as("a"),
-                    greatest(col("src"), col("dst")).as("b"))
-            .distinct())
+      trianglesDegreeOrdered(canonicalUndirected(incidentEdges(s, d)))
         .orderBy(col("node"))),
   )
 

@@ -100,13 +100,23 @@ object StreamingOps {
     * fires identically however the batch was partitioned.
     */
   def driftGateBatch(batch: DataFrame, baseRates: DataFrame,
-                     thresholdPpm2: Long): DataFrame =
+                     thresholdPpm2: Long): DataFrame = {
     // full_outer, matching batch p82's semantics: a base bucket with
     // ZERO occurrences in the micro-batch (vanished content) scores as
     // (0 − rb)² and the report can name it. Both sides are B-bounded
     // (≤1024 rows), so the unbroadcastable full-outer join is trivial.
-    graft.operators.Pipeline9.bucketRates(batch, "ci", "ri")
+    val rates = graft.operators.Pipeline9.bucketRates(batch, "ci", "ri")
+      .localCheckpoint(eager = false) // feeds the gate + the n_batch guard
+    // an EMPTY micro-batch (routine on watermark-advance triggers) has
+    // no distribution to compare — without this guard the full-outer
+    // form would report the ENTIRE baseline as vanished on every idle
+    // trigger (the left-join form's accidental protection, made
+    // explicit here)
+    val nBatch = rates.agg(coalesce(sum(col("ci")), lit(0L)).as("n_batch"))
+    rates
       .join(baseRates.select(col("b"), col("rb")), Seq("b"), "full_outer")
+      .crossJoin(broadcast(nBatch))
+      .filter(col("n_batch") > 0)
       .select(col("b").cast("int").as("bucket"),
         coalesce(col("ci"), lit(0L)).as("ci"),
         coalesce(col("ri"), lit(0L)).as("ri"),
@@ -114,6 +124,7 @@ object StreamingOps {
       .withColumn("drift", (col("ri") - col("rb")) * (col("ri") - col("rb")))
       .filter(col("drift") > thresholdPpm2)
       .orderBy(col("drift").desc, col("bucket"))
+  }
 
   /** Streaming OOV gate — the tokenizer-health twin of
     * [[driftGateBatch]], in the same `foreachBatch` discipline: score
@@ -132,6 +143,7 @@ object StreamingOps {
       .select(explode(split(col("text"), " ")).as("term"))
       .join(broadcast(vocab.select(col("term")).withColumn("inv", lit(1))),
         Seq("term"), "left")
+      .localCheckpoint(eager = false) // feeds the stats agg + the roll-up
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
     toks.filter(col("inv").isNull)
@@ -479,10 +491,9 @@ object StreamingOps {
     */
   def frameIngestBatch(stagePath: String)(batch: DataFrame, id: Long): Unit =
     idempotentParquetBatch(stagePath)(
-      graft.operators.Multimodal.decodeVideoFrames(batch)
-        .select(col("doc_id"), col("frame"), col("fhash"))
-        .withColumn("band_i", explode(sequence(lit(0), lit(3))))
-        .withColumn("band_v", expr("shiftright(fhash, 15 * band_i) & 32767")),
+      graft.operators.Multimodal.bandFrames(
+        graft.operators.Multimodal.decodeVideoFrames(batch)
+          .select(col("doc_id"), col("frame"), col("fhash"))),
       id)
 
   /** Streaming frame-signature ingestion, stage 2: fold staged batches

@@ -159,6 +159,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(pmod(conv(substring(md5(lit("zzzflood")), 1, 7), 16, 10)
         .cast("long"), lit(1024L))).collect()(0).getLong(0).toInt
     assert(fired(0).getInt(0) === floodBucket)
+    // an EMPTY micro-batch (routine on watermark-advance triggers) has
+    // no distribution to compare — it must be admitted, not reported
+    // as "the whole baseline vanished" (the full-outer form's hazard)
+    val empty = StreamingOps.driftGateBatch(
+      docs.filter(lit(false)), base, thresholdPpm2 = 1L)
+    assert(empty.isEmpty, "empty micro-batch fired the drift gate")
   }
 
   test("oov gate: in-vocab batch passes, a new-vocabulary flood names its top terms") {
