@@ -199,6 +199,35 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("7") || ex.getCause != null)
   }
 
+  test("decoders reject overflow-crafted sizes loudly (Long-compared guards)") {
+    import spark.implicits._
+    import operators.Multimodal
+    // RIFF chunk size 0x7FFFFFF0: positive in Int, but i+8+size wraps
+    // negative in Int arithmetic — must hit the loud guard, not a raw
+    // index exception
+    val wav = new Array[Byte](64)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, wav, 0, 4)
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, wav, 8, 4)
+    System.arraycopy("junk".getBytes("US-ASCII"), 0, wav, 12, 4)
+    wav(16) = 0xF0.toByte; wav(17) = 0xFF.toByte
+    wav(18) = 0xFF.toByte; wav(19) = 0x7F.toByte
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWave(Seq((3L, wav)).toDF("doc_id", "payload")).collect()
+    }
+    val m1 = e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse("")
+    assert(m1.contains("bad chunk size"))
+    // PPM header 37838x37838: w*h*3 wraps Int to a small positive that
+    // once passed the bounds check — must fail the parse loudly now
+    val hdr = "P6\n37838 37838\n255\n".getBytes("US-ASCII")
+    val ppm = hdr ++ Array.fill[Byte](64)(0)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(Seq((4L, ppm)).toDF("doc_id", "payload"))
+        .collect()
+    }
+    val m2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("overruns the stream") || m2.contains("doc 4"))
+  }
+
   test("p78: negative-reading chunk size fails fast instead of looping") {
     import spark.implicits._
     import operators.Multimodal
