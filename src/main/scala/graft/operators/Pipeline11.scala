@@ -181,11 +181,67 @@ object Pipeline11 {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Docs per curriculum phase of the registered query. */
+  private val PhaseSize = 100
+
+  /** p103: CURRICULUM phase assignment — order the corpus by an exact
+    * integer difficulty proxy (lexical diversity, floor-quantized ppm:
+    * high-diversity "clean prose" first, repetitive tail last) and cut
+    * the global order into fixed-size training phases. Curriculum
+    * ordering is the anti-shuffle of release engineering: p75
+    * deliberately destroys order with a seeded hash, this op
+    * deliberately IMPOSES one — both end in the same shard/phase
+    * machinery, which is why they share the TwoLevel device.
+    *
+    * Scale shape: the difficulty key is one doc-keyed aggregate; the
+    * global rank is TwoLevel's two-level scheme sharded on the
+    * quantized key itself (monotone along the order BY construction,
+    * 97 bounded shards, NO single-partition sort anywhere — the
+    * Engine.curate budget device); phase = rank DIV size is map-side.
+    * All-integer, so the ordering is bit-stable across engines.
+    */
+  def curriculumPhases(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val diff = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(1000000 * count(DISTINCT term) DIV count(term) " +
+                "AS BIGINT)").as("diversity_q"))
+    val ranked = TwoLevel.withGlobalRankBy(diff,
+      shardExpr = expr("diversity_q DIV 10417"), // ≤ 97 shards over [0, 1e6]
+      order = Seq(col("diversity_q").desc, col("doc_id")),
+      outCol = "rank", descending = true)
+    ranked
+      .select(col("doc_id"), col("diversity_q"), col("rank"),
+        expr(s"CAST((rank - 1) DIV $PhaseSize AS INT)").as("phase"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curriculumOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |diff AS (
+       |  SELECT doc_id,
+       |         CAST(1000000 * count(DISTINCT term) // count(*) AS BIGINT)
+       |           AS diversity_q
+       |  FROM t GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, diversity_q,
+       |         CAST(row_number() OVER (ORDER BY diversity_q DESC, doc_id)
+       |              AS BIGINT) AS rank
+       |  FROM diff)
+       |SELECT doc_id, diversity_q, rank,
+       |       CAST((rank - 1) // $PhaseSize AS INTEGER) AS phase
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p102_perceptron_quality" -> (perceptronQuality _),
+    "p103_curriculum" -> (curriculumPhases _),
   )
 
   val oracles: Map[String, String] = Map(
     "p102_perceptron_quality" -> perceptronOracle,
+    "p103_curriculum" -> curriculumOracle,
   )
 }

@@ -26,7 +26,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline11.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 177,
+    assert(SparkEntry.queries.size >= 178,
       "registered-query surface shrank below the round-8 ledger")
   }
 
