@@ -83,6 +83,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "skipping is dead and the probe reads the whole store")
   }
 
+  test("p102: the weight model joins broadcast (scoring stays map-side)") {
+    val p = plan("p102_perceptron_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-bounded weight table stopped broadcasting — per-round " +
+      "scoring would shuffle the corpus on the bucket key")
+  }
+
   test("q52: salted join stays a shuffled hash join (replicated dim never broadcast)") {
     val p = plan("q52_salted_join")
     assert(p.contains("ShuffledHashJoin"), "salted join lost its shuffle-hash hint")
