@@ -768,6 +768,21 @@ object Engine {
   def perceptronScore(docs: DataFrame, weights: DataFrame): DataFrame =
     operators.Pipeline11.perceptronScore(docs, weights)
 
+  /** Length-bucketed batch assignment (p101): fixed-size batches
+    * within quantum-rounded token-length buckets, with exact per-doc
+    * pad waste — the serving-side padding lever.
+    */
+  def lengthBatches(docs: DataFrame, quantum: Int = 16,
+                    batchDocs: Int = 8): DataFrame =
+    operators.Pipeline10.lengthBatchingOf(docs, quantum, batchDocs)
+
+  /** Curriculum phase assignment (p103): global order by quantized
+    * lexical diversity (high first) cut into fixed-size phases, via
+    * the TwoLevel no-single-partition-sort rank.
+    */
+  def curriculumPhases(docs: DataFrame, phaseSize: Int): DataFrame =
+    operators.Pipeline11.curriculumPhasesOf(docs, phaseSize)
+
   /** Fuzzy benchmark decontamination decision table (p94): per doc,
     * distinct n-gram shingles, benchmark hits, and the ≥ pct%
     * integer-cross-multiplied `contaminated` verdict. The benchmark

@@ -656,19 +656,26 @@ object Pipeline10 {
     * All-integer.
     */
   def lengthBatching(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    lengthBatchingOf(documents(s, d), LenQuantum, BatchDocs)
+      .orderBy(col("doc_id"))
+
+  /** Library entry behind p101: batch assignment of any (doc_id, text)
+    * frame at any quantum/batch size. Sort-free.
+    */
+  def lengthBatchingOf(docs: DataFrame, quantum: Int,
+                       batchDocs: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket",
-        expr(s"((n_tokens + ${LenQuantum - 1}) DIV $LenQuantum) * $LenQuantum"))
+        expr(s"((n_tokens + ${quantum - 1}) DIV $quantum) * $quantum"))
       .withColumn("shard", (col("doc_id") % 8).cast("int"))
       .withColumn("batch_idx",
         expr(s"CAST((row_number() OVER (PARTITION BY bucket, shard " +
-             s"ORDER BY n_tokens DESC, doc_id) - 1) DIV $BatchDocs AS INT)"))
+             s"ORDER BY n_tokens DESC, doc_id) - 1) DIV $batchDocs AS INT)"))
       .withColumn("pad_waste", col("bucket") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
         col("batch_idx"), col("pad_waste"))
-      .orderBy(col("doc_id"))
 
   val lengthBatchingOracle: String =
     s"""WITH t AS (

@@ -200,21 +200,24 @@ object Pipeline11 {
     * Engine.curate budget device); phase = rank DIV size is map-side.
     * All-integer, so the ordering is bit-stable across engines.
     */
-  def curriculumPhases(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def curriculumPhases(s: SparkSession, d: String): DataFrame =
+    curriculumPhasesOf(documents(s, d), PhaseSize).orderBy(col("doc_id"))
+
+  /** Library entry behind p103: curriculum phases of any (doc_id,
+    * text) frame at any phase size. Sort-free.
+    */
+  def curriculumPhasesOf(docs: DataFrame, phaseSize: Int): DataFrame = {
     val diff = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"))
       .agg(expr("CAST(1000000 * count(DISTINCT term) DIV count(term) " +
                 "AS BIGINT)").as("diversity_q"))
-    val ranked = TwoLevel.withGlobalRankBy(diff,
-      shardExpr = expr("diversity_q DIV 10417"), // ≤ 97 shards over [0, 1e6]
-      order = Seq(col("diversity_q").desc, col("doc_id")),
-      outCol = "rank", descending = true)
-    ranked
+    TwoLevel.withGlobalRankBy(diff,
+        shardExpr = expr("diversity_q DIV 10417"), // ≤ 97 shards over [0, 1e6]
+        order = Seq(col("diversity_q").desc, col("doc_id")),
+        outCol = "rank", descending = true)
       .select(col("doc_id"), col("diversity_q"), col("rank"),
-        expr(s"CAST((rank - 1) DIV $PhaseSize AS INT)").as("phase"))
-      .orderBy(col("doc_id"))
+        expr(s"CAST((rank - 1) DIV $phaseSize AS INT)").as("phase"))
   }
 
   val curriculumOracle: String =

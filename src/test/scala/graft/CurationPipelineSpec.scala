@@ -114,6 +114,10 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(Engine.clusterSample(emb,
         Similarity.seedCentroids(emb, 8), 20, seed = "p96")) ===
       rows(Pipeline10.clusterSample(spark, d01)))
+    assert(rows(Engine.lengthBatches(all)) ===
+      rows(Pipeline10.lengthBatching(spark, d01)))
+    assert(rows(Engine.curriculumPhases(all, 100)) ===
+      rows(graft.operators.Pipeline11.curriculumPhases(spark, d01)))
   }
 
   test("curateClips: every stage equals an independent driver-side pipeline") {
