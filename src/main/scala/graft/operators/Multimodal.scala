@@ -225,6 +225,37 @@ object Multimodal {
     * along unchanged (e.g. the event-time column a streaming caller
     * needs for its watermark downstream of the decode boundary).
     */
+  /** The per-payload raster decode, driver-callable (the mutated-
+    * payload property test exercises it without a Spark job, so guard
+    * failures surface as bare IllegalArgumentException, undisguised by
+    * task-failure wrapping). Returns the [[decodedFields]] values.
+    */
+  private[graft] def rasterKernel(id: Long, b: Array[Byte]): Seq[Any] = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 raster")
+    val (w, i1) = ppmInt(b, 2)
+    val (h, i2) = ppmInt(b, i1)
+    val (maxval, i3) = ppmInt(b, i2)
+    val off = i3 + 1 // single whitespace byte separates header and pixels
+    val nPix = b.length - off
+    // Long compare: untrusted dims must not wrap the promised size
+    require(nPix.toLong == w.toLong * h * 3L,
+      s"doc $id: pixel block is $nPix bytes, header promises ${w.toLong * h * 3L}")
+    var pixSum = 0L
+    var i = off
+    while (i < b.length) { pixSum += (b(i) & 0xff); i += 1 }
+    val r0 = new Array[Long](3)
+    var x = 0
+    while (x < w) {
+      var c = 0
+      while (c < 3) { r0(c) += (b(off + x * 3 + c) & 0xff); c += 1 }
+      x += 1
+    }
+    // Seq[Any] everywhere: a mixed Int/Long Seq would numerically
+    // widen the Ints to Long and break the encoder's INT fields
+    Seq[Any](w, h, maxval, nPix.toLong, r0(0), r0(1), r0(2), pixSum,
+      dHash(b, off, w, h))
+  }
+
   def decodeRasterKeeping(withRaster: DataFrame, keep: Seq[String]): DataFrame = {
     val keepFields = keep.map(n => withRaster.schema(n))
     val outSchema = StructType(
@@ -234,31 +265,8 @@ object Multimodal {
       col("doc_id") +: col("payload") +: keep.map(col): _*)
     in.mapPartitions(rows => rows.map { r =>
         val id = r.getLong(0)
-        val b = r.getAs[Array[Byte]](1)
-        require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 raster")
-        val (w, i1) = ppmInt(b, 2)
-        val (h, i2) = ppmInt(b, i1)
-        val (maxval, i3) = ppmInt(b, i2)
-        val off = i3 + 1 // single whitespace byte separates header and pixels
-        val nPix = b.length - off
-        // Long compare: untrusted dims must not wrap the promised size
-        require(nPix.toLong == w.toLong * h * 3L,
-          s"doc $id: pixel block is $nPix bytes, header promises ${w.toLong * h * 3L}")
-        var pixSum = 0L
-        var i = off
-        while (i < b.length) { pixSum += (b(i) & 0xff); i += 1 }
-        val r0 = new Array[Long](3)
-        var x = 0
-        while (x < w) {
-          var c = 0
-          while (c < 3) { r0(c) += (b(off + x * 3 + c) & 0xff); c += 1 }
-          x += 1
-        }
-        // Seq[Any] everywhere: a mixed Int/Long Seq would numerically
-        // widen the Ints to Long and break the encoder's INT fields
         Row.fromSeq(Seq[Any](id) ++ keep.indices.map(k => r.get(2 + k)) ++
-          Seq[Any](w, h, maxval, nPix.toLong, r0(0), r0(1), r0(2), pixSum,
-              dHash(b, off, w, h)))
+          rasterKernel(id, r.getAs[Array[Byte]](1)))
       })(encoder)
   }
 
@@ -402,6 +410,58 @@ object Multimodal {
     * [[decodeRasterKeeping]] (streaming callers thread their event
     * time through the codec boundary).
     */
+  /** RIFF chunk walk + PCM int16 parse, driver-callable (as
+    * [[rasterKernel]]): returns (sample_rate, samples). Shared by the
+    * whole-track decode and the segment decode.
+    */
+  private[graft] def waveSamples(id: Long, b: Array[Byte]): (Int, Array[Int]) = {
+    require(b.length >= 44 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE", s"doc $id: not RIFF/WAVE")
+    var i = 12
+    var rate = -1; var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val tag = new String(b, i, 4, "US-ASCII")
+      val size = leU32(b, i + 4).toInt
+      // untrusted size: a low-32-bits value like 0xFFFFFFF8 reads
+      // as toInt = -8 and would make the walk step zero/negative —
+      // an executor-task infinite loop instead of a loud failure.
+      // The sum is compared in LONG: a large positive size like
+      // 0x7FFFFFF0 would wrap i+8+size negative in Int and slip
+      // past the guard into a raw index exception
+      require(size >= 0 && i + 8L + size <= b.length,
+        s"doc $id: bad chunk size $size at offset $i")
+      if (tag == "fmt ") {
+        require(leU16(b, i + 8) == 1 && leU16(b, i + 10) == 1 &&
+          leU16(b, i + 22) == 16, s"doc $id: not mono 16-bit PCM")
+        rate = leU32(b, i + 12).toInt
+      } else if (tag == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
+      s"doc $id: missing fmt/data chunk")
+    val n = dataLen / 2
+    val s = new Array[Int](n)
+    var t = 0
+    while (t < n) { s(t) = leS16(b, dataOff + t * 2); t += 1 }
+    (rate, s)
+  }
+
+  /** The per-payload audio decode, driver-callable: the
+    * [[waveDecodedFields]] values. */
+  private[graft] def waveKernel(id: Long, b: Array[Byte]): Seq[Any] = {
+    val (rate, s) = waveSamples(id, b)
+    val n = s.length
+    var sum = 0L; var maxAmp = 0; var zc = 0L
+    var t = 0
+    while (t < n) {
+      val v = s(t); sum += v
+      val a = math.abs(v); if (a > maxAmp) maxAmp = a
+      if (t >= 1 && s(t - 1).toLong * v < 0) zc += 1
+      t += 1
+    }
+    Seq[Any](rate, n, sum, maxAmp, zc, waveFingerprint(s))
+  }
+
   def decodeWaveKeeping(withWave: DataFrame, keep: Seq[String]): DataFrame = {
     val keepFields = keep.map(n => withWave.schema(n))
     val outSchema = StructType(
@@ -410,45 +470,8 @@ object Multimodal {
     withWave.select(col("doc_id") +: col("payload") +: keep.map(col): _*)
       .mapPartitions(rows => rows.map { r =>
         val id = r.getLong(0)
-        val b = r.getAs[Array[Byte]](1)
-        require(b.length >= 44 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
-          new String(b, 8, 4, "US-ASCII") == "WAVE", s"doc $id: not RIFF/WAVE")
-        var i = 12
-        var rate = -1; var dataOff = -1; var dataLen = -1
-        while (i + 8 <= b.length && (rate < 0 || dataOff < 0)) {
-          val tag = new String(b, i, 4, "US-ASCII")
-          val size = leU32(b, i + 4).toInt
-          // untrusted size: a low-32-bits value like 0xFFFFFFF8 reads
-          // as toInt = -8 and would make the walk step zero/negative —
-          // an executor-task infinite loop instead of a loud failure.
-          // The sum is compared in LONG: a large positive size like
-          // 0x7FFFFFF0 would wrap i+8+size negative in Int and slip
-          // past the guard into a raw index exception
-          require(size >= 0 && i + 8L + size <= b.length,
-            s"doc $id: bad chunk size $size at offset $i")
-          if (tag == "fmt ") {
-            require(leU16(b, i + 8) == 1 && leU16(b, i + 10) == 1 &&
-              leU16(b, i + 22) == 16, s"doc $id: not mono 16-bit PCM")
-            rate = leU32(b, i + 12).toInt
-          } else if (tag == "data") { dataOff = i + 8; dataLen = size }
-          i += 8 + size + (size & 1)
-        }
-        require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
-          s"doc $id: missing fmt/data chunk")
-        val n = dataLen / 2
-        val s = new Array[Int](n)
-        var t = 0
-        while (t < n) { s(t) = leS16(b, dataOff + t * 2); t += 1 }
-        var sum = 0L; var maxAmp = 0; var zc = 0L
-        t = 0
-        while (t < n) {
-          val v = s(t); sum += v
-          val a = math.abs(v); if (a > maxAmp) maxAmp = a
-          if (t >= 1 && s(t - 1).toLong * v < 0) zc += 1
-          t += 1
-        }
         Row.fromSeq(Seq[Any](id) ++ keep.indices.map(k => r.get(2 + k)) ++
-          Seq[Any](rate, n, sum, maxAmp, zc, waveFingerprint(s)))
+          waveKernel(id, r.getAs[Array[Byte]](1)))
       })(encoder)
   }
 
@@ -488,6 +511,15 @@ object Multimodal {
     */
   def perceptualProbe(queries: DataFrame, corpus: DataFrame,
                       maxHamming: Int = 3): DataFrame = {
+    // column contract, enforced loudly: the banding adds band_i/band_v
+    // via withColumn (which silently REPLACES a same-named input) and
+    // the output prepends qid — a corpus already carrying any of the
+    // three would be clobbered or ambiguous, producing wrong joins with
+    // no error
+    val reserved = Set("band_i", "band_v", "qid")
+    val clash = corpus.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"perceptualProbe: corpus must not carry reserved column(s) ${clash.mkString(", ")}")
     def band(df: DataFrame, hCol: String) = df
       .withColumn("band_i", explode(sequence(lit(0), lit(3))))
       .withColumn("band_v", expr(s"shiftright($hCol, 15 * band_i) & 32767"))
@@ -674,7 +706,7 @@ object Multimodal {
   /** Shared stream walk of [[decodeVideoFrames]]/[[decodeVideoClip]]:
     * parse every frame of one raw PPM stream to (frame, w, h, dHash).
     */
-  private def walkVideo(id: Long, b: Array[Byte]): Vector[(Int, Int, Int, Long)] = {
+  private[graft] def walkVideo(id: Long, b: Array[Byte]): Vector[(Int, Int, Int, Long)] = {
     val frames = Vector.newBuilder[(Int, Int, Int, Long)]
     var off = 0
     var f = 0

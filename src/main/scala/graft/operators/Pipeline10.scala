@@ -603,6 +603,14 @@ object Pipeline10 {
   /** Per-JVM memoized frame-signature stores (the p41/p50 index
     * contract: first invocation pays the one-pass build, warm probes
     * measure the steady-state pruned read).
+    *
+    * Staleness assumption, deliberate: the cache keys on the dataset
+    * DIRECTORY, so regenerating that directory's contents within one
+    * JVM session would answer probes from the stale store (and the
+    * temp dirs live until JVM exit). That is the bench-harness
+    * contract — test datasets are immutable per session; a long-lived
+    * service would key the memo on a content fingerprint (e.g. the
+    * source files' (path, mtime, size) digest) and evict on mismatch.
     */
   private val frameStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

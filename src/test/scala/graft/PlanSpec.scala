@@ -55,7 +55,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("p85_multimodal_dedup")
     // the r7 form self-joined documents on text — K²/2 pairs per K-copy
     // group and the raw text as shuffle key; the star-edge form windows
-    // over the 8-byte (xxhash64, length) composite only
+    // over the 128-bit (xxhash64, salted xxhash64) composite only
     assert(!p.matches("(?s).*hashpartitioning\\(text#.*"),
       "a shuffle keyed on raw document text crept back into p85")
   }

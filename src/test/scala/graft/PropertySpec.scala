@@ -373,12 +373,19 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("media decoders on mutated payloads: parse or throw loudly, never hang or mis-size") {
+  test("media decoders on mutated payloads: guard-raised failures only, shape-stable under data flips") {
     // the class of bug ADVICE r7 caught in the RIFF walk (a corrupt
     // chunk size looping an executor forever): random byte mutations
-    // and truncations of VALID payloads must either decode to exactly
-    // the clean result's shape or raise, in bounded time — driver-side
-    // (no Spark job), so a hang would trip the suite timeout directly
+    // and truncations of VALID payloads must either parse or raise the
+    // guards' own IllegalArgumentException, in bounded time. The
+    // kernels run DIRECTLY on the driver (no Spark job, no task-failure
+    // wrapping — ADVICE r8), so a raw ArrayIndexOutOfBounds /
+    // NegativeArraySize propagates and FAILS the test instead of
+    // hiding inside a SparkException, and a hang trips the suite
+    // timeout. Shape half of the contract: a byte FLIP strictly inside
+    // a pixel/sample block never touches a header, so the parse must
+    // succeed and every shape field must equal the clean decode's;
+    // a video truncation that parses must be an exact frame prefix.
     import graft.operators.Multimodal
     val mutation = for {
       id <- Gen.choose(0L, 400L)
@@ -388,28 +395,69 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     } yield (id, kind, at, b)
     forAll(Gen.listOfN(30, mutation), n = 3) { ms =>
       ms.foreach { case (id, kind, at0, b) =>
-        def corrupt(good: Array[Byte]): Array[Byte] = {
+        def corrupt(good: Array[Byte]): (Array[Byte], Int) = {
           val at = at0 % math.max(1, good.length)
-          kind match {
+          (kind match {
             case 0 => good.take(at)                       // truncate
             case 1 => val c = good.clone(); c(at) = b.toByte; c // flip
             case 2 => (good.take(at) :+ b.toByte) ++ good.drop(at) // insert
-          }
+          }, at)
         }
-        def check(run: => Unit): Unit =
-          try run catch {
-            case _: IllegalArgumentException => // loud require — fine
-            case _: org.apache.spark.SparkException => // wrapped — fine
-          }
-        val vdf = Seq((id, corrupt(Multimodal.videoBytes(id))))
-          .toDF("doc_id", "payload")
-        check(Multimodal.decodeVideoFrames(vdf).collect())
-        val wdf = Seq((id, corrupt(Multimodal.waveBytes(id))))
-          .toDF("doc_id", "payload")
-        check(Multimodal.decodeWave(wdf).collect())
-        val rdf = Seq((id, corrupt(Multimodal.rasterBytes(id))))
-          .toDF("doc_id", "payload")
-        check(Multimodal.decodeRaster(rdf).collect())
+        // run the kernel; None = the guards rejected it (the ONLY
+        // tolerated failure), Some(result) = it parsed
+        def run[A](thunk: => A): Option[A] =
+          try Some(thunk) catch { case _: IllegalArgumentException => None }
+
+        // video: flips outside the per-frame headers keep the exact
+        // frame geometry; a parsed truncation is a clean-walk prefix
+        val vGood = Multimodal.videoBytes(id)
+        val vClean = Multimodal.walkVideo(id, vGood)
+        val (vw, vh, _) = Multimodal.videoParams(id)
+        val vHdLen = s"P6\n$vw $vh\n255\n".length
+        val vStride = vHdLen + vw * vh * 3
+        val (vBad, vAt) = corrupt(vGood)
+        run(Multimodal.walkVideo(id, vBad)) match {
+          case Some(frames) if kind == 0 =>
+            assert(frames == vClean.take(frames.length),
+              s"doc $id: truncated walk is not a clean prefix")
+          case Some(frames) if kind == 1 =>
+            assert(frames.map(f => (f._1, f._2, f._3)) ===
+              vClean.map(f => (f._1, f._2, f._3)),
+              s"doc $id: flip changed frame geometry")
+          case Some(_) => // insert that still parses: tolerated
+          case None =>
+            assert(!(kind == 1 && vAt % vStride >= vHdLen),
+              s"doc $id: pixel-block flip at $vAt must not fail the parse")
+        }
+
+        // wave: flips inside the sample block ([44, end)) keep rate/n
+        val wGood = Multimodal.waveBytes(id)
+        val wClean = Multimodal.waveKernel(id, wGood)
+        val (wBad, wAt) = corrupt(wGood)
+        run(Multimodal.waveKernel(id, wBad)) match {
+          case Some(out) if kind == 1 && wAt >= 44 =>
+            assert(out(0) == wClean(0) && out(1) == wClean(1),
+              s"doc $id: sample flip changed rate/n_samples")
+          case Some(_) =>
+          case None =>
+            assert(!(kind == 1 && wAt >= 44),
+              s"doc $id: sample flip at $wAt must not fail the parse")
+        }
+
+        // raster: flips at/after the header keep (w, h, maxval, bytes)
+        val rGood = Multimodal.rasterBytes(id)
+        val rClean = Multimodal.rasterKernel(id, rGood)
+        val rHdLen = rGood.length - rClean(3).asInstanceOf[Long].toInt
+        val (rBad, rAt) = corrupt(rGood)
+        run(Multimodal.rasterKernel(id, rBad)) match {
+          case Some(out) if kind == 1 && rAt >= rHdLen =>
+            assert(out.take(4) == rClean.take(4),
+              s"doc $id: pixel flip changed raster shape")
+          case Some(_) =>
+          case None =>
+            assert(!(kind == 1 && rAt >= rHdLen),
+              s"doc $id: pixel flip at $rAt must not fail the parse")
+        }
       }
     }
   }
