@@ -762,6 +762,15 @@ object Engine {
   def perceptronTrain(docs: DataFrame): DataFrame =
     operators.Pipeline11.perceptronTrain(docs)
 
+  /** Train the POCKET form (p107): the best-training-error round's
+    * weights with fixed-point early stop — the classic stabilization
+    * for batch-perceptron oscillation on non-separable corpora. Same
+    * (b, w) model shape — scores through [[perceptronScore]]
+    * unchanged.
+    */
+  def perceptronTrainPocket(docs: DataFrame): DataFrame =
+    operators.Pipeline11.perceptronTrainPocket(docs)
+
   /** Score ANY corpus under a [[perceptronTrain]] model — one
     * broadcast join + one doc roll-up; unseen buckets score zero.
     */
