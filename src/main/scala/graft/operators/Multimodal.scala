@@ -300,12 +300,13 @@ object Multimodal {
 
   private[graft] val WaveRate = 8000
 
-  /** Render one document's canonical 44-byte-header RIFF/WAVE PCM
-    * file: fmt chunk (PCM, mono, 16-bit, 8 kHz) + data chunk of
-    * little-endian int16 samples.
+  /** Render a canonical 44-byte-header RIFF/WAVE PCM file from a
+    * sample array: fmt chunk (PCM, mono, 16-bit, 8 kHz) + data chunk
+    * of little-endian int16 samples. Shared by the fixture renderer
+    * and the specs that hand-slice payloads (true-trim containment).
     */
-  private[graft] def waveBytes(id: Long): Array[Byte] = {
-    val (period, phase, n, k) = waveParams(id)
+  private[graft] def wavePcmBytes(samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
     val dataSize = n * 2
     val out = new Array[Byte](44 + dataSize)
     def putTag(i: Int, s: String): Unit =
@@ -323,10 +324,14 @@ object Multimodal {
     putU32(28, WaveRate.toLong * 2); putU16(32, 2); putU16(34, 16)
     putTag(36, "data"); putU32(40, dataSize.toLong)
     var t = 0
-    while (t < n) {
-      putU16(44 + t * 2, sampleAt(period, phase, n, k, t) & 0xffff); t += 1
-    }
+    while (t < n) { putU16(44 + t * 2, samples(t) & 0xffff); t += 1 }
     out
+  }
+
+  /** Render one document's fixture WAV from the generator formula. */
+  private[graft] def waveBytes(id: Long): Array[Byte] = {
+    val (period, phase, n, k) = waveParams(id)
+    wavePcmBytes(Array.tabulate(n)(t => sampleAt(period, phase, n, k, t)))
   }
 
   private val waveSchema = StructType(Seq(
@@ -474,6 +479,59 @@ object Multimodal {
           waveKernel(id, r.getAs[Array[Byte]](1)))
       })(encoder)
   }
+
+  private val waveSegmentFields = Seq(
+    StructField("seg", IntegerType, nullable = false),
+    StructField("n_segs", IntegerType, nullable = false),
+    StructField("sfp", LongType, nullable = false))
+
+  /** Per-SEGMENT audio fingerprints: split each decoded track into
+    * fixed-length sample segments and fingerprint each with the same
+    * 60-bit four-profile device as the whole track ([[waveFingerprint]]
+    * over the segment's 16 sub-windows) — the audio analog of the
+    * video frame table `(doc_id, seg, n_segs, sfp)`. Fingerprints are
+    * SEGMENT-LOCAL by construction (the zero-crossing count starts at
+    * the segment's second sample, nothing reads across the boundary),
+    * so a track sliced at a segment boundary reproduces the original's
+    * segment fingerprints exactly — the property containment search
+    * needs. The tail partial segment is dropped (`n_segs = n ∕ segLen`),
+    * mirroring the oracle. `segLen` must be a multiple of 16 so the 16
+    * sub-windows are equal.
+    */
+  def decodeWaveSegments(withWave: DataFrame, segLen: Int): DataFrame = {
+    require(segLen >= 16 && segLen % 16 == 0,
+      s"segment length $segLen must be a positive multiple of 16")
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: waveSegmentFields)
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    withWave.select(col("doc_id"), col("payload"))
+      .mapPartitions(rows => rows.flatMap { r =>
+        val id = r.getLong(0)
+        val (_, s) = waveSamples(id, r.getAs[Array[Byte]](1))
+        val nSegs = s.length / segLen
+        (0 until nSegs).map { g =>
+          Row.fromSeq(Seq[Any](id, g, nSegs, waveFingerprint(
+            java.util.Arrays.copyOfRange(s, g * segLen, (g + 1) * segLen))))
+        }
+      })(encoder)
+  }
+
+  /** Trim-robust AUDIO containment — a jingle inside a longer track:
+    * every (short, long, offset) where the short track's whole segment
+    * sequence matches a contiguous window of the long track's,
+    * segment-for-segment within `maxHamming` on the 60-bit profile
+    * fingerprint. Pure reuse of [[clipContainment]]'s anchor device
+    * (the fingerprint was sized 60-bit exactly so the 4×15 banding and
+    * its radius-3 pigeonhole carry over): band the short tracks'
+    * FIRST-segment fingerprints against all segments, verify only the
+    * candidates' aligned windows. `segments` is a
+    * [[decodeWaveSegments]]-shaped table.
+    */
+  def audioContainment(segments: DataFrame, maxHamming: Int = 3): DataFrame =
+    clipContainment(
+      segments.select(col("doc_id"), col("seg").as("frame"),
+        col("n_segs").as("n_frames"), col("sfp").as("fhash")),
+      maxHamming)
 
   /** Near-duplicate image pairs (Hamming distance ≤ maxHamming on the
     * 60-bit dHash) from a `(doc_id, dhash)` frame — 4×15-bit band

@@ -102,11 +102,96 @@ object Pipeline12 {
        |FROM per GROUP BY method
        |ORDER BY method, qid""".stripMargin
 
+  /** Segment length of the registered audio-containment query: 64
+    * samples (8 ms at the fixture's 8 kHz) — a multiple of 16 (equal
+    * fingerprint sub-windows) that divides every fixture track length
+    * (n = 256 + (id%5)·64), so the registered corpus has no dropped
+    * tails and segment counts span 4–8.
+    */
+  private val AudioSegLen = 64
+
+  /** p105: trim-robust AUDIO containment over the corpus — the audio
+    * twin of p99 (a jingle inside a longer track), built from
+    * [[Multimodal.decodeWaveSegments]]'s segment-local fingerprints
+    * and [[Multimodal.audioContainment]]'s banded anchor + window
+    * verify. As with p99, this corpus's instances are the equal-length
+    * twins at offset 0 (ids 160 apart byte-identical, ids 80 apart
+    * phase-jittered; different lengths imply different envelopes, so
+    * no cross-length trims exist in the fixture) — true head/middle
+    * trims are exercised by the hand-sliced-payload spec
+    * (MultimodalSpec), while the oracle here is the full
+    * all-pairs-all-offsets scan, proving the banded path against brute
+    * force at corpus scale.
+    */
+  def audioContainmentQuery(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioContainment(
+        Multimodal.decodeWaveSegments(
+          Multimodal.attachWave(graft.Tables.documents(s, d)), AudioSegLen),
+        maxHamming = 3)
+      .orderBy(col("short_id"), col("long_id"), col("offset"))
+
+  /** Segment-parametric mirror of Pipeline8's whole-track fingerprint
+    * CTEs: same generator formula, same four-profile 60-bit fold, but
+    * windows are LOCAL to each 64-sample segment (w = (t mod 64) ∕ 4)
+    * and crossings reset at segment starts — the engine's
+    * segment-local contract, then the p99-style all-offsets scan.
+    */
+  val audioContainmentOracle: String = {
+    val L = AudioSegLen
+    s"""WITH ${Pipeline8.waveDocsCte},
+       |sm AS (SELECT doc_id, t // $L AS seg, (t % $L) // ${L / 16} AS w,
+       |              ${Pipeline8.waveSampleSql("t")} AS s,
+       |              CASE WHEN t % $L >= 1 THEN
+       |                ${Pipeline8.waveSampleSql("t - 1")} END AS sp
+       |       FROM wd, unnest(range(0, (n // $L) * $L)) tt(t)),
+       |en AS (SELECT doc_id, seg, w,
+       |              sum(abs(s)) AS e, max(abs(s)) AS m,
+       |              sum(CASE WHEN sp IS NOT NULL AND sp * s < 0
+       |                       THEN 1 ELSE 0 END) AS z,
+       |              sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS p
+       |       FROM sm GROUP BY doc_id, seg, w),
+       |fp AS (SELECT a.doc_id, a.seg,
+       |              CAST(sum(
+       |                (CASE WHEN b.e > a.e
+       |                      THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END) +
+       |                (CASE WHEN b.m > a.m
+       |                      THEN CAST(1 AS BIGINT) << CAST(15 + a.w AS INT) ELSE 0 END) +
+       |                (CASE WHEN b.z > a.z
+       |                      THEN CAST(1 AS BIGINT) << CAST(30 + a.w AS INT) ELSE 0 END) +
+       |                (CASE WHEN b.p > a.p
+       |                      THEN CAST(1 AS BIGINT) << CAST(45 + a.w AS INT) ELSE 0 END)
+       |              ) AS BIGINT) AS sfp
+       |       FROM en a JOIN en b
+       |         ON a.doc_id = b.doc_id AND a.seg = b.seg AND b.w = a.w + 1
+       |       GROUP BY a.doc_id, a.seg),
+       |segs AS (SELECT doc_id, CAST(n // $L AS INTEGER) AS nseg FROM wd),
+       |cand AS (
+       |  SELECT s.doc_id AS sid, s.nseg AS nfs, l.doc_id AS lid, o.off
+       |  FROM segs s JOIN segs l
+       |    ON l.doc_id <> s.doc_id AND l.nseg >= s.nseg,
+       |  LATERAL unnest(range(0, l.nseg - s.nseg + 1)) o(off)),
+       |agg AS (
+       |  SELECT c.sid, c.lid, c.off, c.nfs,
+       |         count(*) AS n_aligned,
+       |         max(bit_count(xor(a.sfp, b.sfp))) AS mh
+       |  FROM cand c
+       |  JOIN fp a ON a.doc_id = c.sid
+       |  JOIN fp b ON b.doc_id = c.lid AND b.seg = a.seg + c.off
+       |  GROUP BY c.sid, c.lid, c.off, c.nfs)
+       |SELECT sid AS short_id, lid AS long_id,
+       |       CAST(off AS INTEGER) AS offset,
+       |       CAST(mh AS INTEGER) AS max_hamming
+       |FROM agg WHERE n_aligned = nfs AND mh <= 3
+       |ORDER BY short_id, long_id, "offset"""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p104_ann_recall" -> (annRecall _),
+    "p105_audio_containment" -> (audioContainmentQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "p104_ann_recall" -> annRecallOracle,
+    "p105_audio_containment" -> audioContainmentOracle,
   )
 }

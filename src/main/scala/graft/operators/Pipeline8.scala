@@ -345,7 +345,7 @@ object Pipeline8 {
     * re-derived from the formula rather than lag() so the CTE stays a
     * pure per-row map.
     */
-  private def waveSampleSql(t: String): String =
+  private[operators] def waveSampleSql(t: String): String =
     s"""(((13 * ($t) + phase) % period) * 8 - period * 4) *
        |                (1 + ((($t) * k) // n) % 4)""".stripMargin
 

@@ -240,6 +240,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "unrelated clip must not be contained")
   }
 
+  test("audio containment finds hand-sliced jingles at their offset (brute-force parity)") {
+    // true trims, which the generated corpus lacks: slice a fixture
+    // track's SAMPLES at segment boundaries and re-wrap as WAV — the
+    // jingle-inside-a-track case. Segment-local fingerprints must make
+    // the slice's segments equal the original's window exactly.
+    val L = 64
+    val (period, phase, n, k) = Multimodal.waveParams(3L)
+    assert(n === 448) // 7 segments at L=64
+    val base = Array.tabulate(n)(t => Multimodal.sampleAt(period, phase, n, k, t))
+    val docs = Seq(
+      100L -> Multimodal.wavePcmBytes(base),                    // original (7 segs)
+      101L -> Multimodal.wavePcmBytes(base.slice(L, 5 * L)),    // middle slice (4 segs)
+      102L -> Multimodal.wavePcmBytes(base.drop(4 * L)),        // tail (3 segs)
+      103L -> Multimodal.waveBytes(9L))                         // unrelated
+    val segs = Multimodal.decodeWaveSegments(docs.toDF("doc_id", "payload"), L)
+    // segment locality: the slice's fingerprints ARE the original's window
+    val fp = segs.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("seg"), r.getAs[Long]("sfp")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    assert(fp(101L) === fp(100L).slice(1, 5), "sliced fingerprints drifted")
+    assert(fp(102L) === fp(100L).drop(4))
+    val got = Multimodal.audioContainment(segs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Int]("offset"), r.getAs[Int]("max_hamming"))).toSet
+    val want = (for {
+      (a, ha) <- fp.toSeq; (b, hb) <- fp.toSeq if a != b
+      off <- 0 to (hb.length - ha.length)
+      ds = ha.indices.map(f => java.lang.Long.bitCount(ha(f) ^ hb(off + f)))
+      if ds.max <= 3
+    } yield (a, b, off, ds.max)).toSet
+    assert(got === want, "audio containment diverged from brute force")
+    assert(got.contains((101L, 100L, 1, 0)), "middle slice not found at offset 1")
+    assert(got.contains((102L, 100L, 4, 0)), "tail slice not found at offset 4")
+  }
+
   test("clip signature: equal for identical clips, distinct scenes, order-sensitive") {
     val vdocs = Seq(0L, 1L, 160L).toDF("doc_id").withColumn("text", lit(""))
     val sig = Multimodal.decodeVideoClip(Multimodal.attachVideo(vdocs))
