@@ -762,6 +762,24 @@ object Engine {
   def perceptronTrain(docs: DataFrame): DataFrame =
     operators.Pipeline11.perceptronTrain(docs)
 
+  /** The phase-ordered training release plan (p106): per-document
+    * curriculum phase, length-batch coordinates and seeded store
+    * shard in one table — the artifact a curriculum trainer consumes.
+    */
+  def releasePlan(docs: DataFrame, phaseSize: Int, quantum: Int,
+                  batchDocs: Int, shardSize: Int, seed: String): DataFrame =
+    operators.Pipeline12.releasePlanOf(docs, phaseSize, quantum, batchDocs,
+      shardSize, seed)
+
+  /** Append form of [[releasePlan]]: frozen base coordinates, appended
+    * docs extend each structure's tail (the p81 discipline).
+    */
+  def releasePlanAppend(base: DataFrame, inc: DataFrame, phaseSize: Int,
+                        quantum: Int, batchDocs: Int, shardSize: Int,
+                        seed: String): DataFrame =
+    operators.Pipeline12.releasePlanAppendOf(base, inc, phaseSize, quantum,
+      batchDocs, shardSize, seed)
+
   /** Train the POCKET form (p107): the best-training-error round's
     * weights with fixed-point early stop — the classic stabilization
     * for batch-perceptron oscillation on non-separable corpora. Same

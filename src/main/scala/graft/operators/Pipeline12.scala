@@ -185,13 +185,162 @@ object Pipeline12 {
        |ORDER BY short_id, long_id, "offset"""".stripMargin
   }
 
+  /** Geometry of the registered release plan — the same values as its
+    * three registered ingredients (p103 phases of 100, p101 16-token
+    * buckets × 8-doc batches over 8 batch shards, p75 64-doc seeded
+    * shards under the shared release seed), so a user can line the
+    * composed table up against each ingredient's own entry row by row.
+    */
+  private val PlanPhaseSize = 100
+  private val PlanQuantum = 16
+  private val PlanBatchDocs = 8
+  private val PlanShardSize = 64
+  private val PlanShardSeed = "graft-shard-7"
+
+  /** p106: the PHASE-ORDERED TRAINING RELEASE plan — one row per
+    * document carrying every coordinate a trainer consumes: its
+    * curriculum `phase` (p103: when to train on it), its
+    * `(bucket, batch_shard, batch_idx)` batching coordinates (p101:
+    * which padded batch it rides in), and its `store_shard` (p75:
+    * which seeded shard file holds it). Pure composition of three
+    * green devices joined on doc_id; the three rank structures are
+    * INDEPENDENT by design — curriculum orders by difficulty, batching
+    * by length, storage by seeded hash — which is exactly what a
+    * curriculum trainer wants (each phase still reads hash-mixed
+    * shards and length-tight batches).
+    *
+    * Scale shape: three TwoLevel/sharded-window devices (no
+    * single-partition sort anywhere — each ingredient's own
+    * contract) + two doc-keyed joins. Sort-free library entry:
+    * [[releasePlanOf]].
+    */
+  def releasePlan(s: SparkSession, d: String): DataFrame =
+    releasePlanOf(graft.Tables.documents(s, d), PlanPhaseSize, PlanQuantum,
+        PlanBatchDocs, PlanShardSize, PlanShardSeed)
+      .orderBy(col("doc_id"))
+
+  def releasePlanOf(docs: DataFrame, phaseSize: Int, quantum: Int,
+                    batchDocs: Int, shardSize: Int, seed: String): DataFrame = {
+    val phases = Pipeline11.curriculumPhasesOf(docs, phaseSize)
+      .select(col("doc_id"), col("phase"))
+    val batches = Pipeline10.lengthBatchingOf(docs, quantum, batchDocs)
+      .withColumnRenamed("shard", "batch_shard")
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        col("batch_shard"), col("batch_idx"))
+    val shards = Pipeline8.seededShards(docs, "doc_id", shardSize, seed)
+      .select(col("doc_id"), col("shard").as("store_shard"))
+    phases.join(batches, Seq("doc_id")).join(shards, Seq("doc_id"))
+      .select(col("doc_id"), col("phase"), col("n_tokens"), col("bucket"),
+        col("batch_shard"), col("batch_idx"), col("store_shard"))
+  }
+
+  /** APPEND form of the release plan — the p81 discipline applied to
+    * the whole composition: `base` documents keep EXACTLY the
+    * coordinates [[releasePlanOf]] assigned them (a daily ingest must
+    * not rewrite yesterday's phases, batches or shards), while `inc`
+    * documents rank only among themselves and extend each structure's
+    * tail — curriculum phases continue after the base's last rank,
+    * batch indices continue within each (bucket, batch_shard) group,
+    * store shards fill from the base's last position. The documented
+    * stability/mixing trade-off: appended docs mix only among
+    * themselves; re-run the full plan when a remix is worth a
+    * republish. Batch9Spec pins the frozen-base property.
+    */
+  def releasePlanAppendOf(base: DataFrame, inc: DataFrame, phaseSize: Int,
+                          quantum: Int, batchDocs: Int, shardSize: Int,
+                          seed: String): DataFrame = {
+    val nb = base.agg(count(lit(1)).as("__nb"))
+    // curriculum: inc ranks continue after the base's nb-th rank
+    val phB = Pipeline11.curriculumPhasesOf(base, phaseSize)
+      .select(col("doc_id"), col("phase"))
+    val phI = Pipeline11.curriculumPhasesOf(inc, phaseSize)
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"),
+        expr(s"CAST((rank + __nb - 1) DIV $phaseSize AS INT)").as("phase"))
+    // batching: inc rows rank within (bucket, batch_shard) after the
+    // base group's count — group tallies are bounded (buckets × 8) and
+    // broadcast
+    val btB = Pipeline10.lengthBatchingOf(base, quantum, batchDocs)
+      .withColumnRenamed("shard", "batch_shard")
+    val groupCounts = btB.groupBy(col("bucket"), col("batch_shard"))
+      .agg(count(lit(1)).as("__ng"))
+    val btI = Pipeline10.lengthBatchingOf(inc, quantum, batchDocs)
+      .withColumnRenamed("shard", "batch_shard")
+      .withColumn("__rn",
+        expr("(batch_idx * " + batchDocs + ") + " +
+          s"(row_number() OVER (PARTITION BY bucket, batch_shard, batch_idx " +
+          "ORDER BY n_tokens DESC, doc_id) - 1)"))
+      .join(broadcast(groupCounts), Seq("bucket", "batch_shard"), "left")
+      .withColumn("batch_idx",
+        expr(s"CAST((__rn + coalesce(__ng, 0)) DIV $batchDocs AS INT)"))
+    val batchCols = Seq("doc_id", "n_tokens", "bucket", "batch_shard",
+      "batch_idx").map(col)
+    // storage: the p81 seeded-rank offset
+    val shB = Pipeline8.seededShards(base, "doc_id", shardSize, seed)
+      .select(col("doc_id"), col("shard").as("store_shard"))
+    val shI = Pipeline8.seededShards(inc, "doc_id", shardSize, seed)
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"),
+        expr(s"CAST((__rn + __nb - 1) DIV $shardSize AS INT)")
+          .as("store_shard"))
+    val planB = phB.join(btB.select(batchCols: _*), Seq("doc_id"))
+      .join(shB, Seq("doc_id"))
+    val planI = phI.join(btI.select(batchCols: _*), Seq("doc_id"))
+      .join(shI, Seq("doc_id"))
+    planB.unionByName(planI)
+      .select(col("doc_id"), col("phase"), col("n_tokens"), col("bucket"),
+        col("batch_shard"), col("batch_idx"), col("store_shard"))
+  }
+
+  val releasePlanOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |diff AS (
+       |  SELECT doc_id,
+       |         CAST(1000000 * count(DISTINCT term) // count(*) AS BIGINT)
+       |           AS diversity_q
+       |  FROM toks GROUP BY doc_id),
+       |ph AS (
+       |  SELECT doc_id,
+       |         CAST((row_number() OVER (ORDER BY diversity_q DESC, doc_id)
+       |               - 1) // $PlanPhaseSize AS INTEGER) AS phase
+       |  FROM diff),
+       |tk AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, n_tokens, bucket, batch_shard,
+       |         CAST((row_number() OVER (PARTITION BY bucket, batch_shard
+       |                ORDER BY n_tokens DESC, doc_id) - 1) // $PlanBatchDocs
+       |              AS INTEGER) AS batch_idx
+       |  FROM (SELECT doc_id, n_tokens,
+       |               ((n_tokens + ${PlanQuantum - 1}) // $PlanQuantum)
+       |                 * $PlanQuantum AS bucket,
+       |               CAST(doc_id % 8 AS INTEGER) AS batch_shard
+       |        FROM tk)),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST((row_number() OVER (
+       |                ORDER BY md5('$PlanShardSeed:' || doc_id), doc_id)
+       |               - 1) // $PlanShardSize AS INTEGER) AS store_shard
+       |  FROM documents)
+       |SELECT d.doc_id, ph.phase, bi.n_tokens, bi.bucket, bi.batch_shard,
+       |       bi.batch_idx, sh.store_shard
+       |FROM documents d
+       |JOIN ph USING (doc_id) JOIN bi USING (doc_id) JOIN sh USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p104_ann_recall" -> (annRecall _),
     "p105_audio_containment" -> (audioContainmentQuery _),
+    "p106_release_plan" -> (releasePlan _),
   )
 
   val oracles: Map[String, String] = Map(
     "p104_ann_recall" -> annRecallOracle,
     "p105_audio_containment" -> audioContainmentOracle,
+    "p106_release_plan" -> releasePlanOracle,
   )
 }

@@ -512,6 +512,38 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
       f"pocket accuracy $pocketAcc%.3f does not beat the baseline $majority%.3f")
   }
 
+  test("p106: appending documents never moves a base document's plan coordinates") {
+    // the p81 discipline applied to the whole composition: a daily
+    // ingest must not rewrite yesterday's phases, batches or shards.
+    // Build the plan on the base alone, then append the increment —
+    // every base row must be IDENTICAL, every doc present exactly once,
+    // and appended docs extend each structure's tail
+    import operators.Pipeline12
+    val all = Tables.documents(spark, "/root/testdata/sf0.01")
+    val base = all.filter(col("doc_id") % 5 =!= 0)
+    val inc = all.filter(col("doc_id") % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val baseOnly = Pipeline12.releasePlanOf(base, 100, 16, 8, 64,
+      "graft-shard-7")
+    val appended = Pipeline12.releasePlanAppendOf(base, inc, 100, 16, 8, 64,
+      "graft-shard-7")
+    val appendedBaseRows = appended.join(
+      base.select(col("doc_id")), Seq("doc_id")).select(baseOnly.columns.map(col): _*)
+    assert(rows(appendedBaseRows) === rows(baseOnly),
+      "append moved a frozen base coordinate")
+    assert(appended.count() === all.count())
+    assert(appended.select(col("doc_id")).distinct().count() === all.count())
+    // appended docs extend tails: their store shards start no earlier
+    // than the base's last shard, and batch indices within any
+    // (bucket, batch_shard) group start no earlier than the base max
+    val lastBaseShard = baseOnly.agg(max(col("store_shard"))).first().getInt(0)
+    val minIncShard = appended.join(inc.select(col("doc_id")), Seq("doc_id"))
+      .agg(min(col("store_shard"))).first().getInt(0)
+    assert(minIncShard >= lastBaseShard,
+      "an appended doc landed before the base's shard tail")
+  }
+
   test("Engine graph facades delegate to the registered library forms") {
     val d01 = "/root/testdata/sf0.01"
     def rows(df: org.apache.spark.sql.DataFrame) =
