@@ -638,6 +638,40 @@ object Multimodal {
       .sortWithinPartitions(col("band_i"), col("band_v"))
       .write.mode("overwrite").partitionBy("band_i").parquet(path)
 
+  /** Compact a [[frameStoreWrite]]-layout store to ONE band_v-SORTED
+    * file per band partition — the p50 posting-store lesson applied to
+    * the perceptual index. [[graft.sources.Maintenance
+    * .compactPartitioned]] is NOT enough here: it folds sliver files
+    * but leaves rows unsorted within each rewritten file, so every
+    * row group's band_v min/max spans the whole band space and the
+    * stored probe's pushed `band_v IN (…)` filter skips nothing. This
+    * pass re-establishes the writer's own sort, after which one probe
+    * touches only the row groups holding its candidate band values
+    * (measured in `tools/ScaleProbe`: see BASELINE.md's frame-store
+    * rows). Rewrite-then-swap like every compactor here: `src` is
+    * untouched until `dst` is complete; readers swap paths after.
+    * Preserves `ingest_batch`, so the streaming merge's exactly-once
+    * presence probe survives compaction (its row-group pruning
+    * degrades to a scan of the band — correctness never depended on
+    * it).
+    */
+  def frameStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                        src: String, dst: String,
+                        rowGroupBytes: Int = 1 << 20): Unit =
+    spark.read.parquet(src)
+      .repartition(col("band_i"))
+      .sortWithinPartitions(col("band_i"), col("band_v"))
+      .write.mode("overwrite").partitionBy("band_i")
+      // index-store row groups are deliberately SMALL (1 MB, not the
+      // 128 MB analytics default): the probe's pushed band_v filter
+      // skips at row-group granularity, so group size IS the read
+      // amplification floor — a 128 MB group makes every probe read
+      // 128 MB per band. Compression/footer overhead at 1 MB is noise
+      // next to that. (Same trade the p50 posting store makes via its
+      // sorted bucket files.)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(dst)
+
   /** Stored twin of [[perceptualProbe]]: answer a LITERAL query-hash
     * batch from a [[frameStoreWrite]] store. The query hashes are
     * plan-time literals (query batches are model-sized — the

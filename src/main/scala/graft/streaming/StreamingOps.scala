@@ -500,9 +500,12 @@ object StreamingOps {
     * into the live [[graft.operators.Multimodal.frameStoreWrite]]
     * store — same exactly-once discipline as [[ivfPqMergeStaged]].
     * Appended files are not band_v-sorted; run
-    * `sources.Maintenance.compactPartitioned` periodically to restore
-    * row-group skipping on the appended tail (probe CORRECTNESS never
-    * depends on the sort — only read amplification does).
+    * [[graft.operators.Multimodal.frameStoreCompact]] periodically to
+    * restore one sorted file per band and with it row-group skipping
+    * on the whole store (probe CORRECTNESS never depends on the sort —
+    * only read amplification does; `Maintenance.compactPartitioned`
+    * would fold the slivers but leave rows unsorted, keeping the
+    * pushed band_v filter useless — measured in tools/ScaleProbe).
     */
   def frameMergeStaged(spark: org.apache.spark.sql.SparkSession,
                        stagePath: String, storePath: String): Int =

@@ -144,6 +144,40 @@ object ScaleProbe {
     val (_, pqBytes) = dirStats(pqPath)
     println(f"[scaleprobe] store_shrink ivf_bytes=$ivfBytes pq_bytes=$pqBytes " +
       f"factor=${ivfBytes.toDouble / pqBytes}%.1f")
+
+    // ---- frame-signature store: slivered vs compacted probe cost ----
+    // simulate the streaming path's layout: 12 per-batch appends into
+    // the band directories (the frameMergeStaged shape — many small
+    // files, rows unsorted within each), probe, then compact with
+    // Multimodal.frameStoreCompact (one band_v-sorted file per band)
+    // and probe again. The delta is what compaction buys the p100 path.
+    import graft.operators.Multimodal
+    val framePath = s"$base/frames.raw"
+    val frameCompacted = s"$base/frames"
+    val vdocs = xN(docs0.select(col("doc_id")), "doc_id")
+    val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(vdocs))
+      .select(col("doc_id"), col("frame"), col("fhash"))
+    for (i <- 0 until 12)
+      graft.sources.Partitioned.appendBy(
+        Multimodal.bandFrames(
+            frames.filter(pmod(col("doc_id"), lit(12)) === i))
+          .withColumn("ingest_batch", lit(i.toLong)),
+        framePath, "band_i")
+    val frameQs = (0L to 4L).map(id =>
+      (id, Multimodal.walkVideo(id, Multimodal.videoBytes(id)).head._4))
+    measure("p100_frame_probe_slivered", framePath) {
+      Multimodal.frameProbeStored(spark, framePath, frameQs, maxHamming = 3)
+    }
+    // 128 KB row groups at probe scale: each compacted band file is
+    // only ~0.6 MB, so the production default (1 MB) would leave one
+    // group per band and nothing for the pushed filter to skip — this
+    // keeps the groups-per-band ratio a real-scale store gets from
+    // the default
+    Multimodal.frameStoreCompact(spark, framePath, frameCompacted,
+      rowGroupBytes = 128 << 10)
+    measure("p100_frame_probe_compacted", frameCompacted) {
+      Multimodal.frameProbeStored(spark, frameCompacted, frameQs, maxHamming = 3)
+    }
     spark.stop()
   }
 }

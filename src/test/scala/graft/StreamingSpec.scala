@@ -771,12 +771,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val got = probe(store)
     assert(got.nonEmpty && got === probe(full),
       "streamed-and-merged frame store diverges from a full rebuild")
-    // compaction (which restores band_v row-group skipping on the
-    // appended tail) must not change a single probe answer
+    // compaction (which restores ONE band_v-sorted file per band, and
+    // with it row-group skipping) must not change a single probe answer
     val compacted = java.nio.file.Files.createTempDirectory("frame_compact").toString
-    graft.sources.Maintenance.compactPartitioned(spark, store, compacted, "band_i")
+    Multimodal.frameStoreCompact(spark, store, compacted)
     assert(probe(compacted) === got,
       "compaction changed probe results on the live frame store")
+    // post-compaction layout: one file per band partition, and the
+    // probe plan still pushes the band_v filter into the scan
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    for (b <- 0 until 4) {
+      val files = lfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$compacted/band_i=$b"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files === 1, s"band $b not compacted to one file ($files)")
+    }
+    val plan = Multimodal.frameProbeStored(spark, compacted, qs, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*band_v.*"),
+      "band_v filter no longer pushed into the compacted store scan")
   }
 
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
