@@ -197,6 +197,82 @@ object StreamingOps {
     graft.operators.Multimodal.decodeVideoKeyframesKeeping(
       withVideo, tau, Seq(tsCol))
 
+  /** Streaming CONTAINMENT gate against the live frame-signature store
+    * — the trim/crop twin of the exact [[videoDedupStream]] gate:
+    * check ONE micro-batch's arriving clips as trims of
+    * already-published clips (p99's semantics: the whole arriving
+    * frame sequence matches a contiguous window of a stored clip,
+    * frame-for-frame within `maxHamming`), answered from p100's
+    * at-rest banded store instead of a corpus rescan. Run in
+    * `foreachBatch` BEFORE [[frameIngestBatch]]: the verdict table
+    * says which arriving clips are re-uploads worth dropping (or
+    * linking) before they enter the index.
+    *
+    * Read path, scale-shaped: the ANCHOR probe is the stored p100 path
+    * — a micro-batch is bounded, so its frame-0 hashes collect to plan
+    * literals and the scan prunes on `band_i` + the pushed `band_v IN`
+    * filter. VERIFICATION reads exactly one band partition (`band_i =
+    * 0` holds every frame once) semi-joined to the candidate long-clip
+    * ids (batch-bounded, broadcast) — never the full 4× band
+    * explosion, never clips × clips. Contract (the ingest contract):
+    * arriving doc_ids are new to the store.
+    *
+    * Output: (doc_id, long_id, offset, max_hamming) — one row per
+    * (arriving clip, stored clip, alignment). StreamingSpec pins
+    * row-for-row parity with batch p99 over the same union corpus.
+    */
+  def containmentGateBatch(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String, maxHamming: Int = 3)(
+                           batch: DataFrame): DataFrame = {
+    import graft.operators.Multimodal
+    val bf = Multimodal.decodeVideoFrames(batch)
+      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+      .localCheckpoint() // feeds the anchor collect + the verify join
+    val anchors = bf.filter(col("frame") === 0)
+      .select(col("doc_id"), col("fhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val empty = bf.sparkSession.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("long_id", lit(0L))
+      .withColumn("offset", lit(0)).withColumn("max_hamming", lit(0))
+      .limit(0)
+    if (anchors.isEmpty) return empty
+    // candidate (arriving, stored, offset) triples from the banded probe
+    val cand = Multimodal.frameProbeStored(spark, storePath, anchors, maxHamming)
+      .select(col("qid"), col("doc_id").as("did"), col("frame").as("off"))
+      // defensive: the ingest contract says arriving ids are new, but a
+      // violated contract must not report a clip as containing itself
+      .filter(col("did") =!= col("qid"))
+    // stored frames of candidate docs only: one band partition, each
+    // frame once, candidate ids broadcast
+    val candDocs = cand.select(col("did")).distinct()
+    val sfc = spark.read.parquet(storePath)
+      .filter(col("band_i") === 0)
+      .select(col("doc_id").as("did"), col("frame").as("fl"),
+        col("fhash").as("h2"))
+      .join(broadcast(candDocs), Seq("did"))
+    val nfl = sfc.groupBy(col("did"))
+      .agg((max(col("fl")) + 1).as("nfl"))
+    val qn = bf.select(col("doc_id").as("qid"), col("n_frames").as("nfs"))
+      .distinct()
+    val qf = bf.select(col("doc_id").as("qid"), col("frame").as("f"),
+      col("fhash").as("h1"))
+    cand
+      .join(broadcast(qn), Seq("qid"))
+      .join(broadcast(nfl), Seq("did"))
+      .filter(col("off") + col("nfs") <= col("nfl"))
+      .join(qf, Seq("qid"))
+      .withColumn("fl", col("f") + col("off"))
+      .join(sfc, Seq("did", "fl"))
+      .groupBy(col("qid"), col("did"), col("off"), col("nfs"))
+      .agg(count(lit(1)).as("n_aligned"),
+        max(bit_count(col("h1").bitwiseXOR(col("h2")))).as("mh"))
+      .filter(col("n_aligned") === col("nfs") && col("mh") <= maxHamming)
+      .select(col("qid").as("doc_id"), col("did").as("long_id"),
+        col("off").cast("int").as("offset"),
+        col("mh").cast("int").as("max_hamming"))
+      .distinct()
+  }
+
   /** Stream-stream interval join — the unbounded form of the batch
     * as-of/range joins (q32/q33): each click joined to same-user
     * purchases at most 1 hour older. Both sides carry watermarks so

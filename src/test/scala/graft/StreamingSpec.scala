@@ -793,6 +793,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "band_v filter no longer pushed into the compacted store scan")
   }
 
+  test("streaming containment gate matches batch p99 on the same rows") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // published corpus → live frame store (the p100 layout)
+    val pub = (0L until 40L).toDF("doc_id").localCheckpoint()
+    val pubFrames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(pub))
+      .select($"doc_id", $"frame", $"n_frames", $"fhash").localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("cg_store").toString
+    Multimodal.frameStoreWrite(
+      pubFrames.select($"doc_id", $"frame", $"fhash"), store)
+    // arriving batch: hand-sliced trims of a published clip (the true
+    // re-upload case), plus an unrelated clip
+    val full = Multimodal.videoBytes(2L) // published, 4 frames
+    val (w, h, _) = Multimodal.videoParams(2L)
+    val frameLen = s"P6\n$w $h\n255\n".length + w * h * 3
+    val arriving = Seq(
+      1000L -> full.drop(frameLen),                 // head-trim (3 frames)
+      1001L -> full.slice(frameLen, 3 * frameLen),  // middle slice (2 frames)
+      1002L -> Multimodal.videoBytes(41L))          // unrelated
+    // drive the gate through a REAL stream, collecting verdicts per batch
+    val verdicts = collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val ms = MemoryStream[Long]
+    val payloads = arriving.toMap
+    val q = ms.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withPayload = batch.collect().map(_.getLong(0))
+          .map(id => (id, payloads(id))).toSeq.toDF("doc_id", "payload")
+        verdicts ++= StreamingOps.containmentGateBatch(spark, store)(withPayload)
+          .collect().map(_.toSeq)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(1000L, 1001L)); q.processAllAvailable()
+      ms.addData(Seq(1002L)); q.processAllAvailable()
+    } finally q.stop()
+    // batch p99 over the union corpus, restricted to (arriving, stored)
+    val batchFrames = Multimodal.decodeVideoFrames(
+        arriving.toDF("doc_id", "payload"))
+      .select($"doc_id", $"frame", $"n_frames", $"fhash")
+    val want = Multimodal.clipContainment(
+        pubFrames.unionByName(batchFrames), maxHamming = 3)
+      .filter($"short_id" >= 1000L && $"long_id" < 1000L)
+      .collect().map(_.toSeq).toSet
+    assert(verdicts.toSet === want,
+      "streaming containment gate diverged from batch p99")
+    assert(verdicts.exists(v => v(0) == 1000L && v(1) == 2L && v(2) == 1),
+      "head-trim of a published clip not flagged at offset 1")
+    assert(verdicts.exists(v => v(0) == 1001L && v(1) == 2L && v(2) == 1),
+      "middle slice of a published clip not flagged")
+  }
+
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
     // The integration seam the per-store specs don't cross: actual
     // Structured Streaming queries (MemoryStream → foreachBatch) drive
