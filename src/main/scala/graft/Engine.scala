@@ -48,6 +48,19 @@ object Engine {
     * be long (crawl mirrors, boilerplate gradients). */
   def dedupClustersLogN(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     Dedup.dedupClustersLogN(docs, id, pairs)
+  /** LSH banding-quality report: recall and candidate hit-rate of the
+    * MinHash-LSH stage against exact Jaccard truth, per threshold —
+    * run on a sample when the corpus is large. See Pipeline12 p108. */
+  def lshQualityReport(docs: DataFrame,
+                       thresholds: Seq[Double] = Seq(0.2, 0.3, 0.5, 0.8),
+                       n: Int = 5, numHashes: Int = 16,
+                       bands: Int = 4): DataFrame =
+    operators.Pipeline12.lshQualityOf(docs, thresholds, n, numHashes, bands)
+  /** MinHash estimator-error report over the LSH candidate pairs (the
+    * sketch-quality dial; p108 is the banding dial). See p109. */
+  def minhashEstimateReport(docs: DataFrame, n: Int = 5,
+                            numHashes: Int = 16, bands: Int = 4): DataFrame =
+    operators.Pipeline12.minhashEstimateOf(docs, n, numHashes, bands)
 
   /** Id pairs whose key strings are within ONE edit — deletion-
     * neighborhood (FastSS) blocking, exact Levenshtein verify; the
@@ -755,6 +768,32 @@ object Engine {
                        queryHashes: Seq[(Long, Long)],
                        maxHamming: Int = 3): DataFrame =
     operators.Multimodal.frameProbeStored(spark, path, queryHashes, maxHamming)
+
+  /** Persist a [[operators.Multimodal.decodeWaveSegments]] table as an
+    * at-rest banded signature store (p110) — the SAME store device as
+    * [[frameStoreWrite]]: audio segments are isomorphic to video
+    * frames under (seg → frame, sfp → fhash), so one layout, one
+    * compactor and one probe plan serve both modalities.
+    */
+  def audioStoreWrite(segments: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    operators.Multimodal.frameStoreWrite(
+      segments.select(col("doc_id"), col("seg").as("frame"),
+        col("sfp").as("fhash")), path)
+  }
+
+  /** Probe an [[audioStoreWrite]] store with a literal (qid,
+    * fingerprint) batch (p110): every stored segment within
+    * `maxHamming` of each query fingerprint.
+    */
+  def audioProbeStored(spark: SparkSession, path: String,
+                       queryFps: Seq[(Long, Long)],
+                       maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    operators.Multimodal.frameProbeStored(spark, path, queryFps, maxHamming)
+      .select(col("qid"), col("doc_id"), col("frame").as("seg"),
+        col("hamming"))
+  }
 
   /** Train the p102 exact-integer batch perceptron on `docs`; returns
     * the B-bounded (bucket, weight) model frame.

@@ -134,11 +134,12 @@ object Pipeline12 {
     * CTEs: same generator formula, same four-profile 60-bit fold, but
     * windows are LOCAL to each 64-sample segment (w = (t mod 64) ∕ 4)
     * and crossings reset at segment starts — the engine's
-    * segment-local contract, then the p99-style all-offsets scan.
+    * segment-local contract, ending in `fp(doc_id, seg, sfp)`. Shared
+    * by the p105 containment and p110 stored-probe oracles.
     */
-  val audioContainmentOracle: String = {
+  private val segFpCtes: String = {
     val L = AudioSegLen
-    s"""WITH ${Pipeline8.waveDocsCte},
+    s"""${Pipeline8.waveDocsCte},
        |sm AS (SELECT doc_id, t // $L AS seg, (t % $L) // ${L / 16} AS w,
        |              ${Pipeline8.waveSampleSql("t")} AS s,
        |              CASE WHEN t % $L >= 1 THEN
@@ -163,7 +164,13 @@ object Pipeline12 {
        |              ) AS BIGINT) AS sfp
        |       FROM en a JOIN en b
        |         ON a.doc_id = b.doc_id AND a.seg = b.seg AND b.w = a.w + 1
-       |       GROUP BY a.doc_id, a.seg),
+       |       GROUP BY a.doc_id, a.seg)""".stripMargin
+  }
+
+  /** The p99-style all-offsets scan over [[segFpCtes]]. */
+  val audioContainmentOracle: String = {
+    val L = AudioSegLen
+    s"""WITH $segFpCtes,
        |segs AS (SELECT doc_id, CAST(n // $L AS INTEGER) AS nseg FROM wd),
        |cand AS (
        |  SELECT s.doc_id AS sid, s.nseg AS nfs, l.doc_id AS lid, o.off
@@ -332,15 +339,269 @@ object Pipeline12 {
        |JOIN ph USING (doc_id) JOIN bi USING (doc_id) JOIN sh USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-JVM memoized audio segment-fingerprint stores (the p41/p50/
+    * p100 index contract — and the same dataset-directory staleness
+    * assumption documented on Pipeline10.frameStores).
+    */
+  private val audioStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p110: the STORED audio probe — "which tracks contain this
+    * snippet's opening segment", answered from an at-rest banded
+    * signature store instead of a fresh decode. The store device is
+    * [[Multimodal.frameStoreWrite]] VERBATIM: the audio segment table
+    * is isomorphic to the video frame table under (seg → frame,
+    * sfp → fhash) — both are (doc, position, 60-bit signature) — so
+    * one banded store layout, one compactor
+    * ([[Multimodal.frameStoreCompact]]) and one stored-probe plan
+    * (partition pruning on `band_i`, pushed `band_v IN` row-group
+    * filter, query fingerprints as plan literals) serve both
+    * modalities. The oracle is the full decode-and-scan, proving the
+    * layout semantics-preserving, exactly as p100 does for video.
+    */
+  def audioProbeStored(s: SparkSession, d: String): DataFrame = {
+    val segs = () => Multimodal.decodeWaveSegments(
+      Multimodal.attachWave(graft.Tables.documents(s, d)), AudioSegLen)
+    val store = audioStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_audio_store_").toString
+      Multimodal.frameStoreWrite(
+        segs().select(col("doc_id"), col("seg").as("frame"),
+          col("sfp").as("fhash")), p)
+      p
+    })
+    val qs = segs().filter(col("doc_id") < 5 && col("seg") === 0)
+      .select(col("doc_id"), col("sfp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    Multimodal.frameProbeStored(s, store, qs, maxHamming = 3)
+      .select(col("qid"), col("doc_id"), col("frame").as("seg"),
+        col("hamming"))
+      .orderBy(col("qid"), col("doc_id"), col("seg"))
+  }
+
+  val audioProbeStoredOracle: String =
+    s"""WITH $segFpCtes,
+       |q AS (SELECT doc_id AS qid, sfp AS qh FROM fp
+       |      WHERE doc_id < 5 AND seg = 0)
+       |SELECT qid, f.doc_id, CAST(f.seg AS INTEGER) AS seg,
+       |       CAST(bit_count(xor(qh, f.sfp)) AS INTEGER) AS hamming
+       |FROM q JOIN fp f ON bit_count(xor(qh, f.sfp)) <= 3
+       |ORDER BY qid, f.doc_id, f.seg""".stripMargin
+
+  /** Shared geometry of the registered dedup-quality metrics below —
+    * the p03/p04 fixture shapes (word 5-grams, 16 MinHash functions in
+    * 4 bands), so the report's rows line up with those entries.
+    */
+  private val QualShingleN = PipelineQueries.ShingleN
+  private val QualHashes = 16
+  private val QualBands = 4
+  private val QualThresholds = Seq(0.2, 0.3, 0.5, 0.8)
+
+  /** p108: the LSH BANDING QUALITY report — the dedup-family twin of
+    * p104's ANN recall. For each Jaccard threshold t: how many true
+    * near-dup pairs exist (exact n-gram Jaccard ≥ t, p03's relation at
+    * threshold 0), how many of them the MinHash-LSH candidate stage
+    * (p04's relation) surfaces (`recall`), and what fraction of the
+    * candidate budget lands on ≥-t pairs (`precision` — the verify
+    * stage's hit rate). THE table a user tuning bands×rows reads: the
+    * S-curve (recall falling as t drops below the banding's implicit
+    * threshold) is the banding working as designed, not a bug.
+    *
+    * Engine shape: both ingredient relations are the REGISTERED p03/
+    * p04 pipelines verbatim (one inverted-index pass + one banded
+    * pass); the threshold sweep is a 4-row broadcast theta-join
+    * streamed over the pair relation — no extra shuffle. Like
+    * `tools/RecallAudit`, a corpus-scale user runs this on a sample:
+    * the threshold-0 truth relation is every co-shingle pair, which is
+    * exactly as sparse (and exactly as boilerplate-hazardous — same
+    * `maxDf` remedy) as p03 itself.
+    */
+  def lshQuality(s: SparkSession, d: String): DataFrame =
+    lshQualityOf(graft.Tables.documents(s, d), QualThresholds,
+      QualShingleN, QualHashes, QualBands)
+
+  def lshQualityOf(docs: DataFrame, thresholds: Seq[Double], n: Int,
+                   numHashes: Int, bands: Int): DataFrame = {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, 0.0)
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text", n,
+      numHashes, bands)
+      // feeds both the hit flags and the n_cand scalar: one execution
+      .localCheckpoint(eager = false)
+    val flagged = truth
+      .join(cand.withColumn("__hit", lit(1)), Seq("d1", "d2"), "left")
+      .select(col("jaccard"),
+        coalesce(col("__hit"), lit(0)).as("hit"))
+    val th = docs.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val ag = flagged
+      .join(broadcast(th), col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("n_hits"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    th.join(ag, Seq("threshold"), "left")
+      .crossJoin(broadcast(nCand))
+      .select(col("threshold"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        col("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_truth"), lit(0L)) > 0,
+          round(col("n_hits") / col("n_truth"), 4)).as("recall"),
+        when(col("n_cand") > 0,
+          round(col("n_hits") / col("n_cand"), 4)).as("precision"))
+      .orderBy(col("threshold"))
+  }
+
+  /** p03's truth relation at threshold 0 (every co-shingle pair with
+    * its rounded Jaccard), composed over [[PipelineQueries.lshPairCtes]]'s
+    * embedded shingle CTE — shared by the p108/p109 oracles.
+    */
+  private val jaccardTruthCtes: String =
+    """shh AS (SELECT doc_id,
+      |               CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS ng
+      |        FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM shh a JOIN shh b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |tj AS (
+      |  SELECT d1, d2,
+      |         round(CAST(c AS DOUBLE)/(s1.n_sh + s2.n_sh - c), 4) AS jaccard
+      |  FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2)""".stripMargin
+
+  val lshQualityOracle: String =
+    s"""WITH ${PipelineQueries.lshPairCtes},
+       |$jaccardTruthCtes,
+       |fl AS (
+       |  SELECT t.jaccard,
+       |         CASE WHEN p.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM tj t LEFT JOIN prs p ON p.d1 = t.d1 AND p.d2 = t.d2),
+       |th AS (SELECT CAST(unnest([${QualThresholds.mkString(", ")}]) AS DOUBLE)
+       |              AS threshold),
+       |ag AS (
+       |  SELECT th.threshold, count(fl.jaccard) AS n_truth,
+       |         sum(fl.hit) AS n_hits
+       |  FROM th JOIN fl ON fl.jaccard >= th.threshold
+       |  GROUP BY 1),
+       |cd AS (SELECT count(*) AS n_cand FROM prs)
+       |SELECT th.threshold,
+       |       CAST(coalesce(ag.n_truth, 0) AS BIGINT) AS n_truth,
+       |       CAST(cd.n_cand AS BIGINT) AS n_cand,
+       |       CAST(coalesce(ag.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CASE WHEN coalesce(ag.n_truth, 0) > 0
+       |            THEN round(coalesce(ag.n_hits, 0) / ag.n_truth, 4) END
+       |         AS recall,
+       |       CASE WHEN cd.n_cand > 0
+       |            THEN round(coalesce(ag.n_hits, 0) / cd.n_cand, 4) END
+       |         AS precision
+       |FROM th LEFT JOIN ag ON ag.threshold = th.threshold CROSS JOIN cd
+       |ORDER BY th.threshold""".stripMargin
+
+  /** p109: the MINHASH ESTIMATOR error report — for every LSH
+    * candidate pair (p04's relation), the signature-agreement estimate
+    * of Jaccard (`n_agree`/16) against the exact value (p03's), plus a
+    * summary row (`d1 = d2 = -1`) carrying the mean error. p108 grades
+    * the CANDIDATE stage (which pairs surface); this grades the
+    * SKETCH itself (how well 16 minhashes estimate similarity on the
+    * surfaced pairs) — together they are the two dials of a banded
+    * dedup: more hashes tighten this table, more bands shift p108's
+    * S-curve.
+    *
+    * Error is carried in exact integer micro-units (`err_um` =
+    * round(|est − jaccard|·10⁴)): double sums are order-sensitive and
+    * a distributed mean over them would be nondeterministic across
+    * partitionings — the integer fold is exact in any order (same
+    * device as p102's integer weights). The per-pair doubles
+    * (`est_jaccard`, `jaccard`) are deterministic: /16 is a power-of-2
+    * division and `jaccard` is p03's rounded output.
+    */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame =
+    minhashEstimateOf(graft.Tables.documents(s, d), QualShingleN,
+      QualHashes, QualBands)
+
+  def minhashEstimateOf(docs: DataFrame, n: Int, numHashes: Int,
+                        bands: Int): DataFrame = {
+    val sig = Dedup.minhash(docs, "doc_id", "text", n, numHashes)
+    val mhArr = array((0 until numHashes).map(i => col(s"mh$i")): _*)
+    val a = sig.select(col("doc_id").as("d1"), mhArr.as("sa"))
+    val b = sig.select(col("doc_id").as("d2"), mhArr.as("sb"))
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text", n,
+      numHashes, bands)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, 0.0)
+    // A band collision means an identical (shared-shingle) argmin, so
+    // every candidate pair intersects and the truth join is inner.
+    val per = cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .withColumn("n_agree",
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v))
+      .join(truth, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"),
+        col("jaccard"))
+      .withColumn("err_um",
+        round(abs(col("est_jaccard") - col("jaccard")) * lit(10000.0))
+          .cast("long"))
+      // feeds both the per-pair output and the mean row: materialize
+      // the (candidate-sparse) table once instead of replaying the
+      // minhash+jaccard pipeline per consumer
+      .localCheckpoint(eager = false)
+    val mean = per.agg(sum(col("err_um")).as("s"), count(lit(1)).as("nn"))
+      .select(lit(-1L).as("d1"), lit(-1L).as("d2"),
+        lit(-1).as("n_agree"),
+        lit(null).cast("double").as("est_jaccard"),
+        lit(null).cast("double").as("jaccard"),
+        round(col("s").cast("double") / col("nn")).cast("long").as("err_um"))
+    per.unionByName(mean).orderBy(col("d1"), col("d2"))
+  }
+
+  val minhashEstimateOracle: String =
+    s"""WITH ${PipelineQueries.lshPairCtes},
+       |$jaccardTruthCtes,
+       |agr AS (
+       |  SELECT p.d1, p.d2,
+       |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+       |              AS INTEGER) AS n_agree
+       |  FROM prs p
+       |  JOIN hx a ON a.doc_id = p.d1
+       |  JOIN hx b ON b.doc_id = p.d2 AND b.seed = a.seed
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT g.d1, g.d2, g.n_agree,
+       |         CAST(g.n_agree AS DOUBLE) / CAST($QualHashes AS DOUBLE)
+       |           AS est_jaccard,
+       |         t.jaccard,
+       |         CAST(round(abs(CAST(g.n_agree AS DOUBLE)
+       |                        / CAST($QualHashes AS DOUBLE) - t.jaccard)
+       |                    * 10000.0) AS BIGINT) AS err_um
+       |  FROM agr g JOIN tj t ON t.d1 = g.d1 AND t.d2 = g.d2)
+       |SELECT d1, d2, n_agree, est_jaccard, jaccard, err_um FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |       CAST(-1 AS INTEGER), CAST(NULL AS DOUBLE),
+       |       CAST(NULL AS DOUBLE),
+       |       CAST(round(CAST(sum(err_um) AS DOUBLE) / count(*)) AS BIGINT)
+       |FROM per
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p104_ann_recall" -> (annRecall _),
     "p105_audio_containment" -> (audioContainmentQuery _),
     "p106_release_plan" -> (releasePlan _),
+    "p108_lsh_quality" -> (lshQuality _),
+    "p109_minhash_estimate" -> (minhashEstimate _),
+    "p110_audio_probe_stored" -> (audioProbeStored _),
   )
 
   val oracles: Map[String, String] = Map(
     "p104_ann_recall" -> annRecallOracle,
     "p105_audio_containment" -> audioContainmentOracle,
     "p106_release_plan" -> releasePlanOracle,
+    "p108_lsh_quality" -> lshQualityOracle,
+    "p109_minhash_estimate" -> minhashEstimateOracle,
+    "p110_audio_probe_stored" -> audioProbeStoredOracle,
   )
 }

@@ -223,10 +223,38 @@ object StreamingOps {
     */
   def containmentGateBatch(spark: org.apache.spark.sql.SparkSession,
                            storePath: String, maxHamming: Int = 3)(
-                           batch: DataFrame): DataFrame = {
+                           batch: DataFrame): DataFrame =
+    containmentGateFrames(spark, storePath, maxHamming)(
+      graft.operators.Multimodal.decodeVideoFrames(batch)
+        .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash")))
+
+  /** AUDIO twin of [[containmentGateBatch]]: arriving tracks checked
+    * as trims of already-published tracks against a stored segment-
+    * fingerprint index ([[graft.Engine.audioStoreWrite]]'s layout —
+    * the same banded store device as video, under (seg → frame,
+    * sfp → fhash)). Same read path, same `foreachBatch` placement
+    * before the ingest merge.
+    */
+  def audioContainmentGateBatch(spark: org.apache.spark.sql.SparkSession,
+                                storePath: String, segLen: Int = 64,
+                                maxHamming: Int = 3)(
+                                batch: DataFrame): DataFrame =
+    containmentGateFrames(spark, storePath, maxHamming)(
+      graft.operators.Multimodal.decodeWaveSegments(batch, segLen)
+        .select(col("doc_id"), col("seg").as("frame"),
+          col("n_segs").as("n_frames"), col("sfp").as("fhash")))
+
+  /** The modality-generic gate core over an already-decoded signature
+    * table `(doc_id, frame, n_frames, fhash)` — the shape both codec
+    * boundaries emit. Everything below the decode is signature
+    * algebra, so video and audio share it verbatim.
+    */
+  private def containmentGateFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String, maxHamming: Int)(
+      frames: DataFrame): DataFrame = {
     import graft.operators.Multimodal
-    val bf = Multimodal.decodeVideoFrames(batch)
-      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+    val bf = frames
       .localCheckpoint() // feeds the anchor collect + the verify join
     val anchors = bf.filter(col("frame") === 0)
       .select(col("doc_id"), col("fhash"))

@@ -678,4 +678,76 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === dist)
   }
+
+  test("p108: the quality table's counts reconcile with the registered p03/p04") {
+    import operators.{Dedup, Pipeline12}
+    val d01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d01)
+    val rows = Pipeline12.lshQuality(spark, d01).collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.2, 0.3, 0.5, 0.8))
+    // the threshold-0.2 truth count IS p03's registered row count, and
+    // n_cand IS p04's — the report must be the same relations, not a
+    // re-derivation that can drift
+    val p03 = operators.PipelineQueries.dedupNgramJaccard(spark, d01).count()
+    val p04 = operators.PipelineQueries.dedupMinhashLsh(spark, d01).count()
+    val at02 = rows.find(_.getDouble(0) == 0.2).get
+    assert(at02.getAs[Long]("n_truth") === p03)
+    assert(rows.forall(_.getAs[Long]("n_cand") == p04))
+    rows.foreach { r =>
+      val (truth, hits) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"))
+      assert(hits <= truth && hits <= p04)
+      if (truth > 0)
+        assert(r.getAs[Double]("recall") >= 0.0 &&
+               r.getAs[Double]("recall") <= 1.0)
+    }
+    // truth shrinks as the bar rises
+    val truths = rows.map(_.getAs[Long]("n_truth")).toSeq
+    assert(truths === truths.sorted.reverse, s"n_truth not antitone: $truths")
+    // the fixture must exercise the metric: some threshold has hits
+    assert(rows.map(_.getAs[Long]("n_hits")).max > 0)
+  }
+
+  test("p110: the stored audio probe equals the fresh decode-and-scan") {
+    import operators.{Multimodal, Pipeline12}
+    val d = "/root/testdata/sf0.001"
+    val got = Pipeline12.audioProbeStored(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // brute force: every (query seg-0 fp) × (all segments) within 3
+    val segs = Multimodal.decodeWaveSegments(
+      Multimodal.attachWave(Tables.documents(spark, d)), 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val qs = segs.filter(s => s._1 < 5 && s._2 == 0)
+    val want = (for {
+      (qid, _, qh) <- qs
+      (did, seg, fp) <- segs
+      h = java.lang.Long.bitCount(qh ^ fp)
+      if h <= 3
+    } yield (qid, did, seg, h)).toSet
+    assert(got === want)
+    // each query self-hits its own opening segment exactly
+    qs.foreach { case (qid, _, _) => assert(got((qid, qid, 0, 0))) }
+  }
+
+  test("p109: band collisions bound agreements below; errors fold exactly") {
+    import operators.Pipeline12
+    val d01 = "/root/testdata/sf0.01"
+    val all = Pipeline12.minhashEstimate(spark, d01).collect()
+    val (summary, per) = all.partition(_.getLong(0) == -1L)
+    assert(per.nonEmpty && summary.length === 1)
+    per.foreach { r =>
+      val nAgree = r.getAs[Int]("n_agree")
+      // a candidate pair collided on a full band of 16/4 = 4 hashes
+      assert(nAgree >= 4 && nAgree <= 16,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) n_agree=$nAgree")
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est === nAgree / 16.0)
+      val want = math.round(math.abs(est - r.getAs[Double]("jaccard")) * 10000.0)
+      assert(r.getAs[Long]("err_um") === want)
+    }
+    // byte-identical fixture twins agree on every hash
+    assert(per.exists(_.getAs[Int]("n_agree") == 16))
+    val meanWant = math.round(
+      per.map(_.getAs[Long]("err_um")).sum.toDouble / per.length)
+    assert(summary.head.getAs[Long]("err_um") === meanWant)
+  }
 }

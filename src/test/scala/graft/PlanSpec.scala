@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "skipping is dead and the probe reads the whole store")
   }
 
+  test("p110: stored audio probe pushes the band filter into the parquet scan") {
+    // same store device as p100 — the pin proves the isomorphic audio
+    // layout kept partition pruning + row-group skipping
+    val p = plan("p110_audio_probe_stored")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*band_v.*"),
+      "band_v filter no longer reaches the audio store scan")
+  }
+
   test("p102: the weight model joins broadcast (scoring stays map-side)") {
     val p = plan("p102_perceptron_quality")
     assert(p.contains("BroadcastHashJoin"),

@@ -846,6 +846,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "middle slice of a published clip not flagged")
   }
 
+  test("streaming AUDIO containment gate matches batch p105 on the same rows") {
+    // the modality-generic gate core through its audio wrapper: a
+    // published corpus's segment fingerprints at rest, arriving tracks
+    // hand-sliced at segment boundaries from a published track's
+    // samples — the jingle-re-upload case
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val L = 64
+    val pub = (0L until 40L).toDF("doc_id").localCheckpoint()
+    val pubSegs = Multimodal.decodeWaveSegments(Multimodal.attachWave(pub), L)
+      .localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("ag_store").toString
+    Engine.audioStoreWrite(pubSegs, store)
+    val (period, phase, n, k) = Multimodal.waveParams(3L) // published, 7 segs
+    val base = Array.tabulate(n)(t => Multimodal.sampleAt(period, phase, n, k, t))
+    val arriving = Seq(
+      1000L -> Multimodal.wavePcmBytes(base.slice(L, 5 * L)), // middle (4 segs)
+      1001L -> Multimodal.wavePcmBytes(base.drop(4 * L)),     // tail (3 segs)
+      1002L -> Multimodal.waveBytes(41L))                     // unrelated
+    val verdicts = collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val ms = MemoryStream[Long]
+    val payloads = arriving.toMap
+    val q = ms.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val withPayload = batch.collect().map(_.getLong(0))
+          .map(id => (id, payloads(id))).toSeq.toDF("doc_id", "payload")
+        verdicts ++= StreamingOps.audioContainmentGateBatch(spark, store, L)(
+          withPayload).collect().map(_.toSeq)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(1000L, 1001L)); q.processAllAvailable()
+      ms.addData(Seq(1002L)); q.processAllAvailable()
+    } finally q.stop()
+    val batchSegs = Multimodal.decodeWaveSegments(
+      arriving.toDF("doc_id", "payload"), L)
+    val want = Multimodal.audioContainment(
+        pubSegs.unionByName(batchSegs), maxHamming = 3)
+      .filter($"short_id" >= 1000L && $"long_id" < 1000L)
+      .collect().map(_.toSeq).toSet
+    assert(verdicts.toSet === want,
+      "streaming audio containment gate diverged from batch p105")
+    assert(verdicts.exists(v => v(0) == 1000L && v(1) == 3L && v(2) == 1),
+      "middle slice of a published track not flagged at offset 1")
+    assert(verdicts.exists(v => v(0) == 1001L && v(1) == 3L && v(2) == 4),
+      "tail trim of a published track not flagged at offset 4")
+  }
+
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
     // The integration seam the per-store specs don't cross: actual
     // Structured Streaming queries (MemoryStream → foreachBatch) drive
