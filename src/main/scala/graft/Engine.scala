@@ -48,6 +48,16 @@ object Engine {
     * be long (crawl mirrors, boilerplate gradients). */
   def dedupClustersLogN(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     Dedup.dedupClustersLogN(docs, id, pairs)
+  /** Persist a corpus's MinHash band signatures as the at-rest LSH
+    * store (p111's layout: partitioned by band, sig_h-sorted). */
+  def lshStoreWrite(docs: DataFrame, id: String, text: String,
+                    path: String): Unit =
+    Dedup.lshStoreWrite(Dedup.lshSignatureRows(docs, id, text), path)
+  /** Probe a [[lshStoreWrite]] store with literal (qid, band, sig_h)
+    * rows (p111): stored documents sharing any band signature. */
+  def lshProbeStored(spark: SparkSession, path: String,
+                     querySigs: Seq[(Long, Int, Long)]): DataFrame =
+    Dedup.lshProbeStored(spark, path, querySigs)
   /** LSH banding-quality report: recall and candidate hit-rate of the
     * MinHash-LSH stage against exact Jaccard truth, per threshold —
     * run on a sample when the corpus is large. See Pipeline12 p108. */

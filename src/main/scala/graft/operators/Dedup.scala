@@ -217,6 +217,71 @@ object Dedup {
       .distinct()
   }
 
+  /** One document's LSH band signatures as storable rows `(doc_id,
+    * band, sig_h)` — the signature pipeline of [[minhashLshPairs]]
+    * with each band signature folded to a 64-bit xxhash64 key. The
+    * hash stands in for the signature string exactly as p03's
+    * inverted index keys shingles by xxhash64: only bucket identity
+    * matters, collisions are ~2⁻⁶⁴ per pair, and one would surface as
+    * a differential-check mismatch. Shared by the at-rest store
+    * writer, the stored probe's query side and the streaming
+    * ingester — writer and prober must agree on this shape
+    * bit-for-bit.
+    */
+  def lshSignatureRows(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, numHashes: Int = 16,
+                       bands: Int = 4): DataFrame =
+    minhashBands(minhash(docs, idCol, textCol, n, numHashes),
+        numHashes, bands)
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("sig")).as("sig_h"))
+
+  /** At-rest LSH signature store for TEXT near-dup — the p100/p110
+    * banded-store discipline applied to MinHash band signatures:
+    * hive-partitioned by `band` (partition pruning), SORTED by
+    * `sig_h` within each file (pushed `sig_h IN (…)` filters skip row
+    * groups via parquet min/max). 4 rows of 3 scalars per document —
+    * the store an incremental text-dedup deployment probes on every
+    * arriving batch instead of rescanning the corpus.
+    */
+  def lshStoreWrite(sigRows: DataFrame, path: String): Unit =
+    sigRows
+      .withColumn("ingest_batch", lit(-1L))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("sig_h"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Stored candidate probe: every stored document sharing at least
+    * one band signature with a query — p04's candidate semantics
+    * answered from the at-rest store. Query signatures are plan-time
+    * literals (a probe batch is bounded — the frameProbeStored
+    * precedent), so the scan prunes to the queried bands and the
+    * pushed `sig_h IN` filter reads only the row groups holding
+    * candidate signatures. No verification stage: LSH candidates are
+    * unverified by design (p04's contract); compose with
+    * [[ngramJaccardPairs]] or a downstream gate to verify.
+    */
+  def lshProbeStored(spark: org.apache.spark.sql.SparkSession,
+                     path: String,
+                     querySigs: Seq[(Long, Int, Long)]): DataFrame = {
+    require(querySigs.nonEmpty, "empty probe batch")
+    val byBand: Map[Int, Seq[Long]] =
+      querySigs.groupBy(_._2).map { case (b, xs) =>
+        b -> xs.map(_._3).distinct
+      }
+    val cond = byBand.toSeq.sortBy(_._1).map { case (b, hs) =>
+      col("band") === b && col("sig_h").isin(hs: _*)
+    }.reduce(_ || _)
+    val qs = typedLit(querySigs)
+    spark.read.parquet(path)
+      .filter(cond)
+      .select(col("doc_id"), col("band"), col("sig_h"),
+        explode(qs).as("q"))
+      .filter(col("q._2") === col("band") && col("q._3") === col("sig_h"))
+      .select(col("q._1").as("qid"), col("doc_id"))
+      .distinct()
+  }
+
   /** Dedup cluster resolution: connected components over a near-dup
     * pair graph, labeling every document with its cluster's minimum
     * doc id (the canonical survivor). Pairs → clusters is what turns

@@ -499,6 +499,50 @@ object Pipeline12 {
        |FROM th LEFT JOIN ag ON ag.threshold = th.threshold CROSS JOIN cd
        |ORDER BY th.threshold""".stripMargin
 
+  /** Per-JVM memoized text LSH signature stores (the shared index
+    * contract and dataset-directory staleness assumption).
+    */
+  private val lshStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p111: the STORED text near-dup probe — "which published documents
+    * look like this one", answered from an at-rest MinHash band-
+    * signature store ([[Dedup.lshStoreWrite]]: partitioned by band,
+    * sig_h-sorted for row-group skipping) instead of re-running the
+    * p04 self-join over the corpus. THE text twin of the p110 audio /
+    * p100 video stored probes, and the missing third of the
+    * published-corpus gate family: an incremental dedup deployment
+    * probes arriving documents against everything already published
+    * (see `StreamingOps.textDedupGateBatch`), which a within-stream
+    * watermark gate cannot do. Same oracle ingredients as p04 (band
+    * signatures via the registered CTE chain), restricted to the query
+    * docs — the layout must be semantics-preserving.
+    */
+  def lshProbeStoredQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = () => graft.Tables.documents(s, d)
+    val store = lshStores.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lsh_store_").toString
+      Dedup.lshStoreWrite(
+        Dedup.lshSignatureRows(docs(), "doc_id", "text",
+          QualShingleN, QualHashes, QualBands), p)
+      p
+    })
+    val qs = Dedup.lshSignatureRows(docs().filter(col("doc_id") < 5),
+        "doc_id", "text", QualShingleN, QualHashes, QualBands)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(q => (q._1, q._2))
+    Dedup.lshProbeStored(s, store, qs)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
+  val lshProbeStoredOracle: String =
+    s"""WITH ${PipelineQueries.lshPairCtes},
+       |q AS (SELECT doc_id AS qid, band, sig FROM bd WHERE doc_id < 5)
+       |SELECT DISTINCT q.qid, b.doc_id
+       |FROM q JOIN bd b ON b.band = q.band AND b.sig = q.sig
+       |ORDER BY qid, doc_id""".stripMargin
+
   /** p109: the MINHASH ESTIMATOR error report — for every LSH
     * candidate pair (p04's relation), the signature-agreement estimate
     * of Jaccard (`n_agree`/16) against the exact value (p03's), plus a
@@ -594,6 +638,7 @@ object Pipeline12 {
     "p108_lsh_quality" -> (lshQuality _),
     "p109_minhash_estimate" -> (minhashEstimate _),
     "p110_audio_probe_stored" -> (audioProbeStored _),
+    "p111_lsh_probe_stored" -> (lshProbeStoredQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -603,5 +648,6 @@ object Pipeline12 {
     "p108_lsh_quality" -> lshQualityOracle,
     "p109_minhash_estimate" -> minhashEstimateOracle,
     "p110_audio_probe_stored" -> audioProbeStoredOracle,
+    "p111_lsh_probe_stored" -> lshProbeStoredOracle,
   )
 }

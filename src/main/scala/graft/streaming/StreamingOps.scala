@@ -615,6 +615,60 @@ object StreamingOps {
                        stagePath: String, storePath: String): Int =
     mergeStagedPartitioned(spark, stagePath, storePath, "band_i")
 
+  /** Streaming TEXT LSH-signature ingestion, stage 1: fold each
+    * micro-batch of (doc_id, text) documents to MinHash band-signature
+    * rows ([[graft.operators.Dedup.lshSignatureRows]] — the store's
+    * own shape) and land them exactly-once in the staging zone.
+    * Contract: batch doc_ids must be new to the store.
+    */
+  def lshIngestBatch(stagePath: String)(batch: DataFrame, id: Long): Unit =
+    idempotentParquetBatch(stagePath)(
+      graft.operators.Dedup.lshSignatureRows(batch, "doc_id", "text"), id)
+
+  /** Streaming text LSH ingestion, stage 2: fold staged batches into
+    * the live [[graft.operators.Dedup.lshStoreWrite]] store — the
+    * shared exactly-once fold on the `band` partitions. Appended
+    * files are not sig_h-sorted; periodic compaction (the
+    * frameStoreCompact pattern on `band`/`sig_h`) restores row-group
+    * skipping.
+    */
+  def lshMergeStaged(spark: org.apache.spark.sql.SparkSession,
+                     stagePath: String, storePath: String): Int =
+    mergeStagedPartitioned(spark, stagePath, storePath, "band")
+
+  /** Streaming TEXT NEAR-DUP gate against the live LSH store — the
+    * text member of the published-corpus gate family (video/audio:
+    * [[containmentGateBatch]]/[[audioContainmentGateBatch]]): check
+    * one micro-batch's arriving documents for LSH candidate matches
+    * among everything ALREADY PUBLISHED, which the within-stream
+    * watermark dedup gates cannot see. Run in `foreachBatch` before
+    * [[lshIngestBatch]]; a row (doc_id, dup_of) means the arriving
+    * document shares a band signature with a stored one — route it to
+    * verification (exact Jaccard on the pair) or drop by policy.
+    *
+    * Read path: the batch's signatures collect to plan literals
+    * (bounded batch), the store scan prunes to the queried bands and
+    * row groups. Candidates are p04-semantics (unverified), so the
+    * gate's recall/precision dials are exactly p108's table.
+    */
+  def textDedupGateBatch(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String)(batch: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val sigs = Dedup.lshSignatureRows(batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(q => (q._1, q._2))
+    if (sigs.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+        .limit(0)
+    Dedup.lshProbeStored(spark, storePath, sigs)
+      // the ingest contract says arriving ids are new; a violated
+      // contract must not report a document as duplicating itself
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"))
+      .distinct()
+  }
+
   /** Streaming LEXICAL index ingestion, stage 1: tokenize each
     * micro-batch of (doc_id, text) documents into posting rows (the
     * exact `Pipeline6.postingsOf` form the index build uses) and land

@@ -83,6 +83,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "skipping is dead and the probe reads the whole store")
   }
 
+  test("p111: stored LSH probe pushes the signature filter into the parquet scan") {
+    val p = plan("p111_lsh_probe_stored")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*sig_h.*"),
+      "sig_h filter no longer reaches the LSH store scan")
+  }
+
   test("p110: stored audio probe pushes the band filter into the parquet scan") {
     // same store device as p100 — the pin proves the isomorphic audio
     // layout kept partition pruning + row-group skipping

@@ -896,6 +896,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "tail trim of a published track not flagged at offset 4")
   }
 
+  test("streaming TEXT near-dup gate + staged LSH merge match batch p04") {
+    // the text member of the published-corpus gate family: arriving
+    // documents probed against everything already published (which a
+    // within-stream watermark gate cannot see), then folded into the
+    // live store exactly-once
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val pub = docs.filter($"doc_id" < 400L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("lsh_store").toString
+    Engine.lshStoreWrite(pub, "doc_id", "text", store)
+    // arriving: exact copies of two published docs under new ids (the
+    // re-publish case) plus an unrelated fresh doc
+    val texts = docs.filter($"doc_id".isin(7L, 23L, 450L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val arriving = Seq(1007L -> texts(7L), 1023L -> texts(23L),
+      1450L -> texts(450L))
+    val stage = java.nio.file.Files.createTempDirectory("lsh_stage").toString
+    val verdicts = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[Long]
+    val payloads = arriving.toMap
+    val q = ms.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withText = batch.collect().map(_.getLong(0))
+          .map(i => (i, payloads(i))).toSeq.toDF("doc_id", "text")
+        verdicts ++= StreamingOps.textDedupGateBatch(spark, store)(withText)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        StreamingOps.lshIngestBatch(stage)(withText, id)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(1007L, 1023L, 1450L)); q.processAllAvailable()
+    } finally q.stop()
+    // parity: batch p04 over the union corpus, cross-split pairs only
+    // (published ids < 1000 <= arriving, and d1 < d2 in p04's output)
+    val want = Dedup.minhashLshPairs(
+        pub.unionByName(arriving.toDF("doc_id", "text")), "doc_id", "text")
+      .filter($"d1" < 1000L && $"d2" >= 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(verdicts.toSet === want,
+      "streaming text gate diverged from batch p04 candidates")
+    assert(want((1007L, 7L)) && want((1023L, 23L)),
+      "re-published copies not flagged against their originals")
+    // staged merge folds the batch exactly once: the copy becomes
+    // findable, a second merge pass adds nothing
+    assert(StreamingOps.lshMergeStaged(spark, stage, store) >= 1)
+    val q7 = Dedup.lshSignatureRows(pub.filter($"doc_id" === 7L),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val hits = Dedup.lshProbeStored(spark, store, q7)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits(7L) && hits(1007L),
+      "merged store does not answer for both the original and the copy")
+    val n1 = spark.read.parquet(store).count()
+    StreamingOps.lshMergeStaged(spark, stage, store)
+    assert(spark.read.parquet(store).count() === n1,
+      "re-running the merge double-folded a staged batch")
+  }
+
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
     // The integration seam the per-store specs don't cross: actual
     // Structured Streaming queries (MemoryStream → foreachBatch) drive

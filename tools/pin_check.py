@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Diff a bench JSON (graft.Bench output, REPS=3 warm min-of-3) against
+the BASELINE.md pin table and report movers.
+
+The regression rule (BASELINE.md): a query regresses only if its
+min-of-3 exceeds its pin by >30% (beyond protocol noise). Keys missing
+from the table are listed as unpinned; keys missing from the run as
+retired.
+
+Usage: pin_check.py BENCH.json [BASELINE.md] [--band 0.30]
+Exit code 1 if any mover exceeds the band.
+"""
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    text = open(path).read()
+    return json.loads(re.search(r'\{.*\}', text).group(0))["queries"]
+
+
+def load_pins(path):
+    """Parse every `| key | sec |`-shaped cell pair from markdown table
+    rows; later tables override earlier ones (the newest pin wins)."""
+    pins = {}
+    row = re.compile(r"\|\s*([pq]\d+\w*)\s*\|\s*(\d+\.\d+)\s*")
+    for line in open(path):
+        for m in row.finditer(line):
+            pins[m.group(1)] = float(m.group(2))
+    return pins
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    band = 0.30
+    if "--band" in sys.argv:
+        band = float(sys.argv[sys.argv.index("--band") + 1])
+    bench = load_bench(args[0])
+    pins = load_pins(args[1] if len(args) > 1 else "BASELINE.md")
+    movers, checked = [], 0
+    for k, pin in sorted(pins.items()):
+        if k not in bench:
+            print(f"retired {k} (pinned {pin:.2f}, absent from run)")
+            continue
+        checked += 1
+        got = bench[k]
+        if got > pin * (1 + band):
+            movers.append((got / pin, k, pin, got))
+    for r, k, pin, got in sorted(movers, reverse=True):
+        print(f"MOVER {k}: {pin:.2f} -> {got:.2f} ({r:.2f}x)")
+    unpinned = sorted(set(bench) - set(pins))
+    for k in unpinned:
+        print(f"unpinned {k} ({bench[k]:.2f} s)")
+    print(f"== {checked} pinned keys checked, {len(movers)} over the "
+          f"{int(band*100)}% band, {len(unpinned)} unpinned ==")
+    sys.exit(1 if movers else 0)
+
+
+if __name__ == "__main__":
+    main()
