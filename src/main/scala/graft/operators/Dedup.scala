@@ -251,6 +251,28 @@ object Dedup {
       .sortWithinPartitions(col("band"), col("sig_h"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
 
+  /** Compact an appended [[lshStoreWrite]] store to ONE sig_h-SORTED
+    * file per band partition — [[Multimodal.frameStoreCompact]]'s
+    * lesson applied to the text index: streamed appends
+    * (`StreamingOps.lshMergeStaged`) leave unsorted sliver files whose
+    * row groups span the whole signature space, so the probe's pushed
+    * `sig_h IN (…)` filter skips nothing until this pass re-establishes
+    * the writer's sort. Rewrite-then-swap (src untouched until dst is
+    * complete); preserves `ingest_batch` so the merge's exactly-once
+    * presence probe survives. Small row groups deliberately — group
+    * size is the probe's read-amplification floor (the measured
+    * frame-store rationale, BASELINE.md).
+    */
+  def lshStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                      src: String, dst: String,
+                      rowGroupBytes: Int = 1 << 20): Unit =
+    spark.read.parquet(src)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("sig_h"))
+      .write.mode("overwrite").partitionBy("band")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(dst)
+
   /** Stored candidate probe: every stored document sharing at least
     * one band signature with a query — p04's candidate semantics
     * answered from the at-rest store. Query signatures are plan-time

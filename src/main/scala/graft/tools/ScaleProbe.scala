@@ -15,7 +15,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Pipeline6, Similarity}
+import graft.operators.{Dedup, Pipeline6, Similarity}
 
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -177,6 +177,31 @@ object ScaleProbe {
       rowGroupBytes = 128 << 10)
     measure("p100_frame_probe_compacted", frameCompacted) {
       Multimodal.frameProbeStored(spark, frameCompacted, frameQs, maxHamming = 3)
+    }
+
+    // ---- text LSH store: slivered vs compacted probe cost ----
+    // the same streaming-shaped layout for the p111 path: 12 per-batch
+    // appends of band-signature rows (lshMergeStaged's shape), probe,
+    // compact with Dedup.lshStoreCompact, probe again
+    val lshPath = s"$base/lsh.raw"
+    val lshCompacted = s"$base/lsh"
+    val sigRows = Dedup.lshSignatureRows(docs, "doc_id", "text")
+      .localCheckpoint() // one signature pass feeds all 12 appends
+    for (i <- 0 until 12)
+      graft.sources.Partitioned.appendBy(
+        sigRows.filter(pmod(col("doc_id"), lit(12)) === i)
+          .withColumn("ingest_batch", lit(i.toLong)),
+        lshPath, "band")
+    val lshQs = Dedup.lshSignatureRows(
+        docs0.filter(col("doc_id") < 5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    measure("p111_lsh_probe_slivered", lshPath) {
+      Dedup.lshProbeStored(spark, lshPath, lshQs)
+    }
+    Dedup.lshStoreCompact(spark, lshPath, lshCompacted,
+      rowGroupBytes = 128 << 10)
+    measure("p111_lsh_probe_compacted", lshCompacted) {
+      Dedup.lshProbeStored(spark, lshCompacted, lshQs)
     }
     spark.stop()
   }

@@ -956,6 +956,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     StreamingOps.lshMergeStaged(spark, stage, store)
     assert(spark.read.parquet(store).count() === n1,
       "re-running the merge double-folded a staged batch")
+    // compaction restores one sig_h-sorted file per band with probe
+    // parity and the pushed filter intact (the frame-store discipline)
+    val before = Dedup.lshProbeStored(spark, store, q7)
+      .collect().map(_.toSeq).toSet
+    val compacted = java.nio.file.Files
+      .createTempDirectory("lsh_compact").toString
+    Dedup.lshStoreCompact(spark, store, compacted)
+    val after = Dedup.lshProbeStored(spark, compacted, q7)
+    assert(after.collect().map(_.toSeq).toSet === before,
+      "compaction changed probe answers")
+    for (b <- 0 until 4) {
+      val files = new java.io.File(s"$compacted/band=$b")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"band=$b not compacted to one file")
+    }
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*sig_h.*"),
+      "sig_h filter no longer pushed into the compacted store scan")
   }
 
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
