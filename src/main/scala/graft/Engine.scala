@@ -716,6 +716,13 @@ object Engine {
     * integer-ppm rate difference. The batch face of
     * `StreamingOps.driftGateBatch`.
     */
+  /** Embedding drift report (p112): base vs increment per-IVF-cell
+    * assignment rates in exact integer ppm under a frozen centroid
+    * model — the vector twin of [[driftReport]]. */
+  def embeddingDriftReport(base: DataFrame, inc: DataFrame,
+                           cents: Array[(Int, Seq[Float])]): DataFrame =
+    operators.Pipeline12.embeddingDriftOf(base, inc, cents)
+
   def driftReport(base: DataFrame, inc: DataFrame, topN: Int = 20): DataFrame =
     operators.Pipeline9.driftReportOf(base, inc, topN)
 

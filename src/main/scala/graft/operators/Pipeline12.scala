@@ -631,6 +631,101 @@ object Pipeline12 {
        |FROM per
        |ORDER BY d1, d2""".stripMargin
 
+  /** Cell count of the registered embedding-drift report — the p13/p41
+    * IVF geometry (seed centroids = vec_id < 8), so the report's cells
+    * ARE the index's cells.
+    */
+  private val DriftCells = 8
+
+  /** p112: the EMBEDDING drift report — p82's ingestion monitor
+    * extended to the vector modality: base vs increment per-IVF-cell
+    * assignment rates in exact integer parts-per-million, every cell a
+    * row, ranked by squared rate difference. THE gate that catches an
+    * embedding feed going bad (model-version switch, normalization
+    * bug, modality mix-up) BEFORE the increment is admitted to the
+    * vector index — a topical/representational shift moves mass
+    * between cells even when token-level p82 sees nothing.
+    *
+    * Scale shape: assignment is the shared map-only broadcast-argmax
+    * definition from p13/p41 ([[Similarity.assignCells]] — the
+    * report's cells ARE the index's cells); each side folds to ≤nCells
+    * rows (map-side partial agg), totals ride as broadcast 1-row
+    * frames, the compare runs on 2·nCells rows. All integer, so the
+    * ranking is bit-identical across engines and partitionings. The
+    * registered split (vec_id mod 5) stands in for yesterday's corpus
+    * vs today's batch; streaming twin:
+    * `StreamingOps.embeddingDriftGateBatch`.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, DriftCells)
+    embeddingDriftOf(emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0), cents)
+  }
+
+  /** Per-cell assignment rates of an embedding frame in exact integer
+    * ppm under a FROZEN centroid model — the bounded "distribution
+    * signature" shared by the batch report and the streaming gate.
+    */
+  private[graft] def cellRates(df: DataFrame,
+                               cents: Array[(Int, Seq[Float])],
+                               cnt: String, rate: String): DataFrame = {
+    val cells = Similarity.assignCells(cents, df).select(col("cell"))
+    val total = cells.agg(count(lit(1)).as("t"))
+    cells.groupBy(col("cell")).agg(count(lit(1)).as(cnt))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col(cnt),
+        expr(s"CAST($cnt * 1000000 DIV t AS BIGINT)").as(rate))
+  }
+
+  /** Library entry: drift report between any two embedding frames
+    * under a frozen centroid model. Full-outer so a vanished cell is
+    * named; both sides are nCells-bounded.
+    */
+  def embeddingDriftOf(base: DataFrame, inc: DataFrame,
+                       cents: Array[(Int, Seq[Float])]): DataFrame =
+    cellRates(base, cents, "cb", "rb")
+      .join(cellRates(inc, cents, "ci", "ri"), Seq("cell"), "full_outer")
+      .select(col("cell").cast("int").as("cell"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("ci"), lit(0L)).as("ci"),
+        coalesce(col("rb"), lit(0L)).as("rb"),
+        coalesce(col("ri"), lit(0L)).as("ri"))
+      .withColumn("drift",
+        (col("ri") - col("rb")) * (col("ri") - col("rb")))
+      .orderBy(col("drift").desc, col("cell"))
+
+  val embeddingDriftOracle: String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $DriftCells),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |ab AS (SELECT cell FROM assign WHERE vec_id % 5 <> 0),
+       |ai AS (SELECT cell FROM assign WHERE vec_id % 5 = 0),
+       |cb AS (SELECT cell, count(*) AS cb,
+       |              CAST(count(*) * 1000000 // (SELECT count(*) FROM ab)
+       |                   AS BIGINT) AS rb
+       |       FROM ab GROUP BY cell),
+       |ci AS (SELECT cell, count(*) AS ci,
+       |              CAST(count(*) * 1000000 // (SELECT count(*) FROM ai)
+       |                   AS BIGINT) AS ri
+       |       FROM ai GROUP BY cell),
+       |j AS (SELECT CAST(cell AS INTEGER) AS cell,
+       |             CAST(coalesce(cb, 0) AS BIGINT) AS cb,
+       |             CAST(coalesce(ci, 0) AS BIGINT) AS ci,
+       |             coalesce(rb, 0) AS rb, coalesce(ri, 0) AS ri
+       |      FROM cb FULL OUTER JOIN ci USING (cell))
+       |SELECT cell, cb, ci, rb, ri,
+       |       CAST((ri - rb) * (ri - rb) AS BIGINT) AS drift
+       |FROM j ORDER BY drift DESC, cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p104_ann_recall" -> (annRecall _),
     "p105_audio_containment" -> (audioContainmentQuery _),
@@ -639,6 +734,7 @@ object Pipeline12 {
     "p109_minhash_estimate" -> (minhashEstimate _),
     "p110_audio_probe_stored" -> (audioProbeStored _),
     "p111_lsh_probe_stored" -> (lshProbeStoredQuery _),
+    "p112_embedding_drift" -> (embeddingDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -649,5 +745,6 @@ object Pipeline12 {
     "p109_minhash_estimate" -> minhashEstimateOracle,
     "p110_audio_probe_stored" -> audioProbeStoredOracle,
     "p111_lsh_probe_stored" -> lshProbeStoredOracle,
+    "p112_embedding_drift" -> embeddingDriftOracle,
   )
 }

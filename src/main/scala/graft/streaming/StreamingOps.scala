@@ -126,6 +126,37 @@ object StreamingOps {
       .orderBy(col("drift").desc, col("bucket"))
   }
 
+  /** Streaming EMBEDDING drift gate — [[driftGateBatch]]'s vector-
+    * modality twin (batch form: Pipeline12 p112): score ONE
+    * micro-batch's per-IVF-cell assignment rates against a frozen base
+    * signature (`Pipeline12.cellRates` of the published corpus under
+    * the index's own centroid model — ≤nCells rows), returning cells
+    * whose squared ppm rate difference exceeds `thresholdPpm2`. Run it
+    * in `foreachBatch` before [[ivfPqIngestBatch]]: an embedding-model
+    * version switch or normalization bug moves mass between cells and
+    * fires this gate before the bad vectors pollute the index.
+    */
+  def embeddingDriftGateBatch(batch: DataFrame, baseRates: DataFrame,
+                              cents: Array[(Int, Seq[Float])],
+                              thresholdPpm2: Long): DataFrame = {
+    val rates = graft.operators.Pipeline12.cellRates(batch, cents, "ci", "ri")
+      .localCheckpoint(eager = false)
+    // same empty-batch guard as the token gate: an idle trigger has no
+    // distribution to compare and must not report the baseline vanished
+    val nBatch = rates.agg(coalesce(sum(col("ci")), lit(0L)).as("n_batch"))
+    rates
+      .join(baseRates.select(col("cell"), col("rb")), Seq("cell"), "full_outer")
+      .crossJoin(broadcast(nBatch))
+      .filter(col("n_batch") > 0)
+      .select(col("cell").cast("int").as("cell"),
+        coalesce(col("ci"), lit(0L)).as("ci"),
+        coalesce(col("ri"), lit(0L)).as("ri"),
+        coalesce(col("rb"), lit(0L)).as("rb"))
+      .withColumn("drift", (col("ri") - col("rb")) * (col("ri") - col("rb")))
+      .filter(col("drift") > thresholdPpm2)
+      .orderBy(col("drift").desc, col("cell"))
+  }
+
   /** Streaming OOV gate — the tokenizer-health twin of
     * [[driftGateBatch]], in the same `foreachBatch` discipline: score
     * ONE micro-batch's out-of-vocabulary rate against a frozen

@@ -167,6 +167,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.isEmpty, "empty micro-batch fired the drift gate")
   }
 
+  test("embedding drift gate: split batch passes, a single-cell flood names the cell") {
+    import graft.operators.{Pipeline12, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.seedCentroids(emb, 8)
+    val base = Pipeline12.cellRates(
+      emb.filter(col("vec_id") % 5 =!= 0), cents, "cb", "rb")
+    // the registered p112 split: same feed, different sample — admitted
+    // under a 10-percentage-point bar
+    val clean = StreamingOps.embeddingDriftGateBatch(
+      emb.filter(col("vec_id") % 5 === 0), base, cents,
+      thresholdPpm2 = 100000L * 100000L)
+    assert(clean.isEmpty, "same-feed batch tripped the embedding drift gate")
+    // a model-switch stand-in: every arriving vector identical (all
+    // mass lands in one cell) — must fire, naming centroid 3's cell
+    val v3 = emb.filter(col("vec_id") === 3L).select(col("embedding"))
+    val flood = spark.range(60).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(v3))
+    val fired = StreamingOps.embeddingDriftGateBatch(flood, base, cents,
+      thresholdPpm2 = 100000L * 100000L).collect()
+    assert(fired.nonEmpty, "single-cell flood passed the gate")
+    assert(fired(0).getInt(0) === 3, "flooded cell not ranked first")
+    // empty micro-batch admitted, never "the baseline vanished"
+    val empty = StreamingOps.embeddingDriftGateBatch(
+      emb.filter(lit(false)), base, cents, thresholdPpm2 = 1L)
+    assert(empty.isEmpty, "empty micro-batch fired the embedding gate")
+  }
+
   test("oov gate: in-vocab batch passes, a new-vocabulary flood names its top terms") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val vocab = docs.select(explode(split(col("text"), " ")).as("term"))
