@@ -266,12 +266,8 @@ object Dedup {
   def lshStoreCompact(spark: org.apache.spark.sql.SparkSession,
                       src: String, dst: String,
                       rowGroupBytes: Int = 1 << 20): Unit =
-    spark.read.parquet(src)
-      .repartition(col("band"))
-      .sortWithinPartitions(col("band"), col("sig_h"))
-      .write.mode("overwrite").partitionBy("band")
-      .option("parquet.block.size", rowGroupBytes)
-      .parquet(dst)
+    graft.sources.Maintenance.compactPartitionedSorted(
+      spark, src, dst, "band", "sig_h", rowGroupBytes)
 
   /** Stored candidate probe: every stored document sharing at least
     * one band signature with a query — p04's candidate semantics

@@ -658,19 +658,15 @@ object Multimodal {
   def frameStoreCompact(spark: org.apache.spark.sql.SparkSession,
                         src: String, dst: String,
                         rowGroupBytes: Int = 1 << 20): Unit =
-    spark.read.parquet(src)
-      .repartition(col("band_i"))
-      .sortWithinPartitions(col("band_i"), col("band_v"))
-      .write.mode("overwrite").partitionBy("band_i")
-      // index-store row groups are deliberately SMALL (1 MB, not the
-      // 128 MB analytics default): the probe's pushed band_v filter
-      // skips at row-group granularity, so group size IS the read
-      // amplification floor — a 128 MB group makes every probe read
-      // 128 MB per band. Compression/footer overhead at 1 MB is noise
-      // next to that. (Same trade the p50 posting store makes via its
-      // sorted bucket files.)
-      .option("parquet.block.size", rowGroupBytes)
-      .parquet(dst)
+    // index-store row groups are deliberately SMALL (1 MB, not the
+    // 128 MB analytics default): the probe's pushed band_v filter
+    // skips at row-group granularity, so group size IS the read
+    // amplification floor — a 128 MB group makes every probe read
+    // 128 MB per band. Compression/footer overhead at 1 MB is noise
+    // next to that. (Same trade the p50 posting store makes via its
+    // sorted bucket files.)
+    graft.sources.Maintenance.compactPartitionedSorted(
+      spark, src, dst, "band_i", "band_v", rowGroupBytes)
 
   /** Stored twin of [[perceptualProbe]]: answer a LITERAL query-hash
     * batch from a [[frameStoreWrite]] store. The query hashes are

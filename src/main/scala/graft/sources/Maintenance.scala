@@ -52,6 +52,28 @@ object Maintenance {
     parted.write.mode("overwrite").partitionBy(partCol).parquet(dst)
   }
 
+  /** [[compactPartitioned]] for SORTED index stores: one file per
+    * partition value, rows SORTED by `sortCol` within it, with small
+    * row groups — the at-rest signature-store discipline (video frame
+    * store, audio segment store, text LSH store all delegate here).
+    * Plain [[compactPartitioned]] folds sliver files but leaves rows
+    * unsorted, so every row group's min/max on the probe key spans the
+    * whole key space and the stored probe's pushed `IN (…)` filter
+    * skips nothing; this pass re-establishes the writer's sort. Row
+    * groups are deliberately small because group size is the probe's
+    * read-amplification floor (measured: BASELINE.md's frame/LSH store
+    * probes). Same out-of-place safety contract as [[compact]].
+    */
+  def compactPartitionedSorted(spark: SparkSession, src: String, dst: String,
+                               partCol: String, sortCol: String,
+                               rowGroupBytes: Int = 1 << 20): Unit =
+    spark.read.parquet(src)
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(dst)
+
   /** Per-file statistics manifest: (file, rows, min, max) of `keyCol`
     * for every parquet file of the table — the file-skipping index the
     * reference keeps in `chunksinfo.txt`, derived instead of
