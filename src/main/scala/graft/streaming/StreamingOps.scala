@@ -700,6 +700,50 @@ object StreamingOps {
       .distinct()
   }
 
+  /** The composed ADMISSION pipeline — the one `foreachBatch` handler
+    * an ingestion deployment copies: chain the frozen-model gates over
+    * ONE micro-batch of (doc_id, text) documents and emit a per-
+    * document verdict. Gate order encodes their scopes:
+    *
+    *  1. BATCH-scoped health gates first — token drift
+    *     ([[driftGateBatch]]) then OOV ([[oovGateBatch]]): if either
+    *     fires, the whole batch is quarantined (`reason` = 'drift' /
+    *     'oov') — a drifted feed's documents are not individually
+    *     trustworthy, so per-doc checks are skipped, and their cost
+    *     with them.
+    *  2. DOC-scoped near-dup gate ([[textDedupGateBatch]] against the
+    *     live p111 store): surviving batches reject only the arriving
+    *     documents that candidate-match something already published
+    *     (`reason` = 'near_dup', `dup_of` names the stored doc; a doc
+    *     matching several keeps the smallest id — deterministic).
+    *
+    * Admitted rows (`admitted` = true, reason/dup_of null) are the set
+    * to pass to the ingest stage ([[lshIngestBatch]] and siblings).
+    * The batch is localCheckpoint'd once and feeds every gate — three
+    * verdicts, one materialization of the arriving text.
+    */
+  def admissionGateBatch(spark: org.apache.spark.sql.SparkSession,
+                         lshStorePath: String, baseRates: DataFrame,
+                         vocab: DataFrame, driftPpm2: Long,
+                         oovPpm: Long)(batch: DataFrame): DataFrame = {
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val ids = b.select(col("doc_id"))
+    def quarantined(reason: String): DataFrame =
+      ids.select(col("doc_id"), lit(false).as("admitted"),
+        lit(reason).as("reason"), lit(null).cast("long").as("dup_of"))
+    if (b.isEmpty) return quarantined("empty").limit(0)
+    if (!driftGateBatch(b, baseRates, driftPpm2).isEmpty)
+      return quarantined("drift")
+    if (!oovGateBatch(b, vocab, oovPpm).isEmpty)
+      return quarantined("oov")
+    val dups = textDedupGateBatch(spark, lshStorePath)(b)
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+    ids.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("admitted"),
+        when(col("dup_of").isNotNull, lit("near_dup")).as("reason"),
+        col("dup_of"))
+  }
+
   /** Streaming LEXICAL index ingestion, stage 1: tokenize each
     * micro-batch of (doc_id, text) documents into posting rows (the
     * exact `Pipeline6.postingsOf` form the index build uses) and land

@@ -167,6 +167,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.isEmpty, "empty micro-batch fired the drift gate")
   }
 
+  test("admission pipeline: batch gates quarantine, doc gates reject, clean docs land") {
+    import graft.operators.Pipeline9
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") < 400L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("adm_store").toString
+    Engine.lshStoreWrite(base, "doc_id", "text", store)
+    val rates = Pipeline9.bucketRates(base, "cb", "rb").localCheckpoint()
+    val vocab = base.select(explode(split(col("text"), " ")).as("term"))
+      .distinct().localCheckpoint()
+    val gate = (b: org.apache.spark.sql.DataFrame) =>
+      StreamingOps.admissionGateBatch(spark, store, rates, vocab,
+        driftPpm2 = 100000L * 100000L, oovPpm = 100000L)(b)
+    def verdicts(b: org.apache.spark.sql.DataFrame) =
+      gate(b).collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // clean batch: in-vocabulary words, novel shingles (reversed word
+    // order of base docs) — every doc admitted
+    val cleanTexts = base.filter(col("doc_id") < 10L)
+      .select((col("doc_id") + 2000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      .localCheckpoint()
+    val vA = verdicts(cleanTexts)
+    assert(vA.size === 10 && vA.values.forall(_ == ((true, None, None))),
+      s"clean batch not fully admitted: $vA")
+    // mixed batch: one exact re-publish among clean docs — only the
+    // copy is rejected, and dup_of names a stored doc with its text
+    val copy = base.filter(col("doc_id") === 7L)
+      .select(lit(2107L).as("doc_id"), col("text"))
+    val vB = verdicts(cleanTexts.limit(3).unionByName(copy))
+    assert(vB(2107L)._1 === false && vB(2107L)._2 === Some("near_dup"))
+    val dupOf = vB(2107L)._3.get
+    val baseText = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(baseText(dupOf) === baseText(7L),
+      "dup_of does not point at a stored copy of the text")
+    assert(vB.filter(_._1 != 2107L).values.forall(_ == ((true, None, None))))
+    // flooded batch: the whole batch quarantined by the BATCH gate —
+    // per-doc reasons all 'drift', dup probe never consulted
+    val flood = spark.range(60).select((col("id") + 3000L).as("doc_id"),
+      lit(Seq.fill(40)("zzzflood").mkString(" ")).as("text"))
+    val vC = verdicts(flood)
+    assert(vC.size === 60 && vC.values.forall(_ == ((false, Some("drift"), None))),
+      "flooded batch was not fully quarantined as drift")
+    // empty trigger: empty verdict table, nothing quarantined
+    assert(gate(docs.filter(lit(false))).isEmpty)
+  }
+
   test("embedding drift gate: split batch passes, a single-cell flood names the cell") {
     import graft.operators.{Pipeline12, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
