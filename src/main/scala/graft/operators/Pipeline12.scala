@@ -726,6 +726,84 @@ object Pipeline12 {
        |FROM j ORDER BY drift DESC, cell""".stripMargin
   }
 
+  /** p113: the per-source RELEASE CARD — the one table a data lead
+    * reads before shipping a corpus: p86's quality scorecard columns
+    * joined with the near-dup exposure (p76's LSH pair matrix split
+    * into within-source pairs and cross-source pair incidence) and the
+    * benchmark-contamination count (p94's verdicts rolled up by
+    * source). Pure composition of three green registered devices on
+    * the `source` key; the oracle recomposes their own registered
+    * oracle SQL as derived tables, so drift in ANY ingredient surfaces
+    * twice (the p104 discipline). Output is |sources|-bounded.
+    *
+    * Reading it: `n_pass`/`n_docs` is the quality yield,
+    * `n_dup_docs` the exact-dup tax, `n_neardup_within` internal
+    * boilerplate, `n_neardup_cross` how much this feed re-publishes
+    * (or is re-published by) others — the p76 signal that reallocates
+    * token budgets, and `n_contaminated` what the eval-safety gate
+    * would drop.
+    */
+  def releaseCard(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val sc = Pipeline9.sourceScorecard(s, d)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_pass"), col("n_dup_docs"))
+    val ov = Pipeline8.crossSourceOverlap(s, d)
+      .localCheckpoint(eager = false) // feeds the within + cross splits
+    val within = ov.filter(col("source_a") === col("source_b"))
+      .select(col("source_a").as("source"),
+        col("n_pairs").as("n_neardup_within"))
+    val cross = ov.filter(col("source_a") =!= col("source_b"))
+      .select(explode(array(col("source_a"), col("source_b"))).as("source"),
+        col("n_pairs"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_pairs")).as("n_neardup_cross"))
+    val cont = Pipeline10.decontaminate(s, d)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("contaminated"), 1L).otherwise(0L))
+        .as("n_contaminated"))
+    sc.join(within, Seq("source"), "left")
+      .join(cross, Seq("source"), "left")
+      .join(cont, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_pass"),
+        col("n_dup_docs"),
+        coalesce(col("n_neardup_within"), lit(0L)).as("n_neardup_within"),
+        coalesce(col("n_neardup_cross"), lit(0L)).as("n_neardup_cross"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val releaseCardOracle: String =
+    s"""WITH sc AS (
+       |  SELECT source, n_docs, n_tokens, n_pass, n_dup_docs
+       |  FROM (${Pipeline9.sourceScorecardOracle}) x),
+       |ov AS (SELECT * FROM (${Pipeline8.crossSourceOverlapOracle}) x),
+       |w AS (SELECT source_a AS source, n_pairs AS nw FROM ov
+       |      WHERE source_a = source_b),
+       |cr AS (
+       |  SELECT source, sum(n_pairs) AS nc FROM (
+       |    SELECT source_a AS source, n_pairs FROM ov
+       |    WHERE source_a <> source_b
+       |    UNION ALL
+       |    SELECT source_b, n_pairs FROM ov WHERE source_a <> source_b)
+       |  GROUP BY source),
+       |ct AS (
+       |  SELECT d.source,
+       |         sum(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS nct
+       |  FROM (${Pipeline10.decontaminateOracle}) c
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY d.source)
+       |SELECT sc.source, sc.n_docs, sc.n_tokens, sc.n_pass, sc.n_dup_docs,
+       |       CAST(coalesce(w.nw, 0) AS BIGINT) AS n_neardup_within,
+       |       CAST(coalesce(cr.nc, 0) AS BIGINT) AS n_neardup_cross,
+       |       CAST(coalesce(ct.nct, 0) AS BIGINT) AS n_contaminated
+       |FROM sc
+       |LEFT JOIN w USING (source)
+       |LEFT JOIN cr USING (source)
+       |LEFT JOIN ct USING (source)
+       |ORDER BY sc.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p104_ann_recall" -> (annRecall _),
     "p105_audio_containment" -> (audioContainmentQuery _),
@@ -735,6 +813,7 @@ object Pipeline12 {
     "p110_audio_probe_stored" -> (audioProbeStored _),
     "p111_lsh_probe_stored" -> (lshProbeStoredQuery _),
     "p112_embedding_drift" -> (embeddingDrift _),
+    "p113_release_card" -> (releaseCard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -746,5 +825,6 @@ object Pipeline12 {
     "p110_audio_probe_stored" -> audioProbeStoredOracle,
     "p111_lsh_probe_stored" -> lshProbeStoredOracle,
     "p112_embedding_drift" -> embeddingDriftOracle,
+    "p113_release_card" -> releaseCardOracle,
   )
 }
