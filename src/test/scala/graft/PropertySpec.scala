@@ -59,6 +59,31 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LSH store probe equals the in-memory candidate relation on random corpora") {
+    // the at-rest layout (p111) must be semantics-preserving for ANY
+    // corpus, not just the fixture: probing the store with every doc's
+    // own signatures reproduces exactly p04's candidate pairs (plus
+    // the self-hits a probe includes by construction)
+    forAll(corpus, n = 3) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").localCheckpoint()
+      val sigs = Dedup.lshSignatureRows(df, "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      if (sigs.nonEmpty) {
+        val store = java.nio.file.Files
+          .createTempDirectory("prop_lsh").toString
+        Dedup.lshStoreWrite(
+          Dedup.lshSignatureRows(df, "doc_id", "text", n = 3), store)
+        val got = Dedup.lshProbeStored(spark, store, sigs)
+          .filter(col("qid") < col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want, s"stored probe diverged on corpus $docs")
+      }
+    }
+  }
+
   test("simhash of identical docs is identical; hamming to itself is 0") {
     forAll(doc) { t =>
       val df = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
