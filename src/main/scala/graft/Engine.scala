@@ -716,15 +716,15 @@ object Engine {
     * integer-ppm rate difference. The batch face of
     * `StreamingOps.driftGateBatch`.
     */
+  def driftReport(base: DataFrame, inc: DataFrame, topN: Int = 20): DataFrame =
+    operators.Pipeline9.driftReportOf(base, inc, topN)
+
   /** Embedding drift report (p112): base vs increment per-IVF-cell
     * assignment rates in exact integer ppm under a frozen centroid
     * model — the vector twin of [[driftReport]]. */
   def embeddingDriftReport(base: DataFrame, inc: DataFrame,
                            cents: Array[(Int, Seq[Float])]): DataFrame =
     operators.Pipeline12.embeddingDriftOf(base, inc, cents)
-
-  def driftReport(base: DataFrame, inc: DataFrame, topN: Int = 20): DataFrame =
-    operators.Pipeline9.driftReportOf(base, inc, topN)
 
   /** Attach the fixture WAV payload (p78's "microphone"); production
     * replaces this with reading real audio files into `payload`.
@@ -805,12 +805,8 @@ object Engine {
     */
   def audioProbeStored(spark: SparkSession, path: String,
                        queryFps: Seq[(Long, Long)],
-                       maxHamming: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    operators.Multimodal.frameProbeStored(spark, path, queryFps, maxHamming)
-      .select(col("qid"), col("doc_id"), col("frame").as("seg"),
-        col("hamming"))
-  }
+                       maxHamming: Int = 3): DataFrame =
+    operators.Multimodal.audioProbeStored(spark, path, queryFps, maxHamming)
 
   /** Train the p102 exact-integer batch perceptron on `docs`; returns
     * the B-bounded (bucket, weight) model frame.

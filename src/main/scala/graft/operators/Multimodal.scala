@@ -221,10 +221,6 @@ object Multimodal {
   def decodeRaster(withRaster: DataFrame): DataFrame =
     decodeRasterKeeping(withRaster, Nil)
 
-  /** [[decodeRaster]] with passthrough columns — `keep` columns ride
-    * along unchanged (e.g. the event-time column a streaming caller
-    * needs for its watermark downstream of the decode boundary).
-    */
   /** The per-payload raster decode, driver-callable (the mutated-
     * payload property test exercises it without a Spark job, so guard
     * failures surface as bare IllegalArgumentException, undisguised by
@@ -256,6 +252,10 @@ object Multimodal {
       dHash(b, off, w, h))
   }
 
+  /** [[decodeRaster]] with passthrough columns — `keep` columns ride
+    * along unchanged (e.g. the event-time column a streaming caller
+    * needs for its watermark downstream of the decode boundary).
+    */
   def decodeRasterKeeping(withRaster: DataFrame, keep: Seq[String]): DataFrame = {
     val keepFields = keep.map(n => withRaster.schema(n))
     val outSchema = StructType(
@@ -411,10 +411,6 @@ object Multimodal {
   def decodeWave(withWave: DataFrame): DataFrame =
     decodeWaveKeeping(withWave, Nil)
 
-  /** [[decodeWave]] with passthrough columns — same contract as
-    * [[decodeRasterKeeping]] (streaming callers thread their event
-    * time through the codec boundary).
-    */
   /** RIFF chunk walk + PCM int16 parse, driver-callable (as
     * [[rasterKernel]]): returns (sample_rate, samples). Shared by the
     * whole-track decode and the segment decode.
@@ -467,6 +463,10 @@ object Multimodal {
     Seq[Any](rate, n, sum, maxAmp, zc, waveFingerprint(s))
   }
 
+  /** [[decodeWave]] with passthrough columns — same contract as
+    * [[decodeRasterKeeping]] (streaming callers thread their event
+    * time through the codec boundary).
+    */
   def decodeWaveKeeping(withWave: DataFrame, keep: Seq[String]): DataFrame = {
     val keepFields = keep.map(n => withWave.schema(n))
     val outSchema = StructType(
@@ -702,6 +702,18 @@ object Multimodal {
           .as("hamming"))
       .distinct()
   }
+
+  /** Stored AUDIO probe: [[frameProbeStored]] under the audio store's
+    * (seg → frame, sfp → fhash) isomorphism — THE one definition of
+    * the column mapping back, shared by `Engine.audioProbeStored` and
+    * the registered p110 query.
+    */
+  def audioProbeStored(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queryFps: Seq[(Long, Long)],
+                       maxHamming: Int = 3): DataFrame =
+    frameProbeStored(spark, path, queryFps, maxHamming)
+      .select(col("qid"), col("doc_id"), col("frame").as("seg"),
+        col("hamming"))
 
   // ---- real video decode (raw PPM stream) --------------------------
 

@@ -360,22 +360,28 @@ object Pipeline12 {
     * layout semantics-preserving, exactly as p100 does for video.
     */
   def audioProbeStored(s: SparkSession, d: String): DataFrame = {
-    val segs = () => Multimodal.decodeWaveSegments(
-      Multimodal.attachWave(graft.Tables.documents(s, d)), AudioSegLen)
     val store = audioStores.computeIfAbsent(d, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_audio_store_").toString
       Multimodal.frameStoreWrite(
-        segs().select(col("doc_id"), col("seg").as("frame"),
-          col("sfp").as("fhash")), p)
+        Multimodal.decodeWaveSegments(
+            Multimodal.attachWave(graft.Tables.documents(s, d)), AudioSegLen)
+          .select(col("doc_id"), col("seg").as("frame"),
+            col("sfp").as("fhash")), p)
       p
     })
-    val qs = segs().filter(col("doc_id") < 5 && col("seg") === 0)
+    // query side decodes ONLY the 5 probe docs (filter BEFORE the
+    // decode boundary — a filter on the mapPartitions OUTPUT cannot be
+    // pushed through it, and would re-decode the whole corpus per
+    // probe; the p100 precedent)
+    val qs = Multimodal.decodeWaveSegments(
+        Multimodal.attachWave(
+          graft.Tables.documents(s, d).filter(col("doc_id") < 5)),
+        AudioSegLen)
+      .filter(col("seg") === 0)
       .select(col("doc_id"), col("sfp"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
-    Multimodal.frameProbeStored(s, store, qs, maxHamming = 3)
-      .select(col("qid"), col("doc_id"), col("frame").as("seg"),
-        col("hamming"))
+    Multimodal.audioProbeStored(s, store, qs, maxHamming = 3)
       .orderBy(col("qid"), col("doc_id"), col("seg"))
   }
 

@@ -17,7 +17,10 @@ import sys
 
 def load_bench(path):
     text = open(path).read()
-    return json.loads(re.search(r'\{.*\}', text).group(0))["queries"]
+    m = re.search(r"\{.*\}", text, re.DOTALL)
+    if m is None:
+        sys.exit(f"no JSON object found in {path}")
+    return json.loads(m.group(0))["queries"]
 
 
 def load_pins(path):
@@ -32,10 +35,13 @@ def load_pins(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     band = 0.30
-    if "--band" in sys.argv:
-        band = float(sys.argv[sys.argv.index("--band") + 1])
+    if "--band" in argv:
+        i = argv.index("--band")
+        band = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     bench = load_bench(args[0])
     pins = load_pins(args[1] if len(args) > 1 else "BASELINE.md")
     movers, checked = [], 0

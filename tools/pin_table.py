@@ -15,7 +15,10 @@ def main() -> None:
     for p in sys.argv[1:]:
         with open(p) as f:
             text = f.read()  # tolerate sbt's [info] prefix
-            runs.append(json.loads(re.search(r"\{.*\}", text).group(0))["queries"])
+            m = re.search(r"\{.*\}", text, re.DOTALL)
+            if m is None:
+                sys.exit(f"no JSON object found in {p}")
+            runs.append(json.loads(m.group(0))["queries"])
     keys = sorted(set().union(*[set(r) for r in runs]))
     pins = {k: min(r[k] for r in runs if k in r) for k in keys}
     total = sum(pins.values())
