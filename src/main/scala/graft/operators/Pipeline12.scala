@@ -810,6 +810,87 @@ object Pipeline12 {
        |LEFT JOIN ct USING (source)
        |ORDER BY sc.source""".stripMargin
 
+  /** Window width of the registered boilerplate-span query. */
+  private val BoilerWindow = 20
+
+  /** p114: WITHIN-document boilerplate span extraction — the positional
+    * twin of the doc-level repetition signals (p29/p74): split each
+    * document into fixed `w`-word windows, flag windows whose distinct-
+    * token ratio is ≤ 60 % (exact integers: 5·distinct ≤ 3·w), and
+    * emit every maximal run of flagged windows as a (w_start, w_end)
+    * span — the "navigation header / repeated footer" shape a page
+    * extractor trims by POSITION, which document-level scores can only
+    * dilute into the average. Docs with no flagged window emit no rows;
+    * the tail fragment shorter than `w` is never judged (the audio
+    * segment-truncation contract).
+    *
+    * Scale shape: MAP-ONLY — windows, flags and the span fold all run
+    * inside one projection over the token array (higher-order
+    * functions, the p74 discipline: tokenization-adjacent ops are the
+    * widest maps in a pipeline and must not shuffle); the only
+    * exchange in the plan is the display sort. The oracle derives the
+    * same spans by the INDEPENDENT gaps-and-islands algorithm
+    * (positions → window aggregate → win − row_number() islands), so
+    * the fold's run/boundary arithmetic is differentially checked
+    * against a different derivation, not a mirror of itself.
+    */
+  def boilerplateSpans(s: SparkSession, d: String): DataFrame =
+    boilerplateSpansOf(graft.Tables.documents(s, d), BoilerWindow)
+      .orderBy(col("doc_id"), col("w_start"))
+
+  def boilerplateSpansOf(docs: DataFrame, w: Int): DataFrame = {
+    require(w > 0, "window width must be positive")
+    val flags =
+      s"""CASE WHEN size(split(text, ' ')) >= $w THEN
+         |  transform(sequence(0, CAST(size(split(text, ' ')) DIV $w AS INT) - 1),
+         |    i -> struct(i AS i,
+         |      (5 * size(array_distinct(slice(split(text, ' '), i * $w + 1, $w)))
+         |         <= 3 * $w) AS f))
+         |ELSE array() END""".stripMargin
+    // fold flagged windows into maximal runs: acc = (closed spans, the
+    // open run's start or -1); a false flag closes the open run, the
+    // finisher closes a run still open at the last window
+    val spans =
+      s"""aggregate($flags,
+         |  named_struct('sp', CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+         |               'cur', -1),
+         |  (acc, x) -> IF(x.f,
+         |    named_struct('sp', acc.sp,
+         |                 'cur', IF(acc.cur = -1, x.i, acc.cur)),
+         |    named_struct('sp', IF(acc.cur = -1, acc.sp,
+         |                   array_append(acc.sp, struct(acc.cur AS s, x.i - 1 AS e))),
+         |                 'cur', -1)),
+         |  acc -> IF(acc.cur = -1, acc.sp,
+         |    array_append(acc.sp, struct(acc.cur AS s,
+         |      CAST(size(split(text, ' ')) DIV $w AS INT) - 1 AS e))))""".stripMargin
+    docs
+      .select(col("doc_id"), explode(expr(spans)).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("w_start"), col("sp.e").as("w_end"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_windows"))
+  }
+
+  val boilerplateSpansOracle: String = {
+    val w = BoilerWindow
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tk AS (
+       |  SELECT doc_id, CAST((i - 1) // $w AS INTEGER) AS win, w[i] AS tok
+       |  FROM ws, unnest(range(1, (len(w) // $w) * $w + 1)) t(i)),
+       |cnt AS (
+       |  SELECT doc_id, win, count(DISTINCT tok) AS nd
+       |  FROM tk GROUP BY 1, 2),
+       |low AS (SELECT doc_id, win FROM cnt WHERE 5 * nd <= 3 * $w),
+       |g AS (
+       |  SELECT doc_id, win,
+       |         win - row_number() OVER (PARTITION BY doc_id ORDER BY win)
+       |           AS grp
+       |  FROM low)
+       |SELECT doc_id, CAST(min(win) AS INTEGER) AS w_start,
+       |       CAST(max(win) AS INTEGER) AS w_end,
+       |       CAST(count(*) AS BIGINT) AS n_windows
+       |FROM g GROUP BY doc_id, grp
+       |ORDER BY doc_id, w_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p104_ann_recall" -> (annRecall _),
     "p105_audio_containment" -> (audioContainmentQuery _),
@@ -820,6 +901,7 @@ object Pipeline12 {
     "p111_lsh_probe_stored" -> (lshProbeStoredQuery _),
     "p112_embedding_drift" -> (embeddingDrift _),
     "p113_release_card" -> (releaseCard _),
+    "p114_boilerplate_spans" -> (boilerplateSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -832,5 +914,6 @@ object Pipeline12 {
     "p111_lsh_probe_stored" -> lshProbeStoredOracle,
     "p112_embedding_drift" -> embeddingDriftOracle,
     "p113_release_card" -> releaseCardOracle,
+    "p114_boilerplate_spans" -> boilerplateSpansOracle,
   )
 }

@@ -728,6 +728,39 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     qs.foreach { case (qid, _, _) => assert(got((qid, qid, 0, 0))) }
   }
 
+  test("p114: spans equal a sequential reference; the signal discriminates") {
+    import operators.Pipeline12
+    val d01 = "/root/testdata/sf0.01"
+    val got = Pipeline12.boilerplateSpans(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // sequential reference: flags per full window, then maximal runs
+    val want = Tables.documents(spark, d01)
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        val flags = (0 until toks.length / 20).map { i =>
+          toks.slice(i * 20, (i + 1) * 20).distinct.length * 5 <= 3 * 20
+        }
+        val runs = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var s = -1
+        for (i <- flags.indices) {
+          if (flags(i) && s == -1) s = i
+          if (!flags(i) && s != -1) { runs += ((s, i - 1)); s = -1 }
+        }
+        if (s != -1) runs += ((s, flags.length - 1))
+        runs.map { case (a, b) => (r.getLong(0), a, b, (b - a + 1).toLong) }
+      }
+    assert(got.toSet === want.toSet, "span fold diverged from the reference")
+    // the corpus must exercise the op: spans exist, and at least one
+    // doc is MIXED (a flagged span that does not cover every window —
+    // a positional signal, not a doc-level one)
+    assert(got.nonEmpty)
+    val winCount = Tables.documents(spark, d01).select(col("doc_id"),
+        (size(split(col("text"), " ")) / 20).cast("int").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.exists { case (id, a, b, _) => (b - a + 1) < winCount(id) },
+      "every span covers its whole doc — the signal is doc-level, not positional")
+  }
+
   test("p109: band collisions bound agreements below; errors fold exactly") {
     import operators.Pipeline12
     val d01 = "/root/testdata/sf0.01"

@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "skipping is dead and the probe reads the whole store")
   }
 
+  test("p114: the span fold is map-only (no hash exchange before the display sort)") {
+    // tokenization-adjacent ops are the widest maps in a pipeline: the
+    // windows, flags and run fold must all stay inside one projection
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan("p114_boilerplate_spans")).size
+    assert(shuffles === 0, s"expected 0 hash shuffles, saw $shuffles")
+  }
+
   test("p111: stored LSH probe pushes the signature filter into the parquet scan") {
     val p = plan("p111_lsh_probe_stored")
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*sig_h.*"),
