@@ -840,11 +840,15 @@ object Pipeline12 {
 
   def boilerplateSpansOf(docs: DataFrame, w: Int): DataFrame = {
     require(w > 0, "window width must be positive")
+    // tokenize ONCE into a projected column: higher-order lambda bodies
+    // evaluate per element with no subexpression hoisting, so a
+    // split() inside the transform would re-tokenize the document per
+    // window (quadratic in document length)
     val flags =
-      s"""CASE WHEN size(split(text, ' ')) >= $w THEN
-         |  transform(sequence(0, CAST(size(split(text, ' ')) DIV $w AS INT) - 1),
+      s"""CASE WHEN size(toks) >= $w THEN
+         |  transform(sequence(0, CAST(size(toks) DIV $w AS INT) - 1),
          |    i -> struct(i AS i,
-         |      (5 * size(array_distinct(slice(split(text, ' '), i * $w + 1, $w)))
+         |      (5 * size(array_distinct(slice(toks, i * $w + 1, $w)))
          |         <= 3 * $w) AS f))
          |ELSE array() END""".stripMargin
     // fold flagged windows into maximal runs: acc = (closed spans, the
@@ -862,8 +866,9 @@ object Pipeline12 {
          |                 'cur', -1)),
          |  acc -> IF(acc.cur = -1, acc.sp,
          |    array_append(acc.sp, struct(acc.cur AS s,
-         |      CAST(size(split(text, ' ')) DIV $w AS INT) - 1 AS e))))""".stripMargin
+         |      CAST(size(toks) DIV $w AS INT) - 1 AS e))))""".stripMargin
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(spans)).as("sp"))
       .select(col("doc_id"), col("sp.s").as("w_start"), col("sp.e").as("w_end"),
         (col("sp.e") - col("sp.s") + 1).cast("long").as("n_windows"))

@@ -736,7 +736,9 @@ class Batch9Spec extends AnyFunSuite with SparkTestBase {
     // sequential reference: flags per full window, then maximal runs
     val want = Tables.documents(spark, d01)
       .select(col("doc_id"), col("text")).collect().flatMap { r =>
-        val toks = r.getString(1).split(" ")
+        // limit -1: keep trailing empty tokens, matching Spark's
+        // split(text, ' ') so the window count cannot diverge
+        val toks = r.getString(1).split(" ", -1)
         val flags = (0 until toks.length / 20).map { i =>
           toks.slice(i * 20, (i + 1) * 20).distinct.length * 5 <= 3 * 20
         }

@@ -16,11 +16,19 @@ import sys
 
 
 def load_bench(path):
-    text = open(path).read()
-    m = re.search(r"\{.*\}", text, re.DOTALL)
-    if m is None:
-        sys.exit(f"no JSON object found in {path}")
-    return json.loads(m.group(0))["queries"]
+    """Find the graft.Bench output line (possibly prefixed by sbt's
+    [info]) and parse its JSON; a per-line scan keyed on the contract's
+    own fields, so stray braces elsewhere in a log can't mislead it."""
+    for line in open(path):
+        if '"queries"' not in line:
+            continue
+        try:
+            obj = json.loads(line[line.index("{"):line.rindex("}") + 1])
+        except (ValueError, IndexError):
+            continue
+        if "queries" in obj:
+            return obj["queries"]
+    sys.exit(f"no bench JSON line with a 'queries' field found in {path}")
 
 
 def load_pins(path):
@@ -39,6 +47,9 @@ def main():
     band = 0.30
     if "--band" in argv:
         i = argv.index("--band")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: pin_check.py BENCH.json [BASELINE.md] "
+                     "[--band 0.30]")
         band = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
     args = [a for a in argv if not a.startswith("--")]

@@ -6,19 +6,29 @@ rendered as a two-column markdown table sorted by key.
 Usage: pin_table.py runA.json runB.json [...]
 """
 import json
-import re
 import sys
+
+
+def load_bench(path):
+    """Find the graft.Bench output line (possibly prefixed by sbt's
+    [info]) and parse its JSON; a per-line scan keyed on the contract's
+    own fields, so stray braces elsewhere in a log can't mislead it."""
+    for line in open(path):
+        if '"queries"' not in line:
+            continue
+        try:
+            obj = json.loads(line[line.index("{"):line.rindex("}") + 1])
+        except (ValueError, IndexError):
+            continue
+        if "queries" in obj:
+            return obj["queries"]
+    sys.exit(f"no bench JSON line with a 'queries' field found in {path}")
 
 
 def main() -> None:
     runs = []
     for p in sys.argv[1:]:
-        with open(p) as f:
-            text = f.read()  # tolerate sbt's [info] prefix
-            m = re.search(r"\{.*\}", text, re.DOTALL)
-            if m is None:
-                sys.exit(f"no JSON object found in {p}")
-            runs.append(json.loads(m.group(0))["queries"])
+        runs.append(load_bench(p))
     keys = sorted(set().union(*[set(r) for r in runs]))
     pins = {k: min(r[k] for r in runs if k in r) for k in keys}
     total = sum(pins.values())
