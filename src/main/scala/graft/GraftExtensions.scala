@@ -20,6 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftext.ColumnBridge
+  import graft.functions.TextAnalysis
+
+  /** Lift a Column-composition (builtins only, stays in codegen) into
+    * a SQL function builder via the expression bridge — the pipeline's
+    * text devices become callable from `Engine.sql` next to the
+    * Column API, with ONE definition serving both surfaces.
+    */
+  private def unary(name: String, f: Column => Column) =
+    (FunctionIdentifier(name),
+     new ExpressionInfo(TextAnalysis.getClass.getName, name),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, s"$name expects exactly 1 argument")
+       ColumnBridge.resolvableExpression(f(ColumnBridge.column(args.head)))
+     })
+
   /** (identifier, info, builder) triples — shared by the extension and
     * the imperative registrar.
     */
@@ -27,5 +44,26 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-     (args: Seq[Expression]) => VecDot(args(0), args(1))))
+     (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    // the curation text devices (p07/p74/p02/p08's building blocks)
+    unary("lang_guess", { c =>
+      val w = TextAnalysis.words(c)
+      TextAnalysis.langGuess(
+        TextAnalysis.stopwordCount(w, TextAnalysis.enStop),
+        TextAnalysis.stopwordCount(w, TextAnalysis.esStop),
+        TextAnalysis.stopwordCount(w, TextAnalysis.deStop),
+        TextAnalysis.stopwordCount(w, TextAnalysis.frStop))
+    }),
+    unary("quality_score", TextAnalysis.qualityScore),
+    unary("doc_fingerprint", TextAnalysis.fingerprint),
+    unary("ws_tokens", TextAnalysis.wsTokenCount),
+    (FunctionIdentifier("shingles"),
+     new ExpressionInfo(TextAnalysis.getClass.getName, "shingles"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2 && args(1).foldable,
+         "shingles(text, n) expects a literal shingle width")
+       val n = args(1).eval().asInstanceOf[Number].intValue
+       ColumnBridge.resolvableExpression(
+         TextAnalysis.shingles(ColumnBridge.column(args.head), n))
+     }))
 }

@@ -14,6 +14,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Lower a Column's node tree to a plain catalyst Expression the
+    * analyzer can finish resolving. [[expression]] wraps the node in
+    * an opaque `ColumnNodeExpression` that only Dataset-API entry
+    * points rewrite — inside a FunctionRegistry builder's output that
+    * wrapper survives analysis untouched and codegen rejects it; this
+    * converter emits the equivalent Unresolved* tree instead, which
+    * the analyzer's fixed-point pass resolves like any SQL-parsed
+    * expression.
+    */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Imperative twin of `graft.GraftExtensions` for sessions that were
     * built without the extensions conf (e.g. a caller-owned session):
     * registers the custom SQL functions directly in the session's

@@ -14,20 +14,48 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r === 11.0)
   }
 
-  test("every extension description builds an evaluable expression") {
+  test("vec_dot's description builds an evaluable expression") {
     // spark.sql.extensions is a STATIC conf read at SparkContext
     // creation, so the conf path can't be re-exercised on the shared
     // test context; Verify/Bench set it on their fresh JVMs. Here we
-    // assert each injected builder yields a working expression.
+    // assert the injected builder yields a working expression.
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     import org.apache.spark.sql.catalyst.util.ArrayData
     val args = Seq(
       Literal(ArrayData.toArrayData(Array(1.0f, 2.0f)), ArrayType(FloatType)),
       Literal(ArrayData.toArrayData(Array(3.0f, 4.0f)), ArrayType(FloatType)))
-    GraftExtensions.descriptions.foreach { case (ident, _, builder) =>
-      val e = builder(args)
-      assert(e.eval(null) === 11.0, s"function ${ident.funcName}")
-    }
+    val builder = GraftExtensions.descriptions
+      .find(_._1.funcName == "vec_dot").get._3
+    assert(builder(args).eval(null) === 11.0)
+  }
+
+  test("the text devices answer identically through SQL and the Column API") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.TextAnalysis
+    ColumnBridge.registerFunctions(spark)
+    val t = "the quick brown fox and the lazy dog of the fence the the"
+    val sql = spark.sql(
+      s"""SELECT lang_guess('$t') AS lg, quality_score('$t') AS qs,
+         |       doc_fingerprint('$t') AS fp, ws_tokens('$t') AS wt,
+         |       shingles('$t', 5) AS sh""".stripMargin).head()
+    val w = TextAnalysis.words(lit(t))
+    val want = spark.range(1).select(
+      TextAnalysis.langGuess(
+        TextAnalysis.stopwordCount(w, TextAnalysis.enStop),
+        TextAnalysis.stopwordCount(w, TextAnalysis.esStop),
+        TextAnalysis.stopwordCount(w, TextAnalysis.deStop),
+        TextAnalysis.stopwordCount(w, TextAnalysis.frStop)).as("lg"),
+      TextAnalysis.qualityScore(lit(t)).as("qs"),
+      TextAnalysis.fingerprint(lit(t)).as("fp"),
+      TextAnalysis.wsTokenCount(lit(t)).as("wt"),
+      TextAnalysis.shingles(lit(t), 5).as("sh")).head()
+    assert(sql === want)
+    assert(sql.getAs[String]("lg") === "en")
+    assert(sql.getAs[Int]("wt") === 13)
+    // and over a real table through the Engine.sql front door
+    val n = Engine.sql(spark, "/root/testdata/sf0.001",
+      "SELECT doc_id FROM documents WHERE lang_guess(text) = 'en'").count()
+    assert(n > 0)
   }
 }
