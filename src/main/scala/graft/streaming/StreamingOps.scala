@@ -711,21 +711,24 @@ object StreamingOps {
     *     'oov') — a drifted feed's documents are not individually
     *     trustworthy, so per-doc checks are skipped, and their cost
     *     with them.
-    *  2. DOC-scoped near-dup gate ([[textDedupGateBatch]] against the
-    *     live p111 store): surviving batches reject only the arriving
-    *     documents that candidate-match something already published
-    *     (`reason` = 'near_dup', `dup_of` names the stored doc; a doc
+    *  2. DOC-scoped gates on surviving batches — benchmark
+    *     contamination first (`reason` = 'contaminated', when a frozen
+    *     benchmark frame is supplied: eval safety outranks dedup), then
+    *     near-dup ([[textDedupGateBatch]] against the live p111 store;
+    *     `reason` = 'near_dup', `dup_of` names the stored doc, a doc
     *     matching several keeps the smallest id — deterministic).
     *
     * Admitted rows (`admitted` = true, reason/dup_of null) are the set
     * to pass to the ingest stage ([[lshIngestBatch]] and siblings).
-    * The batch is localCheckpoint'd once and feeds every gate — three
+    * The batch is localCheckpoint'd once and feeds every gate — four
     * verdicts, one materialization of the arriving text.
     */
   def admissionGateBatch(spark: org.apache.spark.sql.SparkSession,
                          lshStorePath: String, baseRates: DataFrame,
                          vocab: DataFrame, driftPpm2: Long,
-                         oovPpm: Long)(batch: DataFrame): DataFrame = {
+                         oovPpm: Long, benchDocs: Option[DataFrame] = None,
+                         contaminationPct: Int = 5)(
+                         batch: DataFrame): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val ids = b.select(col("doc_id"))
     def quarantined(reason: String): DataFrame =
@@ -736,12 +739,23 @@ object StreamingOps {
       return quarantined("drift")
     if (!oovGateBatch(b, vocab, oovPpm).isEmpty)
       return quarantined("oov")
+    val cont = benchDocs match {
+      case Some(bench) =>
+        graft.operators.Pipeline10
+          .decontaminateOf(b, bench, n = 3, pct = contaminationPct)
+          .filter(col("contaminated"))
+          .select(col("doc_id"), lit(true).as("__cont"))
+      case None => ids.select(col("doc_id"), lit(true).as("__cont")).limit(0)
+    }
     val dups = textDedupGateBatch(spark, lshStorePath)(b)
       .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
-    ids.join(dups, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of").isNull.as("admitted"),
-        when(col("dup_of").isNotNull, lit("near_dup")).as("reason"),
-        col("dup_of"))
+    ids.join(cont, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__cont").isNull && col("dup_of").isNull).as("admitted"),
+        when(col("__cont").isNotNull, lit("contaminated"))
+          .when(col("dup_of").isNotNull, lit("near_dup")).as("reason"),
+        when(col("__cont").isNull, col("dup_of")).as("dup_of"))
   }
 
   /** Streaming LEXICAL index ingestion, stage 1: tokenize each

@@ -177,16 +177,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val rates = Pipeline9.bucketRates(base, "cb", "rb").localCheckpoint()
     val vocab = base.select(explode(split(col("text"), " ")).as("term"))
       .distinct().localCheckpoint()
+    val bench = docs.filter(col("doc_id") % 97L === 0L).localCheckpoint()
     val gate = (b: org.apache.spark.sql.DataFrame) =>
       StreamingOps.admissionGateBatch(spark, store, rates, vocab,
-        driftPpm2 = 100000L * 100000L, oovPpm = 100000L)(b)
+        driftPpm2 = 100000L * 100000L, oovPpm = 100000L,
+        benchDocs = Some(bench))(b)
     def verdicts(b: org.apache.spark.sql.DataFrame) =
       gate(b).collect().map(r => r.getLong(0) ->
         ((r.getBoolean(1), Option(r.getString(2)),
           if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
     // clean batch: in-vocabulary words, novel shingles (reversed word
-    // order of base docs) — every doc admitted
-    val cleanTexts = base.filter(col("doc_id") < 10L)
+    // order of base docs) — every doc admitted. Ids 1-10: doc 0 is a
+    // BENCH member and repetitive runs make some reversed trigrams
+    // self-collide, so reversing a bench doc can legitimately flag
+    val cleanTexts = base.filter(col("doc_id").between(1L, 10L))
       .select((col("doc_id") + 2000L).as("doc_id"),
         concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
       .localCheckpoint()
@@ -204,6 +208,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(baseText(dupOf) === baseText(7L),
       "dup_of does not point at a stored copy of the text")
     assert(vB.filter(_._1 != 2107L).values.forall(_ == ((true, None, None))))
+    // a benchmark re-publish: its text IS a bench doc AND a published
+    // doc, so both doc gates match — eval safety outranks dedup and
+    // the verdict is 'contaminated' with no dup_of
+    val benchCopy = docs.filter(col("doc_id") === 97L)
+      .select(lit(2197L).as("doc_id"), col("text"))
+    val vBc = verdicts(cleanTexts.limit(2).unionByName(benchCopy))
+    assert(vBc(2197L) === ((false, Some("contaminated"), None)),
+      s"benchmark copy verdict wrong: ${vBc(2197L)}")
+    assert(vBc.filter(_._1 != 2197L).values.forall(_ == ((true, None, None))))
     // flooded batch: the whole batch quarantined by the BATCH gate —
     // per-doc reasons all 'drift', dup probe never consulted
     val flood = spark.range(60).select((col("id") + 3000L).as("doc_id"),
