@@ -422,11 +422,8 @@ object Engine {
       regexp_replace(
         regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
         "[0-9]{6,}", "<NUM>"))
-    val ws = ta.words(col("text"))
     val gated = scrubbed
-      .withColumn("lang_guess", ta.langGuess(
-        ta.stopwordCount(ws, ta.enStop), ta.stopwordCount(ws, ta.esStop),
-        ta.stopwordCount(ws, ta.deStop), ta.stopwordCount(ws, ta.frStop)))
+      .withColumn("lang_guess", ta.langGuessOf(col("text")))
       .filter(col("lang_guess") === lang)
       .withColumn("quality", ta.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)

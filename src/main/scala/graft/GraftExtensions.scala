@@ -46,14 +46,7 @@ object GraftExtensions {
      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
      (args: Seq[Expression]) => VecDot(args(0), args(1))),
     // the curation text devices (p07/p74/p02/p08's building blocks)
-    unary("lang_guess", { c =>
-      val w = TextAnalysis.words(c)
-      TextAnalysis.langGuess(
-        TextAnalysis.stopwordCount(w, TextAnalysis.enStop),
-        TextAnalysis.stopwordCount(w, TextAnalysis.esStop),
-        TextAnalysis.stopwordCount(w, TextAnalysis.deStop),
-        TextAnalysis.stopwordCount(w, TextAnalysis.frStop))
-    }),
+    unary("lang_guess", TextAnalysis.langGuessOf),
     unary("quality_score", TextAnalysis.qualityScore),
     unary("doc_fingerprint", TextAnalysis.fingerprint),
     unary("ws_tokens", TextAnalysis.wsTokenCount),
@@ -62,8 +55,12 @@ object GraftExtensions {
      (args: Seq[Expression]) => {
        require(args.length == 2 && args(1).foldable,
          "shingles(text, n) expects a literal shingle width")
-       val n = args(1).eval().asInstanceOf[Number].intValue
+       val v = args(1).eval()
+       require(v.isInstanceOf[Number],
+         "shingles(text, n) expects a literal INTEGER shingle width, " +
+           s"got ${if (v == null) "NULL" else v.getClass.getSimpleName}")
        ColumnBridge.resolvableExpression(
-         TextAnalysis.shingles(ColumnBridge.column(args.head), n))
+         TextAnalysis.shingles(ColumnBridge.column(args.head),
+           v.asInstanceOf[Number].intValue))
      }))
 }

@@ -56,6 +56,18 @@ object TextAnalysis {
       .when(sDe >= sFr, "de")
       .otherwise("fr")
 
+  /** [[langGuess]] straight from a text column — THE one composition
+    * of the four stopword counts, shared by `Engine.curate`, the SQL
+    * `lang_guess` function and the specs (a fifth language or a
+    * tie-break change lands everywhere at once). The registered p07
+    * keeps its explicit form because it also OUTPUTS the four counts.
+    */
+  def langGuessOf(c: Column): Column = {
+    val w = words(c)
+    langGuess(stopwordCount(w, enStop), stopwordCount(w, esStop),
+      stopwordCount(w, deStop), stopwordCount(w, frStop))
+  }
+
   // --- quality scoring ---
 
   /** Characters net of separators / word count. */

@@ -297,7 +297,7 @@ object Pipeline10 {
     * rule would be a dead gate here).
     */
   private val DecontPct = 5
-  private val DecontShingleN = 3
+  private[graft] val DecontShingleN = 3
 
   /** p94: fuzzy benchmark decontamination — the DECISION TABLE p30's
     * overlap report stops short of. p30 counts shared shingles for the
@@ -329,13 +329,29 @@ object Pipeline10 {
     * width and threshold percent. Sort-free.
     */
   def decontaminateOf(docs: DataFrame, benchDocs: DataFrame,
-                      n: Int, pct: Int): DataFrame = {
+                      n: Int, pct: Int): DataFrame =
+    decontaminateAgainstIndex(docs, benchShingleIndex(benchDocs, n), n, pct)
+
+  /** The benchmark's frozen shingle-hash index `(ng)` — build it ONCE
+    * per deployment (benchmarks are frozen by definition) and pass it
+    * to [[decontaminateAgainstIndex]] / the streaming admission gate;
+    * deriving it per micro-batch would pay the explode + distinct per
+    * arriving batch for a frame that never changes.
+    */
+  def benchShingleIndex(benchDocs: DataFrame,
+                        n: Int = DecontShingleN): DataFrame =
+    Dedup.shinglePairs(benchDocs, "doc_id", "text", n)
+      .select(xxhash64(col("ngram")).as("ng")).distinct()
+
+  /** [[decontaminateOf]] against a precomputed [[benchShingleIndex]];
+    * `n` must be the width the index was built with.
+    */
+  def decontaminateAgainstIndex(docs: DataFrame, benchNg: DataFrame,
+                                n: Int, pct: Int): DataFrame = {
     val sh = Dedup.shinglePairs(docs, "doc_id", "text", n)
       .select(col("doc_id"), xxhash64(col("ngram")).as("ng"))
       .distinct()
-    val bench = Dedup.shinglePairs(benchDocs, "doc_id", "text", n)
-      .select(xxhash64(col("ngram")).as("ng")).distinct()
-      .withColumn("hit", lit(1))
+    val bench = benchNg.select(col("ng")).withColumn("hit", lit(1))
     val agg = sh
       .join(broadcast(bench), Seq("ng"), "left")
       .groupBy(col("doc_id"))

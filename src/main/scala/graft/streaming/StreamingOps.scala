@@ -723,10 +723,19 @@ object StreamingOps {
     * The batch is localCheckpoint'd once and feeds every gate — four
     * verdicts, one materialization of the arriving text.
     */
+  /** `benchIndex` is a PRECOMPUTED frozen
+    * [[graft.operators.Pipeline10.benchShingleIndex]] (build once per
+    * deployment, like baseRates/vocab — benchmarks are frozen by
+    * definition, so re-deriving the index per micro-batch would pay
+    * its explode+distinct on every trigger); `contaminationN` must be
+    * the width the index was built with.
+    */
   def admissionGateBatch(spark: org.apache.spark.sql.SparkSession,
                          lshStorePath: String, baseRates: DataFrame,
                          vocab: DataFrame, driftPpm2: Long,
-                         oovPpm: Long, benchDocs: Option[DataFrame] = None,
+                         oovPpm: Long, benchIndex: Option[DataFrame] = None,
+                         contaminationN: Int =
+                           graft.operators.Pipeline10.DecontShingleN,
                          contaminationPct: Int = 5)(
                          batch: DataFrame): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
@@ -739,10 +748,10 @@ object StreamingOps {
       return quarantined("drift")
     if (!oovGateBatch(b, vocab, oovPpm).isEmpty)
       return quarantined("oov")
-    val cont = benchDocs match {
-      case Some(bench) =>
+    val cont = benchIndex match {
+      case Some(idx) =>
         graft.operators.Pipeline10
-          .decontaminateOf(b, bench, n = 3, pct = contaminationPct)
+          .decontaminateAgainstIndex(b, idx, contaminationN, contaminationPct)
           .filter(col("contaminated"))
           .select(col("doc_id"), lit(true).as("__cont"))
       case None => ids.select(col("doc_id"), lit(true).as("__cont")).limit(0)

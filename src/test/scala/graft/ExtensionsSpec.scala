@@ -39,13 +39,8 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
       s"""SELECT lang_guess('$t') AS lg, quality_score('$t') AS qs,
          |       doc_fingerprint('$t') AS fp, ws_tokens('$t') AS wt,
          |       shingles('$t', 5) AS sh""".stripMargin).head()
-    val w = TextAnalysis.words(lit(t))
     val want = spark.range(1).select(
-      TextAnalysis.langGuess(
-        TextAnalysis.stopwordCount(w, TextAnalysis.enStop),
-        TextAnalysis.stopwordCount(w, TextAnalysis.esStop),
-        TextAnalysis.stopwordCount(w, TextAnalysis.deStop),
-        TextAnalysis.stopwordCount(w, TextAnalysis.frStop)).as("lg"),
+      TextAnalysis.langGuessOf(lit(t)).as("lg"),
       TextAnalysis.qualityScore(lit(t)).as("qs"),
       TextAnalysis.fingerprint(lit(t)).as("fp"),
       TextAnalysis.wsTokenCount(lit(t)).as("wt"),

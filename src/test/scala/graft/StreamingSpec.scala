@@ -177,11 +177,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val rates = Pipeline9.bucketRates(base, "cb", "rb").localCheckpoint()
     val vocab = base.select(explode(split(col("text"), " ")).as("term"))
       .distinct().localCheckpoint()
-    val bench = docs.filter(col("doc_id") % 97L === 0L).localCheckpoint()
+    val bench = docs.filter(col("doc_id") % 97L === 0L)
+    // the frozen per-deployment artifact, like rates/vocab above
+    val benchIdx = graft.operators.Pipeline10.benchShingleIndex(bench)
+      .localCheckpoint()
     val gate = (b: org.apache.spark.sql.DataFrame) =>
       StreamingOps.admissionGateBatch(spark, store, rates, vocab,
         driftPpm2 = 100000L * 100000L, oovPpm = 100000L,
-        benchDocs = Some(bench))(b)
+        benchIndex = Some(benchIdx))(b)
     def verdicts(b: org.apache.spark.sql.DataFrame) =
       gate(b).collect().map(r => r.getLong(0) ->
         ((r.getBoolean(1), Option(r.getString(2)),
