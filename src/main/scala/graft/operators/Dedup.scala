@@ -249,7 +249,14 @@ object Dedup {
       .withColumn("ingest_batch", lit(-1L))
       .repartition(col("band"))
       .sortWithinPartitions(col("band"), col("sig_h"))
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+      .write.mode("overwrite").partitionBy("band")
+      // SMALL row groups from the very first build (not just after
+      // lshStoreCompact): group size is the probe's read-amplification
+      // floor, and the 128 MB analytics default would put a whole band
+      // in one group — making the pushed sig_h IN filter skip nothing
+      // on a freshly built store
+      .option("parquet.block.size", 1 << 20)
+      .parquet(path)
 
   /** Compact an appended [[lshStoreWrite]] store to ONE sig_h-SORTED
     * file per band partition — [[Multimodal.frameStoreCompact]]'s

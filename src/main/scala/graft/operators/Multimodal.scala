@@ -636,7 +636,12 @@ object Multimodal {
       .withColumn("ingest_batch", lit(-1L))
       .repartition(col("band_i"))
       .sortWithinPartitions(col("band_i"), col("band_v"))
-      .write.mode("overwrite").partitionBy("band_i").parquet(path)
+      .write.mode("overwrite").partitionBy("band_i")
+      // small row groups from the FIRST build, not only after
+      // frameStoreCompact — group size is the probe's
+      // read-amplification floor (see the compactor's rationale)
+      .option("parquet.block.size", 1 << 20)
+      .parquet(path)
 
   /** Compact a [[frameStoreWrite]]-layout store to ONE band_v-SORTED
     * file per band partition — the p50 posting-store lesson applied to

@@ -616,21 +616,6 @@ object Pipeline10 {
        |FROM agg WHERE n_aligned = nfs AND mh <= 3
        |ORDER BY short_id, long_id, "offset"""".stripMargin
 
-  /** Per-JVM memoized frame-signature stores (the p41/p50 index
-    * contract: first invocation pays the one-pass build, warm probes
-    * measure the steady-state pruned read).
-    *
-    * Staleness assumption, deliberate: the cache keys on the dataset
-    * DIRECTORY, so regenerating that directory's contents within one
-    * JVM session would answer probes from the stale store (and the
-    * temp dirs live until JVM exit). That is the bench-harness
-    * contract — test datasets are immutable per session; a long-lived
-    * service would key the memo on a content fingerprint (e.g. the
-    * source files' (path, mtime, size) digest) and evict on mismatch.
-    */
-  private val frameStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** p100: the STORED frame probe — p97 answered from the at-rest
     * banded signature store ([[Multimodal.frameStoreWrite]]) instead
     * of a fresh decode: partition pruning on `band_i` plus a pushed
@@ -638,17 +623,16 @@ object Pipeline10 {
     * (a probe batch is model-sized — the centroid/posting-term
     * precedent; here the 5 hashes are collected once from a 5-doc
     * decode). Same oracle as p97: the layout must be
-    * semantics-preserving.
+    * semantics-preserving. Store memoized per JVM under the shared
+    * [[IndexStores]] contract (and its documented dataset-directory
+    * staleness assumption).
     */
   def frameProbeStored(s: SparkSession, d: String): DataFrame = {
-    val store = frameStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_frame_store_").toString
+    val store = IndexStores.of("frame_store", d) { p =>
       Multimodal.frameStoreWrite(
         Multimodal.decodeVideoFrames(Multimodal.attachVideo(documents(s, d)))
           .select(col("doc_id"), col("frame"), col("fhash")), p)
-      p
-    })
+    }
     val qs = Multimodal.decodeVideoFrames(
         Multimodal.attachVideo(documents(s, d).filter(col("doc_id") < 5)))
       .filter(col("frame") === 0)

@@ -10,12 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline12 {
 
-  /** k and the query-batch size shared by every ranked path below
-    * (the p09/p13/p41/p49/p55 geometry: probes are vec_id < 5, top-10).
-    */
-  private val RecallK = 10
-  private val RecallQueries = 5
-
   /** p104: the ANN RECALL@k report — overlap between the EXACT top-k
     * (p09's brute-force ranking) and each approximate path's top-k,
     * per query and summarized per method (`qid = -1` rows carry the
@@ -47,20 +41,27 @@ object Pipeline12 {
         col("cid"))
     }.reduce(_ unionByName _)
     import s.implicits._
+    // recall denominators are DERIVED from the exact relation's
+    // per-query row counts (not hardcoded k): if the probe/top-k
+    // geometry of the ingredient queries ever changes, the metric
+    // rescales with it instead of silently mis-scaling — and the
+    // oracle derives the same way, so the differential check guards
+    // the denominator too
+    val denoms = exact.groupBy(col("qid")).agg(count(lit(1)).as("denom"))
     val grid = methods.map(_._1).toDF("method")
-      .crossJoin(broadcast(exact.select(col("qid")).distinct()))
+      .crossJoin(broadcast(denoms))
     val hits = um.join(exact, Seq("qid", "cid"))
       .groupBy(col("method"), col("qid")).agg(count(lit(1)).as("n_hits"))
     val per = grid.join(hits, Seq("method", "qid"), "left")
       .select(col("method"), col("qid"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("denom"))
     val mean = per.groupBy(col("method"))
-      .agg(sum(col("n_hits")).as("n_hits"))
-      .select(col("method"), lit(-1).as("qid"), col("n_hits"))
+      .agg(sum(col("n_hits")).as("n_hits"), sum(col("denom")).as("denom"))
+      .select(col("method"), lit(-1).as("qid"), col("n_hits"), col("denom"))
     per.unionByName(mean)
-      .withColumn("recall", round(col("n_hits") /
-        when(col("qid") === -1, lit((RecallQueries * RecallK).toDouble))
-          .otherwise(lit(RecallK.toDouble)), 4))
+      .withColumn("recall",
+        round(col("n_hits") / col("denom").cast("double"), 4))
+      .select(col("method"), col("qid"), col("n_hits"), col("recall"))
       .orderBy(col("method"), col("qid"))
   }
 
@@ -80,25 +81,25 @@ object Pipeline12 {
        |  UNION ALL SELECT 'ivf_stored', qid, cid FROM ivf_r
        |  UNION ALL SELECT 'ivfpq', qid, cid FROM pq_r
        |  UNION ALL SELECT 'ivfpq_refine', qid, cid FROM rf_r),
+       |dn AS (SELECT qid, count(*) AS denom FROM exact GROUP BY qid),
        |grid AS (
-       |  SELECT m.method, q.qid
-       |  FROM (SELECT DISTINCT method FROM um) m
-       |  CROSS JOIN (SELECT DISTINCT qid FROM exact) q),
+       |  SELECT m.method, q.qid, q.denom
+       |  FROM (SELECT DISTINCT method FROM um) m CROSS JOIN dn q),
        |h AS (
        |  SELECT u.method, CAST(u.qid AS INTEGER) AS qid, count(*) AS n_hits
        |  FROM um u JOIN exact e ON e.qid = u.qid AND e.cid = u.cid
        |  GROUP BY 1, 2),
        |per AS (
        |  SELECT g.method, g.qid,
-       |         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+       |         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, g.denom
        |  FROM grid g LEFT JOIN h ON h.method = g.method AND h.qid = g.qid)
        |SELECT method, qid, n_hits,
-       |       round(n_hits / ${RecallK}.0, 4) AS recall
+       |       round(n_hits / CAST(denom AS DOUBLE), 4) AS recall
        |FROM per
        |UNION ALL
        |SELECT method, CAST(-1 AS INTEGER) AS qid,
        |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
-       |       round(sum(n_hits) / ${RecallQueries * RecallK}.0, 4) AS recall
+       |       round(sum(n_hits) / CAST(sum(denom) AS DOUBLE), 4) AS recall
        |FROM per GROUP BY method
        |ORDER BY method, qid""".stripMargin
 
@@ -339,13 +340,6 @@ object Pipeline12 {
        |JOIN ph USING (doc_id) JOIN bi USING (doc_id) JOIN sh USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
-  /** Per-JVM memoized audio segment-fingerprint stores (the p41/p50/
-    * p100 index contract — and the same dataset-directory staleness
-    * assumption documented on Pipeline10.frameStores).
-    */
-  private val audioStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** p110: the STORED audio probe — "which tracks contain this
     * snippet's opening segment", answered from an at-rest banded
     * signature store instead of a fresh decode. The store device is
@@ -360,16 +354,14 @@ object Pipeline12 {
     * layout semantics-preserving, exactly as p100 does for video.
     */
   def audioProbeStored(s: SparkSession, d: String): DataFrame = {
-    val store = audioStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_audio_store_").toString
+    // store memoized per JVM under the shared IndexStores contract
+    val store = IndexStores.of("audio_store", d) { p =>
       Multimodal.frameStoreWrite(
         Multimodal.decodeWaveSegments(
             Multimodal.attachWave(graft.Tables.documents(s, d)), AudioSegLen)
           .select(col("doc_id"), col("seg").as("frame"),
             col("sfp").as("fhash")), p)
-      p
-    })
+    }
     // query side decodes ONLY the 5 probe docs (filter BEFORE the
     // decode boundary — a filter on the mapPartitions OUTPUT cannot be
     // pushed through it, and would re-decode the whole corpus per
@@ -505,12 +497,6 @@ object Pipeline12 {
        |FROM th LEFT JOIN ag ON ag.threshold = th.threshold CROSS JOIN cd
        |ORDER BY th.threshold""".stripMargin
 
-  /** Per-JVM memoized text LSH signature stores (the shared index
-    * contract and dataset-directory staleness assumption).
-    */
-  private val lshStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** p111: the STORED text near-dup probe — "which published documents
     * look like this one", answered from an at-rest MinHash band-
     * signature store ([[Dedup.lshStoreWrite]]: partitioned by band,
@@ -526,14 +512,12 @@ object Pipeline12 {
     */
   def lshProbeStoredQuery(s: SparkSession, d: String): DataFrame = {
     val docs = () => graft.Tables.documents(s, d)
-    val store = lshStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lsh_store_").toString
+    // store memoized per JVM under the shared IndexStores contract
+    val store = IndexStores.of("lsh_store", d) { p =>
       Dedup.lshStoreWrite(
         Dedup.lshSignatureRows(docs(), "doc_id", "text",
           QualShingleN, QualHashes, QualBands), p)
-      p
-    })
+    }
     val qs = Dedup.lshSignatureRows(docs().filter(col("doc_id") < 5),
         "doc_id", "text", QualShingleN, QualHashes, QualBands)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -1082,11 +1082,9 @@ object Pipeline6 {
 
   /** p49: the stored IVF-PQ path with p13/p41's cell model (8 cells,
     * 2 probes, 5 queries). Store built once per JVM per dataset — the
-    * index contract, as p41: warm reps measure the steady-state pruned
-    * probe, not the build.
+    * shared [[IndexStores]] contract, as p41: warm reps measure the
+    * steady-state pruned probe, not the build.
     */
-  private val ivfPqStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def ivfPqStored(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
@@ -1323,19 +1321,16 @@ object Pipeline6 {
 
   /** p64: the residual-encoded twin of p49 — same geometry (8 cells,
     * 2 probes, 5 queries, 8 codes × 4 subspaces), same probe IO, store
-    * built once per JVM per dataset.
+    * built once per JVM per dataset (the shared [[IndexStores]]
+    * contract).
     */
-  private val ivfPqResStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def ivfPqResidualStored(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
     val cb = pqResidualCodebook(cents, emb)
-    val store = ivfPqResStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpqres_").toString
+    val store = IndexStores.of("ivfpqres", d) { p =>
       ivfPqResidualWrite(cents, cb, emb, p)
-      p
-    })
+    }
     ivfPqResidualTopKStored(s, store, emb.filter(col("vec_id") < 5), cents, cb,
         k = 10, nProbe = 2)
       .orderBy(col("qid"), col("rnk"))
@@ -1541,31 +1536,27 @@ object Pipeline6 {
 
   /** p55: p49's shortlist (same store, same models, r=30) refined to an
     * exact top-10 against the p41-layout embedding store. Stores are
-    * built once per JVM per dataset (the index contract); the codes
-    * store is SHARED with p49 via [[ivfPqStores]].
+    * built once per JVM per dataset (the shared [[IndexStores]]
+    * contract); the codes store is SHARED with p49 via
+    * [[codesStoreFor]].
     */
-  private val ivfEmbStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val RefineR = 30
 
   private def codesStoreFor(s: SparkSession, d: String,
                             cents: Array[(Int, Seq[Float])],
                             cb: Array[(Int, Seq[Seq[Float]])]): String =
-    ivfPqStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    IndexStores.of("ivfpq", d) { p =>
       ivfPqWrite(cents, cb, embeddings(s, d), p)
-      p
-    })
+    }
 
   def ivfPqRefined(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
     val cb = pqCodebook(emb)
     val codes = codesStoreFor(s, d, cents, cb)
-    val embStore = ivfEmbStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfemb_").toString
+    val embStore = IndexStores.of("ivfemb", d) { p =>
       Similarity.ivfWrite(emb, cents, p)
-      p
-    })
+    }
     ivfPqRefineTopK(s, codes, embStore, emb.filter(col("vec_id") < 5),
         cents, cb, k = 10, r = RefineR, nProbe = 2)
       .orderBy(col("qid"), col("rnk"))

@@ -432,23 +432,24 @@ object PipelineQueries {
     * pruning restricts the read to the probed cells (PlanSpec pins the
     * dynamicpruningexpression in the scan's PartitionFilters).
     *
-    * The store is built ONCE per JVM per dataset (memoized below, in a
-    * fresh temp dir — no cross-dataset collisions, no races between
-    * harness JVMs): that is the index contract — the first invocation
-    * pays the one-pass build, every later probe batch reads only its
-    * cells. Warm bench reps therefore measure the steady-state probe,
-    * exactly what a deployed index serves.
+    * The store is built ONCE per JVM per dataset (the shared
+    * [[IndexStores]] memo contract, in a fresh temp dir — no
+    * cross-dataset collisions, no races between harness JVMs): the
+    * first invocation pays the one-pass build, every later probe batch
+    * reads only its cells. Warm bench reps therefore measure the
+    * steady-state probe, exactly what a deployed index serves.
     */
-  private val ivfStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[operators] def ivfStorePath(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d)
+    IndexStores.of("ivf_cells", d) { p =>
+      Similarity.ivfWrite(emb, Similarity.seedCentroids(emb, 8), p)
+    }
+  }
 
   def simIvfStored(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
-    val store = ivfStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_cells_").toString
-      Similarity.ivfWrite(emb, cents, p)
-      p
-    })
+    val store = ivfStorePath(s, d)
     Similarity.ivfTopKStored(s, store, emb.filter(col("vec_id") < 5), cents,
         k = 10, nProbe = 2)
       .orderBy(col("qid"), col("rnk"))
@@ -468,11 +469,7 @@ object PipelineQueries {
   def simIvfStoredFiltered(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
-    val store = ivfStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_cells_").toString
-      Similarity.ivfWrite(emb, cents, p)
-      p
-    })
+    val store = ivfStorePath(s, d)
     val allowed = documents(s, d).filter(col("source").like("src1%"))
       .select(col("doc_id").as("vec_id"))
     Similarity.ivfTopKStoredFiltered(s, store, emb.filter(col("vec_id") < 5),

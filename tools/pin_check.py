@@ -43,18 +43,20 @@ def load_pins(path):
 
 
 def main():
-    argv = sys.argv[1:]
-    band = 0.30
-    if "--band" in argv:
-        i = argv.index("--band")
-        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
-            sys.exit("usage: pin_check.py BENCH.json [BASELINE.md] "
-                     "[--band 0.30]")
-        band = float(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
-    args = [a for a in argv if not a.startswith("--")]
-    bench = load_bench(args[0])
-    pins = load_pins(args[1] if len(args) > 1 else "BASELINE.md")
+    # argparse so every flag spelling works ('--band 0.3' AND
+    # '--band=0.3') and an unrecognized '--flag' is an error instead of
+    # being silently dropped onto the default
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("bench", help="bench JSON/log file (graft.Bench output)")
+    ap.add_argument("baseline", nargs="?", default="BASELINE.md",
+                    help="pin table markdown (default: BASELINE.md)")
+    ap.add_argument("--band", type=float, default=0.30,
+                    help="regression band as a fraction (default: 0.30)")
+    ns = ap.parse_args()
+    band = ns.band
+    bench = load_bench(ns.bench)
+    pins = load_pins(ns.baseline)
     movers, checked = [], 0
     for k, pin in sorted(pins.items()):
         if k not in bench:
