@@ -276,35 +276,66 @@ object Dedup {
     graft.sources.Maintenance.compactPartitionedSorted(
       spark, src, dst, "band", "sig_h", rowGroupBytes)
 
+  /** Plan-literal probe-batch bound shared by the stored probes (text
+    * here, video/audio in [[Multimodal]]): up to this many query rows
+    * encode as plan-time literals (pushed `IN` filters → row-group
+    * skipping); above it the probe degrades gracefully to a
+    * BROADCAST-JOIN plan — an unbounded micro-batch must not build an
+    * unbounded Catalyst expression (a 10⁵-doc batch would otherwise
+    * plan ~4·10⁵ literals and stall analysis/codegen before any data
+    * is read). 4096 literals plan in milliseconds; the fallback keeps
+    * the partition pruning and trades only the row-group skip.
+    */
+  val MaxProbeLiterals = 4096
+
   /** Stored candidate probe: every stored document sharing at least
     * one band signature with a query — p04's candidate semantics
-    * answered from the at-rest store. Query signatures are plan-time
-    * literals (a probe batch is bounded — the frameProbeStored
+    * answered from the at-rest store. Up to [[MaxProbeLiterals]] query
+    * signatures are plan-time literals (the frameProbeStored
     * precedent), so the scan prunes to the queried bands and the
     * pushed `sig_h IN` filter reads only the row groups holding
-    * candidate signatures. No verification stage: LSH candidates are
-    * unverified by design (p04's contract); compose with
-    * [[ngramJaccardPairs]] or a downstream gate to verify.
+    * candidate signatures; larger batches switch to a broadcast join
+    * against the same band-pruned scan (identical semantics,
+    * spec-pinned — only the row-group skip is traded away). No
+    * verification stage: LSH candidates are unverified by design
+    * (p04's contract); compose with [[ngramJaccardPairs]] or a
+    * downstream gate to verify.
     */
   def lshProbeStored(spark: org.apache.spark.sql.SparkSession,
                      path: String,
-                     querySigs: Seq[(Long, Int, Long)]): DataFrame = {
+                     querySigs: Seq[(Long, Int, Long)],
+                     maxLiterals: Int = MaxProbeLiterals): DataFrame = {
     require(querySigs.nonEmpty, "empty probe batch")
-    val byBand: Map[Int, Seq[Long]] =
-      querySigs.groupBy(_._2).map { case (b, xs) =>
-        b -> xs.map(_._3).distinct
-      }
-    val cond = byBand.toSeq.sortBy(_._1).map { case (b, hs) =>
-      col("band") === b && col("sig_h").isin(hs: _*)
-    }.reduce(_ || _)
-    val qs = typedLit(querySigs)
-    spark.read.parquet(path)
-      .filter(cond)
-      .select(col("doc_id"), col("band"), col("sig_h"),
-        explode(qs).as("q"))
-      .filter(col("q._2") === col("band") && col("q._3") === col("sig_h"))
-      .select(col("q._1").as("qid"), col("doc_id"))
-      .distinct()
+    if (querySigs.size <= maxLiterals) {
+      val byBand: Map[Int, Seq[Long]] =
+        querySigs.groupBy(_._2).map { case (b, xs) =>
+          b -> xs.map(_._3).distinct
+        }
+      val cond = byBand.toSeq.sortBy(_._1).map { case (b, hs) =>
+        col("band") === b && col("sig_h").isin(hs: _*)
+      }.reduce(_ || _)
+      val qs = typedLit(querySigs)
+      spark.read.parquet(path)
+        .filter(cond)
+        .select(col("doc_id"), col("band"), col("sig_h"),
+          explode(qs).as("q"))
+        .filter(col("q._2") === col("band") && col("q._3") === col("sig_h"))
+        .select(col("q._1").as("qid"), col("doc_id"))
+        .distinct()
+    } else {
+      // broadcast fallback: bands are few (≤ the banding's band count),
+      // so the band prune stays a literal partition filter; the
+      // signature match rides a broadcast hash join instead of a
+      // literal IN
+      import spark.implicits._
+      val q = querySigs.toDF("qid", "band", "sig_h")
+      val bands = querySigs.map(_._2).distinct.sorted
+      spark.read.parquet(path)
+        .filter(col("band").isin(bands: _*))
+        .join(broadcast(q), Seq("band", "sig_h"))
+        .select(col("qid"), col("doc_id"))
+        .distinct()
+    }
   }
 
   /** Dedup cluster resolution: connected components over a near-dup

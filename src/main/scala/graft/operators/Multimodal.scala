@@ -682,30 +682,57 @@ object Multimodal {
     * no join on the store side at all until the verified-candidate
     * set, which is banding-sparse by construction.
     */
+  /** Above [[graft.operators.Dedup.MaxProbeLiterals]] query hashes the
+    * literal encoding switches to a broadcast join (same shared
+    * rationale: an unbounded micro-batch must not build an unbounded
+    * Catalyst plan); the scan still visits only its 4 band partitions,
+    * trading the pushed `band_v IN` row-group skip for a broadcast
+    * hash match. Identical semantics on both paths (spec-pinned).
+    */
   def frameProbeStored(spark: org.apache.spark.sql.SparkSession,
                        path: String, queryHashes: Seq[(Long, Long)],
-                       maxHamming: Int = 3): DataFrame = {
+                       maxHamming: Int = 3,
+                       maxLiterals: Int =
+                         graft.operators.Dedup.MaxProbeLiterals): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     require(queryHashes.nonEmpty, "empty probe batch")
-    val bvByBand: Map[Int, Seq[Long]] = (0 until 4).map { b =>
-      b -> queryHashes.map { case (_, h) => (h >>> (15 * b)) & 32767L }
-        .distinct
-    }.toMap
-    val cond = (0 until 4).map { b =>
-      col("band_i") === b && col("band_v").isin(bvByBand(b): _*)
-    }.reduce(_ || _)
-    val qs = typedLit(queryHashes.map { case (q, h) => (q, h) })
-    spark.read.parquet(path)
-      .filter(cond)
-      .select(col("doc_id"), col("frame"), col("fhash"), col("band_i"),
-        col("band_v"),
-        explode(qs).as("q"))
-      .filter(expr("shiftright(q._2, band_i * 15) & 32767") === col("band_v"))
-      .filter(bit_count(col("q._2").bitwiseXOR(col("fhash"))) <= maxHamming)
-      .select(col("q._1").as("qid"), col("doc_id"), col("frame"),
-        bit_count(col("q._2").bitwiseXOR(col("fhash"))).cast("int")
-          .as("hamming"))
-      .distinct()
+    if (queryHashes.size <= maxLiterals) {
+      val bvByBand: Map[Int, Seq[Long]] = (0 until 4).map { b =>
+        b -> queryHashes.map { case (_, h) => (h >>> (15 * b)) & 32767L }
+          .distinct
+      }.toMap
+      val cond = (0 until 4).map { b =>
+        col("band_i") === b && col("band_v").isin(bvByBand(b): _*)
+      }.reduce(_ || _)
+      val qs = typedLit(queryHashes.map { case (q, h) => (q, h) })
+      spark.read.parquet(path)
+        .filter(cond)
+        .select(col("doc_id"), col("frame"), col("fhash"), col("band_i"),
+          col("band_v"),
+          explode(qs).as("q"))
+        .filter(expr("shiftright(q._2, band_i * 15) & 32767") === col("band_v"))
+        .filter(bit_count(col("q._2").bitwiseXOR(col("fhash"))) <= maxHamming)
+        .select(col("q._1").as("qid"), col("doc_id"), col("frame"),
+          bit_count(col("q._2").bitwiseXOR(col("fhash"))).cast("int")
+            .as("hamming"))
+        .distinct()
+    } else {
+      // the probe frame is pre-exploded to its per-band values so the
+      // match is a plain (band_i, band_v) EQUI-join → BroadcastHashJoin
+      // (a condition computing band_v from qh inside the join would mix
+      // sides and fall back to a nested loop over the store)
+      import spark.implicits._
+      val q = queryHashes.flatMap { case (qid, h) =>
+        (0 until 4).map(b => (qid, h, b, (h >>> (15 * b)) & 32767L))
+      }.toDF("qid", "qh", "band_i", "band_v")
+      spark.read.parquet(path)
+        .join(broadcast(q), Seq("band_i", "band_v"))
+        .filter(bit_count(col("qh").bitwiseXOR(col("fhash"))) <= maxHamming)
+        .select(col("qid"), col("doc_id"), col("frame"),
+          bit_count(col("qh").bitwiseXOR(col("fhash"))).cast("int")
+            .as("hamming"))
+        .distinct()
+    }
   }
 
   /** Stored AUDIO probe: [[frameProbeStored]] under the audio store's

@@ -677,9 +677,12 @@ object StreamingOps {
     * document shares a band signature with a stored one — route it to
     * verification (exact Jaccard on the pair) or drop by policy.
     *
-    * Read path: the batch's signatures collect to plan literals
-    * (bounded batch), the store scan prunes to the queried bands and
-    * row groups. Candidates are p04-semantics (unverified), so the
+    * Read path: the batch's signatures collect to plan literals up to
+    * `Dedup.MaxProbeLiterals`, pruning the store scan to the queried
+    * bands and row groups; an oversized micro-batch degrades
+    * gracefully to the probe's broadcast-join fallback (band pruning
+    * kept, row-group skip traded) instead of building an unbounded
+    * literal plan. Candidates are p04-semantics (unverified), so the
     * gate's recall/precision dials are exactly p108's table.
     */
   def textDedupGateBatch(spark: org.apache.spark.sql.SparkSession,

@@ -212,4 +212,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       else assert(clean !== texts(id), s"doc $id should have been trimmed")
     }
   }
+
+  test("stored LSH probe: the broadcast fallback (oversized batch) matches the literal plan") {
+    // the probe-literal contract: up to MaxProbeLiterals query sigs
+    // plan as pushed literals; above, the SAME semantics must come out
+    // of the broadcast-join fallback — forced here via maxLiterals = 0
+    val store = java.nio.file.Files.createTempDirectory("lsh_fb").toString
+    Dedup.lshStoreWrite(Dedup.lshSignatureRows(docs, "doc_id", "text"), store)
+    val sigs = Dedup.lshSignatureRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val lit = Dedup.lshProbeStored(spark, store, sigs)
+      .orderBy($"qid", $"doc_id").collect().map(_.toSeq).toSeq
+    val fb = Dedup.lshProbeStored(spark, store, sigs, maxLiterals = 0)
+    assert(lit.nonEmpty &&
+      fb.orderBy($"qid", $"doc_id").collect().map(_.toSeq).toSeq === lit,
+      "fallback path diverged from the literal plan")
+    // graceful degradation, not abdication: the band prune must stay a
+    // static partition filter and the probe side must broadcast
+    val plan = fb.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*band[^\\]]*IN.*"),
+      "fallback lost the band partition prune")
+    assert(plan.contains("BroadcastHashJoin"),
+      "fallback probe frame no longer broadcasts")
+  }
 }

@@ -318,4 +318,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(cross.map(_._2).min >= 10,
       s"cross-scene step fell into the gap: ${cross.map(_._2).min}")
   }
+
+  test("stored frame probe: the broadcast fallback matches the literal plan") {
+    // an oversized probe batch must not build an unbounded literal
+    // plan; the broadcast fallback (forced via maxLiterals = 0) must
+    // answer bit-identically
+    val vdocs = (0L until 20L).toDF("doc_id").withColumn("text", lit(""))
+    val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(vdocs))
+      .select($"doc_id", $"frame", $"fhash").localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("frame_fb").toString
+    Multimodal.frameStoreWrite(frames, store)
+    val qs = frames.filter($"frame" === 0)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("fhash"))).toSeq
+    def run(ml: Int) =
+      Multimodal.frameProbeStored(spark, store, qs, maxHamming = 3,
+          maxLiterals = ml)
+        .orderBy($"qid", $"doc_id", $"frame").collect().map(_.toSeq).toSeq
+    val litRows = run(Int.MaxValue)
+    assert(litRows.nonEmpty && run(0) === litRows,
+      "frame-probe fallback diverged from the literal plan")
+    val plan = Multimodal.frameProbeStored(spark, store, qs, maxHamming = 3,
+        maxLiterals = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "fallback probe frame no longer broadcasts")
+  }
 }
