@@ -94,4 +94,51 @@ object Maintenance {
     */
   def filesInRange(stats: DataFrame, lo: Any, hi: Any): DataFrame =
     stats.filter(lit(lo) <= col("hi") && lit(hi) >= col("lo"))
+
+  /** WHEN to compact — the trigger half of the compaction story (the
+    * payoff half is measured per store in BASELINE.md): one row per
+    * hive-partition value of a [[compactPartitionedSorted]]-style
+    * store, carrying the two layout-health signals a maintenance
+    * scheduler keys on and a `compact` recommendation:
+    *
+    *  - `n_files`: streamed ingestion (`StreamingOps.*MergeStaged`)
+    *    appends one sliver file per batch; past `maxFiles` the footer/
+    *    open overhead dominates small probes.
+    *  - `n_overlapping`: files whose `keyCol` min/max range overlaps an
+    *    earlier file's — the signal that row-group/file skipping is
+    *    degraded (a freshly compacted partition's single sorted file
+    *    trivially has 0; every unsorted append spans the whole key
+    *    space and overlaps everything). Computed per partition by the
+    *    classic sweep: sort files by `lo`, a file overlaps if its `lo`
+    *    does not exceed the running max of earlier files' `hi`.
+    *
+    * Runs entirely on the per-file stats manifest ([[fileStats]]: one
+    * distributed pass whose shuffle is file-count-sized), so the plan
+    * costs a manifest aggregation, never a data rewrite. Deployments
+    * run it on the maintenance schedule and feed `compact = true`
+    * partitions to the matching compactor
+    * ([[compactPartitionedSorted]] / `frameStoreCompact` /
+    * `lshStoreCompact`).
+    */
+  def compactionPlan(spark: SparkSession, path: String, partCol: String,
+                     keyCol: String, maxFiles: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = fileStats(spark, path, keyCol)
+      .withColumn(partCol,
+        regexp_extract(col("file"), java.util.regex.Pattern.quote(partCol) +
+          "=([^/]+)", 1))
+    val w = Window.partitionBy(col(partCol)).orderBy(col("lo"), col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stats
+      .withColumn("__pmax", max(col("hi")).over(w))
+      .withColumn("__ov",
+        when(col("__pmax").isNotNull && col("lo") <= col("__pmax"), 1L)
+          .otherwise(0L))
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("rows"),
+           sum(col("__ov")).as("n_overlapping"))
+      .withColumn("compact",
+        col("n_files") > maxFiles || col("n_overlapping") > 0)
+      .orderBy(col(partCol))
+  }
 }

@@ -725,6 +725,14 @@ object StreamingOps {
     * to pass to the ingest stage ([[lshIngestBatch]] and siblings).
     * The batch is localCheckpoint'd once and feeds every gate — four
     * verdicts, one materialization of the arriving text.
+    *
+    * MAINTENANCE step (on the schedule, not per batch): streamed
+    * merges leave one unsorted sliver file per batch in each store
+    * partition; run `sources.Maintenance.compactionPlan` over each
+    * live store (band/`sig_h` here, band_i/`band_v` for the frame and
+    * audio stores, cell for IVF) and feed its `compact = true`
+    * partitions to the matching compactor — the planner reads only
+    * the file-stats manifest, so the decision costs no data rewrite.
     */
   /** `benchIndex` is a PRECOMPUTED frozen
     * [[graft.operators.Pipeline10.benchShingleIndex]] (build once per

@@ -83,4 +83,46 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.ivfTopKStored(spark, tidy, q, cents, 10, nProbe = 2)
       .queryExecution.executedPlan.toString.contains("dynamicpruningexpression"))
   }
+
+  test("compactionPlan: a fresh sorted store recommends nothing; appended slivers flag every band") {
+    import graft.operators.Dedup
+    val docs = (0L until 60L)
+      .map(i => (i, s"w${i % 7} x$i y${i % 3} common words here padding " +
+        s"more filler tokens ${i % 5}"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("plan_store").toString + "/s"
+    Dedup.lshStoreWrite(
+      Dedup.lshSignatureRows(docs, "doc_id", "text"), store)
+    // freshly built: one sig_h-sorted file per band — the planner must
+    // recommend NOTHING (trigger quiescent right after maintenance)
+    val fresh = Maintenance.compactionPlan(spark, store, "band", "sig_h")
+      .collect()
+    assert(fresh.nonEmpty && fresh.forall(!_.getAs[Boolean]("compact")),
+      s"fresh store flagged: ${fresh.mkString(",")}")
+    assert(fresh.forall(_.getAs[Long]("n_overlapping") === 0L))
+    // 12 streamed appends: unsorted sliver files whose sig_h ranges all
+    // span the signature space — every band must flag, on BOTH signals
+    for (b <- 0 until 12) {
+      Dedup.lshSignatureRows(
+          docs.select(($"doc_id" + 60 * (b + 1)).as("doc_id"), $"text"),
+          "doc_id", "text")
+        .withColumn("ingest_batch", lit(b.toLong))
+        .write.mode("append").partitionBy("band").parquet(store)
+    }
+    val appended = Maintenance.compactionPlan(spark, store, "band", "sig_h")
+      .collect()
+    assert(appended.forall(_.getAs[Boolean]("compact")),
+      "a 12-append partition escaped the compaction recommendation")
+    assert(appended.forall(_.getAs[Long]("n_files") === 13L))
+    assert(appended.forall(_.getAs[Long]("n_overlapping") > 0L))
+    // after the matching compactor runs, the planner goes quiet again
+    val tidy = Files.createTempDirectory("plan_tidy").toString + "/s"
+    Dedup.lshStoreCompact(spark, store, tidy)
+    val after = Maintenance.compactionPlan(spark, tidy, "band", "sig_h")
+      .collect()
+    assert(after.nonEmpty && after.forall(!_.getAs[Boolean]("compact")))
+    // rows conserved through the whole cycle
+    assert(after.map(_.getAs[Long]("rows")).sum ===
+      appended.map(_.getAs[Long]("rows")).sum)
+  }
 }
