@@ -698,6 +698,20 @@ object Engine {
                tau: Double): DataFrame =
     operators.Pipeline7.semDedupOf(emb, cents, tau)
 
+  /** Stored embedding near-dup probe (p115): every published vector
+    * within cosine τ of a query, from an at-rest
+    * [[buildVectorIndex]]/`Similarity.ivfWrite` cell layout — the
+    * incremental form of [[semDedup]] (probe per arriving batch
+    * instead of re-clustering the corpus). Streaming twin:
+    * `StreamingOps.embeddingDedupGateBatch`.
+    */
+  def semDedupStoredProbe(spark: SparkSession, path: String,
+                          queries: DataFrame,
+                          cents: Array[(Int, Seq[Float])], tau: Double,
+                          nProbe: Int = 2): DataFrame =
+    operators.Similarity.ivfProbeNearDup(spark, path, queries, cents, tau,
+      nProbe)
+
   /** RM3-style pseudo-relevance-feedback search (p80): seed query →
     * feedback top docs → heaviest non-seed terms expand the query →
     * re-rank, under the all-integer quantized-idf model. The recall

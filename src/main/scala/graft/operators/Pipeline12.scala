@@ -716,6 +716,64 @@ object Pipeline12 {
        |FROM j ORDER BY drift DESC, cell""".stripMargin
   }
 
+  /** Cosine threshold of the registered stored probe — a demo value
+    * chosen to BIND for p41's 5-query probe batch (p73's own 0.4
+    * yields zero rows there: the synthetic embeddings are near-random
+    * and the batch's max stored cosine is ≈0.39 at sf0.01 / ≈0.42 at
+    * sf0.1; 0.3 keeps 18–65 pairs across SFs, with the nearest pair
+    * >1e-3 from the boundary — no float/double flip risk). Production
+    * near-dup corpora run τ≈0.95+.
+    */
+  private val StoredSemTau = 0.3
+
+  /** p115: the STORED embedding near-dup probe — the VECTOR member of
+    * the published-corpus probe family, completing the fourth modality
+    * (text p111, video p100, audio p110): "which published vectors sit
+    * within cosine τ of this arriving one", answered from the p41
+    * at-rest IVF cell layout ([[Similarity.ivfProbeNearDup]] — same
+    * store, same seed-centroid model, same nProbe = 2 geometry as
+    * p41/p13, so the layout proof composes). Candidates are the probed
+    * cells' members (the IVF recall trade p104 measures — nProbe = 1
+    * is exactly p73's own-cell witness relation); each pays one exact
+    * cosine. Streaming twin: `StreamingOps.embeddingDedupGateBatch`.
+    *
+    * The oracle re-derives assignment + probe fan-out + threshold from
+    * first principles (the p13 CTE device) restricted to the query
+    * rows — the store layout must be semantics-preserving.
+    */
+  def semDedupStored(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    Similarity.ivfProbeNearDup(s, PipelineQueries.ivfStorePath(s, d),
+        emb.filter(col("vec_id") < 5), cents, StoredSemTau, nProbe = 2)
+      .orderBy(col("qid"), col("cid"))
+  }
+
+  val semDedupStoredOracle: String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    val cos = PipelineQueries.duckCos("p.qe", "a.ce2")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS cid, embedding AS ce2, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS qe, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5)
+       |  WHERE rn <= 2)
+       |SELECT p.qid, a.cid, round($cos, 4) AS cos
+       |FROM assign a JOIN probes p ON a.cell = p.cell AND p.qid <> a.cid
+       |WHERE $cos >= $StoredSemTau
+       |ORDER BY qid, cid""".stripMargin
+  }
+
   /** p113: the per-source RELEASE CARD — the one table a data lead
     * reads before shipping a corpus: p86's quality scorecard columns
     * joined with the near-dup exposure (p76's LSH pair matrix split
@@ -891,6 +949,7 @@ object Pipeline12 {
     "p112_embedding_drift" -> (embeddingDrift _),
     "p113_release_card" -> (releaseCard _),
     "p114_boilerplate_spans" -> (boilerplateSpans _),
+    "p115_semdedup_stored" -> (semDedupStored _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -904,5 +963,6 @@ object Pipeline12 {
     "p112_embedding_drift" -> embeddingDriftOracle,
     "p113_release_card" -> releaseCardOracle,
     "p114_boilerplate_spans" -> boilerplateSpansOracle,
+    "p115_semdedup_stored" -> semDedupStoredOracle,
   )
 }

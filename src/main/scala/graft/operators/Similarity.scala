@@ -310,10 +310,12 @@ object Similarity {
               (-col("best.ncid")).cast("int").as("cell"),
               col("best.cos").as("cell_cos"))
 
-  /** Package-visible so the IVF-PQ composition ([[Pipeline6]]) reuses
-    * THE one assignment definition instead of re-deriving it.
+  /** Package-visible so the IVF-PQ composition ([[Pipeline6]]), the
+    * drift report ([[Pipeline12]]) and the streaming ingester
+    * ([[graft.streaming.StreamingOps.ivfIngestBatch]]) all reuse THE
+    * one assignment definition instead of re-deriving it.
     */
-  private[operators] def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
+  private[graft] def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
     assignScored(cents, corpus).drop("cell_cos")
 
   /** Per-query probe fan-out: the `nProbe` max-cosine cells of each
@@ -356,7 +358,12 @@ object Similarity {
     * reads nProbe/nCells of the DATA, not all of it.
     */
   def ivfWrite(corpus: DataFrame, cents: Array[(Int, Seq[Float])], path: String): Unit =
-    graft.sources.Partitioned.writeBy(assignCells(cents, corpus), path, "cell")
+    graft.sources.Partitioned.writeBy(
+      // ingest_batch -1 marks the initial build — the column the
+      // streaming merge's exactly-once presence probe keys on, the
+      // same contract as every other at-rest store here
+      assignCells(cents, corpus).withColumn("ingest_batch", lit(-1L)),
+      path, "cell")
 
   /** Incrementally extend a stored [[ivfWrite]] layout: assign ONLY
     * the new vectors (same shared assignment definition, map-only) and
@@ -370,7 +377,9 @@ object Similarity {
     */
   def ivfAppend(newVectors: DataFrame, cents: Array[(Int, Seq[Float])],
                 path: String): Unit =
-    graft.sources.Partitioned.appendBy(assignCells(cents, newVectors), path, "cell")
+    graft.sources.Partitioned.appendBy(
+      assignCells(cents, newVectors).withColumn("ingest_batch", lit(-1L)),
+      path, "cell")
 
   /** ANN top-k over a stored [[ivfWrite]] layout. The probe join hits
     * the PARTITION column, so Catalyst's dynamic partition pruning
@@ -413,6 +422,41 @@ object Similarity {
       spark.read.parquet(path)
         .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi"),
       probeCells(cents, queries, nProbe), k)
+
+  /** Stored EMBEDDING near-dup probe — the vector member of the
+    * published-corpus probe family (text: `Dedup.lshProbeStored`,
+    * video/audio: `Multimodal.frameProbeStored`): every STORED vector
+    * within cosine `tau` of a query, found by scanning only the
+    * query's `nProbe` max-cosine cells of an at-rest [[ivfWrite]]
+    * layout. This is p73's witness relation answered from the store —
+    * what an incremental SemDeDup deployment runs per arriving batch
+    * instead of re-clustering the corpus.
+    *
+    * Semantics: candidates are the probed cells' members (the p13/p41
+    * probe contract — a stored near-dup hiding in an unprobed cell is
+    * missed, the IVF recall trade p104 measures); each candidate pays
+    * one exact cosine, pairs at `cos >= tau` (on the unrounded value,
+    * p73's contract) are emitted as (qid, cid, cos).
+    *
+    * Scale shape: probe fan-out is query-batch-sized and BROADCAST;
+    * the scan joins on the PARTITION column, so dynamic partition
+    * pruning restricts the read to the probed cells (the p41 plan,
+    * PlanSpec-pinned) — per batch the store pays nProbe/nCells of its
+    * directories, never a rescan. No driver collect of the batch
+    * anywhere (the query side stays a DataFrame), so the probe-literal
+    * bound of the signature stores does not apply.
+    */
+  def ivfProbeNearDup(spark: SparkSession, path: String,
+                      queries: DataFrame,
+                      cents: Array[(Int, Seq[Float])], tau: Double,
+                      nProbe: Int = 2): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probeCells(cents, queries, nProbe)), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"))
 
   /** Per-cell balance report for an IVF model: member count plus the
     * weakest/strongest member affinity (min/max cosine to the assigned

@@ -593,6 +593,67 @@ object StreamingOps {
                        stagePath: String, storePath: String): Int =
     mergeStagedPartitioned(spark, stagePath, storePath, "cell")
 
+  /** Streaming PLAIN-IVF embedding ingestion, stage 1: assign each
+    * micro-batch of (vec_id, embedding) vectors to its cell (the ONE
+    * shared assignment definition — `Similarity.assignCells`, map-only
+    * against the broadcast frozen centroids) and land the
+    * `Similarity.ivfWrite`-shaped rows exactly-once in the staging
+    * zone. Contract: batch vec_ids must be new to the store, and
+    * `cents` MUST be the model the store was built with (cells are
+    * defined by it — the `ivfAppend` contract).
+    */
+  def ivfIngestBatch(cents: Array[(Int, Seq[Float])],
+                     stagePath: String)(batch: DataFrame, id: Long): Unit =
+    idempotentParquetBatch(stagePath)(
+      graft.operators.Similarity.assignCells(cents, batch), id)
+
+  /** Streaming plain-IVF ingestion, stage 2: the shared exactly-once
+    * fold into the live [[graft.operators.Similarity.ivfWrite]] cell
+    * directories — the embedding-store twin of [[ivfPqMergeStaged]]
+    * (same partition column, same `ingest_batch` presence probe).
+    * Appended sliver files accumulate per cell;
+    * `Maintenance.compactionPlan` decides when to fold them.
+    */
+  def ivfMergeStaged(spark: org.apache.spark.sql.SparkSession,
+                     stagePath: String, storePath: String): Int =
+    mergeStagedPartitioned(spark, stagePath, storePath, "cell")
+
+  /** Streaming EMBEDDING NEAR-DUP gate against the live IVF store —
+    * the VECTOR member of the published-corpus gate family (text:
+    * [[textDedupGateBatch]], video/audio: [[containmentGateBatch]] /
+    * [[audioContainmentGateBatch]]): check one micro-batch's arriving
+    * embeddings for stored vectors within cosine `tau`, which a
+    * within-batch SemDeDup (p73) cannot see. Run in `foreachBatch`
+    * before [[ivfIngestBatch]]; a row (vec_id, dup_of, cos) means the
+    * arriving vector sits within `tau` of a published one — `dup_of`
+    * is the closest such (ties to the smaller id), the deterministic
+    * verdict shape of the text gate.
+    *
+    * Recall contract: candidates come from each arriving vector's
+    * `nProbe` nearest cells (p104's measured trade); `nProbe = 1`
+    * reproduces p73's own-cell witness semantics exactly
+    * (StreamingSpec parity), larger values only widen the net. The
+    * batch stays a DataFrame end-to-end (probe fan-out broadcast, no
+    * driver collect, no literal plan) — this gate has no batch-size
+    * bound at all.
+    */
+  def embeddingDedupGateBatch(spark: org.apache.spark.sql.SparkSession,
+                              storePath: String,
+                              cents: Array[(Int, Seq[Float])],
+                              tau: Double, nProbe: Int = 2)(
+                              batch: DataFrame): DataFrame = {
+    // one verdict row per flagged vector: the closest stored match,
+    // ties to the smaller id — deterministic, like the text gate
+    // (ivfProbeNearDup itself already drops qid == cid self-hits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    graft.operators.Similarity
+      .ivfProbeNearDup(spark, storePath, batch, cents, tau, nProbe)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("qid").as("vec_id"), col("cid").as("dup_of"), col("cos"))
+  }
+
   /** The shared exactly-once fold of the hive-partitioned stores
     * ([[ivfPqMergeStaged]] on `cell`, [[frameMergeStaged]] on
     * `band_i`): fold staged-and-committed batches with the

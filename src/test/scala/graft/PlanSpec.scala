@@ -140,6 +140,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "cell is no longer a partition column of the stored layout")
   }
 
+  test("p115: the stored embedding near-dup probe prunes partitions to the probed cells") {
+    // the p41 layout serving the fourth stored-probe modality: the
+    // near-dup scan must keep the same dynamic cell prune — without it
+    // every arriving batch rescans the whole vector corpus
+    val p = plan("p115_semdedup_stored")
+    assert(p.contains("dynamicpruningexpression"),
+      "stored near-dup scan lost dynamic partition pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      "cell is no longer a partition column of the probed layout")
+  }
+
   test("p65: the filtered probe keeps partition pruning and broadcasts the allowed set") {
     val p = plan("p65_sim_filtered")
     assert(p.contains("dynamicpruningexpression"),

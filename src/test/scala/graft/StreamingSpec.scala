@@ -1067,6 +1067,90 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "sig_h filter no longer pushed into the compacted store scan")
   }
 
+  test("streaming EMBEDDING near-dup gate + staged IVF merge match batch p73") {
+    // the VECTOR member of the published-corpus gate family: arriving
+    // embeddings probed against everything already published (which a
+    // within-batch SemDeDup cannot see), then folded into the live
+    // cell store exactly-once
+    import graft.operators.{Pipeline7, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val tau = 0.3
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val pub = emb.filter($"vec_id" < 400L).localCheckpoint()
+    val cents = Similarity.seedCentroids(pub, 8)
+    val store = java.nio.file.Files.createTempDirectory("ivf_live").toString
+    Similarity.ivfWrite(pub, cents, store)
+    // arriving: exact copies of two published vectors under new ids
+    // (the re-publish case) plus a copy of an unpublished one
+    val vecs = emb.filter($"vec_id".isin(7L, 23L, 450L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val payloads = Map(1007L -> vecs(7L), 1023L -> vecs(23L),
+      1450L -> vecs(450L))
+    // precondition for exact p73 parity: no arriving vector may
+    // witness another arriving one (their originals must sit apart)
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (u, v) => u.toDouble * v.toDouble }.sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    for (Seq(a, b) <- Seq(7L, 23L, 450L).combinations(2)) {
+      val c = cosLocal(vecs(a), vecs(b))
+      assert(math.abs(c) < tau, s"fixture originals $a/$b too close: $c")
+    }
+    val arriving = payloads.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    // gate at nProbe = 1 (p73's own-cell witness semantics)
+    val flagged = StreamingOps.embeddingDedupGateBatch(spark, store, cents,
+        tau, nProbe = 1)(arriving)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // parity: batch p73 over the union corpus under the SAME frozen
+    // centroids — an arriving vector is flagged iff p73 drops it
+    val want = Pipeline7.semDedupOf(pub.unionByName(arriving), cents, tau)
+      .filter($"vec_id" >= 1000L && !$"kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.keySet === want,
+      s"streaming embedding gate diverged from batch p73: got " +
+        s"${flagged.keySet}, want $want")
+    assert(flagged.contains(1007L) && flagged.contains(1023L),
+      "re-published vectors not flagged against their originals")
+    // the copies' closest stored match is the original (cos = 1)
+    assert(flagged(1007L) === 7L && flagged(1023L) === 23L,
+      "dup_of did not name the original")
+    // widening the probe fan-out only ADDS candidates
+    val wide = StreamingOps.embeddingDedupGateBatch(spark, store, cents,
+        tau, nProbe = 2)(arriving)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.keySet.subsetOf(wide),
+      "nProbe = 2 lost a flag nProbe = 1 had")
+    // staged merge folds the batch exactly once into the live store
+    val stage = java.nio.file.Files.createTempDirectory("ivf_stage").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("vec_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withVec = batch.collect().map(_.getLong(0))
+          .map(i => (i, payloads(i))).toSeq.toDF("vec_id", "embedding")
+        StreamingOps.ivfIngestBatch(cents, stage)(withVec, id)
+      }
+      .start()
+    try {
+      ms.addData(Seq(1007L, 1023L, 1450L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingOps.ivfMergeStaged(spark, stage, store) === 1)
+    val n1 = spark.read.parquet(store).count()
+    assert(n1 === 403L, "merged store row count off")
+    assert(StreamingOps.ivfMergeStaged(spark, stage, store) === 0)
+    assert(spark.read.parquet(store).count() === n1,
+      "re-running the merge double-folded a staged batch")
+    // the merged store now answers for the copy: probing with the
+    // original's embedding finds both original and copy at cos 1
+    val hits = Similarity.ivfProbeNearDup(spark, store,
+        pub.filter($"vec_id" === 7L), cents, tau, nProbe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits(1007L), "merged copy not findable from the live store")
+  }
+
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
     // The integration seam the per-store specs don't cross: actual
     // Structured Streaming queries (MemoryStream → foreachBatch) drive
