@@ -774,6 +774,135 @@ object Pipeline12 {
        |ORDER BY qid, cid""".stripMargin
   }
 
+  /** nProbe sweep of the registered tuning curve — the p13/p41 8-cell
+    * geometry from its minimum to a full scan (8 of 8 cells = exact
+    * brute force, so the curve's last row must read recall 1.0).
+    */
+  private val TuneProbes = Seq(1, 2, 4, 8)
+
+  /** p116: the ANN TUNING CURVE — p104's recall metric swept across
+    * nProbe operating points, each paired with its probed-read cost:
+    * one row per (method, nprobe) carrying recall@k against the exact
+    * ranking AND `read_ppm`, the fraction (exact integer ppm) of
+    * corpus rows the probe fan-out reads at that operating point. THE
+    * table a user sets nProbe from (the p108-S-curve discipline
+    * applied to the IVF dial): recall climbs with nprobe while
+    * read_ppm climbs toward 10⁶, and the knee is the setting.
+    *
+    * Engine shape: ONE corpus-side candidate pass serves every
+    * operating point — the nProbe = k fan-out is exactly the
+    * `prank <= k` prefix of one ranked 8-cell fan-out
+    * ([[Similarity.probeCellsRanked]]), so candidates are scored once,
+    * a 4-row broadcast grid replays them per operating point, and the
+    * rank window runs per (nprobe, qid). Read accounting never touches
+    * the corpus: per-cell sizes are a model-sized aggregate joined to
+    * the query-batch-sized fan-out. Recall denominators are derived
+    * from the exact relation (the p104 discipline).
+    */
+  def annTuning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(s, d)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = PipelineQueries.simTopK(s, d).select(col("qid"), col("cid"))
+    val probes = Similarity.probeCellsRanked(cents, queries, 8)
+    // assignment is shared by the candidate join, the size model and
+    // the corpus total: one map-only pass, materialized lazily
+    val assigned = Similarity.assignCells(cents, emb)
+      .localCheckpoint(eager = false)
+    val cand = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("prank"), col("cid"),
+        graft.functions.VectorOps.cosine(col("qe"), col("ce")).as("cos"))
+      .localCheckpoint(eager = false) // feeds all four operating points
+    val np = s.range(1)
+      .select(explode(typedLit(TuneProbes)).as("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val hits = cand.join(broadcast(np), col("prank") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .join(exact, Seq("qid", "cid"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val denom = exact.agg(count(lit(1)).as("denom"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val reads = probes.select(col("prank"), col("cell"))
+      .join(broadcast(np), col("prank") <= col("nprobe"))
+      .join(broadcast(sizes), Seq("cell"))
+      .groupBy(col("nprobe")).agg(sum(col("csz")).as("rows_read"))
+    val totals = assigned.agg(count(lit(1)).as("n"))
+      .crossJoin(queries.agg(count(lit(1)).as("nq")))
+    np.join(hits, Seq("nprobe"), "left")
+      .join(reads, Seq("nprobe"), "left")
+      .crossJoin(broadcast(denom)).crossJoin(broadcast(totals))
+      .select(lit("ivf").as("method"), col("nprobe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) /
+          col("denom").cast("double"), 4).as("recall"),
+        coalesce(col("rows_read"), lit(0L)).as("rows_read"),
+        expr("CAST(coalesce(rows_read, 0) * 1000000 DIV (nq * n) AS BIGINT)")
+          .as("read_ppm"))
+      .orderBy(col("method"), col("nprobe"))
+  }
+
+  val annTuningOracle: String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    val cos = PipelineQueries.duckCos("p.qe", "a.ce2")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id AS cid, embedding AS ce2, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qe, rn AS prank, cell FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qe, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5)
+       |  WHERE rn <= 8),
+       |np AS (SELECT CAST(unnest([${TuneProbes.mkString(", ")}])
+       |              AS INTEGER) AS nprobe),
+       |cand AS (
+       |  SELECT p.qid, p.prank, a.cid, $cos AS cos
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND p.qid <> a.cid),
+       |exact AS (SELECT qid, cid FROM (${PipelineQueries.simTopKOracle}) x),
+       |ranked AS (
+       |  SELECT np.nprobe, c.qid, c.cid,
+       |         row_number() OVER (PARTITION BY np.nprobe, c.qid
+       |              ORDER BY c.cos DESC, c.cid) AS rnk
+       |  FROM np JOIN cand c ON c.prank <= np.nprobe),
+       |hits AS (
+       |  SELECT nprobe, count(*) AS n_hits
+       |  FROM ranked r JOIN exact e ON e.qid = r.qid AND e.cid = r.cid
+       |  WHERE r.rnk <= 10 GROUP BY 1),
+       |dn AS (SELECT count(*) AS denom FROM exact),
+       |sizes AS (SELECT cell, count(*) AS csz FROM assign GROUP BY cell),
+       |reads AS (
+       |  SELECT np.nprobe, sum(s.csz) AS rows_read
+       |  FROM np JOIN probes p ON p.prank <= np.nprobe
+       |  JOIN sizes s ON s.cell = p.cell GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM embeddings) AS n,
+       |               (SELECT count(*) FROM embeddings WHERE vec_id < 5)
+       |                 AS nq)
+       |SELECT 'ivf' AS method, np.nprobe,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) / CAST(dn.denom AS DOUBLE), 4)
+       |         AS recall,
+       |       CAST(coalesce(r.rows_read, 0) AS BIGINT) AS rows_read,
+       |       CAST(coalesce(r.rows_read, 0) * 1000000 // (tot.nq * tot.n)
+       |            AS BIGINT) AS read_ppm
+       |FROM np LEFT JOIN hits h USING (nprobe)
+       |LEFT JOIN reads r USING (nprobe)
+       |CROSS JOIN dn CROSS JOIN tot
+       |ORDER BY method, nprobe""".stripMargin
+  }
+
   /** p113: the per-source RELEASE CARD — the one table a data lead
     * reads before shipping a corpus: p86's quality scorecard columns
     * joined with the near-dup exposure (p76's LSH pair matrix split
@@ -950,6 +1079,7 @@ object Pipeline12 {
     "p113_release_card" -> (releaseCard _),
     "p114_boilerplate_spans" -> (boilerplateSpans _),
     "p115_semdedup_stored" -> (semDedupStored _),
+    "p116_ann_tuning" -> (annTuning _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -964,5 +1094,6 @@ object Pipeline12 {
     "p113_release_card" -> releaseCardOracle,
     "p114_boilerplate_spans" -> boilerplateSpansOracle,
     "p115_semdedup_stored" -> semDedupStoredOracle,
+    "p116_ann_tuning" -> annTuningOracle,
   )
 }

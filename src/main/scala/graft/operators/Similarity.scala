@@ -329,6 +329,21 @@ object Similarity {
               explode(col("sc")).as("p"))
       .select(col("qid"), col("qe"), (-col("p.ncid")).cast("int").as("cell"))
 
+  /** [[probeCells]] with the probe RANK kept (prank = 1 for each
+    * query's nearest cell): the nProbe-sweep device — an nProbe = k
+    * fan-out is exactly the prank <= k prefix of this relation, so one
+    * fan-out serves every operating point of a tuning curve (p116).
+    */
+  private[operators] def probeCellsRanked(cents: Array[(Int, Seq[Float])],
+                                          queries: DataFrame,
+                                          nProbe: Int): DataFrame =
+    queries
+      .withColumn("sc", slice(reverse(array_sort(cellScores(cents, col("embedding")))), 1, nProbe))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              posexplode(col("sc")).as(Seq("prank", "p")))
+      .select(col("qid"), col("qe"), (col("prank") + 1).as("prank"),
+              (-col("p.ncid")).cast("int").as("cell"))
+
   /** Probe join + exact rerank: candidates are cell-mates of a probe,
     * scored by true cosine, top-k kept per query.
     */

@@ -391,4 +391,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.forall { case (a, b, _) => a / 10 === b / 10 })
     assert(pairs.forall { case (_, _, c) => c >= 0.9 })
   }
+
+  test("p116 tuning curve: recall and read fraction climb with nProbe; full scan is exact") {
+    val rows = graft.operators.Pipeline12
+      .annTuning(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall"),
+        r.getAs[Long]("read_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // both dials are monotone non-decreasing in the fan-out
+    rows.sliding(2).foreach {
+      case Array((_, r1, p1), (_, r2, p2)) =>
+        assert(r1 <= r2, s"recall fell: $r1 -> $r2")
+        assert(p1 <= p2, s"read fraction fell: $p1 -> $p2")
+      case _ =>
+    }
+    // probing every cell IS the exact scan: recall 1 at 100% read
+    assert(rows.last._2 === 1.0, s"full-scan recall ${rows.last._2} != 1")
+    assert(rows.last._3 === 1000000L,
+      s"full-scan read_ppm ${rows.last._3} != 1e6")
+  }
 }
