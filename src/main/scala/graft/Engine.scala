@@ -58,6 +58,18 @@ object Engine {
   def lshProbeStored(spark: SparkSession, path: String,
                      querySigs: Seq[(Long, Int, Long)]): DataFrame =
     Dedup.lshProbeStored(spark, path, querySigs)
+  /** Persist the per-doc shingle-hash sets as the verification SIDECAR
+    * beside the LSH store (p117's layout: doc_id-bucketed, sorted). */
+  def shingleSidecarWrite(docs: DataFrame, id: String, text: String,
+                          path: String, n: Int = 5): Unit =
+    Dedup.shingleStoreWrite(Dedup.shingleSidecarRows(docs, id, text, n), path)
+  /** Exact-Jaccard verify of stored-probe candidates against a
+    * [[shingleSidecarWrite]] sidecar (p117) — candidates → sidecar
+    * join → Jaccard ≥ τ, reading only the candidate buckets. */
+  def lshVerifyStored(spark: SparkSession, sidecarPath: String,
+                      candidates: DataFrame, queryShingles: DataFrame,
+                      tau: Double): DataFrame =
+    Dedup.lshVerifyStored(spark, sidecarPath, candidates, queryShingles, tau)
   /** LSH banding-quality report: recall and candidate hit-rate of the
     * MinHash-LSH stage against exact Jaccard truth, per threshold —
     * run on a sample when the corpus is large. See Pipeline12 p108. */

@@ -338,6 +338,96 @@ object Dedup {
     }
   }
 
+  /** One document's distinct shingle HASHES as storable rows
+    * (doc_id, sh) — the verification-side twin of
+    * [[lshSignatureRows]]: 64-bit xxhash64 keys stand in for the
+    * shingle strings exactly as in p03's inverted index (set
+    * cardinalities are preserved modulo ~2⁻⁶⁴ collisions, which the
+    * differential oracle would surface), so an exact-Jaccard verify
+    * can run on longs instead of n-word strings. Shared by the at-rest
+    * sidecar writer, the verify's query side and the streaming
+    * ingester.
+    */
+  def shingleSidecarRows(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5): DataFrame =
+    shinglePairs(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("ngram")).as("sh"))
+
+  /** Bucket count of the shingle sidecar — must match between writer
+    * and verifier (bucket identity is `doc_id mod` this).
+    */
+  val SidecarBuckets = 16
+
+  /** At-rest shingle SIDECAR for the stored text gate: the per-doc
+    * shingle-hash sets persisted doc_id-bucketed beside the LSH store,
+    * so [[lshProbeStored]]/`textDedupGateBatch` candidates can be
+    * exact-Jaccard VERIFIED without rescanning the corpus — without
+    * it, the verify stage needs the stored documents' shingles and
+    * must re-shingle 100 TB per arriving batch, defeating the
+    * incremental deployment the signature store enables. Layout
+    * discipline as every store here: hive-partitioned by
+    * `bucket = doc_id mod` [[SidecarBuckets]] (partition pruning to
+    * candidate buckets), SORTED by doc_id within each file (pushed
+    * doc_id predicates skip row groups), small row groups.
+    */
+  def shingleStoreWrite(sidecarRows: DataFrame, path: String,
+                        nBuckets: Int = SidecarBuckets): Unit =
+    sidecarRows
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
+      .withColumn("ingest_batch", lit(-1L))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("parquet.block.size", 1 << 20)
+      .parquet(path)
+
+  /** VERIFY stored-probe candidates by exact Jaccard against the
+    * [[shingleStoreWrite]] sidecar: for each candidate pair (qid,
+    * doc_id) — typically [[lshProbeStored]]'s output — compute the
+    * true shingle-set Jaccard between the query's shingles and the
+    * STORED document's sidecar rows, and keep pairs at `>= tau`. This
+    * is the verify stage p04's unverified-candidates contract defers:
+    * candidates → sidecar join → exact Jaccard, reading only the
+    * candidate documents' buckets.
+    *
+    * Scale shape: candidates and query shingles are probe-batch-sized
+    * and broadcast; the sidecar scan joins on the PARTITION column
+    * (dynamic partition pruning to candidate buckets — the p41 plan
+    * device) then semi-restricts to candidate doc_ids, so the read is
+    * candidate-sized, never corpus-sized. Set sizes come from
+    * counting the already-read rows (the sidecar stores sets, so
+    * count(*) per doc IS the set size — no second dataset).
+    *
+    * @param candidates (qid, doc_id) pairs to verify
+    * @param queryShingles (qid, sh) rows of the QUERY documents —
+    *   [[shingleSidecarRows]] of the arriving batch under its own ids
+    */
+  def lshVerifyStored(spark: org.apache.spark.sql.SparkSession,
+                      sidecarPath: String, candidates: DataFrame,
+                      queryShingles: DataFrame, tau: Double,
+                      nBuckets: Int = SidecarBuckets): DataFrame = {
+    val cand = candidates.select(col("qid"), col("doc_id"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
+      .localCheckpoint(eager = false) // feeds the prune, the semi-join
+                                      // and the output frame
+    val stored = spark.read.parquet(sidecarPath)
+      .join(broadcast(cand.select(col("bucket"), col("doc_id")).distinct()),
+        Seq("bucket", "doc_id"))
+    val ns = stored.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val nq = queryShingles.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+    val inter = stored
+      .join(broadcast(queryShingles), Seq("sh"))
+      .join(broadcast(cand.select(col("qid"), col("doc_id"))),
+        Seq("qid", "doc_id"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val jac = col("c") / (col("nq") + col("ns") - col("c"))
+    inter
+      .join(broadcast(nq), Seq("qid"))
+      .join(broadcast(ns), Seq("doc_id"))
+      .filter(jac >= tau)
+      .select(col("qid"), col("doc_id"), round(jac, 4).as("jaccard"))
+  }
+
   /** Dedup cluster resolution: connected components over a near-dup
     * pair graph, labeling every document with its cluster's minimum
     * doc id (the canonical survivor). Pairs → clusters is what turns

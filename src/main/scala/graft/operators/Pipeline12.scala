@@ -510,14 +510,20 @@ object Pipeline12 {
     * signatures via the registered CTE chain), restricted to the query
     * docs — the layout must be semantics-preserving.
     */
+  /** The memoized p111 LSH signature store — shared by the stored
+    * probe and the verified gate (p117), under the IndexStores
+    * contract.
+    */
+  private def lshStoreFor(s: SparkSession, d: String): String =
+    IndexStores.of("lsh_store", d) { p =>
+      Dedup.lshStoreWrite(
+        Dedup.lshSignatureRows(graft.Tables.documents(s, d), "doc_id",
+          "text", QualShingleN, QualHashes, QualBands), p)
+    }
+
   def lshProbeStoredQuery(s: SparkSession, d: String): DataFrame = {
     val docs = () => graft.Tables.documents(s, d)
-    // store memoized per JVM under the shared IndexStores contract
-    val store = IndexStores.of("lsh_store", d) { p =>
-      Dedup.lshStoreWrite(
-        Dedup.lshSignatureRows(docs(), "doc_id", "text",
-          QualShingleN, QualHashes, QualBands), p)
-    }
+    val store = lshStoreFor(s, d)
     val qs = Dedup.lshSignatureRows(docs().filter(col("doc_id") < 5),
         "doc_id", "text", QualShingleN, QualHashes, QualBands)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -531,6 +537,79 @@ object Pipeline12 {
        |q AS (SELECT doc_id AS qid, band, sig FROM bd WHERE doc_id < 5)
        |SELECT DISTINCT q.qid, b.doc_id
        |FROM q JOIN bd b ON b.band = q.band AND b.sig = q.sig
+       |ORDER BY qid, doc_id""".stripMargin
+
+  /** Verify threshold and query window of the registered verified
+    * gate. τ = 0.9 BINDS on this corpus: the near-dup family's exact
+    * Jaccards span 0.875–1.0 (p03's relation), so at least one LSH
+    * candidate pair (26, 455 at 0.875 at sf0.01) is surfaced by the
+    * probe and then REJECTED by the verify — the stage is
+    * differentially checked doing work, not rubber-stamping. The
+    * 100-doc query window (vs p111's 5) pulls a dozen true near-dup
+    * qids into the batch; 400 signature literals, well inside the
+    * probe-literal bound.
+    */
+  private val VerifyTau = 0.9
+  private val VerifyWindow = 100
+
+  /** p117: the VERIFIED stored text gate — the missing verify stage of
+    * the p111 probe, closed WITHOUT rescanning the corpus: probe the
+    * LSH store for candidates, join them against the at-rest shingle
+    * SIDECAR ([[Dedup.shingleStoreWrite]]: the per-doc shingle-hash
+    * sets, doc_id-bucketed beside the signature store), keep pairs at
+    * exact Jaccard ≥ τ. Until this entry, verification needed the
+    * stored documents' shingles and therefore a corpus rescan —
+    * defeating the incremental deployment the store exists for.
+    * Streaming twin: `StreamingOps.textDedupVerifiedGateBatch`.
+    *
+    * The oracle re-derives candidates (the registered p04 banding
+    * CTEs) AND the exact Jaccard on raw shingle strings — hash-free,
+    * so the engine's xxhash64 set keys are differentially checked
+    * against true string-set cardinalities (the p03 contract).
+    */
+  def lshVerifiedStored(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val store = lshStoreFor(s, d)
+    val sidecar = IndexStores.of("shingle_sidecar", d) { p =>
+      Dedup.shingleStoreWrite(
+        Dedup.shingleSidecarRows(docs, "doc_id", "text", QualShingleN), p)
+    }
+    val queries = docs.filter(col("doc_id") < VerifyWindow)
+    val qs = Dedup.lshSignatureRows(queries, "doc_id", "text",
+        QualShingleN, QualHashes, QualBands)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(q => (q._1, q._2))
+    val cands = Dedup.lshProbeStored(s, store, qs)
+    val qsh = Dedup.shingleSidecarRows(queries, "doc_id", "text",
+        QualShingleN)
+      .select(col("doc_id").as("qid"), col("sh"))
+    Dedup.lshVerifyStored(s, sidecar, cands, qsh, VerifyTau)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
+  val lshVerifiedStoredOracle: String =
+    s"""WITH ${PipelineQueries.lshPairCtes},
+       |q AS (SELECT doc_id AS qid, band, sig FROM bd
+       |      WHERE doc_id < $VerifyWindow),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, b.doc_id
+       |  FROM q JOIN bd b ON b.band = q.band AND b.sig = q.sig),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.qid, c.doc_id, count(*) AS cnum
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.qid
+       |  JOIN sh b ON b.doc_id = c.doc_id AND b.ngram = a.ngram
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.qid, i.doc_id,
+       |         CAST(i.cnum AS DOUBLE) / (sq.n_sh + sd.n_sh - i.cnum)
+       |           AS jac
+       |  FROM inter i
+       |  JOIN sz sq ON sq.doc_id = i.qid
+       |  JOIN sz sd ON sd.doc_id = i.doc_id)
+       |SELECT qid, doc_id, round(jac, 4) AS jaccard
+       |FROM j WHERE jac >= $VerifyTau
        |ORDER BY qid, doc_id""".stripMargin
 
   /** p109: the MINHASH ESTIMATOR error report — for every LSH
@@ -1080,6 +1159,7 @@ object Pipeline12 {
     "p114_boilerplate_spans" -> (boilerplateSpans _),
     "p115_semdedup_stored" -> (semDedupStored _),
     "p116_ann_tuning" -> (annTuning _),
+    "p117_lsh_verified_stored" -> (lshVerifiedStored _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1095,5 +1175,6 @@ object Pipeline12 {
     "p114_boilerplate_spans" -> boilerplateSpansOracle,
     "p115_semdedup_stored" -> semDedupStoredOracle,
     "p116_ann_tuning" -> annTuningOracle,
+    "p117_lsh_verified_stored" -> lshVerifiedStoredOracle,
   )
 }

@@ -764,6 +764,68 @@ object StreamingOps {
       .distinct()
   }
 
+  /** Streaming SHINGLE-SIDECAR ingestion, stage 1: fold each
+    * micro-batch of (doc_id, text) documents to their distinct
+    * shingle-hash rows ([[graft.operators.Dedup.shingleSidecarRows]] —
+    * the sidecar's own shape) and land them exactly-once in the
+    * staging zone. Run beside [[lshIngestBatch]]: the signature store
+    * finds candidates, the sidecar verifies them, so both must ingest
+    * the same admitted batches.
+    */
+  def shingleIngestBatch(stagePath: String)(batch: DataFrame, id: Long): Unit =
+    idempotentParquetBatch(stagePath)(
+      graft.operators.Dedup.shingleSidecarRows(batch, "doc_id", "text")
+        .withColumn("bucket",
+          pmod(col("doc_id"),
+            lit(graft.operators.Dedup.SidecarBuckets)).cast("int")),
+      id)
+
+  /** Streaming sidecar ingestion, stage 2: the shared exactly-once
+    * fold into the live [[graft.operators.Dedup.shingleStoreWrite]]
+    * bucket directories. Appended slivers are unsorted;
+    * `Maintenance.compactionPlan` on (bucket, doc_id) decides when to
+    * re-sort them.
+    */
+  def shingleMergeStaged(spark: org.apache.spark.sql.SparkSession,
+                         stagePath: String, storePath: String): Int =
+    mergeStagedPartitioned(spark, stagePath, storePath, "bucket")
+
+  /** The VERIFIED streaming text gate — [[textDedupGateBatch]]'s
+    * candidates closed with the exact-Jaccard verify stage against the
+    * at-rest shingle sidecar (p117's device), so the verdict is
+    * p03-at-τ semantics against the published corpus WITHOUT a corpus
+    * rescan: candidates → sidecar join → exact Jaccard ≥ τ. A row
+    * (doc_id, dup_of, jaccard) is a CONFIRMED near-dup of a published
+    * document — drop by policy directly; no downstream verification
+    * owed. Costs one extra candidate-bucket-pruned sidecar read over
+    * the unverified gate; run it when the banding's precision (p108's
+    * table) is too low to drop on candidates alone.
+    */
+  def textDedupVerifiedGateBatch(spark: org.apache.spark.sql.SparkSession,
+                                 storePath: String, sidecarPath: String,
+                                 tau: Double)(batch: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val b = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint() // feeds the signature collect + the shingle side
+    val sigs = Dedup.lshSignatureRows(b, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(q => (q._1, q._2))
+    if (sigs.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+        .withColumn("jaccard", lit(0.0d))
+        .limit(0)
+    val cands = Dedup.lshProbeStored(spark, storePath, sigs)
+      // the ingest contract says arriving ids are new; a violated
+      // contract must not report a document as duplicating itself
+      .filter(col("doc_id") =!= col("qid"))
+    val qsh = Dedup.shingleSidecarRows(b, "doc_id", "text")
+      .select(col("doc_id").as("qid"), col("sh"))
+    Dedup.lshVerifyStored(spark, sidecarPath, cands, qsh, tau)
+      .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"),
+        col("jaccard"))
+  }
+
   /** The composed ADMISSION pipeline — the one `foreachBatch` handler
     * an ingestion deployment copies: chain the frozen-model gates over
     * ONE micro-batch of (doc_id, text) documents and emit a per-

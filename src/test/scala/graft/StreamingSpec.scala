@@ -1151,6 +1151,81 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(hits(1007L), "merged copy not findable from the live store")
   }
 
+  test("VERIFIED streaming text gate matches exact Jaccard on the union corpus") {
+    // the verify stage the unverified gate defers: candidates from the
+    // LSH store, closed with exact Jaccard against the shingle SIDECAR
+    // — no corpus rescan anywhere
+    import graft.operators.Dedup
+    val tau = 0.9
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val pub = docs.filter($"doc_id" < 400L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("vg_store").toString
+    val sidecar = java.nio.file.Files.createTempDirectory("vg_side").toString
+    Dedup.lshStoreWrite(
+      Dedup.lshSignatureRows(pub, "doc_id", "text"), store)
+    Dedup.shingleStoreWrite(
+      Dedup.shingleSidecarRows(pub, "doc_id", "text"), sidecar)
+    // arriving: an exact copy of a published doc (candidate, verifies
+    // at 1.0), a near-miss (one word changed mid-doc: LSH-candidate
+    // territory but BELOW tau — the verify must reject it), a fresh doc
+    val texts = docs.filter($"doc_id".isin(7L, 23L, 450L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = texts(23L).split(" ")
+    val nearMiss = (words.take(words.length / 2) ++ Array("zzzz") ++
+      words.drop(words.length / 2 + 1)).mkString(" ")
+    val arriving = Seq(1007L -> texts(7L), 1023L -> nearMiss,
+      1450L -> texts(450L)).toDF("doc_id", "text").localCheckpoint()
+    val got = StreamingOps.textDedupVerifiedGateBatch(spark, store,
+        sidecar, tau)(arriving)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // parity: exact p03-at-tau over the union, restricted to the
+    // cross-split LSH-candidate pairs — the gate's exact contract
+    val un = pub.unionByName(arriving)
+    val candBatch = Dedup.minhashLshPairs(un, "doc_id", "text")
+      .filter($"d1" < 1000L && $"d2" >= 1000L)
+    val want = Dedup.ngramJaccardPairs(un, "doc_id", "text", 5, tau)
+      .join(candBatch, Seq("d1", "d2"), "left_semi")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      .toSet
+    assert(got.toSet === want,
+      s"verified gate diverged: got ${got.toSet}, want $want")
+    // the copy is confirmed at Jaccard 1.0 ...
+    assert(got.exists { case (d, o, j) => d == 1007L && o == 7L && j == 1.0 },
+      "re-published copy not confirmed by the verify stage")
+    // ... and the near-miss is REJECTED by verify even when the
+    // banding surfaces it (assert the stage binds, not rubber-stamps)
+    val nearMissCandidate = Dedup.minhashLshPairs(un, "doc_id", "text")
+      .filter($"d1" === 23L && $"d2" === 1023L).count() > 0
+    val nearMissJ = Dedup.ngramJaccardPairs(un, "doc_id", "text", 5, 0.0)
+      .filter($"d1" === 23L && $"d2" === 1023L)
+      .collect().headOption.map(_.getDouble(2))
+    assert(nearMissJ.exists(j => j > 0 && j < tau),
+      s"fixture near-miss out of band: $nearMissJ")
+    if (nearMissCandidate)
+      assert(!got.exists(_._1 == 1023L),
+        "verify stage passed a below-threshold candidate through")
+    // sidecar ingestion: staged merge folds the arriving shingles
+    // exactly once; the verified gate then confirms a copy of an
+    // ARRIVING doc against the merged sidecar
+    val stage = java.nio.file.Files.createTempDirectory("vg_stage").toString
+    StreamingOps.shingleIngestBatch(stage)(arriving, 0L)
+    StreamingOps.lshIngestBatch(java.nio.file.Files
+      .createTempDirectory("vg_sigstage").toString)(arriving, 0L)
+    assert(StreamingOps.shingleMergeStaged(spark, stage, sidecar) === 1)
+    assert(StreamingOps.shingleMergeStaged(spark, stage, sidecar) === 0)
+    // fold the signatures too, then re-probe with a copy of doc 1450
+    val sigStage = java.nio.file.Files
+      .createTempDirectory("vg_sigstage2").toString
+    StreamingOps.lshIngestBatch(sigStage)(arriving, 0L)
+    assert(StreamingOps.lshMergeStaged(spark, sigStage, store) === 1)
+    val again = StreamingOps.textDedupVerifiedGateBatch(spark, store,
+        sidecar, tau)(Seq(2450L -> texts(450L)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.contains((2450L, 1450L, 1.0)),
+      "copy of a merged arriving doc not confirmed from the live stores")
+  }
+
   test("end-to-end: real streams feed BOTH staged merges; phrase + vector probes match batch builds") {
     // The integration seam the per-store specs don't cross: actual
     // Structured Streaming queries (MemoryStream → foreachBatch) drive
