@@ -155,9 +155,9 @@ object Pipeline11 {
     * so the loop breaks there; the unrolled oracle runs its remaining
     * rounds as empty-delta no-ops and its latest-tie argmin lands on
     * the same weights. Everything stays bounded integers; per round
-    * the cost is p102's (the scoring aggregate is checkpointed and
-    * reused for both the candidate error count and the update), plus
-    * one extra scoring pass for the final candidate.
+    * ONE heavy job (margins → mis → delta in a single plan, the error
+    * count riding the delta aggregate's bias-bucket row count), plus
+    * one extra round for the final candidate.
     */
   def perceptronTrainPocket(docs: DataFrame): DataFrame = {
     val feats = featsOf(docs)
@@ -169,23 +169,48 @@ object Pipeline11 {
     var bestW = w
     var fixed = false
     for (t <- 1 to PcPocketRounds + 1 if !fixed) {
-      // margins under the CURRENT weights w_{t-1}: feeds the candidate
-      // error count (t ≥ 2: candidates are w_1..w_R) and, below, the
-      // round-t update — one scoring pass serves both
+      // ONE heavy job per round (the previous shape paid three
+      // actions: a margins checkpoint, a count job and the update's
+      // checkpoint): margins under w_{t-1} flow straight into the
+      // mis filter and the delta aggregate inside a single plan, and
+      // the error count rides the delta's OWN aggregate — every
+      // document carries exactly one bias row (b = -1), so the bias
+      // group's row count IS the misclassified-document count; no
+      // second margins consumer, no separate count job. Identical
+      // integer math (same margins, same mis set, same delta), so
+      // the unrolled oracle is untouched. (A doc-keyed window
+      // one-pass variant was measured SLOWER: WindowExec sorts the
+      // docs×buckets stream where the aggregate pair collapses it
+      // map-side.)
       val margins = feats.join(broadcast(w), Seq("b"), "left")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+      val mis = margins.filter(col("y") * col("margin") <= 0)
+      val ck = feats.join(mis.select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(col("y") * col("cnt")).as("dw"),
+          count(lit(1)).as("nd"))
         .localCheckpoint()
-      val misMargins = margins.filter(col("y") * col("margin") <= 0)
+      // flatten the checkpoint through its raw RDD: a plain
+      // localCheckpoint REWRITES the LogicalRDD's size estimate from
+      // the origin plan, and since each round's plan embeds the
+      // previous round's checkpoint, the estimates compound into
+      // BigInts whose digit count doubles per round — by round ~25
+      // plan-time statistics spend minutes multiplying million-digit
+      // integers (measured: the un-flattened form never finished a
+      // bench rep). Re-wrapping the materialized rows resets the
+      // estimate to a constant; the frame is ≤B rows, so the
+      // round-trip costs nothing.
+      val combined = feats.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      val e = combined.filter(col("b") === -1L)
+        .select(col("nd")).collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
       if (t >= 2) {
-        val e = misMargins.count()
         if (e <= bestErr) { bestErr = e; bestW = w } // <=: tie → latest
         if (e == 0) fixed = true
       }
       if (!fixed && t <= PcPocketRounds) {
-        val delta = feats.join(misMargins.select(col("doc_id")), Seq("doc_id"))
-          .groupBy(col("b")).agg(sum(col("y") * col("cnt")).as("dw"))
-        w = w.join(delta, Seq("b"), "left")
+        w = w.join(combined.select(col("b"), col("dw")), Seq("b"), "left")
           .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
           .localCheckpoint()
       }

@@ -712,10 +712,11 @@ object Pipeline5 {
     * algorithm. localCheckpoint keeps the per-round plan constant
     * (the p20/Lloyd loop device).
     *
-    * No DuckDB oracle: each round's argmax depends on the table the
-    * previous round produced, and SQL recursion cannot aggregate over
-    * the recursive term — rows-only, with an independent single-node
-    * BPE implementation pinning the merge sequence in the spec.
+    * Oracle: SQL recursion cannot aggregate over the recursive term,
+    * but the rounds UNROLL as materialized CTEs (the p102/p107
+    * device) — see [[bpeMergesOracle]], which re-derives the greedy
+    * left-to-right merge by an INDEPENDENT algorithm (occurrence
+    * islands + alternation) rather than mirroring the fold.
     */
   def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
@@ -760,6 +761,73 @@ object Pipeline5 {
   def bpeMergesQuery(s: SparkSession, d: String): DataFrame =
     bpeMerges(documents(s, d), k = 12)
 
+  /** The 12 training rounds unrolled as materialized CTEs — each
+    * round: pair counts over the previous round's symbol table, a
+    * 1-row argmax (ties (n DESC, l, r), the engine's exact order), and
+    * the merge APPLIED BY AN INDEPENDENT DERIVATION: instead of
+    * mirroring the engine's left-to-right fold, occurrence positions
+    * of the winning pair are grouped into consecutive-run islands
+    * (the gaps-and-islands device, as p114's oracle) and every OTHER
+    * member of an island merges — equivalent to the greedy scan
+    * because overlapping occurrences require l = r runs, where greedy
+    * keeps exactly the alternating positions. A round with no pairs
+    * left yields an empty argmax and empty merges from there on,
+    * matching the engine's early exhaustion. AS MATERIALIZED keeps
+    * the unrolled chain linear in rounds (the p102 lesson).
+    */
+  val bpeMergesOracle: String = {
+    val k = 12
+    val rounds = (1 to k).map { t =>
+      val p = t - 1
+      s"""pc$t AS MATERIALIZED (
+         |  SELECT sym[i] AS l, sym[i+1] AS r, sum(freq) AS n
+         |  FROM w$p, unnest(range(1, len(sym))) AS t(i)
+         |  WHERE len(sym) > 1
+         |  GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (
+         |  SELECT l, r, l || r AS m, n FROM pc$t ORDER BY n DESC, l, r
+         |  LIMIT 1),
+         |pos$t AS MATERIALIZED (
+         |  SELECT w.word, p.i, w.sym[p.i] AS s, w.freq
+         |  FROM w$p w, unnest(range(1, len(w.sym) + 1)) AS p(i)),
+         |keep$t AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, i - min(i) OVER (PARTITION BY word, grp)
+         |             AS off
+         |    FROM (SELECT p.word, p.i,
+         |                 p.i - row_number() OVER (PARTITION BY p.word
+         |                       ORDER BY p.i) AS grp
+         |          FROM pos$t p JOIN b$t b ON p.s = b.l
+         |          JOIN pos$t q ON q.word = p.word AND q.i = p.i + 1
+         |           AND q.s = b.r))
+         |  WHERE off % 2 = 0),
+         |w$t AS MATERIALIZED (
+         |  SELECT p.word,
+         |         list(CASE WHEN k.i IS NOT NULL THEN (SELECT m FROM b$t)
+         |                   ELSE p.s END ORDER BY p.i) AS sym,
+         |         p.freq
+         |  FROM pos$t p
+         |  LEFT JOIN keep$t k ON k.word = p.word AND k.i = p.i
+         |  LEFT JOIN keep$t kp ON kp.word = p.word AND kp.i = p.i - 1
+         |  WHERE kp.i IS NULL
+         |  GROUP BY p.word, p.freq)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to k).map { t =>
+      s"""SELECT CAST($t AS INTEGER) AS rank, l AS "left", r AS "right",
+         |       m AS merged, CAST(n AS BIGINT) AS n FROM b$t""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, string_split(word, '') AS sym, freq FROM (
+       |    SELECT word, count(*) AS freq
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |          FROM documents)
+       |    GROUP BY word)),
+       |$rounds
+       |SELECT * FROM (
+       |$finalSel)
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p51_dup_spans"        -> (dupSpans _),
     "p52_dup_span_coverage" -> (dupSpanCoverage _),
@@ -789,5 +857,6 @@ object Pipeline5 {
     "p37_dup_rate_by_source" -> dupRateBySourceOracle,
     "p38_chunk_overlap"    -> chunkOverlapOracle,
     "p43_mix_temperature"  -> mixTemperatureOracle,
+    "p69_bpe_merges"       -> bpeMergesOracle,
   )
 }

@@ -34,13 +34,12 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // p15 left this set in round 7: the raster decode carries a full
     // differential oracle now that the payload format is self-describing.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // p69: per-round argmax over the previous round's table — SQL
-    // recursion cannot aggregate over the recursive term, so the BPE
-    // trainer is pinned by an independent single-node implementation
-    // in Pipeline5Spec-land instead of a DuckDB oracle.
+    // p69 graduated in round 10: the per-round argmax unrolls as
+    // materialized CTEs (Pipeline5.bpeMergesOracle), shrinking this
+    // list to six.
     assert(noOracle === Set("p16_approx_stats",
       "q61_sliding_distinct_hll", "q62_heavy_hitters", "p39_weighted_sample",
-      "p42_weighted_sample_by", "p56_pq_trained", "p69_bpe_merges"))
+      "p42_weighted_sample_by", "p56_pq_trained"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {
