@@ -862,7 +862,14 @@ object StreamingOps {
     * deployment, like baseRates/vocab — benchmarks are frozen by
     * definition, so re-deriving the index per micro-batch would pay
     * its explode+distinct on every trigger); `contaminationN` must be
-    * the width the index was built with.
+    * the width the index was built with. `verifySidecar`, when given
+    * (a [[graft.operators.Dedup.shingleStoreWrite]] path + τ),
+    * upgrades the near-dup gate from p04-candidate semantics to the
+    * VERIFIED gate ([[textDedupVerifiedGateBatch]]): only candidates
+    * confirmed at exact Jaccard ≥ τ against the at-rest sidecar
+    * quarantine — a banding false positive is then admitted instead
+    * of dropped, at the cost of one candidate-bucket-pruned sidecar
+    * read.
     */
   def admissionGateBatch(spark: org.apache.spark.sql.SparkSession,
                          lshStorePath: String, baseRates: DataFrame,
@@ -870,7 +877,8 @@ object StreamingOps {
                          oovPpm: Long, benchIndex: Option[DataFrame] = None,
                          contaminationN: Int =
                            graft.operators.Pipeline10.DecontShingleN,
-                         contaminationPct: Int = 5)(
+                         contaminationPct: Int = 5,
+                         verifySidecar: Option[(String, Double)] = None)(
                          batch: DataFrame): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val ids = b.select(col("doc_id"))
@@ -890,8 +898,12 @@ object StreamingOps {
           .select(col("doc_id"), lit(true).as("__cont"))
       case None => ids.select(col("doc_id"), lit(true).as("__cont")).limit(0)
     }
-    val dups = textDedupGateBatch(spark, lshStorePath)(b)
-      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+    val dups = (verifySidecar match {
+      case Some((sidecar, tau)) =>
+        textDedupVerifiedGateBatch(spark, lshStorePath, sidecar, tau)(b)
+          .select(col("doc_id"), col("dup_of"))
+      case None => textDedupGateBatch(spark, lshStorePath)(b)
+    }).groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
     ids.join(cont, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -899,6 +911,40 @@ object StreamingOps {
         when(col("__cont").isNotNull, lit("contaminated"))
           .when(col("dup_of").isNotNull, lit("near_dup")).as("reason"),
         when(col("__cont").isNull, col("dup_of")).as("dup_of"))
+  }
+
+  /** The composed VECTOR admission pipeline — the embedding-stream
+    * twin of [[admissionGateBatch]], in the same gate order: the
+    * BATCH-scoped health gate first ([[embeddingDriftGateBatch]]: a
+    * model-version switch or normalization bug quarantines the whole
+    * batch, `reason` = 'drift', skipping per-vector cost), then the
+    * per-VECTOR near-dup gate against the live IVF store
+    * ([[embeddingDedupGateBatch]]; `reason` = 'near_dup', `dup_of`
+    * names the closest published vector). Admitted rows are the set
+    * to pass to [[ivfIngestBatch]]. The batch is localCheckpoint'd
+    * once and feeds both gates.
+    */
+  def vectorAdmissionGateBatch(spark: org.apache.spark.sql.SparkSession,
+                               ivfStorePath: String,
+                               cents: Array[(Int, Seq[Float])],
+                               baseRates: DataFrame, driftPpm2: Long,
+                               tau: Double, nProbe: Int = 2)(
+                               batch: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val ids = b.select(col("vec_id"))
+    def quarantined(reason: String): DataFrame =
+      ids.select(col("vec_id"), lit(false).as("admitted"),
+        lit(reason).as("reason"), lit(null).cast("long").as("dup_of"))
+    if (b.isEmpty) return quarantined("empty").limit(0)
+    if (!embeddingDriftGateBatch(b, baseRates, cents, driftPpm2).isEmpty)
+      return quarantined("drift")
+    val dups = embeddingDedupGateBatch(spark, ivfStorePath, cents, tau,
+        nProbe)(b)
+      .select(col("vec_id"), col("dup_of"))
+    ids.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNull.as("admitted"),
+        when(col("dup_of").isNotNull, lit("near_dup")).as("reason"),
+        col("dup_of"))
   }
 
   /** Streaming LEXICAL index ingestion, stage 1: tokenize each

@@ -231,6 +231,101 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(gate(docs.filter(lit(false))).isEmpty)
   }
 
+  test("admission pipeline, verified mode: a banding false positive is admitted, a true copy still drops") {
+    import graft.operators.{Dedup, Pipeline9}
+    val tau = 0.9
+    // synthetic base so the near-miss is a GUARANTEED LSH candidate:
+    // 60 distinct words; the arriving variant changes one middle word,
+    // keeping most shingles (high-but-below-tau Jaccard)
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val missWords = (1 to 60).map(i => if (i == 30) "zzzz" else s"tok$i")
+    val base = (0L until 20L).map(i => (i, if (i == 0) baseText
+        else (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text").localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("vadm_store").toString
+    val sidecar = java.nio.file.Files.createTempDirectory("vadm_side").toString
+    Engine.lshStoreWrite(base, "doc_id", "text", store)
+    Engine.shingleSidecarWrite(base, "doc_id", "text", sidecar)
+    val rates = Pipeline9.bucketRates(base, "cb", "rb").localCheckpoint()
+    val vocab = base.select(explode(split(col("text"), " ")).as("term"))
+      .distinct().unionByName(Seq("zzzz").toDF("term")).localCheckpoint()
+    val arriving = Seq(1000L -> missWords.mkString(" "),
+      1001L -> baseText).toDF("doc_id", "text").localCheckpoint()
+    // fixture preconditions: the near-miss IS an LSH candidate of doc 0
+    // and sits below tau on exact Jaccard — so the two modes MUST differ
+    val un = base.unionByName(arriving)
+    assert(Dedup.minhashLshPairs(un, "doc_id", "text")
+      .filter(col("d1") === 0L && col("d2") === 1000L).count() === 1,
+      "fixture near-miss lost LSH candidacy")
+    val j = Dedup.ngramJaccardPairs(un, "doc_id", "text", 5, 0.0)
+      .filter(col("d1") === 0L && col("d2") === 1000L)
+      .head().getDouble(2)
+    assert(j > 0.5 && j < tau, s"fixture near-miss Jaccard out of band: $j")
+    def verdicts(vs: Option[(String, Double)]) =
+      StreamingOps.admissionGateBatch(spark, store, rates, vocab,
+          driftPpm2 = Long.MaxValue, oovPpm = 1000000L,
+          verifySidecar = vs)(arriving)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // candidate mode: BOTH rejected (the banding surfaces both)
+    val cand = verdicts(None)
+    assert(cand(1000L) === false && cand(1001L) === false,
+      s"candidate mode did not reject both: $cand")
+    // verified mode: the below-tau near-miss is ADMITTED, the true
+    // copy (Jaccard 1.0) still drops
+    val ver = verdicts(Some((sidecar, tau)))
+    assert(ver(1000L) === true,
+      "verified mode dropped a below-threshold banding candidate")
+    assert(ver(1001L) === false,
+      "verified mode admitted an exact re-publish")
+  }
+
+  test("vector admission pipeline: drift quarantines the batch, near-dups reject per vector") {
+    import graft.operators.{Pipeline12, Similarity}
+    val tau = 0.3
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val pub = emb.filter(col("vec_id") < 400L).localCheckpoint()
+    val cents = Similarity.seedCentroids(pub, 8)
+    val store = java.nio.file.Files.createTempDirectory("vadm_ivf").toString
+    Similarity.ivfWrite(pub, cents, store)
+    val base = Pipeline12.cellRates(pub, cents, "cb", "rb").localCheckpoint()
+    // a 2-vector batch concentrates all its mass in ≤2 of 8 cells, so
+    // a tight ppm² bar would ALWAYS fire on it (sampling, not drift) —
+    // the mixed-batch phase runs with the bar effectively off, the
+    // flood phase with the deployment bar
+    val gate = (driftPpm2: Long) => (b: org.apache.spark.sql.DataFrame) =>
+      StreamingOps.vectorAdmissionGateBatch(spark, store, cents, base,
+        driftPpm2 = driftPpm2, tau = tau, nProbe = 1)(b)
+    // mixed batch: a copy of a published vector + an unpublished one —
+    // the copy rejects with dup_of naming its original, the fresh
+    // vector's verdict matches its own-cell stored-witness relation
+    val vecs = emb.filter(col("vec_id").isin(7L, 450L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val batch = Seq(1007L -> vecs(7L), 1450L -> vecs(450L))
+      .toDF("vec_id", "embedding")
+    val v = gate(Long.MaxValue)(batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(v(1007L)._1 === false && v(1007L)._2 === Some(7L),
+      s"published copy not rejected with its original: ${v(1007L)}")
+    val freshWitnessed = Similarity.ivfProbeNearDup(spark, store,
+        batch.filter(col("vec_id") === 1450L), cents, tau, nProbe = 1)
+      .count() > 0
+    assert(v(1450L)._1 === !freshWitnessed,
+      "fresh vector's verdict diverged from its stored-witness relation")
+    // flooded batch (every vector identical): the BATCH gate fires and
+    // the near-dup probe is never consulted — all 'drift'
+    val v3 = emb.filter(col("vec_id") === 3L).select(col("embedding"))
+    val flood = spark.range(60).select((col("id") + 5000L).as("vec_id"))
+      .crossJoin(broadcast(v3))
+    val vf = gate(100000L * 100000L)(flood).collect()
+      .map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(vf === Set((false, "drift")),
+      s"flooded vector batch not fully quarantined: $vf")
+    // empty trigger: empty verdict table
+    assert(gate(100000L * 100000L)(emb.filter(lit(false))).isEmpty)
+  }
+
   test("embedding drift gate: split batch passes, a single-cell flood names the cell") {
     import graft.operators.{Pipeline12, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
