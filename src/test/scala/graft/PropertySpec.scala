@@ -84,6 +84,38 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stored IVF near-dup probe equals the in-memory witness relation on random vectors") {
+    // p115's layout must be semantics-preserving for ANY vector set:
+    // probing the store at nProbe = 1 with every vector reproduces the
+    // own-cell within-tau relation derived INDEPENDENTLY in memory
+    import graft.operators.Similarity
+    val vec = Gen.listOfN(8, Gen.choose(-100, 100).map(_.toFloat / 100f))
+      .suchThat(v => v.exists(_ != 0f))
+    val vecs = Gen.choose(6, 16).flatMap(n => Gen.listOfN(n, vec))
+    forAll(vecs, n = 3) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val cents = Similarity.seedCentroids(df, 4)
+      val store = java.nio.file.Files
+        .createTempDirectory("prop_ivf").toString
+      Similarity.ivfWrite(df, cents, store)
+      val tau = 0.5
+      val got = Similarity
+        .ivfProbeNearDup(spark, store, df, cents, tau, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val assigned = Similarity.assignCells(cents, df)
+        .localCheckpoint(eager = false)
+      val want = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .filter(VectorOps.cosine(col("a.embedding"), col("b.embedding"))
+          >= tau)
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"stored near-dup probe diverged on $vs")
+    }
+  }
+
   test("simhash of identical docs is identical; hamming to itself is 0") {
     forAll(doc) { t =>
       val df = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
