@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Pipeline5.queries ++ operators.Pipeline6.queries ++
       operators.Pipeline7.queries ++ operators.Pipeline8.queries ++
       operators.Pipeline9.queries ++ operators.Pipeline10.queries ++
-      operators.Pipeline11.queries ++ operators.Pipeline12.queries
+      operators.Pipeline11.queries ++ operators.Pipeline12.queries ++
+      operators.Pipeline13.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Pipeline5.oracles ++ operators.Pipeline6.oracles ++
       operators.Pipeline7.oracles ++ operators.Pipeline8.oracles ++
       operators.Pipeline9.oracles ++ operators.Pipeline10.oracles ++
-      operators.Pipeline11.oracles ++ operators.Pipeline12.oracles
+      operators.Pipeline11.oracles ++ operators.Pipeline12.oracles ++
+      operators.Pipeline13.oracles
 }

@@ -24,7 +24,7 @@ object Pipeline11 {
     * training op, priced like p56's Lloyd rounds.
     */
   private val PcB = 256
-  private val PcRounds = 22
+  private[operators] val PcRounds = 22
 
   /** The distillation target: p74's stopword-floor rule
     * `stop_ratio ≥ 0.02`, chosen because it is EXACTLY linear in raw
@@ -72,7 +72,7 @@ object Pipeline11 {
   /** The exact-integer distillation label of the registered query:
     * `50·n_stop − n_total ≥ 0` ⟺ p74's stop_ratio ≥ 0.02 rule.
     */
-  private def labelsOf(docs: DataFrame): DataFrame = {
+  private[operators] def labelsOf(docs: DataFrame): DataFrame = {
     val stops = PcStops.map(lit(_))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"))
@@ -234,7 +234,7 @@ object Pipeline11 {
     * unrolled training rounds — the p102 and p107 oracles differ only
     * in which weight CTE the final scoring pass reads.
     */
-  private def perceptronCtes(nRounds: Int): String = {
+  private[operators] def perceptronCtes(nRounds: Int): String = {
     val stopList = PcStops.map(w => s"'$w'").mkString(", ")
     val rounds = (1 to nRounds).map { t =>
       val prevW = s"w${t - 1}"
@@ -279,7 +279,7 @@ object Pipeline11 {
   }
 
   /** Final scoring pass against the weight CTE `wCte`. */
-  private def perceptronScoreSql(wCte: String): String =
+  private[operators] def perceptronScoreSql(wCte: String): String =
     s"""SELECT doc_id, CAST(y AS BIGINT) AS y,
        |       CAST(margin AS BIGINT) AS margin,
        |       CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,

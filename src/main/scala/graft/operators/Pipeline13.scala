@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 13: the DECISION layer on top of the
+  * dedup and classifier devices — soft-dedup sampling weights (keep
+  * every document, down-weight by near-dup cluster mass instead of
+  * dropping — the SoftDeDup recipe) and classifier CALIBRATION bands
+  * (does the perceptron's margin magnitude actually predict its
+  * accuracy — the reliability table a deployment reads before it
+  * trusts a score threshold). Both are compositions of already-green
+  * registered devices (p20's cluster labels, p102's trained weights)
+  * with exact-integer outputs, so each carries a full DuckDB oracle
+  * derived from the ingredient oracles.
+  */
+object Pipeline13 {
+
+  /** p118: SOFT deduplication — per-document sampling weight in exact
+    * integer ppm, `1_000_000 div |cluster|`, over p20's near-dup
+    * cluster labels (MinHash-LSH pairs → min-label contraction).
+    *
+    * Hard dedup (keep one representative per cluster) throws away the
+    * signal that a document was popular enough to be re-posted; epoch-
+    * level down-weighting keeps every document visible to the sampler
+    * but makes each CLUSTER contribute one document-equivalent of
+    * expected mass per epoch — sum(weight_ppm) over a cluster is
+    * ~1e6 regardless of how many copies exist. Integer division keeps
+    * the output hash-exact across engines (both sides positive, so
+    * DuckDB's floor `//` and Spark's truncating `div` agree); the
+    * deliberate remainder (3 copies → 3×333_333 = 999_999 ppm) is the
+    * price of exactness and is bounded by |cluster| ppb per cluster.
+    *
+    * Scale shape: everything rides p20's machinery — banded LSH
+    * candidate pairs (never all-pairs) and the O(diameter) min-label
+    * contraction; the additions are one count aggregation keyed on the
+    * canonical label and one join of the label table against the
+    * ≤|docs|-row size table on the same key. No new corpus pass, no
+    * driver-side state: at 100 TB the cluster-size table is orders of
+    * magnitude smaller than the corpus (it has one row per CLUSTER)
+    * and the final join shuffles on the same canonical key the
+    * contraction already produced.
+    */
+  def softDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
+    val lab = Dedup.dedupClusters(docs, "doc_id", pairs)
+    val sizes = lab.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"), col("cluster_size"),
+        expr("1000000 div cluster_size").cast("long").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p118 oracle: p20's recursive cluster-label CTE chain (the exact
+    * ingredient oracle, reused verbatim) + the size roll-up + the same
+    * integer-ppm division.
+    */
+  val softDedupWeightsOracle: String =
+    s"""WITH ${PipelineQueries.clusterLabelCtes},
+       |sz AS (SELECT canonical, count(*) AS cluster_size
+       |       FROM lab GROUP BY canonical)
+       |SELECT l.doc_id, l.canonical,
+       |       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+       |FROM lab l JOIN sz s USING (canonical)
+       |ORDER BY doc_id""".stripMargin
+
+  /** p119: CALIBRATION bands for the p102 perceptron — the
+    * reliability table (confidence band → empirical accuracy) that
+    * decides whether a margin threshold is trustworthy. Bands are the
+    * DECIMAL DIGIT COUNT of |margin| signed by the prediction
+    * (`pred · digits(|margin|)`): a log-scale banding that is exact in
+    * integers (no float bucketing, no floor-vs-truncate divergence),
+    * portable (both engines render a BIGINT's digits identically), and
+    * bounded by construction (≤ 19 digits either side). Per band:
+    * document count, correct count, and accuracy in integer ppm. A
+    * calibrated scorer shows accuracy rising with the band's
+    * magnitude; the registered corpus shows exactly the asymmetry the
+    * p102/p107 scaladocs measure (the negative bands are much purer
+    * than the positive ones), which is why the table earns its place —
+    * a deployment reading only the global accuracy would set a
+    * symmetric threshold and be wrong on one side.
+    *
+    * Scale shape: training is p102's (rounds × broadcast-join passes,
+    * B=256 weights by construction); the calibration pass itself is
+    * ONE broadcast-scoring join over the corpus followed by a ≤38-row
+    * aggregation — map-side partial aggs fold each partition to the
+    * band table, so the exchange moves rows proportional to bands,
+    * not documents.
+    */
+  def calibrationBands(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = Pipeline11.perceptronTrain(docs)
+    val scored = Pipeline11.perceptronScore(docs, w)
+      .join(Pipeline11.labelsOf(docs), Seq("doc_id"))
+    scored
+      .select(
+        (col("pred") * length(abs(col("margin")).cast("string")))
+          .as("band"),
+        (col("pred") === col("y")).cast("long").as("ok"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .select(col("band"), col("n_docs"), col("n_correct"),
+        expr("1000000 * n_correct div n_docs").cast("long").as("acc_ppm"))
+      .orderBy(col("band"))
+  }
+
+  /** p119 oracle: p102's unrolled 22-round training CTEs (reused
+    * verbatim — the w22 weight table is byte-identical to the
+    * engine's), one scoring pass, then the digit-count banding and the
+    * ppm roll-up. Both `div` operands are non-negative, so DuckDB's
+    * floor `//` matches Spark's truncating `div`.
+    */
+  val calibrationBandsOracle: String =
+    s"""WITH ${Pipeline11.perceptronCtes(Pipeline11.PcRounds)},
+       |sc AS (
+       |  SELECT f.doc_id, f.y,
+       |         CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+       |  FROM f LEFT JOIN w${Pipeline11.PcRounds} w USING (b)
+       |  GROUP BY f.doc_id, f.y),
+       |bands AS (
+       |  SELECT CASE WHEN margin > 0 THEN 1 ELSE -1 END
+       |           * length(CAST(abs(margin) AS VARCHAR)) AS band,
+       |         CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+       |  FROM sc)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(ok) AS BIGINT) AS n_correct,
+       |       CAST(1000000 * sum(ok) // count(*) AS BIGINT) AS acc_ppm
+       |FROM bands GROUP BY band ORDER BY band""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p118_soft_dedup" -> (softDedupWeights _),
+    "p119_calibration" -> (calibrationBands _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p118_soft_dedup" -> softDedupWeightsOracle,
+    "p119_calibration" -> calibrationBandsOracle,
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Pipeline11, Pipeline13}
+
+/** Round-10 batch-13 operators (soft-dedup weights, calibration
+  * bands): pins the mass-conservation / partition / cross-device
+  * consistency properties the row-level oracles cannot see.
+  */
+class Batch10Spec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- p118 soft-dedup down-weighting ----
+
+  test("p118: one row per document, weight = 1e6 div cluster size") {
+    val docs = Tables.documents(spark, dir)
+    val v = Pipeline13.softDedupWeights(spark, dir).collect()
+    assert(v.length === docs.count())
+    assert(v.map(_.getLong(0)).distinct.length === v.length)
+    v.foreach { r =>
+      val (size, w) = (r.getAs[Long]("cluster_size"), r.getAs[Long]("weight_ppm"))
+      assert(size >= 1L)
+      assert(w === 1000000L / size)
+    }
+  }
+
+  test("p118: each cluster carries ~one document-equivalent of mass") {
+    val v = Pipeline13.softDedupWeights(spark, dir).collect()
+    val byCluster = v.groupBy(_.getAs[Long]("canonical"))
+    // the corpus must actually exercise the interesting case
+    assert(byCluster.exists(_._2.length >= 2),
+      "no near-dup cluster of size >= 2 in the test corpus")
+    byCluster.foreach { case (c, rows) =>
+      val size = rows.head.getAs[Long]("cluster_size")
+      assert(rows.length === size, s"cluster $c size column disagrees")
+      val mass = rows.map(_.getAs[Long]("weight_ppm")).sum
+      // sum of size copies of (1e6 div size): exactly 1e6 minus the
+      // integer-division remainder, which is < size
+      assert(mass <= 1000000L && mass > 1000000L - size,
+        s"cluster $c mass $mass outside (1e6 - size, 1e6]")
+    }
+    // singleton (the overwhelmingly common case) keeps full weight
+    val singles = byCluster.filter(_._2.length == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { case (_, rows) =>
+      assert(rows.head.getAs[Long]("weight_ppm") === 1000000L)
+    }
+  }
+
+  // ---- p119 calibration bands ----
+
+  test("p119: bands partition the corpus and the counts are consistent") {
+    val docs = Tables.documents(spark, dir)
+    val v = Pipeline13.calibrationBands(spark, dir).collect()
+    assert(v.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    v.foreach { r =>
+      val (n, ok, acc) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_correct"), r.getAs[Long]("acc_ppm"))
+      assert(n >= 1L && ok >= 0L && ok <= n)
+      assert(acc === 1000000L * ok / n)
+    }
+    // band ids are unique and sorted (the display contract)
+    val bands = v.map(_.getAs[Long]("band"))
+    assert(bands.toSeq === bands.sorted.toSeq)
+    assert(bands.distinct.length === bands.length)
+    // the banding must separate the two prediction sides, or the
+    // table degenerates to a single global row
+    assert(bands.exists(_ < 0) && bands.exists(_ > 0),
+      "prediction split collapsed to one side — banding is vacuous")
+  }
+
+  test("p119: totals agree with the registered p102 audit table") {
+    val audit = Pipeline11.perceptronQuality(spark, dir).collect()
+    val v = Pipeline13.calibrationBands(spark, dir).collect()
+    assert(v.map(_.getAs[Long]("n_docs")).sum === audit.length)
+    assert(v.map(_.getAs[Long]("n_correct")).sum ===
+      audit.count(_.getAs[Boolean]("correct")))
+  }
+}

@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline5.queries, operators.Pipeline6.queries,
       operators.Pipeline7.queries, operators.Pipeline8.queries,
       operators.Pipeline9.queries, operators.Pipeline10.queries,
-      operators.Pipeline11.queries, operators.Pipeline12.queries)
+      operators.Pipeline11.queries, operators.Pipeline12.queries,
+      operators.Pipeline13.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
     assert(SparkEntry.queries.size >= 178,
