@@ -34,22 +34,23 @@ object Pipeline13 {
     *
     * Scale shape: everything rides p20's machinery — banded LSH
     * candidate pairs (never all-pairs) and the O(diameter) min-label
-    * contraction; the additions are one count aggregation keyed on the
-    * canonical label and one join of the label table against the
-    * ≤|docs|-row size table on the same key. No new corpus pass, no
-    * driver-side state: at 100 TB the cluster-size table is orders of
-    * magnitude smaller than the corpus (it has one row per CLUSTER)
-    * and the final join shuffles on the same canonical key the
-    * contraction already produced.
+    * contraction; the addition is a single unbounded-frame window
+    * count partitioned on the canonical label: ONE exchange on the key
+    * the contraction already produced, no join. (A groupBy-sizes +
+    * join-back spelling was measured ~0.5 s slower at sf0.1 and —
+    * more importantly — tempts a `broadcast(sizes)` that would be a
+    * scale-killer: the cluster table has one row per CLUSTER, which is
+    * corpus-order when singletons dominate, as they do in any real
+    * crawl.)
     */
   def softDedupWeights(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
     val lab = Dedup.dedupClusters(docs, "doc_id", pairs)
-    val sizes = lab.groupBy(col("canonical"))
-      .agg(count(lit(1)).as("cluster_size"))
-    lab.join(sizes, Seq("canonical"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical"))
+    lab.withColumn("cluster_size", count(lit(1)).over(byCluster))
       .select(col("doc_id"), col("canonical"), col("cluster_size"),
         expr("1000000 div cluster_size").cast("long").as("weight_ppm"))
       .orderBy(col("doc_id"))
