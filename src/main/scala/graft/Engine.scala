@@ -48,6 +48,11 @@ object Engine {
     * be long (crawl mirrors, boilerplate gradients). */
   def dedupClustersLogN(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     Dedup.dedupClustersLogN(docs, id, pairs)
+  /** SOFT dedup: per-doc sampling weight `1e6 div |cluster|` ppm over
+    * any `(doc_id, canonical)` label table — keep every document,
+    * make each cluster carry ~one document-equivalent of epoch mass. */
+  def softDedupWeights(lab: DataFrame): DataFrame =
+    Pipeline13.softDedupWeightsOf(lab)
   /** Persist a corpus's MinHash band signatures as the at-rest LSH
     * store (p111's layout: partitioned by band, sig_h-sorted). */
   def lshStoreWrite(docs: DataFrame, id: String, text: String,
@@ -869,6 +874,14 @@ object Engine {
     */
   def perceptronScore(docs: DataFrame, weights: DataFrame): DataFrame =
     operators.Pipeline11.perceptronScore(docs, weights)
+
+  /** Reliability table of any scored frame `(margin, pred, y)`:
+    * confidence band (pred · digits of |margin|) → doc count, correct
+    * count, empirical accuracy ppm — read it before trusting a margin
+    * threshold; the registered corpus is measurably asymmetric.
+    */
+  def calibrationBands(scored: DataFrame): DataFrame =
+    operators.Pipeline13.calibrationBandsOf(scored)
 
   /** Length-bucketed batch assignment (p101): fixed-size batches
     * within quantum-rounded token-length buckets, with exact per-doc

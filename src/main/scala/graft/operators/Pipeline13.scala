@@ -47,13 +47,21 @@ object Pipeline13 {
     val docs = documents(s, d)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
-    val lab = Dedup.dedupClusters(docs, "doc_id", pairs)
+    softDedupWeightsOf(Dedup.dedupClusters(docs, "doc_id", pairs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library entry behind p118: sampling weights from ANY cluster
+    * label table `(doc_id, canonical)` — p20's min-label output, p33's
+    * log-n contraction, or a perceptual/video cluster table all fit.
+    * One window count on the canonical key; no join, no sort.
+    */
+  def softDedupWeightsOf(lab: DataFrame): DataFrame = {
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canonical"))
     lab.withColumn("cluster_size", count(lit(1)).over(byCluster))
       .select(col("doc_id"), col("canonical"), col("cluster_size"),
         expr("1000000 div cluster_size").cast("long").as("weight_ppm"))
-      .orderBy(col("doc_id"))
   }
 
   /** p118 oracle: p20's recursive cluster-label CTE chain (the exact
@@ -96,8 +104,17 @@ object Pipeline13 {
   def calibrationBands(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val w = Pipeline11.perceptronTrain(docs)
-    val scored = Pipeline11.perceptronScore(docs, w)
-      .join(Pipeline11.labelsOf(docs), Seq("doc_id"))
+    calibrationBandsOf(Pipeline11.perceptronScore(docs, w)
+      .join(Pipeline11.labelsOf(docs), Seq("doc_id")))
+      .orderBy(col("band"))
+  }
+
+  /** Library entry behind p119: the calibration table of ANY scored
+    * frame carrying `(margin, pred, y)` — the registered perceptron,
+    * a held-out corpus under a frozen model, or any integer-margin
+    * scorer. One projection + a bands-sized aggregate; no sort.
+    */
+  def calibrationBandsOf(scored: DataFrame): DataFrame =
     scored
       .select(
         (col("pred") * length(abs(col("margin")).cast("string")))
@@ -107,8 +124,6 @@ object Pipeline13 {
       .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
       .select(col("band"), col("n_docs"), col("n_correct"),
         expr("1000000 * n_correct div n_docs").cast("long").as("acc_ppm"))
-      .orderBy(col("band"))
-  }
 
   /** p119 oracle: p102's unrolled 22-round training CTEs (reused
     * verbatim — the w22 weight table is byte-identical to the

@@ -334,4 +334,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "stored ADC lost the per-subspace LUT broadcast joins")
     assert(!p.contains("SortMergeJoin"), "a LUT join degraded to sort-merge")
   }
+
+  test("p118: weights ride ONE window shuffle on canonical — no join, no broadcast of the cluster table") {
+    val p = plan("p118_soft_dedup")
+    // the contraction happens before this plan (checkpointed labels);
+    // the weight layer itself must be window-over-canonical + sort only
+    assert(p.contains("Window"), "the per-cluster count left the window form")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "expected exactly the window's canonical shuffle")
+    // a broadcast of the (corpus-order) cluster-size table would pass
+    // locally and OOM the driver at 100 TB
+    assert(!p.contains("BroadcastHashJoin"),
+      "a size-table broadcast join crept into p118")
+  }
+
+  test("p119: the scoring pass broadcasts the B-bounded weights; the band roll-up aggregates map-side") {
+    val p = plan("p119_calibration")
+    assert(p.contains("BroadcastHashJoin"),
+      "the weight model stopped broadcasting — scoring would shuffle the feature table")
+    // two-phase aggregate on band: the exchange moves band-sized
+    // partials, not per-document rows
+    assert(p.contains("partial_count"),
+      "band roll-up lost its map-side partial aggregation")
+  }
 }
