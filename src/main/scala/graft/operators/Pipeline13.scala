@@ -149,13 +149,81 @@ object Pipeline13 {
        |       CAST(1000000 * sum(ok) // count(*) AS BIGINT) AS acc_ppm
        |FROM bands GROUP BY band ORDER BY band""".stripMargin
 
+  /** Epoch grid of the registered p120 sample — small and fixed so
+    * the differential compare covers several realizations.
+    */
+  private val SampleEpochs = 4
+
+  /** p120: the sampling REALIZATION of p118 — the per-epoch document
+    * list a trainer actually consumes. A document is drawn in epoch e
+    * iff `md5_bucket(doc_id || ':' || e) mod 1e6 < weight_ppm` (the
+    * p18 keyed-sample device, keyed on (doc, epoch) so each epoch is
+    * an independent deterministic draw): full-weight singletons appear
+    * in EVERY epoch by construction (their draw is always < 1e6), and
+    * a size-k cluster admits each member with probability ~1/k, so
+    * expected per-epoch cluster mass is ~one document-equivalent —
+    * the property p118 promises, realized. Deterministic end-to-end:
+    * re-running an epoch reproduces the same document list (what makes
+    * training runs reproducible and the differential oracle possible —
+    * no `rand()` anywhere).
+    *
+    * Scale shape: p118's plan plus a broadcast |epochs|-row grid and a
+    * map-side filter — the draw is computed per (doc, epoch) row with
+    * no shuffle beyond p118's window exchange and the display sort.
+    */
+  def softDedupSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
+    val w = softDedupWeightsOf(Dedup.dedupClusters(docs, "doc_id", pairs))
+    softDedupSampleOf(w, SampleEpochs).orderBy(col("epoch"), col("doc_id"))
+  }
+
+  /** Library entry behind p120: realize ANY `(doc_id, canonical,
+    * weight_ppm)` weight table (p118's, or caller-adjusted weights)
+    * into per-epoch draws for epochs `0..epochs-1`.
+    */
+  def softDedupSampleOf(weights: DataFrame, epochs: Int): DataFrame = {
+    val grid = weights.sparkSession.range(0, epochs.toLong)
+      .select(col("id").as("epoch"))
+    weights.crossJoin(broadcast(grid))
+      .withColumn("draw",
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("epoch").cast("string"))), 1, 7), 16, 10)
+          .cast("long"), lit(1000000L)))
+      .filter(col("draw") < col("weight_ppm"))
+      .select(col("epoch"), col("doc_id"), col("canonical"),
+        col("weight_ppm"))
+  }
+
+  /** p120 oracle: p118's label CTEs + a window size count, the epoch
+    * grid, and the same md5 draw inequality.
+    */
+  val softDedupSampleOracle: String =
+    s"""WITH ${PipelineQueries.clusterLabelCtes},
+       |wts AS (
+       |  SELECT doc_id, canonical,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |ep AS (SELECT unnest(range(0, $SampleEpochs)) AS epoch)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
+       |       w.weight_ppm
+       |FROM wts w CROSS JOIN ep e
+       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
+       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+       |      < w.weight_ppm
+       |ORDER BY epoch, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p118_soft_dedup" -> (softDedupWeights _),
     "p119_calibration" -> (calibrationBands _),
+    "p120_soft_dedup_sample" -> (softDedupSample _),
   )
 
   val oracles: Map[String, String] = Map(
     "p118_soft_dedup" -> softDedupWeightsOracle,
     "p119_calibration" -> calibrationBandsOracle,
+    "p120_soft_dedup_sample" -> softDedupSampleOracle,
   )
 }

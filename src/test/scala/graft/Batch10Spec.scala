@@ -71,6 +71,28 @@ class Batch10Spec extends AnyFunSuite with SparkTestBase {
       "prediction split collapsed to one side — banding is vacuous")
   }
 
+  // ---- p120 soft-dedup epoch sampling ----
+
+  test("p120: singletons drawn every epoch, duplicates thinned, draws deterministic") {
+    val w = Pipeline13.softDedupWeights(spark, dir).collect()
+    val s1 = Pipeline13.softDedupSample(spark, dir).collect()
+    val byEpoch = s1.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === (0L until 4L).toSet)
+    // full-weight documents are admitted unconditionally (draw < 1e6
+    // always) — soft dedup must never lose unduplicated data
+    val singles = w.filter(_.getAs[Long]("weight_ppm") == 1000000L)
+      .map(_.getLong(0)).toSet
+    byEpoch.values.foreach { rows =>
+      assert(singles.subsetOf(rows.map(_.getAs[Long]("doc_id")).toSet))
+    }
+    // and the duplicated mass is actually thinned somewhere
+    assert(s1.length < 4 * w.length,
+      "no duplicate was ever dropped — the sampler is not down-weighting")
+    // keyed-md5 draws: a second run reproduces the epoch lists exactly
+    val s2 = Pipeline13.softDedupSample(spark, dir).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
   test("p119: totals agree with the registered p102 audit table") {
     val audit = Pipeline11.perceptronQuality(spark, dir).collect()
     val v = Pipeline13.calibrationBands(spark, dir).collect()
