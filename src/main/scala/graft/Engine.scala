@@ -53,6 +53,13 @@ object Engine {
     * make each cluster carry ~one document-equivalent of epoch mass. */
   def softDedupWeights(lab: DataFrame): DataFrame =
     Pipeline13.softDedupWeightsOf(lab)
+  /** Realize a weight table into deterministic per-epoch draws. */
+  def softDedupSample(weights: DataFrame, epochs: Int): DataFrame =
+    Pipeline13.softDedupSampleOf(weights, epochs)
+  /** Per-source effective token yield under a soft-dedup weight table
+    * — raw vs down-weighted token mass, the pre-mixing budget table. */
+  def tokenYield(docs: DataFrame, weights: DataFrame): DataFrame =
+    Pipeline13.tokenYieldOf(docs, weights)
   /** Persist a corpus's MinHash band signatures as the at-rest LSH
     * store (p111's layout: partitioned by band, sig_h-sorted). */
   def lshStoreWrite(docs: DataFrame, id: String, text: String,

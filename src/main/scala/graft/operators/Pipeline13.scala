@@ -215,15 +215,87 @@ object Pipeline13 {
        |      < w.weight_ppm
        |ORDER BY epoch, doc_id""".stripMargin
 
+  /** p121: effective TOKEN YIELD per source — the budgeting table a
+    * data lead reads before allocating a token budget: per source, the
+    * document count, the raw whitespace-token count, and the EFFECTIVE
+    * token mass after soft-dedup down-weighting (`Σ ntok·weight_ppm`,
+    * exact integer micro-tokens — divide by 1e6 for tokens), plus the
+    * retention ratio in ppm. Raw counts overstate what a corpus is
+    * worth exactly where it is most duplicated; this is the number
+    * that makes two sources comparable BEFORE p43's temperature mixing
+    * allocates between them, and the per-source gap (raw vs effective)
+    * is the duplication tax itemized.
+    *
+    * Scale shape: the token projection is map-side on the document
+    * scan; the weight join is doc-keyed corpus×corpus on the id both
+    * sides already carry (deliberately NOT broadcast — both sides are
+    * corpus-order); the final aggregate folds to |sources| rows with
+    * map-side partials. Integer micro-token sums stay exact and
+    * order-free across any partitioning (Σ ntok·ppm ≤ 1e6·Σ ntok —
+    * longs hold corpora to ~9·10¹² tokens; beyond that, fold per-source
+    * partials through DECIMAL(38,0), same plan shape).
+    */
+  def tokenYield(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
+    val w = softDedupWeightsOf(Dedup.dedupClusters(docs, "doc_id", pairs))
+    tokenYieldOf(docs, w).orderBy(col("source"))
+  }
+
+  /** Library entry behind p121: the yield table of ANY corpus carrying
+    * `(doc_id, source, text)` under ANY `(doc_id, weight_ppm)` weight
+    * table — p118's, or caller-adjusted weights.
+    */
+  def tokenYieldOf(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text"))
+          .cast("long").as("ntok"))
+      .join(weights.select(col("doc_id"), col("weight_ppm")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("raw_tokens"),
+        sum(col("ntok") * col("weight_ppm")).as("eff_tokens_micro"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("eff_tokens_micro"),
+        expr("eff_tokens_micro div raw_tokens").cast("long")
+          .as("eff_ratio_ppm"))
+
+  /** p121 oracle: label CTEs + window weights (p118's device), p08's
+    * whitespace-token expression, one doc-keyed join, one source
+    * roll-up.
+    */
+  val tokenYieldOracle: String =
+    s"""WITH ${PipelineQueries.clusterLabelCtes},
+       |wts AS (
+       |  SELECT doc_id,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |tok AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       |  FROM documents)
+       |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(t.ntok) AS BIGINT) AS raw_tokens,
+       |       CAST(sum(t.ntok * w.weight_ppm) AS BIGINT)
+       |         AS eff_tokens_micro,
+       |       CAST(sum(t.ntok * w.weight_ppm) // sum(t.ntok) AS BIGINT)
+       |         AS eff_ratio_ppm
+       |FROM tok t JOIN wts w USING (doc_id)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p118_soft_dedup" -> (softDedupWeights _),
     "p119_calibration" -> (calibrationBands _),
     "p120_soft_dedup_sample" -> (softDedupSample _),
+    "p121_token_yield" -> (tokenYield _),
   )
 
   val oracles: Map[String, String] = Map(
     "p118_soft_dedup" -> softDedupWeightsOracle,
     "p119_calibration" -> calibrationBandsOracle,
     "p120_soft_dedup_sample" -> softDedupSampleOracle,
+    "p121_token_yield" -> tokenYieldOracle,
   )
 }

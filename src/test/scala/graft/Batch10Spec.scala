@@ -93,6 +93,27 @@ class Batch10Spec extends AnyFunSuite with SparkTestBase {
     assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
   }
 
+  // ---- p121 effective token yield ----
+
+  test("p121: totals fold the whole corpus; effective mass never exceeds raw") {
+    val y = Pipeline13.tokenYield(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    assert(y.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // raw tokens agree with the registered p08 counter, summed
+    val p08 = operators.PipelineQueries.textTokens(spark, dir).collect()
+    assert(y.map(_.getAs[Long]("raw_tokens")).sum ===
+      p08.map(_.getAs[Int]("ws_tokens").toLong).sum)
+    y.foreach { r =>
+      assert(r.getAs[Long]("eff_tokens_micro") <=
+        1000000L * r.getAs[Long]("raw_tokens"))
+      assert(r.getAs[Long]("eff_ratio_ppm") <= 1000000L)
+    }
+    // the duplication tax must be visible somewhere, or the report is
+    // indistinguishable from a raw count
+    assert(y.exists(_.getAs[Long]("eff_ratio_ppm") < 1000000L),
+      "no source shows any down-weighting — yield degenerated to raw counts")
+  }
+
   test("p119: totals agree with the registered p102 audit table") {
     val audit = Pipeline11.perceptronQuality(spark, dir).collect()
     val v = Pipeline13.calibrationBands(spark, dir).collect()
