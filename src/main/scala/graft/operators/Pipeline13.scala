@@ -285,6 +285,34 @@ object Pipeline13 {
        |FROM tok t JOIN wts w USING (doc_id)
        |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  /** Band-occupancy rates of `docs` scored under `weights`: one row
+    * per p119 band with its count and occupancy in ppm of the batch.
+    * The LABEL-FREE projection of the calibration table — arriving
+    * data has no `y`, but its margin DISTRIBUTION is observable, and a
+    * model/feed mismatch moves mass between bands. `cnt`/`rate` column
+    * names are caller-chosen so base and batch sides can join
+    * (the Pipeline9.bucketRates convention).
+    */
+  private[graft] def bandRates(docs: DataFrame, weights: DataFrame,
+                               cnt: String, rate: String): DataFrame = {
+    val bands = Pipeline11.perceptronScore(docs, weights)
+      .select((col("pred") * length(abs(col("margin")).cast("string")))
+        .as("band"))
+    val total = bands.agg(count(lit(1)).as("t"))
+    bands.groupBy(col("band")).agg(count(lit(1)).as(cnt))
+      .crossJoin(broadcast(total))
+      .select(col("band"), col(cnt),
+        expr(s"CAST($cnt * 1000000 DIV t AS BIGINT)").as(rate))
+  }
+
+  /** The frozen BASE side of the score-drift gate: band occupancy of
+    * the published corpus under the deployed model — compute once at
+    * model freeze, `localCheckpoint`/persist, and hand to
+    * `StreamingOps.scoreDriftGateBatch` on every micro-batch.
+    */
+  def scoreBandRates(docs: DataFrame, weights: DataFrame): DataFrame =
+    bandRates(docs, weights, "cb", "rb")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p118_soft_dedup" -> (softDedupWeights _),
     "p119_calibration" -> (calibrationBands _),

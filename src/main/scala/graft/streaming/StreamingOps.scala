@@ -168,6 +168,44 @@ object StreamingOps {
     * its vocab no longer fits the feed (new language, new markup, new
     * spam family) BEFORE perplexity and packing silently degrade.
     */
+  /** Streaming SCORE-drift gate — the label-free monitor of a deployed
+    * p102/p107 classifier: band-occupancy rates of ONE micro-batch
+    * scored under the frozen broadcast weights
+    * (`Pipeline13.bandRates`, the p119 banding without `y` — arriving
+    * data has no labels, but its margin DISTRIBUTION is observable)
+    * against the frozen base occupancy (`Pipeline13.scoreBandRates` of
+    * the published corpus at model freeze). Returns bands whose
+    * squared ppm rate difference exceeds `thresholdPpm2` — empty
+    * admits. A feed shift the classifier is sensitive to (topic mix,
+    * spam wave, template change) moves mass between confidence bands
+    * BEFORE anyone has labels to re-measure accuracy with; paired with
+    * the frozen p119 table, the firing band also says what the
+    * accuracy in the arriving mix WOULD have been at freeze time.
+    * Same full-outer + empty-batch discipline as [[driftGateBatch]];
+    * both sides are ≤38 rows by the banding's construction.
+    */
+  def scoreDriftGateBatch(batch: DataFrame, weights: DataFrame,
+                          baseRates: DataFrame,
+                          thresholdPpm2: Long): DataFrame = {
+    val rates = graft.operators.Pipeline13.bandRates(batch, weights,
+      "ci", "ri").localCheckpoint(eager = false)
+    // empty-batch guard: an idle trigger has no margin distribution to
+    // compare and must not report the whole baseline as vanished
+    val nBatch = rates.agg(coalesce(sum(col("ci")), lit(0L)).as("n_batch"))
+    rates
+      .join(baseRates.select(col("band"), col("rb")), Seq("band"),
+        "full_outer")
+      .crossJoin(broadcast(nBatch))
+      .filter(col("n_batch") > 0)
+      .select(col("band").cast("long").as("band"),
+        coalesce(col("ci"), lit(0L)).as("ci"),
+        coalesce(col("ri"), lit(0L)).as("ri"),
+        coalesce(col("rb"), lit(0L)).as("rb"))
+      .withColumn("drift", (col("ri") - col("rb")) * (col("ri") - col("rb")))
+      .filter(col("drift") > thresholdPpm2)
+      .orderBy(col("drift").desc, col("band"))
+  }
+
   def oovGateBatch(batch: DataFrame, vocab: DataFrame,
                    thresholdPpm: Long, topN: Int = 20): DataFrame = {
     val toks = batch

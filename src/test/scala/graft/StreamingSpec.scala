@@ -167,6 +167,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.isEmpty, "empty micro-batch fired the drift gate")
   }
 
+  test("score-drift gate: identical feed drifts zero, a stopword flood fires, empty admits") {
+    import graft.operators.{Pipeline11, Pipeline13}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val w = Pipeline11.perceptronTrain(docs).localCheckpoint()
+    val base = Pipeline13.scoreBandRates(docs, w).localCheckpoint()
+    // the same corpus re-scored: band rates are IDENTICAL integers, so
+    // drift is exactly zero — passes at any threshold, no noise margin
+    val clean = StreamingOps.scoreDriftGateBatch(docs, w, base, 0L)
+    assert(clean.isEmpty, "identical feed tripped the score-drift gate")
+    // a stopword flood scores every doc to the SAME margin, so one
+    // band's occupancy jumps to 1e6 ppm — the gate fires and the top
+    // mover IS that band
+    val flood = spark.range(60).select((col("id") + 10000L).as("doc_id"),
+      lit(Seq.fill(40)("the").mkString(" ")).as("text"))
+    val fired = StreamingOps.scoreDriftGateBatch(
+      flood, w, base, 10000L * 10000L).collect()
+    assert(fired.nonEmpty, "flooded batch passed the score-drift gate")
+    assert(fired(0).getAs[Long]("ri") === 1000000L,
+      "top mover is not the concentrated flood band")
+    // idle triggers must admit, not report the baseline vanished
+    val empty = StreamingOps.scoreDriftGateBatch(
+      docs.filter(lit(false)), w, base, 1L)
+    assert(empty.isEmpty, "empty micro-batch fired the score-drift gate")
+  }
+
   test("admission pipeline: batch gates quarantine, doc gates reject, clean docs land") {
     import graft.operators.Pipeline9
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
