@@ -907,7 +907,13 @@ object StreamingOps {
     * confirmed at exact Jaccard ≥ τ against the at-rest sidecar
     * quarantine — a banding false positive is then admitted instead
     * of dropped, at the cost of one candidate-bucket-pruned sidecar
-    * read.
+    * read. `scoreGate`, when given (frozen classifier weights, frozen
+    * [[graft.operators.Pipeline13.scoreBandRates]] base, ppm²
+    * threshold), adds the label-free classifier-health member to the
+    * batch-scoped stage ([[scoreDriftGateBatch]], `reason` =
+    * 'score_drift'), ordered after token drift and OOV: it is the
+    * most model-specific of the three, so the cheaper feed-level
+    * gates get first refusal.
     */
   def admissionGateBatch(spark: org.apache.spark.sql.SparkSession,
                          lshStorePath: String, baseRates: DataFrame,
@@ -916,7 +922,9 @@ object StreamingOps {
                          contaminationN: Int =
                            graft.operators.Pipeline10.DecontShingleN,
                          contaminationPct: Int = 5,
-                         verifySidecar: Option[(String, Double)] = None)(
+                         verifySidecar: Option[(String, Double)] = None,
+                         scoreGate: Option[(DataFrame, DataFrame, Long)] =
+                           None)(
                          batch: DataFrame): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val ids = b.select(col("doc_id"))
@@ -928,6 +936,12 @@ object StreamingOps {
       return quarantined("drift")
     if (!oovGateBatch(b, vocab, oovPpm).isEmpty)
       return quarantined("oov")
+    scoreGate match {
+      case Some((weights, baseBands, ppm2))
+          if !scoreDriftGateBatch(b, weights, baseBands, ppm2).isEmpty =>
+        return quarantined("score_drift")
+      case _ =>
+    }
     val cont = benchIndex match {
       case Some(idx) =>
         graft.operators.Pipeline10

@@ -193,6 +193,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.isEmpty, "empty micro-batch fired the score-drift gate")
   }
 
+  test("admission pipeline: the optional score gate quarantines a margin-shifted batch") {
+    import graft.operators.{Pipeline9, Pipeline11, Pipeline13}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") < 400L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("adm_score").toString
+    Engine.lshStoreWrite(base, "doc_id", "text", store)
+    val rates = Pipeline9.bucketRates(base, "cb", "rb").localCheckpoint()
+    val vocab = base.select(explode(split(col("text"), " ")).as("term"))
+      .distinct().localCheckpoint()
+    val w = Pipeline11.perceptronTrain(base).localCheckpoint()
+    val bandBase = Pipeline13.scoreBandRates(base, w).localCheckpoint()
+    // in-vocab stopword flood: token drift and OOV are deliberately
+    // disarmed (maxed thresholds) — only the margin distribution knows
+    // this feed is wrong for the classifier
+    val flood = spark.range(60).select((col("id") + 50000L).as("doc_id"),
+      lit(Seq.fill(40)("the").mkString(" ")).as("text"))
+    val gated = StreamingOps.admissionGateBatch(spark, store, rates, vocab,
+      driftPpm2 = Long.MaxValue, oovPpm = 1000000L,
+      scoreGate = Some((w, bandBase, 10000L * 10000L)))(flood).collect()
+    assert(gated.nonEmpty && gated.forall(r =>
+      !r.getBoolean(1) && r.getString(2) == "score_drift"),
+      "score-gated admission did not quarantine the shifted batch")
+    // without the score gate, the same batch sails through every gate
+    val open = StreamingOps.admissionGateBatch(spark, store, rates, vocab,
+      driftPpm2 = Long.MaxValue, oovPpm = 1000000L)(flood).collect()
+    assert(open.forall(_.getBoolean(1)),
+      "control run without the score gate should admit the flood")
+  }
+
   test("admission pipeline: batch gates quarantine, doc gates reject, clean docs land") {
     import graft.operators.Pipeline9
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
