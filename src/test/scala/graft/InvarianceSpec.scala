@@ -17,7 +17,11 @@ class InvarianceSpec extends AnyFunSuite with SparkTestBase {
 
   private val names =
     Seq("q57_global_rank", "p19_token_budget", "p31_pack_sequences",
-        "p32_mix_rebalance")
+        "p32_mix_rebalance",
+        // batch-13 decision layer: order-free integer folds over the
+        // contraction/training devices — any partitioning must agree
+        "p118_soft_dedup", "p119_calibration", "p120_soft_dedup_sample",
+        "p121_token_yield")
 
   test("TwoLevel fails loudly on a negative shard key instead of dropping rows") {
     import spark.implicits._
