@@ -7,13 +7,16 @@ import graft.Tables._
 /** Pipeline operators, batch 13: the DECISION layer on top of the
   * dedup and classifier devices — soft-dedup sampling weights (keep
   * every document, down-weight by near-dup cluster mass instead of
-  * dropping — the SoftDeDup recipe) and classifier CALIBRATION bands
-  * (does the perceptron's margin magnitude actually predict its
-  * accuracy — the reliability table a deployment reads before it
-  * trusts a score threshold). Both are compositions of already-green
-  * registered devices (p20's cluster labels, p102's trained weights)
-  * with exact-integer outputs, so each carries a full DuckDB oracle
-  * derived from the ingredient oracles.
+  * dropping — the SoftDeDup recipe), their per-epoch sampling
+  * realization, the per-source effective token-yield budget table,
+  * classifier CALIBRATION bands (does the perceptron's margin
+  * magnitude actually predict its accuracy — the reliability table a
+  * deployment reads before it trusts a score threshold), and the
+  * band-occupancy rates behind the label-free streaming score-drift
+  * gate. Every member is a composition of already-green registered
+  * devices (p20's cluster labels, p102's trained weights, p08's token
+  * counter) with exact-integer outputs, so each registered query
+  * carries a full DuckDB oracle derived from the ingredient oracles.
   */
 object Pipeline13 {
 
