@@ -890,6 +890,15 @@ object Engine {
   def calibrationBands(scored: DataFrame): DataFrame =
     operators.Pipeline13.calibrationBandsOf(scored)
 
+  /** Threshold operating curve of any scored frame `(margin, pred,
+    * y)`: per confidence band used as a keep-cut, cumulative tp/fp
+    * and precision/recall ppm — pick the band where precision meets
+    * target and read off the recall paid ([[calibrationBands]] says
+    * whether to trust the score; this says where to cut).
+    */
+  def thresholdCurve(scored: DataFrame): DataFrame =
+    operators.Pipeline13.thresholdCurveOf(scored)
+
   /** Length-bucketed batch assignment (p101): fixed-size batches
     * within quantum-rounded token-length buckets, with exact per-doc
     * pad waste — the serving-side padding lever.

@@ -288,6 +288,93 @@ object Pipeline13 {
        |FROM tok t JOIN wts w USING (doc_id)
        |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  /** p122: the THRESHOLD operating curve of the learned filter — the
+    * p108/p116-style tuning table for p102: for every p119 band used
+    * as a decision threshold ("keep a document iff its band ≥ t"),
+    * the true/false positive counts and precision/recall in integer
+    * ppm against the distillation label. The banding is MONOTONE in
+    * the margin (digit count rises with |margin| on each side), so
+    * band-granular thresholds are order-consistent with margin
+    * thresholds, and the cumulative counts are exact window sums —
+    * this is the table that turns p119's "is the score trustworthy"
+    * into "WHERE do I cut": a curator picks the band where precision
+    * meets the target and reads off the recall they pay.
+    *
+    * Scale shape: one broadcast-scoring pass folds the corpus to the
+    * ≤38-row (band, pos, neg) table map-side; the cumulative window
+    * then runs on that BOUNDED table — a single-partition window over
+    * ≤38 rows by construction (not a corpus window; the p75 rule
+    * doesn't apply to model-sized frames). Total positives ride the
+    * same frame as a window total, so the whole curve is one job.
+    */
+  def thresholdCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = Pipeline11.perceptronTrain(docs)
+    thresholdCurveOf(Pipeline11.perceptronScore(docs, w)
+      .join(Pipeline11.labelsOf(docs), Seq("doc_id")))
+      .orderBy(col("band"))
+  }
+
+  /** Library entry behind p122: the operating curve of ANY scored
+    * frame carrying `(margin, pred, y)` under band-≥-t thresholds.
+    */
+  def thresholdCurveOf(scored: DataFrame): DataFrame = {
+    val byBand = scored
+      .select(
+        (col("pred") * length(abs(col("margin")).cast("string")))
+          .as("band"),
+        when(col("y") === 1L, 1L).otherwise(0L).as("pos"),
+        when(col("y") === -1L, 1L).otherwise(0L).as("neg"))
+      .groupBy(col("band"))
+      .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+    val fromTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byBand
+      .withColumn("tp", sum(col("pos")).over(fromTop))
+      .withColumn("fp", sum(col("neg")).over(fromTop))
+      .withColumn("p_all", sum(col("pos")).over(all))
+      .select(col("band"), col("tp"), col("fp"),
+        expr("1000000 * tp div (tp + fp)").cast("long")
+          .as("precision_ppm"),
+        expr("1000000 * tp div p_all").cast("long").as("recall_ppm"))
+  }
+
+  /** p122 oracle: p102's unrolled training CTEs + the same band
+    * roll-up and cumulative window, ordered identically (band DESC is
+    * a total order on the distinct-band table, so the frame is
+    * engine-independent).
+    */
+  val thresholdCurveOracle: String =
+    s"""WITH ${Pipeline11.perceptronCtes(Pipeline11.PcRounds)},
+       |sc AS (
+       |  SELECT f.doc_id, f.y,
+       |         CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+       |  FROM f LEFT JOIN w${Pipeline11.PcRounds} w USING (b)
+       |  GROUP BY f.doc_id, f.y),
+       |byband AS (
+       |  SELECT CASE WHEN margin > 0 THEN 1 ELSE -1 END
+       |           * length(CAST(abs(margin) AS VARCHAR)) AS band,
+       |         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+       |         sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT band,
+       |         sum(pos) OVER (ORDER BY band DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |         sum(neg) OVER (ORDER BY band DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |         sum(pos) OVER () AS p_all
+       |  FROM byband)
+       |SELECT CAST(band AS BIGINT) AS band, CAST(tp AS BIGINT) AS tp,
+       |       CAST(fp AS BIGINT) AS fp,
+       |       CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+       |       CAST(1000000 * tp // p_all AS BIGINT) AS recall_ppm
+       |FROM cum ORDER BY band""".stripMargin
+
   /** Band-occupancy rates of `docs` scored under `weights`: one row
     * per p119 band with its count and occupancy in ppm of the batch.
     * The LABEL-FREE projection of the calibration table — arriving
@@ -321,6 +408,7 @@ object Pipeline13 {
     "p119_calibration" -> (calibrationBands _),
     "p120_soft_dedup_sample" -> (softDedupSample _),
     "p121_token_yield" -> (tokenYield _),
+    "p122_threshold_curve" -> (thresholdCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,5 +416,6 @@ object Pipeline13 {
     "p119_calibration" -> calibrationBandsOracle,
     "p120_soft_dedup_sample" -> softDedupSampleOracle,
     "p121_token_yield" -> tokenYieldOracle,
+    "p122_threshold_curve" -> thresholdCurveOracle,
   )
 }

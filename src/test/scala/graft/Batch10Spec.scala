@@ -114,6 +114,50 @@ class Batch10Spec extends AnyFunSuite with SparkTestBase {
       "no source shows any down-weighting — yield degenerated to raw counts")
   }
 
+  // ---- p122 threshold operating curve ----
+
+  test("p122: cumulative counts are exact prefix sums of the p119 bands") {
+    val curve = Pipeline13.thresholdCurve(spark, dir).collect()
+    // rows arrive band-ascending (display contract); the curve itself
+    // is defined band-descending — walk it that way
+    val desc = curve.sortBy(-_.getAs[Long]("band"))
+    val bands = desc.map(_.getAs[Long]("band"))
+    assert(bands.distinct.length === bands.length)
+    // tp/fp are cumulative-from-the-top: non-decreasing as the
+    // threshold lowers, and each row's arithmetic is exact
+    desc.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(lo.getAs[Long]("tp") >= hi.getAs[Long]("tp"))
+        assert(lo.getAs[Long]("fp") >= hi.getAs[Long]("fp"))
+      case _ =>
+    }
+    val pAll = desc.last.getAs[Long]("tp")
+    desc.foreach { r =>
+      val (tp, fp) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"))
+      assert(r.getAs[Long]("precision_ppm") === 1000000L * tp / (tp + fp))
+      assert(r.getAs[Long]("recall_ppm") === 1000000L * tp / pAll)
+    }
+    // the loosest threshold admits the whole corpus: tp+fp = n_docs,
+    // recall = 100 %
+    val docs = Tables.documents(spark, dir)
+    assert(desc.last.getAs[Long]("tp") + desc.last.getAs[Long]("fp")
+      === docs.count())
+    assert(desc.last.getAs[Long]("recall_ppm") === 1000000L)
+    // per-band increments of (tp+fp) must reproduce p119's n_docs —
+    // the two tables are independent spellings of one banding
+    val p119 = Pipeline13.calibrationBands(spark, dir).collect()
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_docs")).toMap
+    val increments = desc.indices.map { i =>
+      val tot = desc(i).getAs[Long]("tp") + desc(i).getAs[Long]("fp")
+      val prev = if (i == 0) 0L
+        else desc(i - 1).getAs[Long]("tp") + desc(i - 1).getAs[Long]("fp")
+      bands(i) -> (tot - prev)
+    }.toMap
+    assert(increments === p119)
+    // the curve must offer a real trade-off, not one degenerate point
+    assert(curve.length >= 2, "banding collapsed to a single threshold")
+  }
+
   test("p119: totals agree with the registered p102 audit table") {
     val audit = Pipeline11.perceptronQuality(spark, dir).collect()
     val v = Pipeline13.calibrationBands(spark, dir).collect()

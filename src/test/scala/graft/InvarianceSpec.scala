@@ -21,7 +21,7 @@ class InvarianceSpec extends AnyFunSuite with SparkTestBase {
         // batch-13 decision layer: order-free integer folds over the
         // contraction/training devices — any partitioning must agree
         "p118_soft_dedup", "p119_calibration", "p120_soft_dedup_sample",
-        "p121_token_yield")
+        "p121_token_yield", "p122_threshold_curve")
 
   test("TwoLevel fails loudly on a negative shard key instead of dropping rows") {
     import spark.implicits._

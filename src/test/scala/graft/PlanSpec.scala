@@ -357,4 +357,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"),
       "band roll-up lost its map-side partial aggregation")
   }
+
+  test("p122: the cumulative window runs over the bounded band table, not the corpus") {
+    val p = plan("p122_threshold_curve")
+    assert(p.contains("BroadcastHashJoin"),
+      "the weight model stopped broadcasting — scoring would shuffle the feature table")
+    // the corpus folds to <= 38 band rows map-side BEFORE any window:
+    // the only hash exchanges are the band roll-up's (and upstream
+    // scoring's doc_id agg); the window itself is single-partition
+    // over the band-sized frame, which is the one place a
+    // whole-frame window is scale-sound
+    assert(p.contains("partial_sum"),
+      "band roll-up lost its map-side partial aggregation")
+    assert(p.contains("Window"), "the cumulative counts left the window form")
+  }
 }
