@@ -288,6 +288,12 @@ object Dedup {
     */
   val MaxProbeLiterals = 4096
 
+  /** Band count of the default LSH banding (16 hashes / 4 rows per
+    * band) — the signature rows per document, which is what converts
+    * a document bound into a probe-literal bound.
+    */
+  val DefaultLshBands = 4
+
   /** Stored candidate probe: every stored document sharing at least
     * one band signature with a query — p04's candidate semantics
     * answered from the at-rest store. Up to [[MaxProbeLiterals]] query
@@ -336,6 +342,30 @@ object Dedup {
         .select(col("qid"), col("doc_id"))
         .distinct()
     }
+  }
+
+  /** [[lshProbeStored]] with the query side kept a DATAFRAME end to
+    * end — the no-driver-collect spelling for micro-batches too large
+    * for the literal plan (the verified gate's fallback, mirroring the
+    * probe's own broadcast fallback): the band prune still collects,
+    * but only the batch's DISTINCT band values (bounded by the
+    * banding's band count — model-sized, never batch-sized), and the
+    * signature match rides a plain join that AQE sizes (broadcast when
+    * the batch turns out small, shuffle when it doesn't). Identical
+    * candidate semantics to the literal path, spec-pinned.
+    */
+  def lshProbeStoredDF(spark: org.apache.spark.sql.SparkSession,
+                       path: String, sigRows: DataFrame): DataFrame = {
+    val bands = sigRows.select(col("band")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (bands.isEmpty) return sigRows
+      .select(col("doc_id").as("qid"), col("doc_id")).limit(0)
+    spark.read.parquet(path)
+      .filter(col("band").isin(bands.toIndexedSeq: _*))
+      .join(sigRows.select(col("doc_id").as("qid"), col("band"),
+        col("sig_h")), Seq("band", "sig_h"))
+      .select(col("qid"), col("doc_id"))
+      .distinct()
   }
 
   /** One document's distinct shingle HASHES as storable rows
@@ -401,29 +431,36 @@ object Dedup {
     * @param candidates (qid, doc_id) pairs to verify
     * @param queryShingles (qid, sh) rows of the QUERY documents —
     *   [[shingleSidecarRows]] of the arriving batch under its own ids
+    * @param broadcastQuery probe-batch-sized inputs (the contract of
+    *   the registered p117 path) broadcast; pass false when the batch
+    *   is NOT known to be bounded (the verified gate's oversized
+    *   fallback) — every hint drops, the joins shuffle, and AQE still
+    *   broadcasts whichever side turns out small
     */
   def lshVerifyStored(spark: org.apache.spark.sql.SparkSession,
                       sidecarPath: String, candidates: DataFrame,
                       queryShingles: DataFrame, tau: Double,
-                      nBuckets: Int = SidecarBuckets): DataFrame = {
+                      nBuckets: Int = SidecarBuckets,
+                      broadcastQuery: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastQuery) broadcast(df) else df
     val cand = candidates.select(col("qid"), col("doc_id"))
       .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
       .localCheckpoint(eager = false) // feeds the prune, the semi-join
                                       // and the output frame
     val stored = spark.read.parquet(sidecarPath)
-      .join(broadcast(cand.select(col("bucket"), col("doc_id")).distinct()),
+      .join(bc(cand.select(col("bucket"), col("doc_id")).distinct()),
         Seq("bucket", "doc_id"))
     val ns = stored.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val nq = queryShingles.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
     val inter = stored
-      .join(broadcast(queryShingles), Seq("sh"))
-      .join(broadcast(cand.select(col("qid"), col("doc_id"))),
+      .join(bc(queryShingles), Seq("sh"))
+      .join(bc(cand.select(col("qid"), col("doc_id"))),
         Seq("qid", "doc_id"))
       .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("c"))
     val jac = col("c") / (col("nq") + col("ns") - col("c"))
     inter
-      .join(broadcast(nq), Seq("qid"))
-      .join(broadcast(ns), Seq("doc_id"))
+      .join(bc(nq), Seq("qid"))
+      .join(bc(ns), Seq("doc_id"))
       .filter(jac >= tau)
       .select(col("qid"), col("doc_id"), round(jac, 4).as("jaccard"))
   }

@@ -106,7 +106,7 @@ object Pipeline13 {
     */
   def calibrationBands(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val w = Pipeline11.perceptronTrain(docs)
+    val w = Pipeline11.perceptronTrainFor(s, d)
     calibrationBandsOf(Pipeline11.perceptronScore(docs, w)
       .join(Pipeline11.labelsOf(docs), Seq("doc_id")))
       .orderBy(col("band"))
@@ -261,7 +261,11 @@ object Pipeline13 {
         sum(col("ntok") * col("weight_ppm")).as("eff_tokens_micro"))
       .select(col("source"), col("n_docs"), col("raw_tokens"),
         col("eff_tokens_micro"),
-        expr("eff_tokens_micro div raw_tokens").cast("long")
+        // a source whose documents are all empty has 0 raw tokens and
+        // no defined ratio; report 0 instead of a null (generic-entry
+        // edge — the registered corpus has no empty source)
+        expr("CASE WHEN raw_tokens = 0 THEN 0 " +
+          "ELSE eff_tokens_micro div raw_tokens END").cast("long")
           .as("eff_ratio_ppm"))
 
   /** p121 oracle: label CTEs + window weights (p118's device), p08's
@@ -309,7 +313,7 @@ object Pipeline13 {
     */
   def thresholdCurve(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val w = Pipeline11.perceptronTrain(docs)
+    val w = Pipeline11.perceptronTrainFor(s, d)
     thresholdCurveOf(Pipeline11.perceptronScore(docs, w)
       .join(Pipeline11.labelsOf(docs), Seq("doc_id")))
       .orderBy(col("band"))
@@ -340,7 +344,12 @@ object Pipeline13 {
       .select(col("band"), col("tp"), col("fp"),
         expr("1000000 * tp div (tp + fp)").cast("long")
           .as("precision_ppm"),
-        expr("1000000 * tp div p_all").cast("long").as("recall_ppm"))
+        // a scored frame with NO positive labels has no defined recall;
+        // report 0 instead of a null row — the generic Engine entry
+        // accepts any (margin, pred, y) frame, so the edge is reachable
+        // even though the registered corpus always has positives
+        expr("CASE WHEN p_all = 0 THEN 0 " +
+          "ELSE 1000000 * tp div p_all END").cast("long").as("recall_ppm"))
   }
 
   /** p122 oracle: p102's unrolled training CTEs + the same band
@@ -388,11 +397,18 @@ object Pipeline13 {
     val bands = Pipeline11.perceptronScore(docs, weights)
       .select((col("pred") * length(abs(col("margin")).cast("string")))
         .as("band"))
-    val total = bands.agg(count(lit(1)).as("t"))
+    // The batch total rides a window over the already-folded ≤38-row
+    // band table (the p122 bounded-frame device) — the previous
+    // separate `agg(count)` consumer re-ran the heaviest stage (feature
+    // explode + broadcast score + doc roll-up) a second time per
+    // micro-batch.
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     bands.groupBy(col("band")).agg(count(lit(1)).as(cnt))
-      .crossJoin(broadcast(total))
+      .withColumn("__t", sum(col(cnt)).over(all))
       .select(col("band"), col(cnt),
-        expr(s"CAST($cnt * 1000000 DIV t AS BIGINT)").as(rate))
+        expr(s"CAST($cnt * 1000000 DIV __t AS BIGINT)").as(rate))
   }
 
   /** The frozen BASE side of the score-drift gate: band occupancy of

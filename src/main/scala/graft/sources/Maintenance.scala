@@ -127,6 +127,15 @@ object Maintenance {
       .withColumn(partCol,
         regexp_extract(col("file"), java.util.regex.Pattern.quote(partCol) +
           "=([^/]+)", 1))
+      // a store that is not hive-partitioned by partCol (or a
+      // misspelled column) extracts '' for every file; failing loudly
+      // beats silently collapsing the table into one '' partition and
+      // recommending a single bogus compaction
+      .withColumn(partCol,
+        when(col(partCol) === "",
+          raise_error(concat(lit(s"compactionPlan: file "), col("file"),
+            lit(s" does not match the $partCol=<value> hive layout"))))
+          .otherwise(col(partCol)))
     val w = Window.partitionBy(col(partCol)).orderBy(col("lo"), col("file"))
       .rowsBetween(Window.unboundedPreceding, -1)
     stats

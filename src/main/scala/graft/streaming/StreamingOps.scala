@@ -844,22 +844,40 @@ object StreamingOps {
                                  tau: Double)(batch: DataFrame): DataFrame = {
     import graft.operators.Dedup
     val b = batch.select(col("doc_id"), col("text"))
-      .localCheckpoint() // feeds the signature collect + the shingle side
-    val sigs = Dedup.lshSignatureRows(b, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      .toSeq.sortBy(q => (q._1, q._2))
-    if (sigs.isEmpty)
+      .localCheckpoint() // feeds the size probe, the signatures and the
+                         // shingle side
+    // Size the batch BEFORE anything batch-shaped reaches the driver
+    // (one count on the checkpointed rows): within the probe-literal
+    // contract the signatures collect to plan literals exactly as the
+    // unverified gate's; an oversized micro-batch instead stays a
+    // DataFrame end to end (lshProbeStoredDF + no-broadcast verify) —
+    // the bound the unverified gate got in round 9, applied to the
+    // verified path (an unbounded micro-batch must not build an
+    // unbounded literal plan OR an unbounded broadcast).
+    val nDocs = b.count()
+    if (nDocs == 0)
       return spark.emptyDataFrame
         .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
         .withColumn("jaccard", lit(0.0d))
         .limit(0)
-    val cands = Dedup.lshProbeStored(spark, storePath, sigs)
+    val bounded = nDocs * Dedup.DefaultLshBands.toLong <=
+      Dedup.MaxProbeLiterals.toLong
+    val cands = (if (bounded) {
+      val sigs = Dedup.lshSignatureRows(b, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sortBy(q => (q._1, q._2))
+      Dedup.lshProbeStored(spark, storePath, sigs)
+    } else {
+      Dedup.lshProbeStoredDF(spark, storePath,
+        Dedup.lshSignatureRows(b, "doc_id", "text"))
+    })
       // the ingest contract says arriving ids are new; a violated
       // contract must not report a document as duplicating itself
       .filter(col("doc_id") =!= col("qid"))
     val qsh = Dedup.shingleSidecarRows(b, "doc_id", "text")
       .select(col("doc_id").as("qid"), col("sh"))
-    Dedup.lshVerifyStored(spark, sidecarPath, cands, qsh, tau)
+    Dedup.lshVerifyStored(spark, sidecarPath, cands, qsh, tau,
+        broadcastQuery = bounded)
       .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"),
         col("jaccard"))
   }
