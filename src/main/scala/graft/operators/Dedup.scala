@@ -207,15 +207,27 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 16, bands: Int = 4,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val b = minhashBands(minhash(docs, idCol, textCol, n, numHashes), numHashes, bands)
-    b.groupBy(col("band"), col("sig"))
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshPairsFromBands(
+      minhashBands(minhash(docs, idCol, textCol, n, numHashes), numHashes, bands),
+      maxBucket)
+
+  /** The pair tail of [[minhashLshPairs]] over an already-banded
+    * signature frame — split out so a caller that needs BOTH the
+    * candidate pairs and the storable signature rows of one batch
+    * (the incremental ingestion loop, p123) can share a single
+    * execution of the scan→shingle→minhash pipeline between the two
+    * consumers instead of running it per product. Identical expression
+    * tree to the fused form, so p04's plan (and pin) is untouched.
+    */
+  def lshPairsFromBands(banded: DataFrame,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    banded.groupBy(col("band"), col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(unorderedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("d1"), col("p.b").as("d2"))
       .distinct()
-  }
 
   /** One document's LSH band signatures as storable rows `(doc_id,
     * band, sig_h)` — the signature pipeline of [[minhashLshPairs]]
@@ -231,10 +243,17 @@ object Dedup {
   def lshSignatureRows(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 5, numHashes: Int = 16,
                        bands: Int = 4): DataFrame =
-    minhashBands(minhash(docs, idCol, textCol, n, numHashes),
-        numHashes, bands)
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("sig")).as("sig_h"))
+    sigRowsFromBands(
+      minhashBands(minhash(docs, idCol, textCol, n, numHashes),
+        numHashes, bands))
+
+  /** The storable-row tail of [[lshSignatureRows]] over an
+    * already-banded frame — the [[lshPairsFromBands]] twin, same
+    * single-execution rationale.
+    */
+  def sigRowsFromBands(banded: DataFrame): DataFrame =
+    banded.select(col("doc_id"), col("band"),
+      xxhash64(col("sig")).as("sig_h"))
 
   /** At-rest LSH signature store for TEXT near-dup — the p100/p110
     * banded-store discipline applied to MinHash band signatures:

@@ -235,4 +235,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       "fallback probe frame no longer broadcasts")
   }
+
+  test("label store: incremental folds equal the from-scratch contraction; untouched buckets stay byte-identical") {
+    import graft.operators.LabelStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lblstore").toString
+    // batch 0: two 2-clusters {10,11} and {20,21}, singletons 12/30
+    val b0 = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val p0 = Seq((10L, 11L), (20L, 21L)).toDF("d1", "d2")
+    LabelStore.write(Dedup.dedupClusters(b0, "doc_id", p0), path)
+    def files(lb: Long) = new java.io.File(s"$path/lb=$lb")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val bucket30Before = files(30L % LabelStore.LabelBuckets)
+    // batch 1 exercises BOTH hard cases: doc 15 bridges the two stored
+    // clusters (component MERGE — old canonical 20 must rewrite to the
+    // union minimum 10), and doc 5 pairs with stored singleton 12 (a
+    // LATE-ARRIVING smaller minimum — old canonical 12 rewrites to 5);
+    // doc 40 arrives pairless
+    val b1 = Seq(15L, 40L, 5L).toDF("doc_id")
+    val p1 = Seq((15L, 11L), (15L, 21L), (5L, 12L)).toDF("d1", "d2")
+    LabelStore.update(spark, path, b1, p1)
+    def labels = LabelStore.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labels
+    val union = b0.union(b1)
+    val want = Dedup.dedupClusters(union, "doc_id", p0.union(p1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "incremental fold diverged from from-scratch")
+    assert(got(21L) === 10L && got(15L) === 10L, "merge missed the union minimum")
+    assert(got(12L) === 5L, "late smaller minimum did not rewrite its component")
+    assert(got(40L) === 40L && got(30L) === 30L)
+    // doc 30's bucket held no affected or new row — dynamic overwrite
+    // must have left its files alone
+    assert(files(30L % LabelStore.LabelBuckets) === bucket30Before,
+      "an untouched bucket was rewritten")
+    // a pairless batch is a pure append
+    LabelStore.update(spark, path, Seq(50L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    val after = labels
+    assert(after(50L) === 50L && (after - 50L) === got,
+      "a pairless append changed existing labels")
+    // weights refresh from the store alone and match p118's device on
+    // the same label table
+    val w = LabelStore.weightsFromStore(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(w(21L) === ((5L, 200000L)), // {10,11,15,20,21}
+      "merged 5-cluster weight wrong")
+    assert(w(12L) === ((2L, 500000L)) && w(50L) === ((1L, 1000000L)))
+  }
 }

@@ -1445,4 +1445,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(gotVec.nonEmpty && gotVec === probe(fullStore),
       "vector probe over the streamed store diverges from the batch build")
   }
+
+  test("gate-fed label store: streaming dedup verdicts keep soft-dedup weights live, matching from-scratch p118") {
+    // the p123 deployment loop driven by the REAL gates: per
+    // micro-batch, textDedupGateBatch verdicts (batch vs published) +
+    // within-batch LSH pairs fold into the live label store, the
+    // batch's signatures merge into the live LSH store, and the
+    // refreshed weights must hash-match the from-scratch contraction
+    // of the union corpus — append-equals-rebuild through the
+    // streaming path
+    import graft.operators.{Dedup, LabelStore, Pipeline13}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val pub = docs.filter($"doc_id" < 400L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("lbl_lsh").toString
+    val stage = java.nio.file.Files.createTempDirectory("lbl_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("lbl_lbl").toString
+    Engine.lshStoreWrite(pub, "doc_id", "text", store)
+    LabelStore.write(
+      Dedup.dedupClusters(pub, "doc_id",
+        Dedup.minhashLshPairs(pub, "doc_id", "text")), labels)
+    val texts = docs.filter($"doc_id".isin(7L, 23L, 450L, 451L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // micro-batch 0: a re-published copy (1007≈7) plus two fresh docs
+    // that duplicate EACH OTHER (within-batch pair 1450≈1451);
+    // micro-batch 1: another copy of 7 (2007 — must hit BOTH 7 and the
+    // already-ingested 1007 through the merged store) and a fresh doc
+    val payloads = Map(1007L -> texts(7L), 1450L -> texts(450L),
+      1451L -> texts(450L), 2007L -> texts(7L), 2500L -> texts(451L))
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("doc_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withText = batch.collect().map(_.getLong(0))
+          .map(i => (i, payloads(i))).toSeq.toDF("doc_id", "text")
+        val gate = StreamingOps.textDedupGateBatch(spark, store)(withText)
+          .select($"doc_id".as("d1"), $"dup_of".as("d2"))
+        val within = Dedup.minhashLshPairs(withText, "doc_id", "text")
+          .select($"d1", $"d2")
+        LabelStore.update(spark, labels, withText.select($"doc_id"),
+          within.union(gate))
+        StreamingOps.lshIngestBatch(stage)(withText, id)
+        StreamingOps.lshMergeStaged(spark, stage, store)
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(1007L, 1450L, 1451L)); q.processAllAvailable()
+      ms.addData(Seq(2007L, 2500L)); q.processAllAvailable()
+    } finally q.stop()
+    val unionDocs = pub.unionByName(payloads.toSeq.toDF("doc_id", "text"))
+    val want = Pipeline13.softDedupWeightsOf(
+        Dedup.dedupClusters(unionDocs, "doc_id",
+          Dedup.minhashLshPairs(unionDocs, "doc_id", "text")))
+      .collect().map(_.toSeq).toSet
+    val got = LabelStore.weightsFromStore(spark, labels)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "gate-fed incremental weights diverged from from-scratch p118")
+    val lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(2007L) === lbl(7L) && lbl(1007L) === lbl(7L),
+      "second-wave copy did not join the published family")
+    assert(lbl(1451L) === lbl(1450L),
+      "within-batch near-dups landed in different clusters")
+  }
 }
