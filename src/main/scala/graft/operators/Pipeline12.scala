@@ -879,15 +879,33 @@ object Pipeline12 {
     * from the exact relation (the p104 discipline).
     */
   def annTuning(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = graft.Tables.embeddings(s, d)
     val cents = Similarity.seedCentroids(emb, 8)
-    val queries = emb.filter(col("vec_id") < 5)
-    val exact = PipelineQueries.simTopK(s, d).select(col("qid"), col("cid"))
+    tuningCurveOver(s, Similarity.assignCells(cents, emb), cents,
+      emb.filter(col("vec_id") < 5),
+      PipelineQueries.simTopK(s, d).select(col("qid"), col("cid")), "ivf")
+  }
+
+  /** The p116 curve tail over ANY assigned frame `(vec_id, embedding,
+    * cell)` under its centroid model — split out so the stored
+    * seed-vs-trained comparison (p124) replays the identical
+    * accounting per method: one corpus-side candidate pass, a 4-row
+    * broadcast grid, model-sized reads/sizes, exact-relation recall
+    * denominators. `assigned0` may be the map-only in-memory
+    * assignment (p116) or an at-rest [[Similarity.ivfWrite]] store
+    * scan (p124 — the layout is semantics-preserving, the p41 proof).
+    */
+  private[operators] def tuningCurveOver(s: SparkSession,
+                                         assigned0: DataFrame,
+                                         cents: Array[(Int, Seq[Float])],
+                                         queries: DataFrame, exact: DataFrame,
+                                         method: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probes = Similarity.probeCellsRanked(cents, queries, 8)
     // assignment is shared by the candidate join, the size model and
     // the corpus total: one map-only pass, materialized lazily
-    val assigned = Similarity.assignCells(cents, emb)
+    val assigned = assigned0
+      .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint(eager = false)
     val cand = assigned
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
@@ -916,7 +934,7 @@ object Pipeline12 {
     np.join(hits, Seq("nprobe"), "left")
       .join(reads, Seq("nprobe"), "left")
       .crossJoin(broadcast(denom)).crossJoin(broadcast(totals))
-      .select(lit("ivf").as("method"), col("nprobe"),
+      .select(lit(method).as("method"), col("nprobe"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)) /
           col("denom").cast("double"), 4).as("recall"),

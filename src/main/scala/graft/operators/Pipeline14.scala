@@ -91,14 +91,171 @@ object Pipeline14 {
     LabelStore.weightsFromStore(s, labelPath).orderBy(col("doc_id"))
   }
 
+  /** Lloyd rounds of the registered frozen-trained method — fixed (no
+    * eps early-exit) because the round count is part of the oracle's
+    * unrolled semantics; 2 matches `ivfTopKTrained`'s default budget.
+    */
+  private val TrainedRounds = 2
+
+  /** p124: the SEED-vs-TRAINED ANN tuning curve, answered from AT-REST
+    * stores — p116's table with a second method row family: the same
+    * 8-cell geometry under (a) the deterministic coreset seed (p41's
+    * store, shared via the index memo) and (b) Lloyd centroids trained
+    * for [[TrainedRounds]] rounds and FROZEN to the 10⁻⁶ integer grid
+    * ([[Similarity.trainIvfCentroidsFrozen]] — the device that makes a
+    * trained coarse quantizer bit-stable enough to store, probe and
+    * differentially check; `ivfTopKTrained`'s float means never
+    * could). One row per (method, nprobe) with recall@10 against the
+    * exact ranking and the probed-read cost in exact ppm — the table
+    * that shows what training the quantizer BUYS at equal read budget.
+    * On the registered corpus the honest answer is ~NOTHING: the
+    * synthetic embeddings are near-random, so Lloyd rounds mostly
+    * re-balance cells without moving recall (measured ±0.06 across
+    * operating points at every SF) — which is precisely the finding
+    * this table exists to surface before a deployment pays for
+    * training. On CLUSTERED data the trained rows dominate the seed
+    * rows at every partial probe; SimilaritySpec pins that on the
+    * clustered fixture, plus full-scan recall 1.0 for both methods
+    * here. Both methods read 10⁶ ppm at nprobe = 8 by construction.
+    *
+    * Each method's candidates come from its own [[Similarity.ivfWrite]]
+    * cell layout (seed: the shared p41 store; trained: its own memoized
+    * store), so the entry exercises the full store→probe→curve path —
+    * the oracle re-derives both trainings and both assignments from
+    * first principles, proving the layouts semantics-preserving.
+    */
+  def annTuningTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = PipelineQueries.simTopK(s, d).select(col("qid"), col("cid"))
+    val seed = Similarity.seedCentroids(emb, 8)
+    val trained = Similarity.trainIvfCentroidsFrozen(emb, 8, TrainedRounds)
+    val seedStore = PipelineQueries.ivfStorePath(s, d)
+    val trainedStore = IndexStores.of("ivf_cells_trained", d) { p =>
+      Similarity.ivfWrite(emb, trained, p)
+    }
+    Pipeline12.tuningCurveOver(s, s.read.parquet(seedStore), seed,
+        queries, exact, "ivf_seed")
+      .unionByName(Pipeline12.tuningCurveOver(s,
+        s.read.parquet(trainedStore), trained, queries, exact,
+        "ivf_trained"))
+      .orderBy(col("method"), col("nprobe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p123_incremental_soft_dedup" -> (incrementalSoftDedup _),
+    "p124_ann_tuning_trained" -> (annTuningTrained _),
   )
+
+  /** p124 oracle: the frozen Lloyd chain re-derived from first
+    * principles — per round, the argmax assignment (the registered p13
+    * CTE device) and the exact integer micro-mean (`sum(round(v·10⁶))`
+    * then integer `//`, which DuckDB truncates toward zero on BIGINTs
+    * exactly like Java long division — its floor semantics apply only
+    * to DOUBLEs), the centroid read back as REAL — then BOTH methods'
+    * curves through the registered p116 accounting. `assign1` (the
+    * round-1 assignment under the seed) doubles as the seed store's
+    * content, so one chain serves both method families and the stored
+    * layouts are proven semantics-preserving.
+    */
+  val annTuningTrainedOracle: String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    val cos = PipelineQueries.duckCos("p.qe", "a.ce2")
+    def trainRound(t: Int): String = {
+      val prev = if (t == 1) "cents0" else s"cent${t - 1}"
+      s"""assign$t AS MATERIALIZED (
+         |  SELECT vec_id AS cid, embedding AS ce2, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY $ccos DESC, c.ccid) AS rn
+         |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
+         |m$t AS (
+         |  SELECT a.cell, u.i AS pos,
+         |         CAST(sum(round(CAST(a.ce2[u.i + 1] AS DOUBLE) * 1000000))
+         |              AS BIGINT) AS s,
+         |         count(*) AS c
+         |  FROM assign$t a, unnest(range(0, len(a.ce2))) AS u(i)
+         |  GROUP BY 1, 2),
+         |cent$t AS MATERIALIZED (
+         |  SELECT c0.ccid, coalesce(n.ce, c0.ce) AS ce
+         |  FROM $prev c0 LEFT JOIN (
+         |    SELECT cell AS ccid,
+         |           list(CAST(CAST(s // c AS DOUBLE) / 1000000 AS REAL)
+         |                ORDER BY pos) AS ce
+         |    FROM m$t GROUP BY 1) n USING (ccid))""".stripMargin
+    }
+    // the final trained assignment (under the last round's centroids) —
+    // the trained store's content
+    val finalAssign =
+      s"""assignF AS MATERIALIZED (
+         |  SELECT vec_id AS cid, embedding AS ce2, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY $ccos DESC, c.ccid) AS rn
+         |    FROM embeddings e CROSS JOIN cent$TrainedRounds c)
+         |  WHERE rn = 1)""".stripMargin
+    def curve(tag: String, assign: String, cents: String): String =
+      s"""probes$tag AS (
+         |  SELECT qid, qe, rn AS prank, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.ccid AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                ORDER BY $ccos DESC, c.ccid) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c WHERE e.vec_id < 5)
+         |  WHERE rn <= 8),
+         |cand$tag AS (
+         |  SELECT p.qid, p.prank, a.cid, $cos AS cos
+         |  FROM $assign a JOIN probes$tag p
+         |    ON a.cell = p.cell AND p.qid <> a.cid),
+         |ranked$tag AS (
+         |  SELECT np.nprobe, c.qid, c.cid,
+         |         row_number() OVER (PARTITION BY np.nprobe, c.qid
+         |              ORDER BY c.cos DESC, c.cid) AS rnk
+         |  FROM np JOIN cand$tag c ON c.prank <= np.nprobe),
+         |hits$tag AS (
+         |  SELECT nprobe, count(*) AS n_hits
+         |  FROM ranked$tag r JOIN exact e ON e.qid = r.qid AND e.cid = r.cid
+         |  WHERE r.rnk <= 10 GROUP BY 1),
+         |sizes$tag AS (SELECT cell, count(*) AS csz FROM $assign
+         |              GROUP BY cell),
+         |reads$tag AS (
+         |  SELECT np.nprobe, sum(s.csz) AS rows_read
+         |  FROM np JOIN probes$tag p ON p.prank <= np.nprobe
+         |  JOIN sizes$tag s ON s.cell = p.cell GROUP BY 1)""".stripMargin
+    def tail(tag: String, method: String): String =
+      s"""SELECT '$method' AS method, np.nprobe,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       round(coalesce(h.n_hits, 0) / CAST(dn.denom AS DOUBLE), 4)
+         |         AS recall,
+         |       CAST(coalesce(r.rows_read, 0) AS BIGINT) AS rows_read,
+         |       CAST(coalesce(r.rows_read, 0) * 1000000 // (tot.nq * tot.n)
+         |            AS BIGINT) AS read_ppm
+         |FROM np LEFT JOIN hits$tag h USING (nprobe)
+         |LEFT JOIN reads$tag r USING (nprobe)
+         |CROSS JOIN dn CROSS JOIN tot""".stripMargin
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 8),
+       |${(1 to TrainedRounds).map(trainRound).mkString(",\n")},
+       |$finalAssign,
+       |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS nprobe),
+       |exact AS (SELECT qid, cid FROM (${PipelineQueries.simTopKOracle}) x),
+       |dn AS (SELECT count(*) AS denom FROM exact),
+       |tot AS (SELECT (SELECT count(*) FROM embeddings) AS n,
+       |               (SELECT count(*) FROM embeddings WHERE vec_id < 5)
+       |                 AS nq),
+       |${curve("S", "assign1", "cents0")},
+       |${curve("T", "assignF", s"cent$TrainedRounds")}
+       |${tail("S", "ivf_seed")}
+       |UNION ALL
+       |${tail("T", "ivf_trained")}
+       |ORDER BY method, nprobe""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // p118's from-scratch oracle VERBATIM — the append-equals-rebuild
     // differential: the incremental path must land bit-identically on
     // the full-corpus contraction
     "p123_incremental_soft_dedup" -> Pipeline13.softDedupWeightsOracle,
+    "p124_ann_tuning_trained" -> annTuningTrainedOracle,
   )
 }

@@ -292,6 +292,62 @@ object Similarity {
     (cents, rounds)
   }
 
+  /** Lloyd training FROZEN for the differential registry — the device
+    * that lets trained centroids reach the store, the probe and the
+    * tuning curve (p124): [[trainIvfCentroids]]'s float means are
+    * partition-order-sensitive (double addition does not commute), so
+    * the trained model was never bit-stable enough to oracle-check.
+    * Here each round's member means are computed in EXACT INTEGER
+    * MICRO-UNITS — per (cell, dim), `sum(round(v·10⁶) as long)` (the
+    * p109 integer-fold device: exact and order-free under any
+    * partitioning) divided once, TRUNCATING toward zero (Java long
+    * division — measured to be what DuckDB's integer `//` does too;
+    * its floor semantics apply only to DOUBLE operands) — and the
+    * centroid
+    * component is the micro-mean read back as a float. The result is
+    * a deterministic function of the corpus CONTENT alone, so a DuckDB
+    * oracle can re-derive the training loop from first principles and
+    * the assignment geometry is reproducible across cluster layouts —
+    * the property every stored-probe proof here rests on.
+    *
+    * Always runs exactly `rounds` rounds (no eps early-exit: the round
+    * count is part of the registered semantics). Per round: one
+    * map-only broadcast-argmax assignment pass + one (cell, dim)
+    * integer aggregate whose shuffle is model-sized (nCells × dim
+    * rows), independent of corpus size — the [[trainIvfCentroids]]
+    * scale shape with the float mean swapped for the exact fold.
+    * Quantization puts the trained components on a 10⁻⁶ grid — three
+    * decimal orders below the corpus's own coordinate spread, measured
+    * recall-neutral at every SF (SimilaritySpec pins the trained
+    * curve's recall against the seed's).
+    */
+  def trainIvfCentroidsFrozen(corpus: DataFrame, nCells: Int,
+                              rounds: Int): Array[(Int, Seq[Float])] = {
+    val par = ensureParallel(corpus)
+    var cents = seedCentroids(corpus, nCells)
+    for (_ <- 1 to rounds if cents.nonEmpty) {
+      val micro = par
+        .withColumn("best", array_max(cellScores(cents, col("embedding"))))
+        .select((-col("best.ncid")).cast("int").as("cell"),
+                posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("v") * lit(1000000.0)).cast("long")).as("s"),
+             count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCell: Map[Int, Seq[Float]] = micro.groupBy(_._1).map {
+        case (cell, xs) =>
+          cell -> xs.sortBy(_._2)
+            .map(x => ((x._3 / x._4).toDouble / 1e6).toFloat)
+            .toSeq
+      }
+      // cells that lose all members keep their previous centroid (the
+      // trainIvfCentroids contract)
+      cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   private def cellScores(cents: Array[(Int, Seq[Float])], emb: Column): Column =
     array(cents.toIndexedSeq.map { case (cid, ce) =>
       struct(cosine(emb, typedLit(ce)).as("cos"), lit(-cid).as("ncid"))

@@ -412,4 +412,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.last._3 === 1000000L,
       s"full-scan read_ppm ${rows.last._3} != 1e6")
   }
+
+  test("frozen Lloyd training: partition-invariant centroids, stored-probe recall beats the seed on clustered data") {
+    // the p124 device: integer-micro means make the trained quantizer a
+    // deterministic function of corpus CONTENT — retraining on a
+    // differently-partitioned corpus must yield bit-identical centroids
+    // (the float-mean trainer cannot promise this, which is why it
+    // never reached the oracle registry)
+    val frozen = Similarity.trainIvfCentroidsFrozen(corpus, 10, 3)
+    val frozen2 = Similarity.trainIvfCentroidsFrozen(corpus.repartition(7), 10, 3)
+    assert(frozen.map { case (i, v) => (i, v.toList) }.toSeq ===
+      frozen2.map { case (i, v) => (i, v.toList) }.toSeq,
+      "frozen training is partition-sensitive")
+    // graduated into the store/probe path: same adversarial seed as the
+    // unfrozen test (centroids 0..9 all from ONE true cluster) — the
+    // frozen-trained AT-REST layout must beat the seed layout's recall
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallOf(cents: Array[(Int, Seq[Float])]): Double = {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_froz_ivf").toString
+      Similarity.ivfWrite(corpus, cents, store)
+      val approx = Similarity
+        .ivfTopKStored(spark, store, queries, cents, 5, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seed = recallOf(Similarity.seedCentroids(corpus, 10))
+    val trained = recallOf(frozen)
+    assert(trained > seed,
+      s"frozen training bought no stored-probe recall: seed=$seed trained=$trained")
+    assert(trained >= 0.7, s"trained recall too low: $trained (seed=$seed)")
+  }
 }
