@@ -137,6 +137,16 @@ object Pipeline10 {
     val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
       .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
       .localCheckpoint()
+    videoClusterLabelsOf(docs, frames).orderBy(col("doc_id"))
+  }
+
+  /** The label half of p91 over an already-decoded (and materialized)
+    * frame table — split out so a composition that needs the frames
+    * TWICE (p125's yield table reads per-clip frame mass beside the
+    * cluster labels) decodes once; identical plan to the fused form.
+    */
+  private[operators] def videoClusterLabelsOf(docs: DataFrame,
+                                              frames: DataFrame): DataFrame = {
     val fams = Multimodal.exactClipFamilies(frames).localCheckpoint()
     val starEdges = fams.filter(col("rep") < col("doc_id"))
       .select(col("rep").as("d1"), col("doc_id").as("d2"))
@@ -146,11 +156,14 @@ object Pipeline10 {
     val repPairs = Multimodal.videoNearDupPairs(repFrames, maxHamming = 3)
       .select(col("d1"), col("d2"))
     Dedup.dedupClustersLogN(docs, "doc_id", starEdges.union(repPairs))
-      .orderBy(col("doc_id"))
   }
 
-  val videoDedupClustersOracle: String =
-    s"""WITH RECURSIVE $videoDocsCte,
+  /** The p91 label CTE chain (expects RECURSIVE; yields `lab` =
+    * (doc_id, canonical)) — shared by the p91 oracle and the p125
+    * video soft-dedup composition, the `clusterLabelCtes` precedent.
+    */
+  private[operators] val videoClusterLabelCtes: String =
+    s"""$videoDocsCte,
        |$videoFhashCte,
        |vp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
        |       FROM vh a JOIN vh b
@@ -165,7 +178,10 @@ object Pipeline10 {
        |  SELECT d.doc_id,
        |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
        |           AS canonical
-       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
+
+  val videoDedupClustersOracle: String =
+    s"""WITH RECURSIVE $videoClusterLabelCtes
        |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
 
   /** Cut threshold of the registered scene-cut query: the fixture's

@@ -142,9 +142,73 @@ object Pipeline14 {
       .orderBy(col("method"), col("nprobe"))
   }
 
+  /** p125: soft dedup over a SECOND modality — p118's weight device on
+    * p91's VIDEO cluster labels, rolled up as the per-source FRAME
+    * yield table (p121's budgeting shape with frame mass in place of
+    * token mass): per source, the clip count, raw frame mass, the
+    * effective frame mass after down-weighting by clip-family size
+    * (`Σ n_frames·weight_ppm`, exact integer micro-frames) and the
+    * retention ratio in ppm. This is the genericity claim of
+    * `softDedupWeightsOf` ("ANY cluster label table fits") turned into
+    * a differential check — the labels here come from dHash family
+    * collapse + banded temporal pairs + O(log n) contraction, not from
+    * text LSH, and the oracle recomposes p91's recursive label CTEs
+    * under p118's window-weight device.
+    *
+    * Scale shape: ONE decode pass (the codec boundary) feeds both the
+    * cluster path (exact-first star edges, banded rep pairs — p91's
+    * shape) and the per-clip frame-mass projection; the weight join is
+    * clip-keyed on ids both sides already carry; the roll-up folds to
+    * |sources| rows map-side.
+    */
+  def videoSoftDedupYield(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+      .localCheckpoint()
+    val w = Pipeline13.softDedupWeightsOf(
+      Pipeline10.videoClusterLabelsOf(docs, frames))
+    docs.select(col("doc_id"), col("source"))
+      .join(frames.select(col("doc_id"),
+        col("n_frames").cast("long").as("nfr")).distinct(), Seq("doc_id"))
+      .join(w.select(col("doc_id"), col("weight_ppm")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("nfr")).as("raw_frames"),
+        sum(col("nfr") * col("weight_ppm")).as("eff_frames_micro"))
+      .select(col("source"), col("n_clips"), col("raw_frames"),
+        col("eff_frames_micro"),
+        // raw_frames >= n_clips >= 1 per source by construction, but
+        // the guard keeps the generic shape total (the p121 edge)
+        expr("CASE WHEN raw_frames = 0 THEN 0 " +
+          "ELSE eff_frames_micro div raw_frames END").cast("long")
+          .as("eff_ratio_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val videoSoftDedupYieldOracle: String =
+    s"""WITH RECURSIVE ${Pipeline10.videoClusterLabelCtes},
+       |wts AS (
+       |  SELECT doc_id,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |fm AS (
+       |  SELECT d.doc_id, d.source, CAST(v.nf AS BIGINT) AS nfr
+       |  FROM documents d JOIN vd v USING (doc_id))
+       |SELECT f.source, CAST(count(*) AS BIGINT) AS n_clips,
+       |       CAST(sum(f.nfr) AS BIGINT) AS raw_frames,
+       |       CAST(sum(f.nfr * w.weight_ppm) AS BIGINT)
+       |         AS eff_frames_micro,
+       |       CAST(sum(f.nfr * w.weight_ppm) // sum(f.nfr) AS BIGINT)
+       |         AS eff_ratio_ppm
+       |FROM fm f JOIN wts w USING (doc_id)
+       |GROUP BY f.source ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p123_incremental_soft_dedup" -> (incrementalSoftDedup _),
     "p124_ann_tuning_trained" -> (annTuningTrained _),
+    "p125_video_soft_dedup" -> (videoSoftDedupYield _),
   )
 
   /** p124 oracle: the frozen Lloyd chain re-derived from first
@@ -257,5 +321,6 @@ object Pipeline14 {
     // the full-corpus contraction
     "p123_incremental_soft_dedup" -> Pipeline13.softDedupWeightsOracle,
     "p124_ann_tuning_trained" -> annTuningTrainedOracle,
+    "p125_video_soft_dedup" -> videoSoftDedupYieldOracle,
   )
 }
