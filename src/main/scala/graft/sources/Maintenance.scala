@@ -122,7 +122,6 @@ object Maintenance {
     */
   def compactionPlan(spark: SparkSession, path: String, partCol: String,
                      keyCol: String, maxFiles: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stats = fileStats(spark, path, keyCol)
       .withColumn(partCol,
         regexp_extract(col("file"), java.util.regex.Pattern.quote(partCol) +
@@ -136,6 +135,47 @@ object Maintenance {
           raise_error(concat(lit(s"compactionPlan: file "), col("file"),
             lit(s" does not match the $partCol=<value> hive layout"))))
           .otherwise(col(partCol)))
+    planFromStats(stats, partCol, maxFiles)
+  }
+
+  /** [[compactionPlan]] for BUCKETED tables (`Bucketed.writeBucketed` /
+    * the p50 posting store): the same two layout-health signals and
+    * `compact` recommendation, grouped by the table's BUCKET id — the
+    * store family the hive planner cannot see (bucket identity lives
+    * in the file NAME, `part-…_<bucket>.c000…`, not in a directory).
+    * Streamed lexical merges (`StreamingOps.lexicalMergeStaged`) append
+    * one sliver file per bucket per batch, the measured 19× probe
+    * pathology (BASELINE.md); this is the trigger that decides when to
+    * pay [[Bucketed.compactBucketed]]. Same manifest-only cost: one
+    * file-keyed aggregate, never a data rewrite.
+    */
+  def compactionPlanBucketed(spark: SparkSession, table: String,
+                             keyCol: String, maxFiles: Int = 1): DataFrame = {
+    val stats = spark.table(table)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+           min(col(keyCol)).as("lo"),
+           max(col(keyCol)).as("hi"))
+      .withColumn("bucket",
+        regexp_extract(col("file"), "_(\\d+)\\.c000", 1))
+      // same fail-loudly contract as the hive planner: a file that
+      // does not carry the bucket suffix is not a bucketed layout
+      .withColumn("bucket",
+        when(col("bucket") === "",
+          raise_error(concat(lit("compactionPlanBucketed: file "),
+            col("file"), lit(" has no _<bucket>.c000 suffix"))))
+          .otherwise(col("bucket").cast("int")))
+    planFromStats(stats, "bucket", maxFiles)
+  }
+
+  /** The shared recommendation tail: per `partCol` value of a per-file
+    * stats manifest, file count, rows, the overlap sweep (sort files
+    * by `lo`; a file overlaps when its `lo` does not exceed the
+    * running max of earlier files' `hi`) and the compact verdict.
+    */
+  private def planFromStats(stats: DataFrame, partCol: String,
+                            maxFiles: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol)).orderBy(col("lo"), col("file"))
       .rowsBetween(Window.unboundedPreceding, -1)
     stats

@@ -125,4 +125,48 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(after.map(_.getAs[Long]("rows")).sum ===
       appended.map(_.getAs[Long]("rows")).sum)
   }
+
+  test("bucketed compaction plan: fresh store clean, 12-append store flags every bucket, compaction clears it") {
+    import graft.sources.Bucketed
+    val n = 4
+    val table = "graft_cpb_plan"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a one-file-per-bucket build (repartition on the bucket key aligns
+    // task and bucket boundaries — the compactBucketed device), each
+    // file key-sorted: nothing to recommend
+    val df = spark.range(200).select($"id".as("k"), ($"id" * 2).as("v"))
+    Bucketed.writeBucketed(df.repartition(n, $"k"), table, "k", n)
+    val fresh = Maintenance.compactionPlanBucketed(spark, table, "k")
+      .collect()
+    assert(fresh.length === n, s"expected $n buckets, got ${fresh.length}")
+    assert(fresh.forall(!_.getAs[Boolean]("compact")),
+      "a freshly compacted layout was flagged")
+    // 12 streamed-merge-style appends: each leaves sliver files whose
+    // key ranges span the whole space — the measured 19x probe
+    // pathology the trigger exists to catch
+    for (b <- 1 to 12) {
+      spark.range(200).select($"id".as("k"), ($"id" * 2 + b).as("v"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(n, "k").sortBy("k").format("parquet").saveAsTable(table)
+    }
+    val flooded = Maintenance.compactionPlanBucketed(spark, table, "k")
+      .collect()
+    assert(flooded.forall(_.getAs[Boolean]("compact")),
+      "an appended-to bucket was not flagged")
+    assert(flooded.forall(_.getAs[Long]("n_files") >= 13L),
+      "per-bucket file count did not grow one per append")
+    assert(flooded.forall(_.getAs[Long]("n_overlapping") > 0L),
+      "full-range sliver appends reported no overlap")
+    // the recommendation feeds the matching compactor and clears
+    Bucketed.compactBucketed(spark, table, "k", n)
+    val after = Maintenance.compactionPlanBucketed(spark, table, "k")
+      .collect()
+    assert(after.length === n &&
+      after.forall(!_.getAs[Boolean]("compact")),
+      "compaction did not clear the recommendation")
+    assert(after.map(_.getAs[Long]("rows")).sum ===
+      flooded.map(_.getAs[Long]("rows")).sum,
+      "rows not conserved through the cycle")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
