@@ -69,6 +69,77 @@ object LabelStore {
   def weightsFromStore(spark: SparkSession, path: String): DataFrame =
     Pipeline13.softDedupWeightsOf(read(spark, path))
 
+  /** Edge bound of the driver union-find fast path: 4M edges ≈ 64 MB
+    * of longs on the driver — comfortably a "model-sized" collect (the
+    * probe-batch discipline), far above any sane micro-batch's pair
+    * evidence. Above it the contraction falls back to the distributed
+    * min-label device with identical output.
+    */
+  private val MaxDriverEdges = 4000000L
+
+  /** Min-label connected components of an edge list, labeling ONLY the
+    * nodes that appear in an edge (isolated ids are the caller's
+    * left-join-coalesce-self case — excluding them keeps the
+    * contraction's cost bounded by the EVIDENCE, not the batch: a
+    * micro-batch is mostly pairless singletons that would otherwise
+    * ride every contraction round). Two paths, spec-pinned identical:
+    *
+    *  - edge sets within [[MaxDriverEdges]] collect and fold through a
+    *    path-compressed union-find that always points the larger root
+    *    at the smaller, so each component's final root IS its minimum
+    *    id — microseconds against the distributed loop's
+    *    per-round job floor (the measured 3–4 s of p123's update);
+    *  - larger sets run the registered `Dedup.dedupClusters` min-label
+    *    loop over the edge-involved nodes.
+    */
+  private[graft] def contractEdges(e: DataFrame,
+                                   maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ec = e.select(col("d1"), col("d2")).localCheckpoint(eager = false)
+    // ONE sizing-and-fetching job: collect at most bound+1 rows — the
+    // overflow row alone routes to the distributed path (which reads
+    // the checkpoint, so nothing recomputes), and the common path
+    // skips a separate count action
+    val arr = ec.limit(
+      math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (arr.length <= maxDriverEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def root(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x)))
+          x = parent.get(x)
+        }
+        x
+      }
+      arr.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (root(a), root(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+      ids.map(id => (id.longValue, root(id))).toSeq
+        .toDF("doc_id", "canonical")
+    } else {
+      val nodes = ec.select(col("d1").as("doc_id"))
+        .union(ec.select(col("d2").as("doc_id"))).distinct()
+      Dedup.dedupClusters(nodes, "doc_id", ec)
+    }
+  }
+
+  /** Labels of a document set under its own pair evidence — the
+    * initial-build twin of [[update]]: contraction over the
+    * edge-involved nodes, everything else labeled itself.
+    */
+  def labelsFor(ids: DataFrame, pairs: DataFrame): DataFrame =
+    ids.select(col("doc_id"))
+      .join(contractEdges(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical"))
+
   /** Fold ONE ingested batch into the live label table: `batchIds` are
     * the arriving documents (new to the store — the shared ingest
     * contract), `pairs` the batch's near-dup evidence as (d1, d2) id
@@ -96,8 +167,11 @@ object LabelStore {
     */
   def update(spark: SparkSession, path: String, batchIds: DataFrame,
              pairs: DataFrame, nBuckets: Int = LabelBuckets): Unit = {
-    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
-    val batch = batchIds.select(col("doc_id")).localCheckpoint()
+    // lazy checkpoints throughout (materialize on first use, reuse
+    // after): every eager one is a synchronous job on the driver loop,
+    // and the update path is action-latency-bound, not data-bound
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(eager = false)
+    val batch = batchIds.select(col("doc_id")).localCheckpoint(eager = false)
     val ends = p.select(col("d1").as("doc_id"))
       .union(p.select(col("d2").as("doc_id"))).distinct()
     // current labels of the pair endpoints: canonical when stored,
@@ -106,14 +180,18 @@ object LabelStore {
     val lbl = ends.join(read(spark, path), Seq("doc_id"), "left")
       .select(col("doc_id"), col("canonical").isNotNull.as("stored"),
         coalesce(col("canonical"), col("doc_id")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val e = p
       .join(lbl.select(col("doc_id").as("d1"), col("lbl").as("l1")), Seq("d1"))
       .join(lbl.select(col("doc_id").as("d2"), col("lbl").as("l2")), Seq("d2"))
       .select(col("l1").as("d1"), col("l2").as("d2"))
       .filter(col("d1") =!= col("d2"))
-    val nodes = batch.union(lbl.select(col("lbl").as("doc_id"))).distinct()
-    val mini = Dedup.dedupClusters(nodes, "doc_id", e).localCheckpoint()
+    // contract only the EVIDENCE (edge-involved nodes): pairless batch
+    // docs and untouched canonicals label themselves through the
+    // left-join coalesces below
+    // no checkpoint: the fast path returns a local relation (free to
+    // reuse); the fallback is checkpointed inside dedupClusters
+    val mini = contractEdges(e)
     // canonical-to-canonical remap of the merged components (an old
     // canonical keeps itself unless this batch connected it to a
     // smaller minimum)
@@ -122,11 +200,11 @@ object LabelStore {
       .join(mini, Seq("doc_id"))
       .filter(col("canonical") =!= col("doc_id"))
       .select(col("doc_id").as("__old"), col("canonical").as("__new"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val batchRows = batch.join(mini, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical"), col("doc_id")).as("canonical"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // buckets to rewrite: those holding a remapped row (one pushed
     // broadcast-join probe over the store — canonical-sorted row
     // groups make it skip) plus those receiving a batch row

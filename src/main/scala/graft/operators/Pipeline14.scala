@@ -73,8 +73,7 @@ object Pipeline14 {
       val sigRows = Dedup.sigRowsFromBands(banded)
       val within = Dedup.lshPairsFromBands(banded)
       if (i == 0) {
-        LabelStore.write(Dedup.dedupClusters(batch, "doc_id", within),
-          labelPath)
+        LabelStore.write(LabelStore.labelsFor(batch, within), labelPath)
         Dedup.lshStoreWrite(sigRows, lshPath)
       } else {
         // gate verdicts: batch ↔ published candidate pairs (batch ids

@@ -282,5 +282,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(w(21L) === ((5L, 200000L)), // {10,11,15,20,21}
       "merged 5-cluster weight wrong")
     assert(w(12L) === ((2L, 500000L)) && w(50L) === ((1L, 1000000L)))
+    // updates rewrite whole buckets as one task each, so the layout
+    // never fragments — no compactor needed for this store family
+    val buckets = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("lb="))
+    assert(buckets.nonEmpty && buckets.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "an update left more than one file in a bucket")
+  }
+
+  test("contractEdges: the driver union-find fast path equals the distributed contraction") {
+    import graft.operators.LabelStore
+    // chain + star + merge-through-bridge shapes, min NOT first in its
+    // edge list
+    val edges = Seq((9L, 4L), (4L, 7L), (30L, 31L), (31L, 32L),
+      (7L, 30L), (100L, 2L), (2L, 50L)).toDF("d1", "d2")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = canon(LabelStore.contractEdges(edges))
+    val dist = canon(LabelStore.contractEdges(edges, maxDriverEdges = 0L))
+    assert(fast === dist, "fast path diverged from distributed contraction")
+    assert(fast(32L) === 4L && fast(9L) === 4L, "chain did not reach its minimum")
+    assert(fast(100L) === 2L && fast(50L) === 2L)
+    assert(!fast.contains(999L) && fast.size === 9, "isolated ids must not be labeled")
   }
 }
