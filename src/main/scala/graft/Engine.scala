@@ -60,6 +60,25 @@ object Engine {
     * — raw vs down-weighted token mass, the pre-mixing budget table. */
   def tokenYield(docs: DataFrame, weights: DataFrame): DataFrame =
     Pipeline13.tokenYieldOf(docs, weights)
+  /** Write the LIVE label store an incremental soft-dedup deployment
+    * maintains (p123's layout: doc-bucketed, canonical-sorted). */
+  def labelStoreWrite(labels: DataFrame, path: String): Unit =
+    graft.operators.LabelStore.write(labels, path)
+  /** Fold one ingested batch's near-dup evidence into the live label
+    * store — one union-find step on the affected components only. */
+  def labelStoreUpdate(spark: SparkSession, path: String,
+                       batchIds: DataFrame, pairs: DataFrame): Unit =
+    graft.operators.LabelStore.update(spark, path, batchIds, pairs)
+  /** p118's sampling weights refreshed from the label store alone —
+    * no corpus rescan between releases. */
+  def softDedupWeightsFromStore(spark: SparkSession, path: String): DataFrame =
+    graft.operators.LabelStore.weightsFromStore(spark, path)
+  /** Lloyd-trained IVF centroids FROZEN to the integer-micro grid —
+    * bit-stable across partitionings, so the trained quantizer can
+    * reach the store/probe path (p124's device). */
+  def trainIvfFrozen(corpus: DataFrame, nCells: Int,
+                     rounds: Int): Array[(Int, Seq[Float])] =
+    operators.Similarity.trainIvfCentroidsFrozen(corpus, nCells, rounds)
   /** Persist a corpus's MinHash band signatures as the at-rest LSH
     * store (p111's layout: partitioned by band, sig_h-sorted). */
   def lshStoreWrite(docs: DataFrame, id: String, text: String,

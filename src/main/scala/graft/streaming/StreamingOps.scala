@@ -882,6 +882,49 @@ object StreamingOps {
         col("jaccard"))
   }
 
+  /** The composed INCREMENTAL-DEDUP MAINTENANCE handler — the one
+    * `foreachBatch` body a deployment copies to keep BOTH live dedup
+    * artifacts current as documents arrive (p123's loop as a library
+    * call): per micro-batch of (doc_id, text) documents,
+    *
+    *  1. gate — [[textDedupGateBatch]] probes the live LSH store for
+    *     published near-dup candidates (returned for routing/policy);
+    *  2. fold — the gate verdicts plus the batch's within-batch LSH
+    *     candidate pairs update the live label store
+    *     (`LabelStore.update`: one union-find step on the affected
+    *     components), so `LabelStore.weightsFromStore` serves CURRENT
+    *     p118 sampling weights with no corpus rescan;
+    *  3. ingest + merge — the batch's signatures land exactly-once via
+    *     the staged [[lshIngestBatch]]/[[lshMergeStaged]] pair, so the
+    *     NEXT batch's gate sees this batch.
+    *
+    * Batch ids must be new to the stores (the shared ingest contract)
+    * and handlers must run serially (one maintenance scheduler).
+    * StreamingSpec drives it end-to-end to weight parity with the
+    * from-scratch contraction of the union corpus.
+    */
+  def dedupMaintainBatch(spark: org.apache.spark.sql.SparkSession,
+                         lshStorePath: String, labelPath: String,
+                         stagePath: String)(
+                         batch: DataFrame, id: Long): DataFrame = {
+    import graft.operators.{Dedup, LabelStore}
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    if (b.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+        .limit(0)
+    val gate = textDedupGateBatch(spark, lshStorePath)(b)
+      .localCheckpoint() // feeds the fold AND the returned verdicts
+    val within = Dedup.minhashLshPairs(b, "doc_id", "text")
+      .select(col("d1"), col("d2"))
+    LabelStore.update(spark, labelPath, b.select(col("doc_id")),
+      within.union(
+        gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+    lshIngestBatch(stagePath)(b, id)
+    lshMergeStaged(spark, stagePath, lshStorePath)
+    gate
+  }
+
   /** The composed ADMISSION pipeline — the one `foreachBatch` handler
     * an ingestion deployment copies: chain the frozen-model gates over
     * ONE micro-batch of (doc_id, text) documents and emit a per-

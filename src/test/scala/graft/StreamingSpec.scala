@@ -1474,20 +1474,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // already-ingested 1007 through the merged store) and a fresh doc
     val payloads = Map(1007L -> texts(7L), 1450L -> texts(450L),
       1451L -> texts(450L), 2007L -> texts(7L), 2500L -> texts(451L))
+    val verdicts = collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val ms = MemoryStream[Long]
     val q = ms.toDF().toDF("doc_id")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val withText = batch.collect().map(_.getLong(0))
           .map(i => (i, payloads(i))).toSeq.toDF("doc_id", "text")
-        val gate = StreamingOps.textDedupGateBatch(spark, store)(withText)
-          .select($"doc_id".as("d1"), $"dup_of".as("d2"))
-        val within = Dedup.minhashLshPairs(withText, "doc_id", "text")
-          .select($"d1", $"d2")
-        LabelStore.update(spark, labels, withText.select($"doc_id"),
-          within.union(gate))
-        StreamingOps.lshIngestBatch(stage)(withText, id)
-        StreamingOps.lshMergeStaged(spark, stage, store)
+        // THE library handler a deployment copies: gate → label fold →
+        // staged ingest → merge, in one call
+        verdicts ++= StreamingOps
+          .dedupMaintainBatch(spark, store, labels, stage)(withText, id)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
         ()
       }
       .start()
@@ -1510,5 +1508,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "second-wave copy did not join the published family")
     assert(lbl(1451L) === lbl(1450L),
       "within-batch near-dups landed in different clusters")
+    // the handler's returned verdicts carry the routing signal: the
+    // second-wave copy is flagged against BOTH the original and the
+    // first-wave copy it entered through the merged store
+    assert(verdicts.toSet.contains((2007L, 7L)) &&
+      verdicts.toSet.contains((2007L, 1007L)),
+      "gate verdicts missing the published/merged matches")
   }
 }
