@@ -27,14 +27,17 @@ import org.apache.spark.sql.functions._
   * min/max), small row groups.
   *
   * Scale shape of one [[update]]: everything the step touches is
-  * batch- or component-bounded except two label-TABLE-bounded reads
-  * (the endpoint-label lookup and the affected-bucket probe) — the
-  * label table is ~16 bytes/doc, three orders of magnitude smaller
-  * than the corpus it indexes, and that is the entire point: the
-  * from-scratch alternative repays the full corpus scan + shingle +
-  * MinHash pipeline every refresh. The mini-graph contraction runs on
-  * batch ids + affected canonicals only, and the rewrite touches only
-  * buckets holding an affected row or a new batch row.
+  * batch- or component-bounded except the affected-bucket probe, one
+  * label-TABLE-bounded read (the endpoint-label lookup prunes to the
+  * endpoints' buckets under the probe-literal bound; oversized
+  * evidence degrades to a table join) — and the label table is
+  * ~16 bytes/doc, three orders of magnitude smaller than the corpus it
+  * indexes, which is the entire point: the from-scratch alternative
+  * repays the full corpus scan + shingle + MinHash pipeline every
+  * refresh. The mini-graph contraction runs on the pair EVIDENCE only
+  * (driver union-find under a 4M-edge bound, distributed min-label
+  * above it), and the rewrite touches only buckets holding an affected
+  * row or a new batch row.
   */
 object LabelStore {
 
@@ -174,10 +177,29 @@ object LabelStore {
     val batch = batchIds.select(col("doc_id")).localCheckpoint(eager = false)
     val ends = p.select(col("d1").as("doc_id"))
       .union(p.select(col("d2").as("doc_id"))).distinct()
+      .localCheckpoint(eager = false)
     // current labels of the pair endpoints: canonical when stored,
-    // self when arriving. The join is label-table-bounded; `stored`
-    // distinguishes the two cases for the remap below.
-    val lbl = ends.join(read(spark, path), Seq("doc_id"), "left")
+    // self when arriving; `stored` distinguishes the two cases for the
+    // remap below. Endpoint sets within the probe-literal bound prune
+    // the lookup to THEIR buckets (doc-bucket partitioning makes the
+    // literal id set a literal partition set — the Dedup.MaxProbeLiterals
+    // discipline), so the common case reads endpoint buckets, not the
+    // table; oversized evidence degrades to the full label-table join.
+    val endIds = ends
+      .limit(Dedup.MaxProbeLiterals + 1).collect().map(_.getLong(0))
+    val lookup =
+      if (endIds.length <= Dedup.MaxProbeLiterals) {
+        // pmod semantics (matches the writer's bucket expression even
+        // for hypothetical negative ids)
+        val bks = endIds.map(i => (((i % nBuckets) + nBuckets) % nBuckets).toInt)
+          .distinct.sorted
+        if (bks.isEmpty) read(spark, path).limit(0)
+        else spark.read.parquet(path)
+          .filter(col("lb").isin(bks.toIndexedSeq: _*) &&
+            col("doc_id").isin(endIds.toIndexedSeq: _*))
+          .select(col("doc_id"), col("canonical"))
+      } else read(spark, path)
+    val lbl = ends.join(lookup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("canonical").isNotNull.as("stored"),
         coalesce(col("canonical"), col("doc_id")).as("lbl"))
       .localCheckpoint(eager = false)
