@@ -204,10 +204,119 @@ object Pipeline14 {
        |FROM fm f JOIN wts w USING (doc_id)
        |GROUP BY f.source ORDER BY f.source""".stripMargin
 
+  /** Cosine threshold of the registered incremental vector entry —
+    * p115's measured-to-bind value (the synthetic embeddings are
+    * near-random; 0.3 keeps a few dozen genuine pairs at every SF with
+    * the nearest >1e-3 from the boundary).
+    */
+  private val VecTau = 0.3
+
+  /** p126: INCREMENTAL vector cluster/weight maintenance — the VECTOR
+    * member of p123's family: SemDeDup-style τ-component labels (and
+    * their soft-dedup weights) kept LIVE as embedding batches arrive,
+    * instead of re-clustering the corpus per refresh. Per batch: the
+    * published-corpus verdicts come from the stored probe
+    * (`Similarity.ivfProbeNearDup` over the live `ivfWrite` layout —
+    * what `embeddingDedupGateBatch` runs), within-batch pairs from a
+    * batch-bounded exact cosine pass, and `LabelStore.update` folds
+    * both with the same union-find step (the label store is id-generic
+    * by construction — the genericity p123 claims, exercised on a
+    * second id space); the batch then `ivfAppend`s into the live cell
+    * layout so the next batch's probe sees it.
+    *
+    * REGISTERED at nProbe = nCells (every probe is a full candidate
+    * scan), which makes the incremental pair relation EXACTLY the
+    * τ-pair graph of the union corpus — that is what lets the oracle
+    * re-derive the from-scratch answer (all-pairs cosine τ-relation +
+    * recursive closure + the p118 weight window) and hash-match it:
+    * append-equals-rebuild for the vector modality. At partial probe
+    * the same loop runs with the documented IVF recall trade (a stored
+    * near-dup hiding in an unprobed cell is missed — p104/p116
+    * measure the dial); StreamingSpec's vector gate already pins that
+    * path's semantics.
+    *
+    * Scale shape: per batch one map-only assignment + probe join
+    * (DPP-pruned at partial probe), one batch²-bounded exact cosine
+    * block (a micro-batch is model-sized next to the corpus), the
+    * evidence-bounded label fold, and a cell-partitioned append —
+    * never a corpus rescan.
+    */
+  def incrementalVectorLabels(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nCells = 8
+    val labelPath = java.nio.file.Files
+      .createTempDirectory("graft_incv_labels_").toString
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_incv_ivf_").toString
+    // the centroid model freezes at first build (the ivfAppend
+    // contract); at full probe the model only shapes the layout, never
+    // the candidate set
+    val cents = Similarity.seedCentroids(emb, nCells)
+    for (i <- 0 until IncBatches) {
+      val batch = emb
+        .filter(pmod(col("vec_id"), lit(IncBatches.toLong)) === i.toLong)
+        .localCheckpoint(eager = false)
+      // within-batch exact τ-pairs: batch-bounded all-pairs (a
+      // micro-batch is bounded by contract; the corpus-scale banded
+      // paths guard the UNBOUNDED case)
+      val within = batch.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+        .crossJoin(batch.select(col("vec_id").as("d2"), col("embedding").as("e2")))
+        .filter(col("d1") < col("d2"))
+        .filter(graft.functions.VectorOps.cosine(col("e1"), col("e2")) >= VecTau)
+        .select(col("d1"), col("d2"))
+      if (i == 0) {
+        LabelStore.write(
+          LabelStore.labelsFor(batch.select(col("vec_id").as("doc_id")),
+            within),
+          labelPath)
+        Similarity.ivfWrite(batch, cents, ivfPath)
+      } else {
+        val cross = Similarity
+          .ivfProbeNearDup(s, ivfPath, batch, cents, VecTau, nProbe = nCells)
+          .select(col("qid").as("d1"), col("cid").as("d2"))
+        LabelStore.update(s, labelPath,
+          batch.select(col("vec_id").as("doc_id")), within.union(cross))
+        Similarity.ivfAppend(batch, cents, ivfPath)
+      }
+    }
+    LabelStore.weightsFromStore(s, labelPath)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** p126 oracle: the from-scratch τ-component labels of the union
+    * corpus — all-pairs exact cosine at τ (the p115/p73 relation over
+    * EVERY pair), recursive transitive closure to min labels (the p91
+    * closure device), then the p118 weight window.
+    */
+  val incrementalVectorLabelsOracle: String = {
+    val cos = PipelineQueries.duckCos("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE vp AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+       |  WHERE $cos >= $VecTau),
+       |e AS (SELECT d1 AS a, d2 AS b FROM vp UNION SELECT d2, d1 FROM vp),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS vec_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT v.vec_id,
+       |         CAST(coalesce(least(c.vec_id, c.mn), v.vec_id) AS BIGINT)
+       |           AS canonical
+       |  FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id)
+       |SELECT vec_id, canonical,
+       |       CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+       |         AS cluster_size,
+       |       CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |            AS BIGINT) AS weight_ppm
+       |FROM lab ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p123_incremental_soft_dedup" -> (incrementalSoftDedup _),
     "p124_ann_tuning_trained" -> (annTuningTrained _),
     "p125_video_soft_dedup" -> (videoSoftDedupYield _),
+    "p126_incremental_vector_labels" -> (incrementalVectorLabels _),
   )
 
   /** p124 oracle: the frozen Lloyd chain re-derived from first
@@ -321,5 +430,6 @@ object Pipeline14 {
     "p123_incremental_soft_dedup" -> Pipeline13.softDedupWeightsOracle,
     "p124_ann_tuning_trained" -> annTuningTrainedOracle,
     "p125_video_soft_dedup" -> videoSoftDedupYieldOracle,
+    "p126_incremental_vector_labels" -> incrementalVectorLabelsOracle,
   )
 }
