@@ -291,6 +291,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "an update left more than one file in a bucket")
   }
 
+  test("stored LSH probe, DataFrame form: matches the literal plan and keeps the band prune") {
+    // the no-driver-collect spelling (the verified gate's oversized
+    // path): same candidates as the literal probe, band prune intact
+    val store = java.nio.file.Files.createTempDirectory("lsh_df").toString
+    Dedup.lshStoreWrite(Dedup.lshSignatureRows(docs, "doc_id", "text"), store)
+    val sigRows = Dedup.lshSignatureRows(docs, "doc_id", "text")
+    val sigs = sigRows.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val lit = Dedup.lshProbeStored(spark, store, sigs)
+      .orderBy($"qid", $"doc_id").collect().map(_.toSeq).toSeq
+    val dfp = Dedup.lshProbeStoredDF(spark, store, sigRows)
+    assert(lit.nonEmpty &&
+      dfp.orderBy($"qid", $"doc_id").collect().map(_.toSeq).toSeq === lit,
+      "DataFrame probe diverged from the literal plan")
+    val plan = dfp.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*band[^\\]]*IN.*"),
+      "DataFrame probe lost the band partition prune")
+  }
+
   test("contractEdges: the driver union-find fast path equals the distributed contraction") {
     import graft.operators.LabelStore
     // chain + star + merge-through-bridge shapes, min NOT first in its
