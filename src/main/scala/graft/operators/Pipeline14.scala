@@ -241,7 +241,17 @@ object Pipeline14 {
     * evidence-bounded label fold, and a cell-partitioned append —
     * never a corpus rescan.
     */
-  def incrementalVectorLabels(s: SparkSession, d: String): DataFrame = {
+  def incrementalVectorLabels(s: SparkSession, d: String): DataFrame =
+    incrementalVectorLabelsAt(s, d, nProbe = 8)
+
+  /** The p126 loop at ANY probe width — the registered entry runs it
+    * at nProbe = nCells (exact); smaller widths are the deployment's
+    * recall dial, and DedupSpec pins the REFINEMENT property: a
+    * partial probe can only miss merges, never invent them, so every
+    * partial-probe cluster sits inside one full-probe cluster.
+    */
+  private[graft] def incrementalVectorLabelsAt(s: SparkSession, d: String,
+                                               nProbe: Int): DataFrame = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val nCells = 8
     val labelPath = java.nio.file.Files
@@ -272,7 +282,7 @@ object Pipeline14 {
         Similarity.ivfWrite(batch, cents, ivfPath)
       } else {
         val cross = Similarity
-          .ivfProbeNearDup(s, ivfPath, batch, cents, VecTau, nProbe = nCells)
+          .ivfProbeNearDup(s, ivfPath, batch, cents, VecTau, nProbe)
           .select(col("qid").as("d1"), col("cid").as("d2"))
         LabelStore.update(s, labelPath,
           batch.select(col("vec_id").as("doc_id")), within.union(cross))

@@ -310,6 +310,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "DataFrame probe lost the band partition prune")
   }
 
+  test("p126 at partial probe: incremental vector clusters REFINE the full-probe clusters") {
+    // the IVF recall trade as a checked invariant: a narrower probe
+    // can only MISS merges (pairs hiding in unprobed cells), never
+    // invent them — so every partial-probe cluster must sit inside one
+    // full-probe (exact) cluster, i.e. the partial labeling is a
+    // refinement of the registered one
+    import graft.operators.Pipeline14
+    val d = "/root/testdata/sf0.001"
+    def labelsAt(np: Int): Map[Long, Long] =
+      Pipeline14.incrementalVectorLabelsAt(spark, d, np).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = labelsAt(8)
+    val partial = labelsAt(1)
+    assert(full.keySet === partial.keySet)
+    // refinement: ids sharing a partial cluster share the full cluster
+    partial.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.keys.map(full).toSet.size === 1,
+        s"partial-probe cluster ${members.keys.toSeq.sorted} straddles full clusters")
+    }
+    // and the trade is visible on this corpus: the exact labeling has
+    // at least as many merged (non-singleton) docs
+    def merged(m: Map[Long, Long]) = m.count { case (id, c) => id != c }
+    assert(merged(full) >= merged(partial) && merged(full) > 0,
+      s"full=${merged(full)} partial=${merged(partial)}")
+  }
+
   test("contractEdges: the driver union-find fast path equals the distributed contraction") {
     import graft.operators.LabelStore
     // chain + star + merge-through-bridge shapes, min NOT first in its
