@@ -8,9 +8,16 @@ object Bench {
     * contractual artifact parseable (round 10's full-precision,
     * hash-ordered line lost ~2/3 of its keys to truncation).
     */
+  /** Locale-proof 3-decimal rendering: the f-interpolator delegates to
+    * the JVM default locale, which on a comma-decimal locale would emit
+    * unparseable JSON in the contractual artifact.
+    */
+  private def sec(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def renderQueries(results: Seq[(String, Double)]): String =
     results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -71,8 +78,12 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
+            // JSON-string-safe: drop quotes/backslashes AND every
+            // control character (Spark messages routinely embed tabs
+            // and \r from plan fragments)
             errors(name) = (e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage)).take(120).replaceAll("[\"\\\\\n]", " ")
+              String.valueOf(e.getMessage)).take(120)
+              .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ")
             None
         }
       }
@@ -84,7 +95,7 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     def line(qs: Seq[(String, Double)], tag: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""queries":${renderQueries(qs)},"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"errors":$errJson,""" +
         s""""sf":"$sfDir","warmup":$doWarm$tag}"""

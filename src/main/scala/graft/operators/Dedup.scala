@@ -375,13 +375,17 @@ object Dedup {
     */
   def lshProbeStoredDF(spark: org.apache.spark.sql.SparkSession,
                        path: String, sigRows: DataFrame): DataFrame = {
-    val bands = sigRows.select(col("band")).distinct()
+    // one execution of the caller's signature pipeline, two consumers
+    // (the band-prune collect and the join) — exactly the oversized
+    // batches would otherwise pay the heaviest stage twice
+    val sr = sigRows.localCheckpoint(eager = false)
+    val bands = sr.select(col("band")).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (bands.isEmpty) return sigRows
+    if (bands.isEmpty) return sr
       .select(col("doc_id").as("qid"), col("doc_id")).limit(0)
     spark.read.parquet(path)
       .filter(col("band").isin(bands.toIndexedSeq: _*))
-      .join(sigRows.select(col("doc_id").as("qid"), col("band"),
+      .join(sr.select(col("doc_id").as("qid"), col("band"),
         col("sig_h")), Seq("band", "sig_h"))
       .select(col("qid"), col("doc_id"))
       .distinct()

@@ -49,10 +49,15 @@ object LabelStore {
   val LabelBuckets = 16
 
   /** Persist an initial `(doc_id, canonical)` label table — typically
-    * `Dedup.dedupClusters` output for the first corpus slice.
+    * `Dedup.dedupClusters` output for the first corpus slice. The
+    * bucket count lands beside the data in `_meta` (underscore paths
+    * are invisible to parquet readers of the store itself), so
+    * [[update]] reads the writer's choice back instead of trusting a
+    * caller to repeat it — a silently mismatched modulus would
+    * misroute lookups and batch rows without any error.
     */
   def write(labels: DataFrame, path: String,
-            nBuckets: Int = LabelBuckets): Unit =
+            nBuckets: Int = LabelBuckets): Unit = {
     labels.select(col("doc_id"), col("canonical"))
       .withColumn("lb", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
       .repartition(col("lb"))
@@ -60,6 +65,14 @@ object LabelStore {
       .write.mode("overwrite").partitionBy("lb")
       .option("parquet.block.size", 1 << 20)
       .parquet(path)
+    labels.sparkSession.range(1)
+      .select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** The layout's bucket count, read back from `_meta`. */
+  private def bucketsOf(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_meta").head().getInt(0)
 
   /** The live label table, `(doc_id, canonical)`. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -169,7 +182,10 @@ object LabelStore {
     * every staged merge here.
     */
   def update(spark: SparkSession, path: String, batchIds: DataFrame,
-             pairs: DataFrame, nBuckets: Int = LabelBuckets): Unit = {
+             pairs: DataFrame): Unit = {
+    // the layout's OWN bucket count — never a caller-supplied modulus
+    // (a mismatch would silently misroute lookups and batch rows)
+    val nBuckets = bucketsOf(spark, path)
     // lazy checkpoints throughout (materialize on first use, reuse
     // after): every eager one is a synchronous job on the driver loop,
     // and the update path is action-latency-bound, not data-bound
@@ -245,11 +261,20 @@ object LabelStore {
       .join(broadcast(remap), col("canonical") === col("__old"), "left")
       .select(col("doc_id"),
         coalesce(col("__new"), col("canonical")).as("canonical"))
+    // DURABLE staging before the self-overwrite: the rewritten rows
+    // land as files in a sibling stage dir first, and the dynamic
+    // partition overwrite reads THOSE — not executor-memory checkpoint
+    // blocks whose loss mid-overwrite (lineage truncated, inputs being
+    // replaced) would leave the store half-rewritten with no recompute
+    // path. Crash before the overwrite: the store is untouched and the
+    // whole update re-runs (it is deterministic); crash mid-overwrite:
+    // the stage dir still holds the complete intended content of every
+    // affected bucket for repair. The stage is removed on success.
+    val stage = new org.apache.hadoop.fs.Path(s"${path}__updstage")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     existing.unionByName(batchRows)
-      // materialize BEFORE the write: the output path is also the
-      // input path, and the overwrite must not consume the files it is
-      // replacing (Spark's self-overwrite check rejects the lazy plan)
-      .localCheckpoint()
+      .write.mode("overwrite").parquet(stage.toString)
+    spark.read.parquet(stage.toString)
       .withColumn("lb", lb)
       .repartition(col("lb"))
       .sortWithinPartitions(col("lb"), col("canonical"), col("doc_id"))
@@ -258,5 +283,6 @@ object LabelStore {
       .partitionBy("lb")
       .option("parquet.block.size", 1 << 20)
       .parquet(path)
+    fs.delete(stage, true)
   }
 }

@@ -87,7 +87,9 @@ object Pipeline14 {
           lshPath, "band")
       }
     }
-    LabelStore.weightsFromStore(s, labelPath).orderBy(col("doc_id"))
+    cleanupAfter(
+      LabelStore.weightsFromStore(s, labelPath).orderBy(col("doc_id")),
+      labelPath, lshPath)
   }
 
   /** Lloyd rounds of the registered frozen-trained method — fixed (no
@@ -204,6 +206,23 @@ object Pipeline14 {
        |FROM fm f JOIN wts w USING (doc_id)
        |GROUP BY f.source ORDER BY f.source""".stripMargin
 
+  /** Materialize an ingestion entry's RESULT off its scratch stores,
+    * then delete them: both incremental entries build fresh temp
+    * stores per invocation (the fold IS what they price), and a
+    * multi-rep bench would otherwise accumulate unbounded store copies
+    * under /tmp. The eager checkpoint lifts the label-table-sized
+    * output into block storage before the directories go.
+    */
+  private def cleanupAfter(result: DataFrame, dirs: String*): DataFrame = {
+    val out = result.localCheckpoint()
+    val conf = out.sparkSession.sparkContext.hadoopConfiguration
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    out
+  }
+
   /** Cosine threshold of the registered incremental vector entry —
     * p115's measured-to-bind value (the synthetic embeddings are
     * near-random; 0.3 keeps a few dozen genuine pairs at every SF with
@@ -289,9 +308,11 @@ object Pipeline14 {
         Similarity.ivfAppend(batch, cents, ivfPath)
       }
     }
-    LabelStore.weightsFromStore(s, labelPath)
-      .withColumnRenamed("doc_id", "vec_id")
-      .orderBy(col("vec_id"))
+    cleanupAfter(
+      LabelStore.weightsFromStore(s, labelPath)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy(col("vec_id")),
+      labelPath, ivfPath)
   }
 
   /** p126 oracle: the from-scratch τ-component labels of the union

@@ -866,6 +866,14 @@ object StreamingOps {
       val sigs = Dedup.lshSignatureRows(b, "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .toSeq.sortBy(q => (q._1, q._2))
+      // a non-empty batch can still yield zero signatures (every text
+      // shorter than the shingle width) — the probe's non-empty
+      // contract must not crash the stream
+      if (sigs.isEmpty)
+        return spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+          .withColumn("jaccard", lit(0.0d))
+          .limit(0)
       Dedup.lshProbeStored(spark, storePath, sigs)
     } else {
       Dedup.lshProbeStoredDF(spark, storePath,
@@ -907,20 +915,46 @@ object StreamingOps {
                          lshStorePath: String, labelPath: String,
                          stagePath: String)(
                          batch: DataFrame, id: Long): DataFrame = {
-    import graft.operators.{Dedup, LabelStore}
+    import graft.operators.Dedup
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    if (b.isEmpty)
-      return spark.emptyDataFrame
-        .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
-        .limit(0)
-    val gate = textDedupGateBatch(spark, lshStorePath)(b)
-      .localCheckpoint() // feeds the fold AND the returned verdicts
-    val within = Dedup.minhashLshPairs(b, "doc_id", "text")
-      .select(col("d1"), col("d2"))
-    LabelStore.update(spark, labelPath, b.select(col("doc_id")),
-      within.union(
-        gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
-    lshIngestBatch(stagePath)(b, id)
+    def noVerdicts: DataFrame = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+      .limit(0)
+    if (b.isEmpty) return noVerdicts
+    // ONE execution of the scan→shingle→minhash pipeline per batch,
+    // three consumers: the gate probe, the within-batch pairs, and the
+    // staged signature ingest (the Pipeline14 p123 pattern)
+    val banded = Dedup.minhashBands(
+        Dedup.minhash(b, "doc_id", "text", n = 5, numHashes = 16),
+        numHashes = 16, bands = 4)
+      .localCheckpoint(eager = false)
+    val sigRows = Dedup.sigRowsFromBands(banded)
+    // gate: the textDedupGateBatch semantics over the shared banded
+    // frame — literal probe within the plan-literal bound, DataFrame
+    // probe above it; zero signatures (all texts below the shingle
+    // width) gate as clean
+    val sigs = sigRows
+      .limit(Dedup.MaxProbeLiterals + 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(q => (q._1, q._2))
+    val gate0 =
+      if (sigs.isEmpty) noVerdicts
+      else if (sigs.size <= Dedup.MaxProbeLiterals)
+        Dedup.lshProbeStored(spark, lshStorePath, sigs)
+          .filter(col("doc_id") =!= col("qid"))
+          .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"))
+          .distinct()
+      else
+        Dedup.lshProbeStoredDF(spark, lshStorePath, sigRows)
+          .filter(col("doc_id") =!= col("qid"))
+          .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"))
+          .distinct()
+    val gate = gate0.localCheckpoint() // feeds the fold AND the return
+    graft.operators.LabelStore.update(spark, labelPath,
+      b.select(col("doc_id")),
+      Dedup.lshPairsFromBands(banded).select(col("d1"), col("d2"))
+        .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+    idempotentParquetBatch(stagePath)(sigRows, id)
     lshMergeStaged(spark, stagePath, lshStorePath)
     gate
   }
