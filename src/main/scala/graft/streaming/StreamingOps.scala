@@ -959,6 +959,62 @@ object StreamingOps {
     gate
   }
 
+  /** The VECTOR maintenance handler — [[dedupMaintainBatch]]'s
+    * embedding twin (p126's loop as a library call): per micro-batch
+    * of (vec_id, embedding) vectors,
+    *
+    *  1. gate — `Similarity.ivfProbeNearDup` against the live
+    *     [[graft.operators.Similarity.ivfWrite]] layout yields EVERY
+    *     published vector within cosine `tau` (all pairs, not just the
+    *     closest — the label fold needs the full evidence, which is
+    *     why this calls the probe rather than
+    *     [[embeddingDedupGateBatch]]'s closest-match verdict);
+    *  2. within-batch τ-pairs from a batch²-bounded exact-cosine block
+    *     (a micro-batch is model-sized next to the corpus);
+    *  3. fold — `LabelStore.update` (the id-generic union-find step),
+    *     so `LabelStore.weightsFromStore` serves current SemDeDup-soft
+    *     weights;
+    *  4. ingest + merge — staged exactly-once via
+    *     [[ivfIngestBatch]]/[[ivfMergeStaged]], so the next batch's
+    *     probe sees this one.
+    *
+    * At `nProbe = nCells` the fold is EXACT (append-equals-rebuild,
+    * p126's oracle-proved property); smaller widths trade recall per
+    * the p104/p116 dials, and the labels remain a REFINEMENT of the
+    * exact ones (DedupSpec pins it). Returns the gate's (vec_id,
+    * dup_of, cos) pairs for routing. Same contracts as every handler
+    * here: new ids only, serial folds, `cents` frozen at store build.
+    */
+  def vectorDedupMaintainBatch(spark: org.apache.spark.sql.SparkSession,
+                               ivfStorePath: String, labelPath: String,
+                               stagePath: String,
+                               cents: Array[(Int, Seq[Float])],
+                               tau: Double, nProbe: Int = 2)(
+                               batch: DataFrame, id: Long): DataFrame = {
+    import graft.operators.{LabelStore, Similarity}
+    val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
+    def noVerdicts: DataFrame = spark.emptyDataFrame
+      .withColumn("vec_id", lit(0L)).withColumn("dup_of", lit(0L))
+      .withColumn("cos", lit(0.0d))
+      .limit(0)
+    if (b.isEmpty) return noVerdicts
+    val gate = Similarity
+      .ivfProbeNearDup(spark, ivfStorePath, b, cents, tau, nProbe)
+      .select(col("qid").as("vec_id"), col("cid").as("dup_of"), col("cos"))
+      .localCheckpoint() // feeds the fold AND the return
+    val within = b.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .crossJoin(b.select(col("vec_id").as("d2"), col("embedding").as("e2")))
+      .filter(col("d1") < col("d2"))
+      .filter(graft.functions.VectorOps.cosine(col("e1"), col("e2")) >= tau)
+      .select(col("d1"), col("d2"))
+    LabelStore.update(spark, labelPath, b.select(col("vec_id").as("doc_id")),
+      within.union(
+        gate.select(col("vec_id").as("d1"), col("dup_of").as("d2"))))
+    ivfIngestBatch(cents, stagePath)(b, id)
+    ivfMergeStaged(spark, stagePath, ivfStorePath)
+    gate
+  }
+
   /** The composed ADMISSION pipeline — the one `foreachBatch` handler
     * an ingestion deployment copies: chain the frozen-model gates over
     * ONE micro-batch of (doc_id, text) documents and emit a per-

@@ -1515,4 +1515,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       verdicts.toSet.contains((2007L, 1007L)),
       "gate verdicts missing the published/merged matches")
   }
+
+  test("gate-fed VECTOR label store: full-probe maintenance matches from-scratch tau-components") {
+    // the p126 deployment loop driven through the library handler: at
+    // nProbe = nCells the fold is exact, so the maintained weights must
+    // hash-match the from-scratch contraction of the union corpus
+    import graft.operators.{Dedup, LabelStore, Pipeline13, Similarity}
+    import graft.functions.VectorOps
+    implicit val sqlCtx = spark.sqlContext
+    val tau = 0.3
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val pub = emb.filter($"vec_id" < 150L).localCheckpoint()
+    val cents = Similarity.seedCentroids(pub, 8)
+    val store = java.nio.file.Files.createTempDirectory("vlbl_ivf").toString
+    val stage = java.nio.file.Files.createTempDirectory("vlbl_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("vlbl_lbl").toString
+    Similarity.ivfWrite(pub, cents, store)
+    val pubPairs = pub.as("a").crossJoin(pub.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .filter(VectorOps.cosine($"a.embedding", $"b.embedding") >= tau)
+      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"))
+    LabelStore.write(LabelStore.labelsFor(
+      pub.select($"vec_id".as("doc_id")), pubPairs), labels)
+    // arriving waves: re-published copies (1007≈7, 2007≈7 again via the
+    // merged store) + two fresh vectors duplicating each other
+    val vecs = emb.filter($"vec_id".isin(7L, 160L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val payloads = Map(
+      1007L -> vecs(7L), 1160L -> vecs(160L), 1161L -> vecs(160L),
+      2007L -> vecs(7L))
+    val verdicts = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("vec_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withVec = batch.collect().map(_.getLong(0))
+          .map(i => (i, payloads(i))).toSeq.toDF("vec_id", "embedding")
+        verdicts ++= StreamingOps.vectorDedupMaintainBatch(spark, store,
+            labels, stage, cents, tau, nProbe = 8)(withVec, id)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(1007L, 1160L, 1161L)); q.processAllAvailable()
+      ms.addData(Seq(2007L)); q.processAllAvailable()
+    } finally q.stop()
+    val unionVecs = pub.unionByName(payloads.toSeq.toDF("vec_id", "embedding"))
+      .localCheckpoint()
+    val unionPairs = unionVecs.as("a").crossJoin(unionVecs.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .filter(VectorOps.cosine($"a.embedding", $"b.embedding") >= tau)
+      .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"))
+    val want = Pipeline13.softDedupWeightsOf(
+        Dedup.dedupClusters(unionVecs.select($"vec_id".as("doc_id")),
+          "doc_id", unionPairs))
+      .collect().map(_.toSeq).toSet
+    val got = LabelStore.weightsFromStore(spark, labels)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "gate-fed incremental vector weights diverged from from-scratch")
+    val lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(2007L) === lbl(7L) && lbl(1007L) === lbl(7L),
+      "second-wave vector copy did not join the published family")
+    assert(lbl(1161L) === lbl(1160L),
+      "within-batch vector near-dups landed in different clusters")
+    assert(verdicts.toSet.contains((2007L, 7L)) &&
+      verdicts.toSet.contains((2007L, 1007L)),
+      "vector gate verdicts missing the published/merged matches")
+  }
 }
