@@ -70,13 +70,73 @@ object LabelStore {
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
-  /** The layout's bucket count, read back from `_meta`. */
+  /** The layout's bucket count, read back from `_meta` — memoized per
+    * path (the update path is action-latency-bound, and the count is a
+    * write-time constant): the [[IndexStores]] staleness contract —
+    * paths are not reused for different layouts within one JVM.
+    */
+  private val bucketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def bucketsOf(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/_meta").head().getInt(0)
+    bucketsMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(s"$path/_meta").head().getInt(0)).intValue
+
+  /** The update's durable staging directory (sibling of the store). */
+  private def stageDirOf(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path$StageSuffix")
+  private val StageSuffix = "__updstage"
+  /** Marker created only after the stage write commits — the
+    * [[graft.streaming.StreamingOps.idempotentParquetBatch]] own-marker
+    * discipline (survives `marksuccessfuljobs=false`).
+    */
+  private val StagedMarker = "_GRAFT_STAGED"
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fail loudly on a leftover update stage: the store may be
+    * half-rewritten (a crash mid-overwrite), and silently reading or
+    * re-folding over it would compound the damage. [[recover]] heals.
+    */
+  private def requireClean(spark: SparkSession, path: String): Unit = {
+    val stage = stageDirOf(path)
+    require(!fsOf(spark, stage).exists(stage),
+      s"label store $path has a leftover update stage ($stage) from a " +
+        "crashed update — run LabelStore.recover(path) before reading " +
+        "or folding")
+  }
+
+  /** Repair a store whose [[update]] crashed mid-flight. Three cases,
+    * decided by what the crash left behind:
+    *
+    *  - no stage dir → nothing to do (returns false);
+    *  - stage dir WITHOUT the committed marker → the crash happened
+    *    mid-stage-write, so the store itself was never touched: drop
+    *    the stage and the whole (deterministic) update simply re-runs;
+    *  - stage dir WITH the marker → the stage holds the COMPLETE
+    *    intended content of every affected bucket, so re-applying the
+    *    dynamic partition overwrite from it is idempotent whether the
+    *    crash hit before, during or after the original overwrite —
+    *    replay it, then drop the stage.
+    *
+    * DedupSpec kills an update between stage and overwrite and proves
+    * recovery lands content-identical to the uninterrupted update.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val stage = stageDirOf(path)
+    val fs = fsOf(spark, stage)
+    if (!fs.exists(stage)) return false
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, StagedMarker)))
+      applyStage(spark, path, bucketsOf(spark, path))
+    fs.delete(stage, true)
+    true
+  }
 
   /** The live label table, `(doc_id, canonical)`. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    requireClean(spark, path)
     spark.read.parquet(path).select(col("doc_id"), col("canonical"))
+  }
 
   /** p118's sampling weights refreshed FROM THE STORE — one window
     * count on the canonical key over the label table (the registered
@@ -178,11 +238,38 @@ object LabelStore {
     *     new row; dynamic partition overwrite leaves every other
     *     bucket byte-identical.
     *
+    * IDEMPOTENT under at-least-once redelivery (`foreachBatch`'s
+    * contract): batch ids already present in the store keep their
+    * stored row (an anti-join against the affected buckets drops the
+    * replayed copy — the stored label is never older than the replay's
+    * self-label), and replayed evidence contracts to edges the store
+    * already satisfies, so a re-folded batch rewrites its buckets
+    * content-identically instead of appending duplicate conflicting
+    * rows. DedupSpec pins fold∘fold = fold.
+    *
     * Batches must fold serially (one maintenance scheduler), like
     * every staged merge here.
     */
   def update(spark: SparkSession, path: String, batchIds: DataFrame,
              pairs: DataFrame): Unit = {
+    if (stageUpdate(spark, path, batchIds, pairs)) {
+      applyStage(spark, path, bucketsOf(spark, path))
+      val stage = stageDirOf(path)
+      fsOf(spark, stage).delete(stage, true)
+    }
+  }
+
+  /** The read-and-stage half of [[update]]: computes the affected
+    * buckets' complete intended content and lands it DURABLY in the
+    * stage dir (marker after commit), without touching the store.
+    * Returns false when the fold is a no-op (no affected buckets).
+    * Package-visible so the crash-recovery spec can kill an update
+    * exactly between stage and overwrite.
+    */
+  private[graft] def stageUpdate(spark: SparkSession, path: String,
+                                 batchIds: DataFrame,
+                                 pairs: DataFrame): Boolean = {
+    requireClean(spark, path)
     // the layout's OWN bucket count — never a caller-supplied modulus
     // (a mismatch would silently misroute lookups and batch rows)
     val nBuckets = bucketsOf(spark, path)
@@ -255,27 +342,50 @@ object LabelStore {
       batchRows.select(lb.as("lb")).distinct()
         .collect().map(_.getInt(0)).toSet
     val bks = affected.toSeq.sorted
-    if (bks.isEmpty) return
-    val existing = spark.read.parquet(path)
+    if (bks.isEmpty) return false
+    val affectedRows = spark.read.parquet(path)
       .filter(col("lb").isin(bks: _*))
+      .localCheckpoint(eager = false) // feeds the remap AND the anti-join
+    val existing = affectedRows
       .join(broadcast(remap), col("canonical") === col("__old"), "left")
       .select(col("doc_id"),
         coalesce(col("__new"), col("canonical")).as("canonical"))
+    // idempotency anti-join: a replayed batch's ids are already stored
+    // (in their own — affected — buckets, since bucket is a pure id
+    // function), and the STORED row wins: it carries every merge since
+    // the first fold, where the replay's self-label would regress it.
+    // New ids pass through untouched — one broadcast-sized anti-join
+    // (batch-bounded) per fold buys at-least-once safety.
+    val newRows = batchRows
+      .join(affectedRows.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // DURABLE staging before the self-overwrite: the rewritten rows
     // land as files in a sibling stage dir first, and the dynamic
     // partition overwrite reads THOSE — not executor-memory checkpoint
     // blocks whose loss mid-overwrite (lineage truncated, inputs being
     // replaced) would leave the store half-rewritten with no recompute
-    // path. Crash before the overwrite: the store is untouched and the
-    // whole update re-runs (it is deterministic); crash mid-overwrite:
-    // the stage dir still holds the complete intended content of every
-    // affected bucket for repair. The stage is removed on success.
-    val stage = new org.apache.hadoop.fs.Path(s"${path}__updstage")
-    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    existing.unionByName(batchRows)
+    // path. Crash before the marker: the store is untouched and the
+    // whole update re-runs (it is deterministic); crash after it: the
+    // stage holds the complete intended content of every affected
+    // bucket and [[recover]] replays the overwrite. The stage is
+    // removed on success.
+    val stage = stageDirOf(path)
+    val fs = fsOf(spark, stage)
+    existing.unionByName(newRows)
       .write.mode("overwrite").parquet(stage.toString)
-    spark.read.parquet(stage.toString)
-      .withColumn("lb", lb)
+    fs.create(new org.apache.hadoop.fs.Path(stage, StagedMarker), true).close()
+    true
+  }
+
+  /** The overwrite half of [[update]]: replay the staged buckets into
+    * the store via dynamic partition overwrite — deterministic and
+    * idempotent (re-applying an applied stage rewrites the same
+    * buckets with the same bytes), which is what makes [[recover]]
+    * correct at any crash point past the stage marker.
+    */
+  private def applyStage(spark: SparkSession, path: String,
+                         nBuckets: Int): Unit =
+    spark.read.parquet(stageDirOf(path).toString)
+      .withColumn("lb", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
       .repartition(col("lb"))
       .sortWithinPartitions(col("lb"), col("canonical"), col("doc_id"))
       .write.mode("overwrite")
@@ -283,6 +393,4 @@ object LabelStore {
       .partitionBy("lb")
       .option("parquet.block.size", 1 << 20)
       .parquet(path)
-    fs.delete(stage, true)
-  }
 }

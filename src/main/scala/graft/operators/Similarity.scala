@@ -529,6 +529,35 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"))
 
+  /** WITHIN-BATCH τ-pairs by IVF cell blocking — the deployable
+    * spelling of "all pairs of this batch within cosine τ": each
+    * vector's `nProbe` max-cosine cells fan out ([[probeCells]]) and
+    * join the batch's own cell ASSIGNMENT on the cell key, so
+    * candidate pairs are generated per cell instead of as one
+    * cartesian block. At `nProbe = cents.length` (full fan-out) every
+    * pair shares every cell, so the relation is EXACTLY the batch's
+    * τ-pair graph — same total comparison count as a crossJoin but
+    * hash-partitioned across the cluster by cell, which is the
+    * difference between a distributed join and a single cartesian
+    * stage at 100× batch sizes. At partial fan-out it degrades to the
+    * usual IVF recall trade (a pair whose members' cells don't meet is
+    * missed — the p104 dial), mirroring the stored probe's semantics.
+    *
+    * Skew note: at deployment scale nCells is thousands (cells are
+    * sized to the corpus), so the join key is fine-grained; at the toy
+    * cell counts of the fixtures AQE splits the few hot cell keys.
+    */
+  def cellBlockedTauPairs(batch: DataFrame, cents: Array[(Int, Seq[Float])],
+                          tau: Double,
+                          nProbe: Int): DataFrame =
+    assignCells(cents, batch)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .join(probeCells(cents, batch, nProbe), Seq("cell"))
+      .filter(col("qid") < col("cid"))
+      .filter(cosine(col("qe"), col("ce")) >= tau)
+      .select(col("qid").as("d1"), col("cid").as("d2"))
+      .distinct()
+
   /** Per-cell balance report for an IVF model: member count plus the
     * weakest/strongest member affinity (min/max cosine to the assigned
     * centroid). Cell skew is THE operational failure mode of IVF at

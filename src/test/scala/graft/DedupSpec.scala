@@ -291,6 +291,82 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "an update left more than one file in a bucket")
   }
 
+  test("label store: re-folding a delivered batch is a content no-op (at-least-once replay)") {
+    // foreachBatch is at-least-once: a crash after the fold but before
+    // the ingest marker re-delivers the batch, so fold∘fold must equal
+    // fold — the replayed ids anti-join away against their stored rows
+    // instead of appending duplicate conflicting labels
+    import graft.operators.LabelStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lbl_replay").toString
+    val b0 = Seq(10L, 11L, 12L, 20L).toDF("doc_id")
+    LabelStore.write(
+      Dedup.dedupClusters(b0, "doc_id", Seq((10L, 11L)).toDF("d1", "d2")),
+      path)
+    val b1 = Seq(15L, 40L).toDF("doc_id")
+    val p1 = Seq((15L, 11L), (15L, 20L)).toDF("d1", "d2")
+    LabelStore.update(spark, path, b1, p1)
+    def snapshot = LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val once = snapshot
+    LabelStore.update(spark, path, b1, p1) // the replay
+    assert(snapshot === once,
+      "re-folding the same batch changed the store")
+    assert(once.map(_._1).distinct.size === once.size,
+      "replay left duplicate doc_id rows")
+    val w = LabelStore.weightsFromStore(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(w(15L) === 250000L, // {10,11,15,20}
+      "weights corrupted by the replayed fold")
+  }
+
+  test("label store: crash between stage and overwrite recovers to the intended state") {
+    import graft.operators.LabelStore
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_lbl_crash_a").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_lbl_crash_b").toString
+    val b0 = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val p0 = Seq((10L, 11L), (20L, 21L)).toDF("d1", "d2")
+    val init = Dedup.dedupClusters(b0, "doc_id", p0).localCheckpoint()
+    LabelStore.write(init, a)
+    LabelStore.write(init, b)
+    val b1 = Seq(15L, 5L).toDF("doc_id")
+    val p1 = Seq((15L, 11L), (15L, 21L), (5L, 12L)).toDF("d1", "d2")
+    LabelStore.update(spark, a, b1, p1) // the uninterrupted run
+    // store B: stage lands, then the process dies mid-overwrite — one
+    // affected bucket is already gone, others not yet rewritten
+    assert(LabelStore.stageUpdate(spark, b, b1, p1))
+    // doc 20's bucket is affected (its canonical rewrites to the union
+    // minimum) — losing it mid-overwrite is the half-rewritten state
+    val bucket20 = new java.io.File(
+      s"$b/lb=${20L % LabelStore.LabelBuckets}")
+    bucket20.listFiles().foreach(_.delete()); bucket20.delete()
+    // a dirty stage must fail LOUDLY on read and on a new fold — a
+    // half-rewritten store silently read or re-folded compounds the
+    // damage
+    intercept[IllegalArgumentException] { LabelStore.read(spark, b) }
+    intercept[IllegalArgumentException] {
+      LabelStore.update(spark, b, Seq(99L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    }
+    assert(LabelStore.recover(spark, b), "recover found nothing to do")
+    def labels(p: String) = LabelStore.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(labels(b) === labels(a),
+      "recovered store diverged from the uninterrupted update")
+    assert(!LabelStore.recover(spark, b), "second recover was not a no-op")
+    // a stage WITHOUT the committed marker means the crash hit
+    // mid-stage-write: the store was never touched — recover just
+    // drops the stage and the deterministic update re-runs
+    val before = labels(b)
+    val dirtyStage = new java.io.File(s"${b}__updstage")
+    dirtyStage.mkdirs()
+    assert(LabelStore.recover(spark, b))
+    assert(labels(b) === before,
+      "recover of an uncommitted stage changed the store")
+  }
+
   test("stored LSH probe, DataFrame form: matches the literal plan and keeps the band prune") {
     // the no-driver-collect spelling (the verified gate's oversized
     // path): same candidates as the literal probe, band prune intact

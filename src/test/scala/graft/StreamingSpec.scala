@@ -1516,6 +1516,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "gate verdicts missing the published/merged matches")
   }
 
+  test("maintenance handler compaction trigger: sliver files fold to one per band, probe parity holds") {
+    // dedupMaintainBatch consults the file-count trigger after every
+    // merge: with the bound forced low, three appended batches must
+    // leave ONE sorted file per band (not four slivers), the
+    // ingest_batch column must survive (the merge's exactly-once
+    // presence probe), and the maintained weights must still match the
+    // from-scratch contraction — compaction swaps are content-neutral
+    import graft.operators.{Dedup, LabelStore, Pipeline13}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val pub = docs.filter($"doc_id" < 300L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("cmp_lsh").toString
+    val stage = java.nio.file.Files.createTempDirectory("cmp_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("cmp_lbl").toString
+    Engine.lshStoreWrite(pub, "doc_id", "text", store)
+    LabelStore.write(
+      Dedup.dedupClusters(pub, "doc_id",
+        Dedup.minhashLshPairs(pub, "doc_id", "text")), labels)
+    val texts = docs.filter($"doc_id".isin(7L, 23L, 42L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val waves = Seq(
+      Seq(1007L -> texts(7L)),          // dup of a published doc
+      Seq(1023L -> texts(23L)),
+      Seq(1042L -> texts(42L), 1043L -> texts(42L))) // within-batch pair
+    waves.zipWithIndex.foreach { case (w, id) =>
+      StreamingOps.dedupMaintainBatch(spark, store, labels, stage,
+        compactMaxFiles = 1)(w.toDF("doc_id", "text"), id.toLong)
+        .collect()
+    }
+    val bands = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bands.nonEmpty && bands.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "trigger did not fold the appended slivers to one file per band")
+    assert(spark.read.parquet(store).columns.contains("ingest_batch"),
+      "compaction dropped the merge's presence-probe column")
+    val unionDocs = pub.unionByName(
+      waves.flatten.toDF("doc_id", "text"))
+    val want = Pipeline13.softDedupWeightsOf(
+        Dedup.dedupClusters(unionDocs, "doc_id",
+          Dedup.minhashLshPairs(unionDocs, "doc_id", "text")))
+      .collect().map(_.toSeq).toSet
+    val got = LabelStore.weightsFromStore(spark, labels)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "weights diverged once the compaction trigger was in the loop")
+    // and the compacted store still answers the gate: a fresh copy of
+    // doc 7 must hit both the original and its first-wave twin
+    val verdicts = StreamingOps.textDedupGateBatch(spark, store)(
+        Seq(2007L -> texts(7L)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verdicts.contains((2007L, 7L)) && verdicts.contains((2007L, 1007L)),
+      "probe over the compacted store lost stored signatures")
+  }
+
   test("gate-fed VECTOR label store: full-probe maintenance matches from-scratch tau-components") {
     // the p126 deployment loop driven through the library handler: at
     // nProbe = nCells the fold is exact, so the maintained weights must
