@@ -735,6 +735,94 @@ object Multimodal {
     }
   }
 
+  /** [[frameProbeStored]] with the query side kept a DATAFRAME end to
+    * end — the no-driver-collect spelling for probe batches too large
+    * for the literal plan (the `Dedup.lshProbeStoredDF` discipline on
+    * the perceptual store): the query hashes band-explode to four
+    * (band_i, band_v) rows each and ride a broadcast equi-join against
+    * the store scan. Identical candidate semantics to the literal
+    * path; the partition prune is moot here because a banded query
+    * touches all four band partitions by construction — what the DF
+    * form trades away is only the pushed `band_v IN` row-group skip,
+    * exactly the literal path's own above-bound fallback.
+    */
+  def frameProbeStoredDF(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         maxHamming: Int = 3): DataFrame = {
+    val q = queries.select(col("qid"), col("qhash"))
+      .withColumn("band_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_v", expr("shiftright(qhash, 15 * band_i) & 32767"))
+    val ham = bit_count(col("qhash").bitwiseXOR(col("fhash")))
+    spark.read.parquet(path)
+      .join(broadcast(q), Seq("band_i", "band_v"))
+      .filter(ham <= maxHamming)
+      .select(col("qid"), col("doc_id"), col("frame"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+  }
+
+  /** TEMPORAL NEAR-DUP pairs of a decoded batch AGAINST a stored
+    * [[frameStoreWrite]] layout — p90's equal-length aligned-frame
+    * relation (same frame count, every aligned frame within Hamming ≤
+    * `maxHamming`) answered batch-vs-store instead of self-join: the
+    * evidence feed that keeps p91's clip-cluster labels live under
+    * ingestion (the video member of the published-corpus gate family;
+    * [[clipContainment]]'s gate handles the unequal-length trims).
+    *
+    * Read path: frame-0 anchors probe the banded store via the
+    * DataFrame-form probe (no driver collect — a maintenance batch has
+    * no size bound), candidates keep only stored frame-0 hits (the
+    * equal-length relation pins offset 0), and verification joins the
+    * candidates' stored frames (one band partition, candidate ids
+    * broadcast) against the batch frames position by position —
+    * equal length enforced, max aligned distance exact. Lossless at
+    * radius ≤ 3 by the banding pigeonhole on frame 0.
+    *
+    * `frames` is a decoded `(doc_id, frame, n_frames, fhash)` table
+    * (pass a checkpointed one — it feeds the anchor probe and the
+    * verify join). Emits (doc_id, dup_of, max_hamming).
+    */
+  def videoNearDupStored(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String, frames: DataFrame,
+                         maxHamming: Int = 3): DataFrame = {
+    val anchors = frames.filter(col("frame") === 0)
+      .select(col("doc_id").as("qid"), col("fhash").as("qhash"))
+    val cand = frameProbeStoredDF(spark, storePath, anchors, maxHamming)
+      .filter(col("frame") === 0)
+      // defensive: arriving ids are new by the ingest contract, but a
+      // violated contract must not report a clip duplicating itself
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("did"))
+    val candDocs = cand.select(col("did")).distinct()
+    // stored frames of candidate docs only: one band partition, each
+    // frame once, candidate ids broadcast (banding-sparse)
+    val sfc = spark.read.parquet(storePath)
+      .filter(col("band_i") === 0)
+      .select(col("doc_id").as("did"), col("frame"), col("fhash").as("h2"))
+      .join(broadcast(candDocs), Seq("did"))
+    val nfl = sfc.groupBy(col("did")).agg((max(col("frame")) + 1).as("nfl"))
+    val qn = frames.select(col("doc_id").as("qid"),
+      col("n_frames").as("nfs")).distinct()
+    val qf = frames.select(col("doc_id").as("qid"), col("frame"),
+      col("fhash").as("h1"))
+    cand
+      // qn/qf are BATCH-sized (corpus-order at the registered entry's
+      // slices) — plain joins AQE sizes; only the banding-sparse
+      // candidate side broadcasts
+      .join(qn, Seq("qid"))
+      .join(broadcast(nfl), Seq("did"))
+      .filter(col("nfs") === col("nfl"))
+      .join(qf, Seq("qid"))
+      .join(sfc, Seq("did", "frame"))
+      .groupBy(col("qid"), col("did"), col("nfs"))
+      .agg(count(lit(1)).as("n_aligned"),
+        max(bit_count(col("h1").bitwiseXOR(col("h2")))).as("mh"))
+      .filter(col("n_aligned") === col("nfs") && col("mh") <= maxHamming)
+      .select(col("qid").as("doc_id"), col("did").as("dup_of"),
+        col("mh").cast("int").as("max_hamming"))
+      .distinct()
+  }
+
   /** Stored AUDIO probe: [[frameProbeStored]] under the audio store's
     * (seg → frame, sfp → fhash) isomorphism — THE one definition of
     * the column mapping back, shared by `Engine.audioProbeStored` and

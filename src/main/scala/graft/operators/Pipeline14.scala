@@ -227,13 +227,14 @@ object Pipeline14 {
     * under /tmp. The eager checkpoint lifts the label-table-sized
     * output into block storage before the directories go.
     */
-  private def cleanupAfter(result: DataFrame, dirs: String*): DataFrame = {
+  private[operators] def cleanupAfter(result: DataFrame,
+                                      dirs: String*): DataFrame = {
     val out = result.localCheckpoint()
     deleteDirs(out.sparkSession, dirs: _*)
     out
   }
 
-  private def deleteDirs(s: SparkSession, dirs: String*): Unit = {
+  private[operators] def deleteDirs(s: SparkSession, dirs: String*): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     dirs.foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)

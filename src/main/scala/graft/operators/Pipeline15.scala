@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 15: incremental label/weight maintenance
+  * extended to the remaining two modalities — VIDEO clip-cluster
+  * labels (p127) and AUDIO fingerprint-cluster labels (p128) kept live
+  * through the id-generic [[LabelStore]], exactly as p123 (text) and
+  * p126 (vectors) already are, plus the end-to-end incremental RELEASE
+  * refresh (p129: ingest → live weights → epoch sample in one chain).
+  * After this batch, every decoded modality's dedup state survives
+  * ingestion without a from-scratch recluster: the gate verdicts that
+  * admission already computes double as the label store's evidence
+  * feed.
+  */
+object Pipeline15 {
+
+  /** Ingestion batches of the registered incremental entries — the
+    * p123/p126 slice discipline (`doc_id mod 3` interleaves ids, so
+    * canonical minima routinely arrive AFTER other members and the
+    * component-rewrite path is exercised).
+    */
+  private val IncBatches = 3
+
+  /** p127: INCREMENTAL video clip-cluster weights — p91's temporal
+    * dedup labels (and their p118 soft-dedup weights) kept LIVE as
+    * clip batches arrive, instead of re-running the decode → pair →
+    * contraction pipeline per refresh (what p125 still pays today).
+    * Per batch: ONE decode (the codec boundary) feeds the within-batch
+    * temporal pairs ([[Multimodal.videoNearDupPairs]] — p90's own
+    * banded device) AND the published-corpus gate
+    * ([[Multimodal.videoNearDupStored]]: frame-0 anchors probe the
+    * live banded frame store, equal-length aligned verify — lossless
+    * at radius 3), and [[LabelStore.update]] folds both with one
+    * union-find step on the affected components; the batch's banded
+    * frames then append into the store so the next batch's probe sees
+    * them.
+    *
+    * The oracle is p91's from-scratch relation + closure under p118's
+    * weight window — hash-matching it is the append-equals-rebuild
+    * proof for the video modality (the evidence union over batches IS
+    * the full p90 relation: within-batch pairs cover same-slice pairs,
+    * the gate covers batch-to-published, and banding is lossless at
+    * the radius).
+    *
+    * Scale shape: per batch one decode pass (map-side, signatures not
+    * blobs in every shuffle), one banded within-batch pair stage, one
+    * anchor probe + candidate-bounded aligned verify against the
+    * store, the evidence-bounded label fold, and a band-partitioned
+    * append — the published corpus is never re-decoded, which is the
+    * point: the from-scratch alternative repays the full decode +
+    * pair + contraction per refresh.
+    */
+  def incrementalVideoLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val labelPath = java.nio.file.Files
+      .createTempDirectory("graft_incvid_labels_").toString
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_incvid_frames_").toString
+    Pipeline14.withScratch(s, labelPath, storePath) {
+      for (i <- 0 until IncBatches) {
+        val batch = docs
+          .filter(pmod(col("doc_id"), lit(IncBatches.toLong)) === i.toLong)
+        // ONE decode per batch, three consumers: within-batch pairs,
+        // the stored gate, and the banded store rows
+        val frames = Multimodal
+          .decodeVideoFrames(Multimodal.attachVideo(batch))
+          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+          .localCheckpoint()
+        val within = Multimodal.videoNearDupPairs(frames, maxHamming = 3)
+          .select(col("d1"), col("d2"))
+        val bandRows = Multimodal.bandFrames(
+          frames.select(col("doc_id"), col("frame"), col("fhash")))
+        if (i == 0) {
+          LabelStore.write(
+            LabelStore.labelsFor(batch.select(col("doc_id")), within),
+            labelPath)
+          Multimodal.frameStoreWrite(
+            frames.select(col("doc_id"), col("frame"), col("fhash")),
+            storePath)
+        } else {
+          val cross = Multimodal
+            .videoNearDupStored(s, storePath, frames, maxHamming = 3)
+            .select(col("doc_id").as("d1"), col("dup_of").as("d2"))
+          LabelStore.update(s, labelPath, batch.select(col("doc_id")),
+            within.union(cross))
+          graft.sources.Partitioned.appendBy(
+            bandRows.withColumn("ingest_batch", lit(i.toLong)),
+            storePath, "band_i")
+        }
+      }
+      Pipeline14.cleanupAfter(
+        LabelStore.weightsFromStore(s, labelPath).orderBy(col("doc_id")),
+        labelPath, storePath)
+    }
+  }
+
+  /** p127 oracle: p91's from-scratch label CTEs (the full all-pairs
+    * relation + recursive closure, reused verbatim) under p118's
+    * weight device — the append-equals-rebuild differential for the
+    * video modality.
+    */
+  val incrementalVideoLabelsOracle: String =
+    s"""WITH RECURSIVE ${Pipeline10.videoClusterLabelCtes},
+       |sz AS (SELECT canonical, count(*) AS cluster_size
+       |       FROM lab GROUP BY canonical)
+       |SELECT l.doc_id, l.canonical,
+       |       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+       |FROM lab l JOIN sz s USING (canonical)
+       |ORDER BY doc_id""".stripMargin
+
+  /** p128: INCREMENTAL audio fingerprint-cluster weights — p79's
+    * whole-track near-dup relation (Hamming ≤ 3 on the 60-bit profile
+    * fingerprint) resolved to live cluster labels and p118 weights
+    * under ingestion. The track fingerprint store is the
+    * [[Multimodal.frameStoreWrite]] banded layout over one-frame
+    * "clips" `(doc_id, 0, afp)` — the 60-bit fingerprint was sized for
+    * the 4×15 banding exactly so this store family carries it
+    * unchanged — and the gate is the DataFrame-form stored probe
+    * ([[Multimodal.frameProbeStoredDF]]): no alignment stage, because
+    * a track's fingerprint IS its signature. Within-batch pairs come
+    * from p79's own banded device. Same fold, same
+    * append-equals-rebuild oracle discipline as p123/p126/p127.
+    *
+    * Scale shape: per batch one RIFF/PCM decode pass (features out,
+    * never waveforms), one banded self-pair stage, one broadcast
+    * banded probe against the band-pruned store, the evidence-bounded
+    * fold, and a 4-row-per-track append.
+    */
+  def incrementalAudioLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val labelPath = java.nio.file.Files
+      .createTempDirectory("graft_incaud_labels_").toString
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_incaud_fps_").toString
+    Pipeline14.withScratch(s, labelPath, storePath) {
+      for (i <- 0 until IncBatches) {
+        val batch = docs
+          .filter(pmod(col("doc_id"), lit(IncBatches.toLong)) === i.toLong)
+        // ONE decode per batch: the fingerprint rows feed the
+        // within-batch pairs, the gate probe and the store append
+        val fps = Multimodal.decodeWave(Multimodal.attachWave(batch))
+          .select(col("doc_id"), col("afp"))
+          .localCheckpoint()
+        val within = Multimodal.perceptualNearDupPairs(
+            fps.select(col("doc_id"), col("afp").as("dhash")),
+            maxHamming = 3)
+          .select(col("d1"), col("d2"))
+        val storeRows = fps.select(col("doc_id"), lit(0).as("frame"),
+          col("afp").as("fhash"))
+        if (i == 0) {
+          LabelStore.write(
+            LabelStore.labelsFor(batch.select(col("doc_id")), within),
+            labelPath)
+          Multimodal.frameStoreWrite(storeRows, storePath)
+        } else {
+          val cross = Multimodal.frameProbeStoredDF(s, storePath,
+              fps.select(col("doc_id").as("qid"), col("afp").as("qhash")),
+              maxHamming = 3)
+            // arriving ids are new by the slice construction; the
+            // defensive self-hit filter is the shared gate discipline
+            .filter(col("doc_id") =!= col("qid"))
+            .select(col("qid").as("d1"), col("doc_id").as("d2"))
+          LabelStore.update(s, labelPath, batch.select(col("doc_id")),
+            within.union(cross))
+          graft.sources.Partitioned.appendBy(
+            Multimodal.bandFrames(storeRows)
+              .withColumn("ingest_batch", lit(i.toLong)),
+            storePath, "band_i")
+        }
+      }
+      Pipeline14.cleanupAfter(
+        LabelStore.weightsFromStore(s, labelPath).orderBy(col("doc_id")),
+        labelPath, storePath)
+    }
+  }
+
+  /** p128 oracle: p79's all-pairs fingerprint relation (re-derived
+    * from the generator formula, the audio oracle discipline) +
+    * recursive closure to min labels over every document + the p118
+    * weight window.
+    */
+  val incrementalAudioLabelsOracle: String =
+    s"""WITH RECURSIVE ${Pipeline8.waveDocsCte},
+       |${Pipeline8.waveSampleCte},
+       |${Pipeline8.waveFpCtes},
+       |ap AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+       |e AS (SELECT d1 AS a, d2 AS b FROM ap UNION SELECT d2, d1 FROM ap),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+       |           AS canonical
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |sz AS (SELECT canonical, count(*) AS cluster_size
+       |       FROM lab GROUP BY canonical)
+       |SELECT l.doc_id, l.canonical,
+       |       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+       |FROM lab l JOIN sz s USING (canonical)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Epoch count of the registered p129 sample — p120's grid, so the
+    * chained oracle reuses its draw CTE shape verbatim.
+    */
+  private val RefreshEpochs = 4
+
+  /** p129: the END-TO-END incremental RELEASE refresh — the missing
+    * composition proof: ingest (p123's fold loop) → LIVE weights
+    * ([[LabelStore.weightsFromStore]], label table only) → the epoch
+    * sampling realization (p120's deterministic md5 draw) in ONE
+    * chain, with no corpus rescan anywhere downstream of the fold.
+    * This is the between-releases loop a deployment actually runs:
+    * documents arrive, the label store folds their gate verdicts, and
+    * the next training epoch draws from weights that are already
+    * current.
+    *
+    * The label/LSH stores build ONCE per JVM per dataset (the
+    * [[IndexStores]] memo): p123 already prices the fold itself per
+    * rep — this entry prices the downstream refresh against a LIVE
+    * store, which at deployment is exactly an epoch draw against
+    * state the maintenance handlers keep current.
+    *
+    * Oracle: p120's VERBATIM (from-scratch labels → weights → draws) —
+    * the incremental chain must land bit-identically on the
+    * from-scratch release sample.
+    */
+  def incrementalReleaseRefresh(s: SparkSession, d: String): DataFrame = {
+    val labelPath = IndexStores.of("inc_label_store", d) { p =>
+      val lshPath = java.nio.file.Files
+        .createTempDirectory("graft_increl_lsh_").toString
+      Pipeline14.withScratch(s, p, lshPath) {
+        Pipeline14.foldIncrementalLabels(s, d, p, lshPath)
+        // only the label store is memoized: the signature store served
+        // the fold's gates and would otherwise outlive its use
+        Pipeline14.deleteDirs(s, lshPath)
+      }
+    }
+    Pipeline13.softDedupSampleOf(
+        LabelStore.weightsFromStore(s, labelPath), RefreshEpochs)
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p127_incremental_video_labels" -> (incrementalVideoLabels _),
+    "p128_incremental_audio_labels" -> (incrementalAudioLabels _),
+    "p129_incremental_release" -> (incrementalReleaseRefresh _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p127_incremental_video_labels" -> incrementalVideoLabelsOracle,
+    "p128_incremental_audio_labels" -> incrementalAudioLabelsOracle,
+    // p120's from-scratch oracle VERBATIM — the append-equals-rebuild
+    // differential extended through the downstream release draw
+    "p129_incremental_release" -> Pipeline13.softDedupSampleOracle,
+  )
+}

@@ -1088,6 +1088,107 @@ object StreamingOps {
     gate
   }
 
+  /** The VIDEO maintenance handler — [[dedupMaintainBatch]]'s clip
+    * twin (p127's loop as a library call): per micro-batch of decoded
+    * clips,
+    *
+    *  1. gate — [[graft.operators.Multimodal.videoNearDupStored]]
+    *     probes the live banded frame store for published equal-length
+    *     temporal near-dups (p90's relation, batch vs store);
+    *  2. within-batch pairs from p90's own banded device;
+    *  3. fold — `LabelStore.update`, so p91's clip-cluster labels and
+    *     their p118/p125 weights stay current with no re-decode of the
+    *     published corpus;
+    *  4. ingest + merge — the batch's banded frame signatures land
+    *     exactly-once via the staged [[frameIngestBatch]] shape and
+    *     fold with [[frameMergeStaged]]; the file-count trigger
+    *     compacts with `frameStoreCompact` when slivers accumulate.
+    *
+    * ONE decode per batch feeds all four stages. `batch` carries the
+    * raw video payloads (the [[frameIngestBatch]] contract); same
+    * shared contracts as every handler here: new ids only, serial
+    * folds, redelivery-safe via the committed marker + the label
+    * store's own anti-join.
+    */
+  def videoMaintainBatch(spark: org.apache.spark.sql.SparkSession,
+                         frameStorePath: String, labelPath: String,
+                         stagePath: String, maxHamming: Int = 3,
+                         compactMaxFiles: Int = DefaultCompactMaxFiles)(
+                         batch: DataFrame, id: Long): DataFrame = {
+    import graft.operators.{LabelStore, Multimodal}
+    def noVerdicts: DataFrame = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+      .withColumn("max_hamming", lit(0))
+      .limit(0)
+    val frames = Multimodal.decodeVideoFrames(batch)
+      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+      .localCheckpoint() // ONE decode: gate + within pairs + ingest
+    if (frames.isEmpty) return noVerdicts
+    val gate = Multimodal
+      .videoNearDupStored(spark, frameStorePath, frames, maxHamming)
+      .localCheckpoint() // feeds the fold AND the return
+    if (!batchCommitted(spark, stagePath, id))
+      LabelStore.update(spark, labelPath,
+        frames.select(col("doc_id")).distinct(),
+        Multimodal.videoNearDupPairs(frames, maxHamming)
+          .select(col("d1"), col("d2"))
+          .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+    idempotentParquetBatch(stagePath)(
+      Multimodal.bandFrames(
+        frames.select(col("doc_id"), col("frame"), col("fhash"))), id)
+    frameMergeStaged(spark, stagePath, frameStorePath)
+    compactIfDue(spark, frameStorePath, "band_i", compactMaxFiles)(
+      (src, dst) => Multimodal.frameStoreCompact(spark, src, dst))
+    gate
+  }
+
+  /** The AUDIO maintenance handler — the fourth modality of the
+    * family (p128's loop as a library call): per micro-batch of raw
+    * tracks, decode ONCE to the 60-bit profile fingerprint, gate
+    * against the live track-fingerprint store (the banded
+    * `frameStoreWrite` layout over one-frame `(doc_id, 0, afp)` rows —
+    * no alignment stage, a track's fingerprint IS its signature),
+    * fold within-batch + gate pairs into the label store, then
+    * staged-ingest the banded fingerprint rows. Keeps p79's cluster
+    * state (and its weights) live with no re-decode of the published
+    * corpus. Shared handler contracts throughout.
+    */
+  def audioMaintainBatch(spark: org.apache.spark.sql.SparkSession,
+                         fpStorePath: String, labelPath: String,
+                         stagePath: String, maxHamming: Int = 3,
+                         compactMaxFiles: Int = DefaultCompactMaxFiles)(
+                         batch: DataFrame, id: Long): DataFrame = {
+    import graft.operators.{LabelStore, Multimodal}
+    def noVerdicts: DataFrame = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+      .withColumn("hamming", lit(0))
+      .limit(0)
+    val fps = Multimodal.decodeWave(batch)
+      .select(col("doc_id"), col("afp"))
+      .localCheckpoint() // ONE decode: gate + within pairs + ingest
+    if (fps.isEmpty) return noVerdicts
+    val gate = Multimodal.frameProbeStoredDF(spark, fpStorePath,
+        fps.select(col("doc_id").as("qid"), col("afp").as("qhash")),
+        maxHamming)
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"),
+        col("hamming"))
+      .localCheckpoint() // feeds the fold AND the return
+    if (!batchCommitted(spark, stagePath, id))
+      LabelStore.update(spark, labelPath, fps.select(col("doc_id")),
+        Multimodal.perceptualNearDupPairs(
+            fps.select(col("doc_id"), col("afp").as("dhash")), maxHamming)
+          .select(col("d1"), col("d2"))
+          .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+    idempotentParquetBatch(stagePath)(
+      Multimodal.bandFrames(fps.select(col("doc_id"),
+        lit(0).as("frame"), col("afp").as("fhash"))), id)
+    frameMergeStaged(spark, stagePath, fpStorePath)
+    compactIfDue(spark, fpStorePath, "band_i", compactMaxFiles)(
+      (src, dst) => Multimodal.frameStoreCompact(spark, src, dst))
+    gate
+  }
+
   /** The composed ADMISSION pipeline — the one `foreachBatch` handler
     * an ingestion deployment copies: chain the frozen-model gates over
     * ONE micro-batch of (doc_id, text) documents and emit a per-

@@ -24,11 +24,12 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline7.queries, operators.Pipeline8.queries,
       operators.Pipeline9.queries, operators.Pipeline10.queries,
       operators.Pipeline11.queries, operators.Pipeline12.queries,
-      operators.Pipeline13.queries, operators.Pipeline14.queries)
+      operators.Pipeline13.queries, operators.Pipeline14.queries,
+      operators.Pipeline15.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 200,
-      "registered-query surface shrank below the round-11 ledger")
+    assert(SparkEntry.queries.size >= 204,
+      "registered-query surface shrank below the round-12 ledger")
   }
 
   test("rows-only queries (no oracle) are the documented exceptions only") {

@@ -1516,6 +1516,102 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "gate verdicts missing the published/merged matches")
   }
 
+  test("gate-fed VIDEO label store: clip maintenance matches the from-scratch p91 contraction") {
+    // the p127 loop through the library handler: per batch ONE decode
+    // feeds the stored gate, the within-batch pairs and the staged
+    // frame ingest; after two waves the maintained weights must match
+    // the from-scratch p90-relation contraction of the union corpus.
+    // Fixture geometry: ids congruent mod 160 render byte-identical
+    // clips, so 310/470 pair WITHIN a batch, both hit published 150,
+    // and 630 must hit 470 only through the MERGED store
+    import graft.operators.{Dedup, LabelStore, Multimodal, Pipeline13}
+    val pubIds = spark.range(0, 300).select($"id".as("doc_id"))
+    val store = java.nio.file.Files.createTempDirectory("vid_frames").toString
+    val stage = java.nio.file.Files.createTempDirectory("vid_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("vid_lbl").toString
+    def framesOf(ids: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeVideoFrames(Multimodal.attachVideo(ids))
+        .select($"doc_id", $"frame", $"n_frames", $"fhash")
+    val pubFrames = framesOf(pubIds).localCheckpoint()
+    Multimodal.frameStoreWrite(
+      pubFrames.select($"doc_id", $"frame", $"fhash"), store)
+    LabelStore.write(
+      Dedup.dedupClusters(pubIds, "doc_id",
+        Multimodal.videoNearDupPairs(pubFrames, 3).select($"d1", $"d2")),
+      labels)
+    val waves = Seq(Seq(310L, 470L), Seq(630L))
+    val verdicts = collection.mutable.Set.empty[(Long, Long)]
+    waves.zipWithIndex.foreach { case (ids, i) =>
+      verdicts ++= StreamingOps.videoMaintainBatch(spark, store, labels,
+          stage)(
+          Multimodal.attachVideo(ids.toDF("doc_id")), i.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val unionIds = pubIds.union(waves.flatten.toDF("doc_id"))
+      .localCheckpoint()
+    val want = Pipeline13.softDedupWeightsOf(
+        Dedup.dedupClusters(unionIds, "doc_id",
+          Multimodal.videoNearDupPairs(framesOf(unionIds), 3)
+            .select($"d1", $"d2")))
+      .collect().map(_.toSeq).toSet
+    val got = LabelStore.weightsFromStore(spark, labels)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "gate-fed incremental video weights diverged from from-scratch p91")
+    val lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(470L) === lbl(150L) && lbl(310L) === lbl(150L) &&
+      lbl(630L) === lbl(150L),
+      "clip copies did not join the published family")
+    assert(verdicts.contains((630L, 470L)),
+      "second-wave clip missed the first-wave twin through the merged store")
+    assert(verdicts.contains((310L, 150L)),
+      "arriving clip missed its published twin")
+  }
+
+  test("gate-fed AUDIO label store: fingerprint maintenance matches the from-scratch p79 contraction") {
+    // the p128 loop through the library handler — same fixture
+    // congruence (ids mod 160 share byte-identical audio), same
+    // merged-store visibility requirement for the second wave
+    import graft.operators.{Dedup, LabelStore, Multimodal, Pipeline13}
+    val pubIds = spark.range(0, 300).select($"id".as("doc_id"))
+    val store = java.nio.file.Files.createTempDirectory("aud_fps").toString
+    val stage = java.nio.file.Files.createTempDirectory("aud_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("aud_lbl").toString
+    def fpsOf(ids: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeWave(Multimodal.attachWave(ids))
+        .select($"doc_id", $"afp")
+    def pairsOf(fps: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualNearDupPairs(
+          fps.select($"doc_id", $"afp".as("dhash")), 3)
+        .select($"d1", $"d2")
+    val pubFps = fpsOf(pubIds).localCheckpoint()
+    Multimodal.frameStoreWrite(
+      pubFps.select($"doc_id", lit(0).as("frame"), $"afp".as("fhash")),
+      store)
+    LabelStore.write(
+      Dedup.dedupClusters(pubIds, "doc_id", pairsOf(pubFps)), labels)
+    val waves = Seq(Seq(310L, 470L), Seq(630L))
+    val verdicts = collection.mutable.Set.empty[(Long, Long)]
+    waves.zipWithIndex.foreach { case (ids, i) =>
+      verdicts ++= StreamingOps.audioMaintainBatch(spark, store, labels,
+          stage)(
+          Multimodal.attachWave(ids.toDF("doc_id")), i.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val unionIds = pubIds.union(waves.flatten.toDF("doc_id"))
+      .localCheckpoint()
+    val want = Pipeline13.softDedupWeightsOf(
+        Dedup.dedupClusters(unionIds, "doc_id", pairsOf(fpsOf(unionIds))))
+      .collect().map(_.toSeq).toSet
+    val got = LabelStore.weightsFromStore(spark, labels)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "gate-fed incremental audio weights diverged from from-scratch p79")
+    assert(verdicts.contains((630L, 470L)),
+      "second-wave track missed the first-wave twin through the merged store")
+  }
+
   test("maintenance handler compaction trigger: sliver files fold to one per band, probe parity holds") {
     // dedupMaintainBatch consults the file-count trigger after every
     // merge: with the bound forced low, three appended batches must
