@@ -445,4 +445,61 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"frozen training bought no stored-probe recall: seed=$seed trained=$trained")
     assert(trained >= 0.7, s"trained recall too low: $trained (seed=$seed)")
   }
+
+  test("frozen Lloyd rounds sweep: recall plateaus past the knee (what a deployment reads before paying for training)") {
+    // the p124 curve extended over the training-rounds axis on the
+    // clustered fixture: recall climbs from the adversarial one-cluster
+    // seed and PLATEAUS — extra rounds past the knee re-balance cells
+    // without buying recall, so a deployment budgets rounds by this
+    // sweep, not by faith. Deterministic end to end (frozen integer
+    // means, seeded fixture), so exact inequalities are safe to pin.
+    val queries = corpus.filter($"vec_id" % 10 === 0L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallAt(rounds: Int): Double = {
+      val cents = Similarity.trainIvfCentroidsFrozen(corpus, 10, rounds)
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_sweep_ivf_$rounds").toString
+      Similarity.ivfWrite(corpus, cents, store)
+      val approx = Similarity
+        .ivfTopKStored(spark, store, queries, cents, 5, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r = Seq(1, 2, 4).map(n => n -> recallAt(n)).toMap
+    assert(r(1) <= r(2) + 1e-9 && r(2) <= r(4) + 1e-9,
+      s"recall regressed with more rounds: $r")
+    assert(r(4) <= r(2) + 0.1,
+      s"no plateau by round 2 — the knee moved, re-derive the budget: $r")
+    assert(r(2) >= 0.7, s"post-knee recall too low: $r")
+  }
+
+  test("cell-blocked within-batch tau-pairs: exact at full fan-out, subset at partial, never a cartesian") {
+    // the p126 within-batch device: at nProbe = nCells every pair
+    // shares a cell, so the blocked relation must equal the all-pairs
+    // tau-relation exactly; at partial fan-out it may only SHRINK (the
+    // refinement the maintenance loop relies on); and the plan must
+    // carry no cartesian stage — that is the whole point of blocking
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val cents = Similarity.seedCentroids(emb, 8)
+    val tau = 0.3
+    val blocked = Similarity.cellBlockedTauPairs(emb, cents, tau, nProbe = 8)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .filter(VectorOps.cosine($"a.embedding", $"b.embedding") >= tau)
+      .select($"a.vec_id", $"b.vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got === want,
+      "full fan-out cell blocking diverged from the exact tau-relation")
+    val partial = Similarity.cellBlockedTauPairs(emb, cents, tau, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.subsetOf(got),
+      "partial fan-out invented pairs the exact relation lacks")
+    val p = blocked.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cell-blocked pair generation degraded to an unblocked cartesian")
+  }
 }

@@ -18,8 +18,24 @@ import sys
 def load_bench(path):
     """Find the graft.Bench output line (possibly prefixed by sbt's
     [info]) and parse its JSON; a per-line scan keyed on the contract's
-    own fields, so stray braces elsewhere in a log can't mislead it."""
-    for line in open(path):
+    own fields, so stray braces elsewhere in a log can't mislead it.
+
+    Accepts the raw Bench/sbt log AND the driver's BENCH_rNN.json
+    wrapper ({"tail": "<escaped log>", ...}): when the whole file
+    parses as a JSON object carrying a string "tail", the scan runs
+    over the unescaped tail's lines — the wrapper keeps only the last
+    chunk of stdout, which is exactly why Bench emits the compact
+    one-line artifact last."""
+    text = open(path).read()
+    try:
+        whole = json.loads(text)
+        if isinstance(whole, dict) and isinstance(whole.get("tail"), str):
+            text = whole["tail"]
+        elif isinstance(whole, dict) and "queries" in whole:
+            return whole["queries"]
+    except ValueError:
+        pass
+    for line in text.splitlines():
         if '"queries"' not in line:
             continue
         try:
