@@ -132,6 +132,20 @@ object LabelStore {
     true
   }
 
+  /** [[recover]] then [[update]] — the maintenance handlers' spelling:
+    * a fold that died mid-overwrite must not wedge every later
+    * delivery behind the fail-loud dirty-stage check when the staged
+    * content IS the exact intended store state; healing first is the
+    * operational contract (folds are serial, so the stage can only be
+    * this store's own previous update). Direct [[update]] keeps the
+    * fail-loud behavior for callers that want to inspect first.
+    */
+  def recoverAndUpdate(spark: SparkSession, path: String,
+                       batchIds: DataFrame, pairs: DataFrame): Unit = {
+    recover(spark, path)
+    update(spark, path, batchIds, pairs)
+  }
+
   /** The live label table, `(doc_id, canonical)`. */
   def read(spark: SparkSession, path: String): DataFrame = {
     requireClean(spark, path)

@@ -54,47 +54,102 @@ object Pipeline15 {
     * pair + contraction per refresh.
     */
   def incrementalVideoLabels(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
     val labelPath = java.nio.file.Files
       .createTempDirectory("graft_incvid_labels_").toString
     val storePath = java.nio.file.Files
       .createTempDirectory("graft_incvid_frames_").toString
     Pipeline14.withScratch(s, labelPath, storePath) {
-      for (i <- 0 until IncBatches) {
-        val batch = docs
-          .filter(pmod(col("doc_id"), lit(IncBatches.toLong)) === i.toLong)
-        // ONE decode per batch, three consumers: within-batch pairs,
-        // the stored gate, and the banded store rows
-        val frames = Multimodal
-          .decodeVideoFrames(Multimodal.attachVideo(batch))
-          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
-          .localCheckpoint()
-        val within = Multimodal.videoNearDupPairs(frames, maxHamming = 3)
-          .select(col("d1"), col("d2"))
-        val bandRows = Multimodal.bandFrames(
-          frames.select(col("doc_id"), col("frame"), col("fhash")))
-        if (i == 0) {
-          LabelStore.write(
-            LabelStore.labelsFor(batch.select(col("doc_id")), within),
-            labelPath)
-          Multimodal.frameStoreWrite(
-            frames.select(col("doc_id"), col("frame"), col("fhash")),
-            storePath)
-        } else {
-          val cross = Multimodal
-            .videoNearDupStored(s, storePath, frames, maxHamming = 3)
-            .select(col("doc_id").as("d1"), col("dup_of").as("d2"))
-          LabelStore.update(s, labelPath, batch.select(col("doc_id")),
-            within.union(cross))
-          graft.sources.Partitioned.appendBy(
-            bandRows.withColumn("ingest_batch", lit(i.toLong)),
-            storePath, "band_i")
-        }
-      }
+      foldIncrementalVideoLabels(s, d, labelPath, storePath)
       Pipeline14.cleanupAfter(
         LabelStore.weightsFromStore(s, labelPath).orderBy(col("doc_id")),
         labelPath, storePath)
     }
+  }
+
+  /** The p127 fold loop itself — batch slices in, live label + banded
+    * frame stores out — split from the registered entry so the
+    * live-yield refresh (p130) can build the SAME store pair once per
+    * JVM instead of re-pricing the ingestion p127 already prices.
+    */
+  private[operators] def foldIncrementalVideoLabels(s: SparkSession,
+                                                    d: String,
+                                                    labelPath: String,
+                                                    storePath: String): Unit = {
+    val docs = documents(s, d)
+    for (i <- 0 until IncBatches) {
+      val batch = docs
+        .filter(pmod(col("doc_id"), lit(IncBatches.toLong)) === i.toLong)
+      // ONE decode per batch, three consumers: within-batch pairs,
+      // the stored gate, and the banded store rows
+      val frames = Multimodal
+        .decodeVideoFrames(Multimodal.attachVideo(batch))
+        .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+        .localCheckpoint()
+      val within = Multimodal.videoNearDupPairs(frames, maxHamming = 3)
+        .select(col("d1"), col("d2"))
+      val bandRows = Multimodal.bandFrames(
+        frames.select(col("doc_id"), col("frame"), col("fhash")))
+      if (i == 0) {
+        LabelStore.write(
+          LabelStore.labelsFor(batch.select(col("doc_id")), within),
+          labelPath)
+        Multimodal.frameStoreWrite(
+          frames.select(col("doc_id"), col("frame"), col("fhash")),
+          storePath)
+      } else {
+        val cross = Multimodal
+          .videoNearDupStored(s, storePath, frames, maxHamming = 3)
+          .select(col("doc_id").as("d1"), col("dup_of").as("d2"))
+        LabelStore.update(s, labelPath, batch.select(col("doc_id")),
+          within.union(cross))
+        graft.sources.Partitioned.appendBy(
+          bandRows.withColumn("ingest_batch", lit(i.toLong)),
+          storePath, "band_i")
+      }
+    }
+  }
+
+  /** p130: the VIDEO frame-yield table refreshed from the LIVE stores —
+    * p125's budgeting output (per source: clip count, raw frame mass,
+    * effective micro-frames after clip-family down-weighting, retention
+    * ppm) WITHOUT re-running p91's decode → pair → contraction path:
+    * weights come from the maintained label table alone
+    * ([[LabelStore.weightsFromStore]]) and the frame masses from the
+    * banded frame store's own rows (one band partition, `max(frame)+1`
+    * per clip — the store IS the geometry record), so the refresh a
+    * release pipeline runs between ingests costs two index-store scans
+    * and a |sources|-row roll-up, never a corpus decode. This was the
+    * round-11 verdict's explicitly flagged gap: p125 recomputed p91's
+    * full cluster path on every run.
+    *
+    * The store pair builds ONCE per JVM (the [[IndexStores]] memo) via
+    * p127's fold loop — p127 prices the ingestion; this entry prices
+    * the downstream refresh against live state, exactly like p129 over
+    * p123's stores. Oracle: p125's VERBATIM — the live refresh must
+    * land bit-identically on the from-scratch yield table.
+    */
+  def videoYieldFromStore(s: SparkSession, d: String): DataFrame = {
+    val root = IndexStores.of("inc_video_store", d) { p =>
+      foldIncrementalVideoLabels(s, d, s"$p/labels", s"$p/frames")
+    }
+    val nfr = s.read.parquet(s"$root/frames")
+      .filter(col("band_i") === 0)
+      .groupBy(col("doc_id"))
+      .agg((max(col("frame")) + 1).cast("long").as("nfr"))
+    val w = LabelStore.weightsFromStore(s, s"$root/labels")
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(nfr, Seq("doc_id"))
+      .join(w.select(col("doc_id"), col("weight_ppm")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("nfr")).as("raw_frames"),
+        sum(col("nfr") * col("weight_ppm")).as("eff_frames_micro"))
+      .select(col("source"), col("n_clips"), col("raw_frames"),
+        col("eff_frames_micro"),
+        expr("CASE WHEN raw_frames = 0 THEN 0 " +
+          "ELSE eff_frames_micro div raw_frames END").cast("long")
+          .as("eff_ratio_ppm"))
+      .orderBy(col("source"))
   }
 
   /** p127 oracle: p91's from-scratch label CTEs (the full all-pairs
@@ -252,6 +307,7 @@ object Pipeline15 {
     "p127_incremental_video_labels" -> (incrementalVideoLabels _),
     "p128_incremental_audio_labels" -> (incrementalAudioLabels _),
     "p129_incremental_release" -> (incrementalReleaseRefresh _),
+    "p130_video_yield_live" -> (videoYieldFromStore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +316,8 @@ object Pipeline15 {
     // p120's from-scratch oracle VERBATIM — the append-equals-rebuild
     // differential extended through the downstream release draw
     "p129_incremental_release" -> Pipeline13.softDedupSampleOracle,
+    // p125's from-scratch oracle VERBATIM — the live refresh must land
+    // bit-identically on the recomputed yield table
+    "p130_video_yield_live" -> Pipeline14.videoSoftDedupYieldOracle,
   )
 }

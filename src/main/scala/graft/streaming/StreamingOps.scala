@@ -959,7 +959,7 @@ object StreamingOps {
     // verdicts may include within-batch siblings (their signatures are
     // merged by now) — the at-least-once verdict channel.
     if (!batchCommitted(spark, stagePath, id))
-      graft.operators.LabelStore.update(spark, labelPath,
+      graft.operators.LabelStore.recoverAndUpdate(spark, labelPath,
         b.select(col("doc_id")),
         Dedup.lshPairsFromBands(banded).select(col("d1"), col("d2"))
           .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
@@ -1080,7 +1080,7 @@ object StreamingOps {
       b, cents, tau, nProbe = cents.length)
     // the dedupMaintainBatch redelivery guard, shared rationale
     if (!batchCommitted(spark, stagePath, id))
-      LabelStore.update(spark, labelPath, b.select(col("vec_id").as("doc_id")),
+      LabelStore.recoverAndUpdate(spark, labelPath, b.select(col("vec_id").as("doc_id")),
         within.union(
           gate.select(col("vec_id").as("d1"), col("dup_of").as("d2"))))
     ivfIngestBatch(cents, stagePath)(b, id)
@@ -1128,7 +1128,7 @@ object StreamingOps {
       .videoNearDupStored(spark, frameStorePath, frames, maxHamming)
       .localCheckpoint() // feeds the fold AND the return
     if (!batchCommitted(spark, stagePath, id))
-      LabelStore.update(spark, labelPath,
+      LabelStore.recoverAndUpdate(spark, labelPath,
         frames.select(col("doc_id")).distinct(),
         Multimodal.videoNearDupPairs(frames, maxHamming)
           .select(col("d1"), col("d2"))
@@ -1175,7 +1175,7 @@ object StreamingOps {
         col("hamming"))
       .localCheckpoint() // feeds the fold AND the return
     if (!batchCommitted(spark, stagePath, id))
-      LabelStore.update(spark, labelPath, fps.select(col("doc_id")),
+      LabelStore.recoverAndUpdate(spark, labelPath, fps.select(col("doc_id")),
         Multimodal.perceptualNearDupPairs(
             fps.select(col("doc_id"), col("afp").as("dhash")), maxHamming)
           .select(col("d1"), col("d2"))

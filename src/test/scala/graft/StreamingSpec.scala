@@ -1516,6 +1516,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "gate verdicts missing the published/merged matches")
   }
 
+  test("maintenance handler self-heals a label store wedged by a crashed fold") {
+    // a fold that died mid-overwrite leaves its committed stage beside
+    // a possibly half-rewritten store; the NEXT delivery must replay
+    // the staged buckets (LabelStore.recoverAndUpdate) and then fold
+    // normally — not wedge every later batch behind the fail-loud check
+    import graft.operators.{Dedup, LabelStore}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val pub = docs.filter($"doc_id" < 200L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("heal_lsh").toString
+    val stage = java.nio.file.Files.createTempDirectory("heal_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("heal_lbl").toString
+    Engine.lshStoreWrite(pub, "doc_id", "text", store)
+    LabelStore.write(
+      Dedup.dedupClusters(pub, "doc_id",
+        Dedup.minhashLshPairs(pub, "doc_id", "text")), labels)
+    // the interrupted fold: batch {5000 ≈ 7} staged but never applied
+    assert(LabelStore.stageUpdate(spark, labels,
+      Seq(5000L).toDF("doc_id"), Seq((5000L, 7L)).toDF("d1", "d2")))
+    intercept[IllegalArgumentException] { LabelStore.read(spark, labels) }
+    // next delivery through the handler: heals, then folds its own batch
+    val texts = docs.filter($"doc_id".isin(7L, 23L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    StreamingOps.dedupMaintainBatch(spark, store, labels, stage)(
+      Seq(5001L -> texts(23L)).toDF("doc_id", "text"), 0L).collect()
+    val lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(5000L) === lbl(7L),
+      "the staged fold was lost instead of replayed")
+    assert(lbl(5001L) === lbl(23L),
+      "the healing delivery's own fold went missing")
+  }
+
   test("gate-fed VIDEO label store: clip maintenance matches the from-scratch p91 contraction") {
     // the p127 loop through the library handler: per batch ONE decode
     // feeds the stored gate, the within-batch pairs and the staged
