@@ -555,8 +555,11 @@ object Similarity {
       .join(probeCells(cents, batch, nProbe), Seq("cell"))
       .filter(col("qid") < col("cid"))
       .filter(cosine(col("qe"), col("ce")) >= tau)
+      // no distinct owed: a pair matches on exactly ONE cell (the
+      // build side carries each vector once, in its assigned cell, and
+      // the probe fan-out's cells are distinct per query), so the
+      // filtered join is already duplicate-free at any fan-out
       .select(col("qid").as("d1"), col("cid").as("d2"))
-      .distinct()
 
   /** Per-cell balance report for an IVF model: member count plus the
     * weakest/strongest member affinity (min/max cosine to the assigned

@@ -1059,7 +1059,8 @@ object StreamingOps {
                                ivfStorePath: String, labelPath: String,
                                stagePath: String,
                                cents: Array[(Int, Seq[Float])],
-                               tau: Double, nProbe: Int = 2)(
+                               tau: Double, nProbe: Int = 2,
+                               compactMaxFiles: Int = DefaultCompactMaxFiles)(
                                batch: DataFrame, id: Long): DataFrame = {
     import graft.operators.{LabelStore, Similarity}
     val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -1085,6 +1086,11 @@ object StreamingOps {
           gate.select(col("vec_id").as("d1"), col("dup_of").as("d2"))))
     ivfIngestBatch(cents, stagePath)(b, id)
     ivfMergeStaged(spark, stagePath, ivfStorePath)
+    // the IVF layout has no within-file sort to restore (probes scan
+    // whole cells), so the plain partition compactor suffices
+    compactIfDue(spark, ivfStorePath, "cell", compactMaxFiles)(
+      (src, dst) => graft.sources.Maintenance.compactPartitioned(
+        spark, src, dst, "cell"))
     gate
   }
 
