@@ -69,6 +69,11 @@ object Engine {
   def labelStoreUpdate(spark: SparkSession, path: String,
                        batchIds: DataFrame, pairs: DataFrame): Unit =
     graft.operators.LabelStore.update(spark, path, batchIds, pairs)
+  /** Heal a label store whose update crashed mid-overwrite: replays
+    * the durably staged buckets (or drops an uncommitted stage).
+    * Returns false when there was nothing to repair. */
+  def labelStoreRecover(spark: SparkSession, path: String): Boolean =
+    graft.operators.LabelStore.recover(spark, path)
   /** p118's sampling weights refreshed from the label store alone —
     * no corpus rescan between releases. */
   def softDedupWeightsFromStore(spark: SparkSession, path: String): DataFrame =
