@@ -793,6 +793,9 @@ object Multimodal {
       // violated contract must not report a clip duplicating itself
       .filter(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id").as("did"))
+      // two consumers (the candidate-doc broadcast and the verify
+      // join) — one probe execution, not two
+      .localCheckpoint(eager = false)
     val candDocs = cand.select(col("did")).distinct()
     // stored frames of candidate docs only: one band partition, each
     // frame once, candidate ids broadcast (banding-sparse)
