@@ -65,4 +65,37 @@ object Bucketed {
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
+
+  /** The bucketed twin of the hive-store compaction trigger
+    * (`StreamingOps.compactIfDue`): when any BUCKET of the table holds
+    * more than `maxFiles` data files, pay [[compactBucketed]]. The
+    * check is a catalog lookup plus one directory listing — bucket
+    * identity lives in the file NAME (`…_<bucket>.c000…`), so file
+    * counts per bucket come straight off the listing, no data read and
+    * no stats pass (`Maintenance.compactionPlanBucketed` stays the
+    * scheduled-audit tool that also measures key-range overlap). This
+    * is the trigger for the BASELINE-measured 19× sliver pathology of
+    * the streamed posting store.
+    */
+  def compactIfDueBucketed(spark: SparkSession, table: String, key: String,
+                           n: Int, maxFiles: Int): Boolean = {
+    import org.apache.spark.sql.functions.col
+    if (maxFiles <= 0) return false
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val bucketOf = "_(\\d+)\\.c000".r
+    val counts = fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      // data files only — the local FS keeps .crc sidecars whose names
+      // also carry the bucket suffix and would double every count
+      .filter(n => !n.startsWith(".") && n.endsWith(".parquet"))
+      .flatMap(n => bucketOf.findFirstMatchIn(n).map(_.group(1)))
+      .groupBy(identity).view.mapValues(_.size)
+    if (!counts.exists(_._2 > maxFiles)) return false
+    compactBucketed(spark, table, key, n)
+    true
+  }
 }

@@ -1372,9 +1372,18 @@ object StreamingOps {
     * as a (id, 0, 0) stats row — never a poison pill. Run merges
     * serially from one scheduler.
     */
+  /** `compactMaxFiles` wires the family's compaction trigger to the
+    * BUCKETED layout: past that many sliver files in any bucket, the
+    * merge pays `Bucketed.compactIfDueBucketed` (listing-only check;
+    * the table rewrite re-declares the bucket spec, preserves
+    * `ingest_batch`, and never touches the append-only `_stats` commit
+    * table) — the BASELINE-measured 19× posting-probe pathology is
+    * exactly what accrues between manual compactions. 0 disables.
+    */
   def lexicalMergeStaged(spark: org.apache.spark.sql.SparkSession,
                          stagePath: String, table: String,
-                         nBuckets: Int): Int = {
+                         nBuckets: Int,
+                         compactMaxFiles: Int = DefaultCompactMaxFiles): Int = {
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(stage)) return 0
@@ -1398,6 +1407,9 @@ object StreamingOps {
       }
       fs.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_MERGED"), true).close()
     }
+    if (ready.nonEmpty)
+      graft.sources.Bucketed.compactIfDueBucketed(
+        spark, table, "term", nBuckets, compactMaxFiles)
     ready.length
   }
 

@@ -76,6 +76,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "bench shingle index no longer broadcasts — the map-side probe degraded")
   }
 
+  test("p130: the live-yield refresh reads ONE band partition of the frame store") {
+    // the whole point of the op is refresh-without-decode: frame mass
+    // comes from the store's own rows, and the scan must prune to
+    // band_i = 0 (one of four band partitions), not read the store
+    val p = plan("p130_video_yield_live")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*band_i[^\\]]*= 0\\).*"),
+      "frame-mass scan lost the band_i partition prune")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("p100: stored frame probe pushes the band filter into the parquet scan") {
     val p = plan("p100_frame_probe_stored")
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*band_v.*"),

@@ -892,6 +892,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"probe reads ${m.get.group(1)} of ${m.get.group(2)} buckets after merge")
   }
 
+  test("lexical merge compaction trigger: slivers fold to one file per bucket, search parity holds") {
+    // the bucketed twin of the handler trigger: with the bound forced
+    // low, the merge itself pays compactBucketed — one file per bucket
+    // after, search and stats parity untouched, bucket pruning intact
+    import graft.operators.Pipeline6
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter($"doc_id" < 25)
+    val table = "graft_postings_trigger_spec"
+    val stage = java.nio.file.Files.createTempDirectory("lex_trig").toString
+    Pipeline6.postingsWrite(base, table, nBuckets = 8)
+    val ingest = StreamingOps.lexicalIngestBatch(stage) _
+    ingest(docs.filter($"doc_id" >= 25 && $"doc_id" < 38), 0L)
+    ingest(docs.filter($"doc_id" >= 38), 1L)
+    assert(StreamingOps.lexicalMergeStaged(spark, stage, table, 8,
+      compactMaxFiles = 1) === 2)
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter($"col_name" === "Location").head().getString(1)
+    val bucketOf = "_(\\d+)\\.c000".r
+    val counts = new java.io.File(new java.net.URI(loc)).listFiles()
+      .map(_.getName)
+      .filter(n => !n.startsWith(".") && n.endsWith(".parquet"))
+      .flatMap(n => bucketOf.findFirstMatchIn(n).map(_.group(1)))
+      .groupBy(identity).view.mapValues(_.length)
+    assert(counts.nonEmpty && counts.values.forall(_ === 1),
+      s"trigger left sliver files per bucket: ${counts.toMap}")
+    val full = "graft_postings_trigger_spec_full"
+    Pipeline6.postingsWrite(docs, full, nBuckets = 8)
+    val terms = Seq("merge", "stream", "vector")
+    assert(Pipeline6.bm25TopKStored(spark, table, 20, terms)
+        .collect().map(_.toSeq).toSeq ===
+      Pipeline6.bm25TopKStored(spark, full, 20, terms)
+        .collect().map(_.toSeq).toSeq,
+      "compacted streamed index diverges from a full rebuild")
+    val plan = Pipeline6.bm25TopKStored(spark, table, 20, terms)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(plan).exists(_.group(1).toInt <= 3),
+      "bucket pruning lost after triggered compaction")
+  }
+
   test("lexical merge survives every crash window: empty batch, re-append, lost tombstone") {
     import graft.operators.Pipeline6
     val dir = "/root/testdata/sf0.001"
