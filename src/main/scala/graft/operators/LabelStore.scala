@@ -97,13 +97,22 @@ object LabelStore {
   /** Fail loudly on a leftover update stage: the store may be
     * half-rewritten (a crash mid-overwrite), and silently reading or
     * re-folding over it would compound the damage. [[recover]] heals.
+    *
+    * The stage dir also exists for the DURATION of a healthy fold, and
+    * a concurrent reader cannot tell the two apart — deliberately so:
+    * a dynamic partition overwrite is not snapshot-isolated, so a read
+    * overlapping a fold could silently mix old and new buckets; the
+    * loud error turns that torn read into a retry. Readers that must
+    * overlap folds serialize through the same maintenance scheduler
+    * (the shared contract); between folds reads are free.
     */
   private def requireClean(spark: SparkSession, path: String): Unit = {
     val stage = stageDirOf(path)
     require(!fsOf(spark, stage).exists(stage),
-      s"label store $path has a leftover update stage ($stage) from a " +
-        "crashed update — run LabelStore.recover(path) before reading " +
-        "or folding")
+      s"label store $path has an update stage ($stage): either a fold " +
+        "is IN FLIGHT (retry after it completes — reads overlapping a " +
+        "fold would not be snapshot-consistent anyway) or a previous " +
+        "update CRASHED mid-overwrite (run LabelStore.recover(path))")
   }
 
   /** Repair a store whose [[update]] crashed mid-flight. Three cases,

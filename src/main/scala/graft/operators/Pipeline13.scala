@@ -155,7 +155,10 @@ object Pipeline13 {
   /** Epoch grid of the registered p120 sample — small and fixed so
     * the differential compare covers several realizations.
     */
-  private val SampleEpochs = 4
+  // package-visible: p129 reuses softDedupSampleOracle VERBATIM, so its
+  // draw must share THIS epoch grid — a copied literal would let the
+  // two silently diverge on the next bump
+  private[operators] val SampleEpochs = 4
 
   /** p120: the sampling REALIZATION of p118 — the per-epoch document
     * list a trainer actually consumes. A document is drawn in epoch e

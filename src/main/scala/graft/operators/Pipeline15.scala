@@ -262,10 +262,12 @@ object Pipeline15 {
        |FROM lab l JOIN sz s USING (canonical)
        |ORDER BY doc_id""".stripMargin
 
-  /** Epoch count of the registered p129 sample — p120's grid, so the
-    * chained oracle reuses its draw CTE shape verbatim.
+  /** Epoch count of the registered p129 sample — p120's OWN grid
+    * constant, because the entry registers p120's oracle verbatim: a
+    * copied literal would silently diverge from the oracle's
+    * interpolated epoch range on the next bump.
     */
-  private val RefreshEpochs = 4
+  private val RefreshEpochs = Pipeline13.SampleEpochs
 
   /** p129: the END-TO-END incremental RELEASE refresh — the missing
     * composition proof: ingest (p123's fold loop) → LIVE weights

@@ -66,6 +66,23 @@ object Bucketed {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  /** Heal the DROP→RENAME window of [[compactBucketed]]: a crash
+    * between the two statements leaves `table` absent with its COMPLETE
+    * replacement still registered as `table__compact` (saveAsTable only
+    * registers the tmp table after its write commits, so an existing
+    * tmp is never partial when the live table is gone) — finishing the
+    * rename restores the store. Called by [[compactIfDueBucketed]] and
+    * the streamed lexical merge on entry, so a crashed compaction can
+    * never wedge the pipeline behind a missing table.
+    */
+  def recoverBucketedSwap(spark: SparkSession, table: String): Boolean = {
+    val tmp = s"${table}__compact"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      true
+    } else false
+  }
+
   /** The bucketed twin of the hive-store compaction trigger
     * (`StreamingOps.compactIfDue`): when any BUCKET of the table holds
     * more than `maxFiles` data files, pay [[compactBucketed]]. The
@@ -80,6 +97,9 @@ object Bucketed {
   def compactIfDueBucketed(spark: SparkSession, table: String, key: String,
                            n: Int, maxFiles: Int): Boolean = {
     import org.apache.spark.sql.functions.col
+    // heal first, even when the trigger is disabled: a PREVIOUS run's
+    // crashed swap must not wedge this one behind a missing table
+    recoverBucketedSwap(spark, table)
     if (maxFiles <= 0) return false
     val loc = spark.sql(s"DESCRIBE FORMATTED $table")
       .filter(col("col_name") === "Location").head().getString(1)

@@ -917,6 +917,9 @@ object StreamingOps {
                          compactMaxFiles: Int = DefaultCompactMaxFiles)(
                          batch: DataFrame, id: Long): DataFrame = {
     import graft.operators.Dedup
+    // a previous delivery's compaction may have died mid-swap — heal
+    // before the first store read (idempotent listing-only check)
+    recoverStoreSwap(spark, lshStorePath)
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     def noVerdicts: DataFrame = spark.emptyDataFrame
       .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
@@ -974,6 +977,15 @@ object StreamingOps {
     * shared redelivery test of the maintenance handlers: the marker is
     * written strictly AFTER the label fold, so its presence proves the
     * fold ran to completion once.
+    *
+    * LIFETIME CONTRACT (the [[idempotentParquetBatch]] contract made
+    * explicit): batch ids are only meaningful relative to ONE streaming
+    * checkpoint, so `stagePath` and the query's checkpoint location
+    * must live and die together. Restarting a stream with a cleared
+    * checkpoint against an old stagePath makes fresh batches collide
+    * with stale markers — the staging layer (and now the fold guard)
+    * would treat new data as already delivered. Wipe or re-point the
+    * stage whenever the checkpoint is wiped.
     */
   private def batchCommitted(spark: org.apache.spark.sql.SparkSession,
                              stagePath: String, id: Long): Boolean = {
@@ -1009,9 +1021,12 @@ object StreamingOps {
                                   storePath: String, partCol: String,
                                   maxFiles: Int)(
                                   compact: (String, String) => Unit): Boolean = {
-    if (maxFiles <= 0) return false
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal first, even when the trigger is disabled: a previous run's
+    // crashed swap must not leave the store path missing
+    recoverStoreSwap(spark, storePath)
+    if (maxFiles <= 0) return false
     if (!fs.exists(root)) return false
     val due = fs.listStatus(root).exists { st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$partCol=") &&
@@ -1023,10 +1038,40 @@ object StreamingOps {
     val old = new org.apache.hadoop.fs.Path(s"${storePath}__precompact")
     fs.delete(dst, true); fs.delete(old, true)
     compact(storePath, dst.toString)
-    fs.rename(root, old)
-    fs.rename(dst, root)
+    // CHECKED renames (Hadoop reports failure by return value): a swap
+    // must either complete or leave a state recoverStoreSwap can heal —
+    // never silently delete the only surviving copy
+    require(fs.rename(root, old),
+      s"compactIfDue: rename $root -> $old failed; store left in place")
+    require(fs.rename(dst, root),
+      s"compactIfDue: rename $dst -> $root failed; pre-compaction copy " +
+        s"preserved at $old — recoverStoreSwap($storePath) heals")
     fs.delete(old, true)
     true
+  }
+
+  /** Heal [[compactIfDue]]'s swap windows: the store path can be
+    * missing only between the two renames, where BOTH full copies
+    * exist — `__compact` (the complete compacted store; the compactor
+    * finishes before the first rename) and `__precompact` (the
+    * original). Prefer finishing the swap (rename the compacted copy
+    * in); fall back to restoring the original if the compacted copy is
+    * gone. A leftover `__precompact` BESIDE a live store is the
+    * post-swap window — just garbage to drop. Idempotent; called by
+    * every handler before its first store read.
+    */
+  private[graft] def recoverStoreSwap(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"${storePath}__compact")
+    val old = new org.apache.hadoop.fs.Path(s"${storePath}__precompact")
+    if (!fs.exists(root)) {
+      if (fs.exists(dst)) { require(fs.rename(dst, root)); fs.delete(old, true); true }
+      else if (fs.exists(old)) { require(fs.rename(old, root)); true }
+      else false
+    } else if (fs.exists(old)) { fs.delete(old, true); true }
+    else false
   }
 
   /** The VECTOR maintenance handler — [[dedupMaintainBatch]]'s
@@ -1063,6 +1108,7 @@ object StreamingOps {
                                compactMaxFiles: Int = DefaultCompactMaxFiles)(
                                batch: DataFrame, id: Long): DataFrame = {
     import graft.operators.{LabelStore, Similarity}
+    recoverStoreSwap(spark, ivfStorePath) // the shared heal-first step
     val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
     def noVerdicts: DataFrame = spark.emptyDataFrame
       .withColumn("vec_id", lit(0L)).withColumn("dup_of", lit(0L))
@@ -1126,6 +1172,7 @@ object StreamingOps {
       .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
       .withColumn("max_hamming", lit(0))
       .limit(0)
+    recoverStoreSwap(spark, frameStorePath) // the shared heal-first step
     val frames = Multimodal.decodeVideoFrames(batch)
       .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
       .localCheckpoint() // ONE decode: gate + within pairs + ingest
@@ -1169,6 +1216,7 @@ object StreamingOps {
       .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
       .withColumn("hamming", lit(0))
       .limit(0)
+    recoverStoreSwap(spark, fpStorePath) // the shared heal-first step
     val fps = Multimodal.decodeWave(batch)
       .select(col("doc_id"), col("afp"))
       .localCheckpoint() // ONE decode: gate + within pairs + ingest
@@ -1384,6 +1432,9 @@ object StreamingOps {
                          stagePath: String, table: String,
                          nBuckets: Int,
                          compactMaxFiles: Int = DefaultCompactMaxFiles): Int = {
+    // a previous merge's compaction may have died between DROP and
+    // RENAME — finish its swap before reading the table
+    graft.sources.Bucketed.recoverBucketedSwap(spark, table)
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(stage)) return 0

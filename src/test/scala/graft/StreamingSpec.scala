@@ -933,6 +933,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "bucket pruning lost after triggered compaction")
   }
 
+  test("store-swap crash recovery: both swap devices heal a death between their renames") {
+    import graft.operators.Dedup
+    // hive-layout store: kill the swap after rename(root -> precompact)
+    // — the window where the live path is missing but BOTH copies exist
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+    val store = java.nio.file.Files.createTempDirectory("swap_lsh").toString
+    Engine.lshStoreWrite(docs, "doc_id", "text", store)
+    val want = spark.read.parquet(store).collect().map(_.toSeq).toSet
+    Dedup.lshStoreCompact(spark, store, s"${store}__compact")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(s"${store}__precompact")))
+    assert(StreamingOps.recoverStoreSwap(spark, store),
+      "heal found nothing in the between-renames state")
+    assert(spark.read.parquet(store).collect().map(_.toSeq).toSet === want,
+      "healed store content diverged")
+    assert(!new java.io.File(s"${store}__precompact").exists() &&
+      !new java.io.File(s"${store}__compact").exists(),
+      "heal left swap debris")
+    assert(!StreamingOps.recoverStoreSwap(spark, store),
+      "second heal was not a no-op")
+    // bucketed-table device: kill between DROP and RENAME — the live
+    // table is gone, its complete replacement still registered as tmp
+    import graft.operators.Pipeline6
+    val table = "graft_swap_recovery_spec"
+    Pipeline6.postingsWrite(docs, table, nBuckets = 4)
+    val wantRows = spark.table(table).collect().map(_.toSeq).toSet
+    graft.sources.Bucketed.writeBucketed(
+      spark.table(table).repartition(4, $"term"), s"${table}__compact",
+      "term", 4)
+    spark.sql(s"DROP TABLE $table")
+    assert(graft.sources.Bucketed.recoverBucketedSwap(spark, table),
+      "bucketed heal found nothing after the DROP")
+    assert(spark.table(table).collect().map(_.toSeq).toSet === wantRows,
+      "healed bucketed table content diverged")
+    assert(!spark.catalog.tableExists(s"${table}__compact"))
+  }
+
   test("lexical merge survives every crash window: empty batch, re-append, lost tombstone") {
     import graft.operators.Pipeline6
     val dir = "/root/testdata/sf0.001"
