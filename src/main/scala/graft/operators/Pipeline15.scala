@@ -305,11 +305,50 @@ object Pipeline15 {
       .orderBy(col("epoch"), col("doc_id"))
   }
 
+  /** p131: the incremental RELEASE draw over the VIDEO store — p129's
+    * composition (live weights → p120's deterministic epoch draw)
+    * exercised on a second modality's label space: clip families from
+    * the maintained video label table (p130's memoized store pair, so
+    * the fold is priced once by p127 and this entry prices only the
+    * refresh), down-weighted per family, drawn per epoch. The proof
+    * that the between-releases loop is MODALITY-GENERIC: the sampling
+    * device never asks where the labels came from.
+    *
+    * Oracle: p91's from-scratch label CTEs under p120's weight + draw
+    * CTEs — the chained differential, epoch grid shared with p120's
+    * own constant.
+    */
+  def incrementalVideoRelease(s: SparkSession, d: String): DataFrame = {
+    val root = IndexStores.of("inc_video_store", d) { p =>
+      foldIncrementalVideoLabels(s, d, s"$p/labels", s"$p/frames")
+    }
+    Pipeline13.softDedupSampleOf(
+        LabelStore.weightsFromStore(s, s"$root/labels"), RefreshEpochs)
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  val incrementalVideoReleaseOracle: String =
+    s"""WITH RECURSIVE ${Pipeline10.videoClusterLabelCtes},
+       |wts AS (
+       |  SELECT doc_id, canonical,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |ep AS (SELECT unnest(range(0, ${Pipeline13.SampleEpochs})) AS epoch)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
+       |       w.weight_ppm
+       |FROM wts w CROSS JOIN ep e
+       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
+       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+       |      < w.weight_ppm
+       |ORDER BY epoch, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p127_incremental_video_labels" -> (incrementalVideoLabels _),
     "p128_incremental_audio_labels" -> (incrementalAudioLabels _),
     "p129_incremental_release" -> (incrementalReleaseRefresh _),
     "p130_video_yield_live" -> (videoYieldFromStore _),
+    "p131_video_release_live" -> (incrementalVideoRelease _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,5 +360,6 @@ object Pipeline15 {
     // p125's from-scratch oracle VERBATIM — the live refresh must land
     // bit-identically on the recomputed yield table
     "p130_video_yield_live" -> Pipeline14.videoSoftDedupYieldOracle,
+    "p131_video_release_live" -> incrementalVideoReleaseOracle,
   )
 }
