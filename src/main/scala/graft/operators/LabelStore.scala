@@ -68,6 +68,11 @@ object LabelStore {
     labels.sparkSession.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/_meta")
+    // keep the per-JVM memo coherent with the layout just written: a
+    // re-write of an existing path with a different bucket count would
+    // otherwise leave later update/recover calls on the stale modulus —
+    // the exact misrouting the _meta readback exists to prevent
+    bucketsMemo.put(path, nBuckets)
   }
 
   /** The layout's bucket count, read back from `_meta` — memoized per

@@ -718,15 +718,18 @@ object Multimodal {
         .distinct()
     } else {
       // the probe frame is pre-exploded to its per-band values so the
-      // match is a plain (band_i, band_v) EQUI-join → BroadcastHashJoin
-      // (a condition computing band_v from qh inside the join would mix
-      // sides and fall back to a nested loop over the store)
+      // match is a plain (band_i, band_v) EQUI-join (a condition
+      // computing band_v from qh inside the join would mix sides and
+      // fall back to a nested loop over the store); AQE sizes the join
+      // — broadcast for the usual small over-bound batch, shuffle if a
+      // caller hands a huge probe Seq (the text twin's discipline: no
+      // forced broadcast of an unbounded query side)
       import spark.implicits._
       val q = queryHashes.flatMap { case (qid, h) =>
         (0 until 4).map(b => (qid, h, b, (h >>> (15 * b)) & 32767L))
       }.toDF("qid", "qh", "band_i", "band_v")
       spark.read.parquet(path)
-        .join(broadcast(q), Seq("band_i", "band_v"))
+        .join(q, Seq("band_i", "band_v"))
         .filter(bit_count(col("qh").bitwiseXOR(col("fhash"))) <= maxHamming)
         .select(col("qid"), col("doc_id"), col("frame"),
           bit_count(col("qh").bitwiseXOR(col("fhash"))).cast("int")
@@ -739,12 +742,17 @@ object Multimodal {
     * end — the no-driver-collect spelling for probe batches too large
     * for the literal plan (the `Dedup.lshProbeStoredDF` discipline on
     * the perceptual store): the query hashes band-explode to four
-    * (band_i, band_v) rows each and ride a broadcast equi-join against
-    * the store scan. Identical candidate semantics to the literal
-    * path; the partition prune is moot here because a banded query
-    * touches all four band partitions by construction — what the DF
-    * form trades away is only the pushed `band_v IN` row-group skip,
-    * exactly the literal path's own above-bound fallback.
+    * (band_i, band_v) rows each and ride an equi-join against the
+    * store scan that AQE sizes — broadcast when the batch turns out
+    * small (every micro-batch), shuffle when a caller hands it a
+    * corpus-sized query side (the text twin `Dedup.lshProbeStoredDF`'s
+    * discipline: a FORCED broadcast of an unbounded query frame is the
+    * wrong default at extreme scale). Identical candidate semantics to
+    * the literal path; the partition prune is moot here because a
+    * banded query touches all four band partitions by construction —
+    * what the DF form trades away is only the pushed `band_v IN`
+    * row-group skip, exactly the literal path's own above-bound
+    * fallback.
     */
   def frameProbeStoredDF(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame,
@@ -754,7 +762,7 @@ object Multimodal {
       .withColumn("band_v", expr("shiftright(qhash, 15 * band_i) & 32767"))
     val ham = bit_count(col("qhash").bitwiseXOR(col("fhash")))
     spark.read.parquet(path)
-      .join(broadcast(q), Seq("band_i", "band_v"))
+      .join(q, Seq("band_i", "band_v"))
       .filter(ham <= maxHamming)
       .select(col("qid"), col("doc_id"), col("frame"),
         ham.cast("int").as("hamming"))

@@ -130,7 +130,12 @@ object Pipeline15 {
     */
   def videoYieldFromStore(s: SparkSession, d: String): DataFrame = {
     val root = IndexStores.of("inc_video_store", d) { p =>
-      foldIncrementalVideoLabels(s, d, s"$p/labels", s"$p/frames")
+      // withScratch so a mid-fold failure deletes the partial store pair
+      // instead of leaking it per Bench rep (the incrementalReleaseRefresh
+      // discipline — Bench catches per-rep exceptions and re-runs)
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/frames") {
+        foldIncrementalVideoLabels(s, d, s"$p/labels", s"$p/frames")
+      }
     }
     val nfr = s.read.parquet(s"$root/frames")
       .filter(col("band_i") === 0)
@@ -320,7 +325,9 @@ object Pipeline15 {
     */
   def incrementalVideoRelease(s: SparkSession, d: String): DataFrame = {
     val root = IndexStores.of("inc_video_store", d) { p =>
-      foldIncrementalVideoLabels(s, d, s"$p/labels", s"$p/frames")
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/frames") {
+        foldIncrementalVideoLabels(s, d, s"$p/labels", s"$p/frames")
+      }
     }
     Pipeline13.softDedupSampleOf(
         LabelStore.weightsFromStore(s, s"$root/labels"), RefreshEpochs)

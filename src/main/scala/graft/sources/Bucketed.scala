@@ -60,6 +60,13 @@ object Bucketed {
                       n: Int): Unit = {
     import org.apache.spark.sql.functions.col
     val tmp = s"${table}__compact"
+    // heal a PREVIOUS compaction's crashed swap before dropping the tmp
+    // table: in the DROP→RENAME crash window the live table is gone and
+    // `__compact` is the ONLY surviving copy — deleting it here would be
+    // permanent data loss, not cleanup
+    recoverBucketedSwap(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"compactBucketed: $table does not exist (and no crashed swap to heal)")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     writeBucketed(spark.table(table).repartition(n, col(key)), tmp, key, n)
     spark.sql(s"DROP TABLE $table")
@@ -71,9 +78,11 @@ object Bucketed {
     * replacement still registered as `table__compact` (saveAsTable only
     * registers the tmp table after its write commits, so an existing
     * tmp is never partial when the live table is gone) — finishing the
-    * rename restores the store. Called by [[compactIfDueBucketed]] and
-    * the streamed lexical merge on entry, so a crashed compaction can
-    * never wedge the pipeline behind a missing table.
+    * rename restores the store. Called by [[compactIfDueBucketed]], the
+    * streamed lexical merge, and [[compactBucketed]] itself on entry,
+    * so a crashed compaction can never wedge the pipeline behind a
+    * missing table — or let a direct re-compaction DROP the sole
+    * surviving copy.
     */
   def recoverBucketedSwap(spark: SparkSession, table: String): Boolean = {
     val tmp = s"${table}__compact"

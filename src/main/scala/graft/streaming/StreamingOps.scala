@@ -954,18 +954,20 @@ object StreamingOps {
           .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"))
           .distinct()
     val gate = gate0.localCheckpoint() // feeds the fold AND the return
-    // at-least-once redelivery guard (the idempotentParquetBatch marker
-    // read back): a batch whose staged signatures already carry the
-    // committed marker completed the fold once — re-folding would waste
-    // a label rewrite (LabelStore.update's own anti-join makes even
-    // that content-safe; this skips the cost). Note the replayed gate
-    // verdicts may include within-batch siblings (their signatures are
-    // merged by now) — the at-least-once verdict channel.
-    if (!batchCommitted(spark, stagePath, id))
+    // at-least-once redelivery guard (the fold's OWN marker, written
+    // after LabelStore.update): a batch carrying it completed the fold
+    // once — re-folding would waste a label rewrite (LabelStore.update's
+    // own anti-join makes even that content-safe; this skips the cost).
+    // Note the replayed gate verdicts may include within-batch siblings
+    // (their signatures are merged by now) — the at-least-once verdict
+    // channel.
+    if (!batchFolded(spark, stagePath, id)) {
       graft.operators.LabelStore.recoverAndUpdate(spark, labelPath,
         b.select(col("doc_id")),
         Dedup.lshPairsFromBands(banded).select(col("d1"), col("d2"))
           .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+      markFolded(spark, stagePath, id)
+    }
     idempotentParquetBatch(stagePath)(sigRows, id)
     lshMergeStaged(spark, stagePath, lshStorePath)
     compactIfDue(spark, lshStorePath, "band", compactMaxFiles)(
@@ -973,26 +975,45 @@ object StreamingOps {
     gate
   }
 
-  /** True when `stagePath/batch=id` carries the committed marker — the
-    * shared redelivery test of the maintenance handlers: the marker is
-    * written strictly AFTER the label fold, so its presence proves the
-    * fold ran to completion once.
+  /** The maintenance handlers' FOLD-SPECIFIC redelivery marker,
+    * `stagePath/_GRAFT_FOLDED_<id>`: created strictly AFTER
+    * `LabelStore.update` completes for batch `id`, so its presence
+    * proves the label fold itself ran to completion once. Deliberately
+    * NOT the staging layer's `_GRAFT_COMMITTED` marker: that one only
+    * proves the signature rows landed, and a stage dir previously
+    * populated by the ingest-only pipelines (lshIngestBatch /
+    * frameIngestBatch / ivfIngestBatch + scheduled merges) carries
+    * committed markers for batches whose folds NEVER ran — guarding the
+    * fold on it would silently drop those batches' labels forever when
+    * such a stage is handed to a maintenance handler. A stage-root file
+    * (not inside `batch=<id>`) so the staging layer's own overwrite of
+    * an uncommitted batch dir cannot erase it; the `batch=` listing
+    * filter of the merge folds never sees it.
     *
     * LIFETIME CONTRACT (the [[idempotentParquetBatch]] contract made
     * explicit): batch ids are only meaningful relative to ONE streaming
     * checkpoint, so `stagePath` and the query's checkpoint location
     * must live and die together. Restarting a stream with a cleared
     * checkpoint against an old stagePath makes fresh batches collide
-    * with stale markers — the staging layer (and now the fold guard)
+    * with stale markers — the staging layer (and the fold guard)
     * would treat new data as already delivered. Wipe or re-point the
     * stage whenever the checkpoint is wiped.
     */
-  private def batchCommitted(spark: org.apache.spark.sql.SparkSession,
-                             stagePath: String, id: Long): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$stagePath/batch=$id/_GRAFT_COMMITTED")
+  private def foldMarkerPath(stagePath: String, id: Long) =
+    new org.apache.hadoop.fs.Path(s"$stagePath/_GRAFT_FOLDED_$id")
+
+  private def batchFolded(spark: org.apache.spark.sql.SparkSession,
+                          stagePath: String, id: Long): Boolean = {
+    val marker = foldMarkerPath(stagePath, id)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(marker)
+  }
+
+  private def markFolded(spark: org.apache.spark.sql.SparkSession,
+                         stagePath: String, id: Long): Unit = {
+    val marker = foldMarkerPath(stagePath, id)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
   }
 
   /** Default sliver-file-per-partition bound of the maintenance
@@ -1126,10 +1147,12 @@ object StreamingOps {
     val within = Similarity.cellBlockedTauPairs(
       b, cents, tau, nProbe = cents.length)
     // the dedupMaintainBatch redelivery guard, shared rationale
-    if (!batchCommitted(spark, stagePath, id))
+    if (!batchFolded(spark, stagePath, id)) {
       LabelStore.recoverAndUpdate(spark, labelPath, b.select(col("vec_id").as("doc_id")),
         within.union(
           gate.select(col("vec_id").as("d1"), col("dup_of").as("d2"))))
+      markFolded(spark, stagePath, id)
+    }
     ivfIngestBatch(cents, stagePath)(b, id)
     ivfMergeStaged(spark, stagePath, ivfStorePath)
     // the IVF layout has no within-file sort to restore (probes scan
@@ -1159,7 +1182,7 @@ object StreamingOps {
     * ONE decode per batch feeds all four stages. `batch` carries the
     * raw video payloads (the [[frameIngestBatch]] contract); same
     * shared contracts as every handler here: new ids only, serial
-    * folds, redelivery-safe via the committed marker + the label
+    * folds, redelivery-safe via the fold marker + the label
     * store's own anti-join.
     */
   def videoMaintainBatch(spark: org.apache.spark.sql.SparkSession,
@@ -1180,12 +1203,14 @@ object StreamingOps {
     val gate = Multimodal
       .videoNearDupStored(spark, frameStorePath, frames, maxHamming)
       .localCheckpoint() // feeds the fold AND the return
-    if (!batchCommitted(spark, stagePath, id))
+    if (!batchFolded(spark, stagePath, id)) {
       LabelStore.recoverAndUpdate(spark, labelPath,
         frames.select(col("doc_id")).distinct(),
         Multimodal.videoNearDupPairs(frames, maxHamming)
           .select(col("d1"), col("d2"))
           .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+      markFolded(spark, stagePath, id)
+    }
     idempotentParquetBatch(stagePath)(
       Multimodal.bandFrames(
         frames.select(col("doc_id"), col("frame"), col("fhash"))), id)
@@ -1228,12 +1253,14 @@ object StreamingOps {
       .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"),
         col("hamming"))
       .localCheckpoint() // feeds the fold AND the return
-    if (!batchCommitted(spark, stagePath, id))
+    if (!batchFolded(spark, stagePath, id)) {
       LabelStore.recoverAndUpdate(spark, labelPath, fps.select(col("doc_id")),
         Multimodal.perceptualNearDupPairs(
             fps.select(col("doc_id"), col("afp").as("dhash")), maxHamming)
           .select(col("d1"), col("d2"))
           .union(gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+      markFolded(spark, stagePath, id)
+    }
     idempotentParquetBatch(stagePath)(
       Multimodal.bandFrames(fps.select(col("doc_id"),
         lit(0).as("frame"), col("afp").as("fhash"))), id)

@@ -320,6 +320,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "weights corrupted by the replayed fold")
   }
 
+  test("label store: re-writing a path with a different bucket count refreshes the memo") {
+    // the per-JVM bucket memo must track write(): a rewrite of an
+    // existing path with a new nBuckets previously left later updates
+    // on the stale modulus — endpoint lookups pruned to the WRONG
+    // buckets, silently missing stored endpoints (a stored doc would be
+    // treated as new and its component mislabeled)
+    import graft.operators.LabelStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lbl_memo").toString
+    val init = Seq((3L, 3L), (7L, 3L)).toDF("doc_id", "canonical")
+    LabelStore.write(init, path, nBuckets = 4)
+    // touch the store so the memo caches 4
+    LabelStore.update(spark, path, Seq(50L).toDF("doc_id"),
+      spark.emptyDataFrame.withColumn("d1", lit(0L))
+        .withColumn("d2", lit(0L)).limit(0))
+    // rewrite the SAME path with a different layout
+    LabelStore.write(init, path, nBuckets = 8)
+    // under a stale memo=4, endpoint 7 would be probed in lb=3 while
+    // its row now lives in lb=7 — missed, so (100,7) would contract to
+    // canonical 7 instead of joining 3's component
+    LabelStore.update(spark, path, Seq(100L).toDF("doc_id"),
+      Seq((100L, 7L)).toDF("d1", "d2"))
+    val lbl = LabelStore.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(100L) === 3L,
+      "stale bucket memo misrouted the endpoint lookup after a re-write")
+    // and the new rows landed under the new modulus (lb = id mod 8)
+    assert(new java.io.File(s"$path/lb=${100L % 8}").exists(),
+      "batch row not routed by the re-written layout's bucket count")
+  }
+
   test("label store: crash between stage and overwrite recovers to the intended state") {
     import graft.operators.LabelStore
     val a = java.nio.file.Files

@@ -1630,6 +1630,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "the healing delivery's own fold went missing")
   }
 
+  test("fold guard is fold-specific: a stage pre-populated by ingest-only batches still folds") {
+    // the redelivery guard must key on the FOLD's own marker, not the
+    // staging layer's commit marker: a stage dir previously populated
+    // by the ingest-only pipeline (lshIngestBatch + lshMergeStaged)
+    // carries committed markers for batches whose label folds never
+    // ran — handing that stage to the maintenance handler must not
+    // silently skip those folds and drop the batch's labels forever
+    import graft.operators.{Dedup, LabelStore}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val pub = docs.filter($"doc_id" < 200L).localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("fmark_lsh").toString
+    val stage = java.nio.file.Files.createTempDirectory("fmark_stage").toString
+    val labels = java.nio.file.Files.createTempDirectory("fmark_lbl").toString
+    Engine.lshStoreWrite(pub, "doc_id", "text", store)
+    LabelStore.write(
+      Dedup.dedupClusters(pub, "doc_id",
+        Dedup.minhashLshPairs(pub, "doc_id", "text")), labels)
+    val texts = docs.filter($"doc_id".isin(7L, 23L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Seq(3007L -> texts(7L)).toDF("doc_id", "text")
+    // ingest-only path delivers batch 0: signatures staged (committed
+    // marker written) and merged — but NO fold ran
+    StreamingOps.lshIngestBatch(stage)(batch, 0L)
+    StreamingOps.lshMergeStaged(spark, stage, store)
+    // the maintenance handler takes over the same stage at the same id:
+    // the fold must still run (3007 joins 7's family)
+    StreamingOps.dedupMaintainBatch(spark, store, labels, stage)(
+      batch, 0L).collect()
+    val lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.contains(3007L) && lbl(3007L) === lbl(7L),
+      "ingest-only commit marker suppressed the handler's label fold")
+    // and the fold's own marker now guards replays: a redelivery of the
+    // same id skips the fold (content would be a no-op anyway — this
+    // pins the marker exists and the skip path still returns verdicts)
+    assert(new java.io.File(s"$stage/_GRAFT_FOLDED_0").exists(),
+      "fold marker missing after a completed fold")
+    val replay = StreamingOps.dedupMaintainBatch(spark, store, labels, stage)(
+      batch, 0L).collect()
+    assert(replay.nonEmpty, "replayed delivery lost its gate verdicts")
+    assert(LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === lbl,
+      "replayed delivery changed the label store")
+  }
+
+  test("compactBucketed called directly in the DROP-window heals instead of deleting the sole copy") {
+    // crash state: a previous compaction died between DROP TABLE and
+    // RENAME — the live table is gone and __compact is the ONLY copy.
+    // A direct compactBucketed used to DROP that sole copy as "tmp
+    // debris" and then fail; it must heal first and compact normally.
+    import graft.operators.Pipeline6
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"doc_id" < 40)
+    val table = "graft_compact_heal_spec"
+    Pipeline6.postingsWrite(docs, table, nBuckets = 4)
+    val want = spark.table(table).collect().map(_.toSeq).toSet
+    graft.sources.Bucketed.writeBucketed(
+      spark.table(table).repartition(4, $"term"), s"${table}__compact",
+      "term", 4)
+    spark.sql(s"DROP TABLE $table") // the crash window
+    graft.sources.Bucketed.compactBucketed(spark, table, "term", 4)
+    assert(spark.catalog.tableExists(table), "table lost after heal+compact")
+    assert(spark.table(table).collect().map(_.toSeq).toSet === want,
+      "heal+compact changed the table content")
+    assert(!spark.catalog.tableExists(s"${table}__compact"),
+      "compaction left its tmp table behind")
+  }
+
   test("gate-fed VIDEO label store: clip maintenance matches the from-scratch p91 contraction") {
     // the p127 loop through the library handler: per batch ONE decode
     // feeds the stored gate, the within-batch pairs and the staged

@@ -3,12 +3,17 @@
 the BASELINE.md pin table and report movers.
 
 The regression rule (BASELINE.md): a query regresses only if its
-min-of-3 exceeds its pin by >30% (beyond protocol noise). Keys missing
-from the table are listed as unpinned; keys missing from the run as
-retired.
+min-of-3 exceeds its pin by >30% (beyond protocol noise) AND by more
+than --min-abs seconds absolute (default 0.25 s — the measured noise
+floor of min-of-2-quiet-run pins: sub-second keys swing >30% between
+two quiet runs in both directions, so a pure ratio band flags a 6-15
+key tail on ANY healthy run and the exit code stops meaning anything).
+Keys missing from the table are listed as unpinned; keys missing from
+the run as retired. Sub-floor ratio exceedances are reported as
+"noise" lines but do not fail the check.
 
-Usage: pin_check.py BENCH.json [BASELINE.md] [--band 0.30]
-Exit code 1 if any mover exceeds the band.
+Usage: pin_check.py BENCH.json [BASELINE.md] [--band 0.30] [--min-abs 0.25]
+Exit code 1 if any mover exceeds BOTH the band and the absolute floor.
 """
 import json
 import re
@@ -69,11 +74,15 @@ def main():
                     help="pin table markdown (default: BASELINE.md)")
     ap.add_argument("--band", type=float, default=0.30,
                     help="regression band as a fraction (default: 0.30)")
+    ap.add_argument("--min-abs", type=float, default=0.25,
+                    help="absolute-delta floor in seconds: ratio "
+                         "exceedances below it are noise, not movers "
+                         "(default: 0.25)")
     ns = ap.parse_args()
     band = ns.band
     bench = load_bench(ns.bench)
     pins = load_pins(ns.baseline)
-    movers, checked = [], 0
+    movers, noise, checked = [], [], 0
     for k, pin in sorted(pins.items()):
         if k not in bench:
             print(f"retired {k} (pinned {pin:.2f}, absent from run)")
@@ -81,14 +90,21 @@ def main():
         checked += 1
         got = bench[k]
         if got > pin * (1 + band):
-            movers.append((got / pin, k, pin, got))
+            if got - pin > ns.min_abs:
+                movers.append((got / pin, k, pin, got))
+            else:
+                noise.append((got / pin, k, pin, got))
     for r, k, pin, got in sorted(movers, reverse=True):
         print(f"MOVER {k}: {pin:.2f} -> {got:.2f} ({r:.2f}x)")
+    for r, k, pin, got in sorted(noise, reverse=True):
+        print(f"noise {k}: {pin:.2f} -> {got:.2f} ({r:.2f}x, "
+              f"+{got - pin:.2f}s < {ns.min_abs:.2f}s floor)")
     unpinned = sorted(set(bench) - set(pins))
     for k in unpinned:
         print(f"unpinned {k} ({bench[k]:.2f} s)")
     print(f"== {checked} pinned keys checked, {len(movers)} over the "
-          f"{int(band*100)}% band, {len(unpinned)} unpinned ==")
+          f"{int(band*100)}% band past the {ns.min_abs:.2f}s floor, "
+          f"{len(noise)} sub-floor noise, {len(unpinned)} unpinned ==")
     sys.exit(1 if movers else 0)
 
 
