@@ -391,6 +391,28 @@ object Dedup {
       .distinct()
   }
 
+  /** The [[minhashLshPairs]] candidate relation re-derived from a
+    * stored [[lshStoreWrite]] layout — the LIVE spelling for the
+    * decision tables (p134's release card): the scan→shingle→minhash
+    * pipeline that dominates from-scratch pair generation is already
+    * paid and at rest as the maintained signature store, so the pair
+    * matrix is one `(band, sig_h)` bucket group-by over 4 rows/doc
+    * (the [[lshPairsFromBands]] tail verbatim, hash keys standing in
+    * for signature strings exactly as the stored probes do — bucket
+    * identity is all that matters, collisions ~2⁻⁶⁴ per pair and
+    * differential-check-visible). Never a self-join; the group-by
+    * shuffles the store's own thin rows, not the corpus.
+    */
+  def lshPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("band"), col("sig_h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(unorderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("d1"), col("p.b").as("d2"))
+      .distinct()
+
   /** One document's distinct shingle HASHES as storable rows
     * (doc_id, sh) — the verification-side twin of
     * [[lshSignatureRows]]: 64-bit xxhash64 keys stand in for the

@@ -1017,12 +1017,20 @@ object Pipeline12 {
     * token budgets, and `n_contaminated` what the eval-safety gate
     * would drop.
     */
-  def releaseCard(s: SparkSession, d: String): DataFrame = {
+  def releaseCard(s: SparkSession, d: String): DataFrame =
+    releaseCardWith(s, d, Pipeline8.crossSourceOverlap(s, d))
+
+  /** The card body over ANY overlap matrix — split out so the LIVE
+    * twin (p134) can feed the store-derived pair matrix while the
+    * registered p113 keeps pricing the from-scratch composition.
+    */
+  private[operators] def releaseCardWith(s: SparkSession, d: String,
+                                         overlap: DataFrame): DataFrame = {
     val docs = graft.Tables.documents(s, d)
     val sc = Pipeline9.sourceScorecard(s, d)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_pass"), col("n_dup_docs"))
-    val ov = Pipeline8.crossSourceOverlap(s, d)
+    val ov = overlap
       .localCheckpoint(eager = false) // feeds the within + cross splits
     val within = ov.filter(col("source_a") === col("source_b"))
       .select(col("source_a").as("source"),

@@ -106,6 +106,24 @@ object Pipeline14 {
     }
   }
 
+  /** The memoized TEXT store pair — p123's fold loop run ONCE per JVM
+    * per dataset, keeping BOTH maintained stores under one root:
+    * `labels/` (the live label table — p129's weights, p133's yield)
+    * and `lsh/` (the live signature store — p134's pair matrix). The
+    * fold itself is priced by p123 per rep; the entries reading this
+    * root price only their downstream refresh against live state —
+    * exactly the p130 store-pair discipline on the text modality.
+    * (Until p133/p134 existed the signature store was deleted after
+    * the fold as having no consumer; the live decision tables are
+    * that consumer.)
+    */
+  private[operators] def textStoreRoot(s: SparkSession, d: String): String =
+    IndexStores.of("inc_text_store", d) { p =>
+      withScratch(s, s"$p/labels", s"$p/lsh") {
+        foldIncrementalLabels(s, d, s"$p/labels", s"$p/lsh")
+      }
+    }
+
   /** Lloyd rounds of the registered frozen-trained method — fixed (no
     * eps early-exit) because the round count is part of the oracle's
     * unrolled semantics; 2 matches `ivfTopKTrained`'s default budget.

@@ -295,18 +295,11 @@ object Pipeline15 {
     * from-scratch release sample.
     */
   def incrementalReleaseRefresh(s: SparkSession, d: String): DataFrame = {
-    val labelPath = IndexStores.of("inc_label_store", d) { p =>
-      val lshPath = java.nio.file.Files
-        .createTempDirectory("graft_increl_lsh_").toString
-      Pipeline14.withScratch(s, p, lshPath) {
-        Pipeline14.foldIncrementalLabels(s, d, p, lshPath)
-        // only the label store is memoized: the signature store served
-        // the fold's gates and would otherwise outlive its use
-        Pipeline14.deleteDirs(s, lshPath)
-      }
-    }
+    // the shared text store pair: labels serve this draw, the signature
+    // store serves p134's live pair matrix — one fold, all consumers
+    val root = Pipeline14.textStoreRoot(s, d)
     Pipeline13.softDedupSampleOf(
-        LabelStore.weightsFromStore(s, labelPath), RefreshEpochs)
+        LabelStore.weightsFromStore(s, s"$root/labels"), RefreshEpochs)
       .orderBy(col("epoch"), col("doc_id"))
   }
 

@@ -303,8 +303,17 @@ object Pipeline8 {
     */
   def crossSourceOverlap(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)
+    crossSourceOverlapOf(docs, Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = PipelineQueries.ShingleN, numHashes = 16, bands = 4))
+  }
+
+  /** The overlap matrix of ANY `(d1, d2)` pair relation under ANY
+    * `(doc_id, source)` corpus — split from the registered entry so the
+    * live release card (p134) can feed it the store-derived pair
+    * relation ([[Dedup.lshPairsFromStore]]) instead of re-running the
+    * from-scratch pipeline per refresh.
+    */
+  def crossSourceOverlapOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val srcA = docs.select(col("doc_id").as("d1"), col("source").as("src1"))
     val srcB = docs.select(col("doc_id").as("d2"), col("source").as("src2"))
     pairs.join(srcA, "d1").join(srcB, "d2")
