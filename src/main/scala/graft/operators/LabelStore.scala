@@ -95,6 +95,14 @@ object LabelStore {
     * discipline (survives `marksuccessfuljobs=false`).
     */
   private val StagedMarker = "_GRAFT_STAGED"
+  /** Affected-bucket manifest of a [[remove]] stage (absent on
+    * [[update]] stages): dynamic partition overwrite can only REWRITE
+    * partitions present in the staged data, never delete one, so a
+    * removal that empties a bucket records the full intended bucket
+    * set here and [[applyStageAndPrune]] deletes the intended-empty
+    * ones — idempotently, so crash replay stays correct.
+    */
+  private val BucketManifest = "_GRAFT_BUCKETS"
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,7 +149,9 @@ object LabelStore {
     val fs = fsOf(spark, stage)
     if (!fs.exists(stage)) return false
     if (fs.exists(new org.apache.hadoop.fs.Path(stage, StagedMarker)))
-      applyStage(spark, path, bucketsOf(spark, path))
+      // the prune step is a no-op for update stages (no manifest), so
+      // one replay path heals both stage kinds
+      applyStageAndPrune(spark, path, bucketsOf(spark, path))
     fs.delete(stage, true)
     true
   }
@@ -410,9 +420,18 @@ object LabelStore {
     * buckets with the same bytes), which is what makes [[recover]]
     * correct at any crash point past the stage marker.
     */
+  /** Schema-explicit stage read: a removal that empties every affected
+    * bucket stages ZERO rows (no part files at all), where schema
+    * inference would fail — the content is still meaningful (the prune
+    * step deletes the intended-empty buckets).
+    */
+  private def readStage(spark: SparkSession, path: String) =
+    spark.read.schema("doc_id BIGINT, canonical BIGINT")
+      .parquet(stageDirOf(path).toString)
+
   private def applyStage(spark: SparkSession, path: String,
                          nBuckets: Int): Unit =
-    spark.read.parquet(stageDirOf(path).toString)
+    readStage(spark, path)
       .withColumn("lb", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
       .repartition(col("lb"))
       .sortWithinPartitions(col("lb"), col("canonical"), col("doc_id"))
@@ -421,4 +440,147 @@ object LabelStore {
       .partitionBy("lb")
       .option("parquet.block.size", 1 << 20)
       .parquet(path)
+
+  /** [[applyStage]] plus the removal stages' emptied-bucket prune:
+    * delete every bucket the manifest intends but the staged data does
+    * not populate (a dynamic overwrite cannot empty a partition — it
+    * would silently keep the removed rows). Deletes are idempotent, so
+    * the combined replay stays crash-safe at any point past the marker.
+    */
+  private def applyStageAndPrune(spark: SparkSession, path: String,
+                                 nBuckets: Int): Unit = {
+    applyStage(spark, path, nBuckets)
+    val manifest =
+      new org.apache.hadoop.fs.Path(stageDirOf(path), BucketManifest)
+    val fs = fsOf(spark, manifest)
+    if (fs.exists(manifest)) {
+      val intended = spark.read.parquet(manifest.toString)
+        .collect().map(_.getInt(0)).toSet
+      val present = readStage(spark, path)
+        .select(pmod(col("doc_id"), lit(nBuckets)).cast("int").as("lb"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      (intended -- present).toSeq.sorted.foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/lb=$b")
+        fs.delete(dir, true)
+      }
+    }
+  }
+
+  /** REMOVE documents from the live label table — the retraction path
+    * (takedown, license withdrawal: a real LLM-corpus operation the
+    * grow-only fold cannot express, because deleting a member can
+    * SPLIT a component and union-find state carries no edges to split
+    * by). Drops the removed rows and recontracts the affected
+    * components from `evidence`, leaving every other bucket
+    * byte-identical.
+    *
+    * EVIDENCE-SOURCE CONTRACT: `evidence` must be (d1, d2) near-dup
+    * pairs covering at least the SURVIVING members of the components
+    * the removed docs belong to — the same relation the folds consumed.
+    * The maintained signature stores answer it without a corpus
+    * rescan: [[Dedup.lshPairsFromStore]] (text), the banded
+    * frame/fingerprint probes (video/audio), or the τ-probe (vectors),
+    * restricted to the member ids; passing the FULL store-derived pair
+    * relation is always safe — edges touching removed docs or docs
+    * outside the affected components are filtered out here (by the
+    * fold invariant a true evidence edge never crosses components, so
+    * the filter only drops edges that were already redundant).
+    * Supplying PARTIAL evidence (fewer pairs than were folded) splits
+    * components conservatively — survivors whose connecting pairs are
+    * missing relabel as singletons; it never invents a merge.
+    *
+    * Steps: (1) removed rows resolve to their canonicals (bucket-pruned
+    * under the probe-literal bound); (2) ALL member rows of those
+    * components load via one broadcast canonical probe
+    * (canonical-sorted row groups skip); (3) survivors = members minus
+    * removed recontract under the filtered evidence
+    * ([[contractEdges]] — evidence-bounded, like every fold);
+    * (4) the affected buckets (exactly those holding a member row)
+    * rewrite via the staged overwrite, with the bucket manifest so a
+    * bucket whose every row was removed is DELETED, not silently kept
+    * (dynamic overwrite cannot empty a partition). Removing ids absent
+    * from the store is a no-op. Same durability contract as
+    * [[update]]: staged, marker after commit, [[recover]] heals any
+    * crash window; removals serialize with folds through the one
+    * maintenance scheduler.
+    *
+    * DedupSpec pins remove-equals-rebuild: the post-removal store
+    * hash-matches the from-scratch contraction of the surviving corpus
+    * — including the component-split and emptied-bucket cases — and a
+    * crash between stage and overwrite recovers content-identically.
+    *
+    * Degenerate corner, out of contract: removing EVERY stored document
+    * leaves a store with no parquet files at all, which [[read]] cannot
+    * schema-infer — an emptied corpus is a rebuild-from-nothing
+    * ([[write]]), not a maintenance state.
+    */
+  def remove(spark: SparkSession, path: String, removeIds: DataFrame,
+             evidence: DataFrame): Unit = {
+    if (stageRemove(spark, path, removeIds, evidence)) {
+      applyStageAndPrune(spark, path, bucketsOf(spark, path))
+      val stage = stageDirOf(path)
+      fsOf(spark, stage).delete(stage, true)
+    }
+  }
+
+  /** The read-and-stage half of [[remove]] — package-visible so the
+    * crash spec can kill a removal between stage and overwrite.
+    * Returns false when nothing to do (no removed id is stored).
+    */
+  private[graft] def stageRemove(spark: SparkSession, path: String,
+                                 removeIds: DataFrame,
+                                 evidence: DataFrame): Boolean = {
+    requireClean(spark, path)
+    val nBuckets = bucketsOf(spark, path)
+    val rm = removeIds.select(col("doc_id")).distinct()
+      .localCheckpoint(eager = false)
+    // the removed rows' canonicals — bucket-pruned when the removal set
+    // fits the probe-literal bound (the update endpoint-lookup device)
+    val rmIds = rm.limit(Dedup.MaxProbeLiterals + 1).collect()
+      .map(_.getLong(0))
+    val rmRows =
+      if (rmIds.length <= Dedup.MaxProbeLiterals) {
+        val rb = rmIds.map(i => (((i % nBuckets) + nBuckets) % nBuckets).toInt)
+          .distinct.sorted
+        if (rb.isEmpty) read(spark, path).limit(0)
+        else spark.read.parquet(path)
+          .filter(col("lb").isin(rb.toIndexedSeq: _*) &&
+            col("doc_id").isin(rmIds.toIndexedSeq: _*))
+          .select(col("doc_id"), col("canonical"))
+      } else spark.read.parquet(path).join(rm, Seq("doc_id"))
+        .select(col("doc_id"), col("canonical"))
+    val affC = rmRows.select(col("canonical")).distinct()
+      .localCheckpoint(eager = false)
+    // every row of the affected components, wherever it lives (bucket
+    // is an id function, members spread across buckets)
+    val members = spark.read.parquet(path)
+      .join(broadcast(affC), Seq("canonical"))
+      .select(col("doc_id"), col("lb").cast("int").as("lb"))
+      .localCheckpoint(eager = false)
+    val bks = members.select(col("lb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (bks.isEmpty) return false
+    val survivors = members.select(col("doc_id"))
+      .join(rm, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    // evidence restricted to surviving members — the defensive filter
+    // of the evidence-source contract
+    val e = evidence.select(col("d1"), col("d2"))
+      .join(survivors.select(col("doc_id").as("d1")), Seq("d1"))
+      .join(survivors.select(col("doc_id").as("d2")), Seq("d2"))
+    val relabeled = labelsFor(survivors, e)
+    val untouched = spark.read.parquet(path)
+      .filter(col("lb").isin(bks: _*))
+      .join(broadcast(affC), Seq("canonical"), "left_anti")
+      .select(col("doc_id"), col("canonical"))
+    val stage = stageDirOf(path)
+    val fs = fsOf(spark, stage)
+    untouched.unionByName(relabeled)
+      .write.mode("overwrite").parquet(stage.toString)
+    import spark.implicits._
+    bks.toDF("lb").repartition(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(stage, BucketManifest).toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, StagedMarker), true).close()
+    true
+  }
 }

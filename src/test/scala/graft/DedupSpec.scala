@@ -351,6 +351,85 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "batch row not routed by the re-written layout's bucket count")
   }
 
+  test("label store: remove(ids) equals a from-scratch rebuild of the surviving corpus") {
+    import graft.operators.LabelStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lbl_remove").toString
+    // components: {1,2,3} chained 1-2-3 (2 is the BRIDGE), {10,11},
+    // {20} singleton, {5,21} sharing bucket 5 (nBuckets=16: 21%16=5),
+    // plus loose singletons
+    val ids = Seq(1L, 2L, 3L, 5L, 10L, 11L, 20L, 21L, 33L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 21L))
+      .toDF("d1", "d2")
+    LabelStore.write(LabelStore.labelsFor(ids, pairs), path)
+    // remove: the bridge 2 (splits {1,2,3} into {1},{3}), canonical 10
+    // (forces {11}'s relabel), BOTH of bucket-5's docs (empties lb=5),
+    // and an id never stored (no-op member)
+    val rm = Seq(2L, 10L, 5L, 21L, 999L).toDF("doc_id")
+    // the evidence-source contract: pairs among survivors — here the
+    // full surviving pair relation (edges touching removed docs are
+    // filtered by remove itself)
+    LabelStore.remove(spark, path, rm, pairs)
+    val got = LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // from-scratch rebuild of the surviving corpus
+    val surv = Seq(1L, 3L, 11L, 20L, 33L).toDF("doc_id")
+    val survPairs = pairs.filter(!col("d1").isin(2L, 10L, 5L, 21L) &&
+      !col("d2").isin(2L, 10L, 5L, 21L))
+    val want = LabelStore.labelsFor(surv, survPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want, "remove diverged from the from-scratch rebuild")
+    assert(got.find(_._1 == 1L).get._2 === 1L &&
+      got.find(_._1 == 3L).get._2 === 3L,
+      "bridge removal did not split the component")
+    assert(got.find(_._1 == 11L).get._2 === 11L,
+      "removing the canonical did not relabel the survivor")
+    // the emptied bucket is DELETED, not silently kept (dynamic
+    // overwrite cannot empty a partition — the manifest prune does)
+    assert(!new java.io.File(s"$path/lb=5").exists(),
+      "emptied bucket survived the removal with stale rows")
+    // removing only absent ids is a no-op
+    val before = got
+    LabelStore.remove(spark, path, Seq(999L).toDF("doc_id"), pairs)
+    assert(LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === before,
+      "no-op removal changed the store")
+    // PARTIAL evidence splits conservatively, never invents a merge:
+    // removing 33 with EMPTY evidence relabels nothing it shouldn't
+    LabelStore.remove(spark, path, Seq(33L).toDF("doc_id"),
+      pairs.limit(0))
+    val after = LabelStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === before.filterNot(_._1 == 33L),
+      "singleton removal under empty evidence touched other rows")
+  }
+
+  test("label store: remove crash between stage and overwrite recovers to the intended state") {
+    import graft.operators.LabelStore
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_lbl_rmcrash_a").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_lbl_rmcrash_b").toString
+    val ids = Seq(1L, 2L, 3L, 5L, 21L, 40L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 21L)).toDF("d1", "d2")
+    LabelStore.write(LabelStore.labelsFor(ids, pairs), a)
+    LabelStore.write(LabelStore.labelsFor(ids, pairs), b)
+    val rm = Seq(2L, 5L, 21L).toDF("doc_id") // split + emptied bucket
+    LabelStore.remove(spark, a, rm, pairs) // the uninterrupted twin
+    // the interrupted one: stage lands (marker committed), overwrite
+    // never runs — recover must replay overwrite AND the bucket prune
+    assert(LabelStore.stageRemove(spark, b, rm, pairs))
+    intercept[IllegalArgumentException] { LabelStore.read(spark, b) }
+    assert(LabelStore.recover(spark, b), "recover found nothing to do")
+    def labels(p: String) = LabelStore.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(labels(b) === labels(a),
+      "recovered removal diverged from the uninterrupted one")
+    assert(!new java.io.File(s"$b/lb=5").exists(),
+      "recovery skipped the emptied-bucket prune")
+    assert(!LabelStore.recover(spark, b), "second recover was not a no-op")
+  }
+
   test("label store: crash between stage and overwrite recovers to the intended state") {
     import graft.operators.LabelStore
     val a = java.nio.file.Files
