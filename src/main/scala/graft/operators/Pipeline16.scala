@@ -69,12 +69,154 @@ object Pipeline16 {
         Dedup.lshPairsFromStore(s, s"$root/lsh")))
   }
 
+  /** Ingestion batches of the registered incremental entry — the
+    * shared p123/p126/p127/p128 slice discipline (`doc_id mod 3`
+    * interleaves ids so canonical minima routinely arrive AFTER other
+    * members, exercising the component-rewrite path).
+    */
+  private val IncBatches = 3
+
+  /** p132: INCREMENTAL CROSS-MODAL dedup — p85's unified duplicate
+    * resolution across all FOUR modalities kept LIVE under ingestion:
+    * ONE label space whose evidence feeds are the four per-modality
+    * published-corpus gates PLUS the same modalities' within-batch
+    * relations, folded by the id-generic [[LabelStore]]. This closes
+    * the last batch-only family: until now the four modality label
+    * stores were live but SEPARATE, and a release consuming
+    * cross-modal families re-paid p85's four-decode recluster per
+    * refresh.
+    *
+    * Per batch, each modality decodes ONCE and feeds its three
+    * consumers (within-batch pairs, the stored gate, the store
+    * append):
+    *
+    *  - TEXT, exact: the (th, th2) 128-bit composite as 2-frame
+    *    "clips" ([[Pipeline9.exactTextSigFrames]]) in a banded
+    *    [[Multimodal.frameStoreWrite]] store; gate =
+    *    [[Multimodal.videoNearDupStored]] at radius 0 (equal length +
+    *    both frames aligned-equal IS (th, th2) equality);
+    *    within-batch = p85's star edges
+    *    ([[Pipeline9.exactTextPairsOf]]).
+    *  - IMAGE: dHash rows as one-frame clips (the p128 audio shape);
+    *    gate = [[Multimodal.frameProbeStoredDF]] at radius 3
+    *    (banding-lossless, exact popcount verify); within-batch =
+    *    [[Multimodal.perceptualNearDupPairs]].
+    *  - AUDIO: p128's store/gate/pairs verbatim (60-bit profile
+    *    fingerprint as one-frame clips).
+    *  - VIDEO: p127's store/gate/pairs verbatim (banded frame store,
+    *    anchor probe + equal-length aligned verify).
+    *
+    * The oracle is p85's from-scratch cross-modal contraction
+    * VERBATIM — hash-matching it is the append-equals-rebuild proof
+    * for the UNIFIED label space: the evidence union over batches is
+    * exactly p85's pair relation (each modality's within-batch pairs
+    * cover same-slice pairs, its gate covers batch-to-published
+    * losslessly at its radius, and closure over the union equals the
+    * full relation's closure — the four per-modality proofs composed
+    * into one fold).
+    *
+    * Scale shape: per batch four decode passes (each map-side,
+    * signatures not payloads in every shuffle), four banded
+    * pair/probe stages (never all-pairs, never cartesian), ONE
+    * evidence-bounded label fold (the union of four thin pair feeds),
+    * and four band-partitioned appends; the published corpus is never
+    * re-decoded — the from-scratch alternative repays four corpus
+    * decodes + the full contraction per refresh.
+    */
+  def incrementalCrossModalLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_incxm_${tag}_").toString
+    val labelPath = tmp("labels")
+    val txtStore = tmp("txt"); val imgStore = tmp("img")
+    val audStore = tmp("aud"); val vidStore = tmp("vid")
+    val dirs = Seq(labelPath, txtStore, imgStore, audStore, vidStore)
+    Pipeline14.withScratch(s, dirs: _*) {
+      for (i <- 0 until IncBatches) {
+        val batch = docs
+          .filter(pmod(col("doc_id"), lit(IncBatches.toLong)) === i.toLong)
+        // ONE decode per modality per batch, three consumers each
+        val tf = Pipeline9.exactTextSigFrames(batch).localCheckpoint()
+        val dh = Multimodal.decodeRaster(Multimodal.attachRaster(batch))
+          .select(col("doc_id"), col("dhash")).localCheckpoint()
+        val af = Multimodal.decodeWave(Multimodal.attachWave(batch))
+          .select(col("doc_id"), col("afp")).localCheckpoint()
+        val vf = Multimodal.decodeVideoFrames(Multimodal.attachVideo(batch))
+          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+          .localCheckpoint()
+        val within = Pipeline9.exactTextPairsOf(batch)
+          .union(Multimodal.perceptualNearDupPairs(dh, maxHamming = 3)
+            .select(col("d1"), col("d2")))
+          .union(Multimodal.perceptualNearDupPairs(
+              af.select(col("doc_id"), col("afp").as("dhash")),
+              maxHamming = 3)
+            .select(col("d1"), col("d2")))
+          .union(Multimodal.videoNearDupPairs(vf, maxHamming = 3)
+            .select(col("d1"), col("d2")))
+        val imgRows = dh.select(col("doc_id"), lit(0).as("frame"),
+          col("dhash").as("fhash"))
+        val audRows = af.select(col("doc_id"), lit(0).as("frame"),
+          col("afp").as("fhash"))
+        if (i == 0) {
+          LabelStore.write(
+            LabelStore.labelsFor(batch.select(col("doc_id")), within),
+            labelPath)
+          Multimodal.frameStoreWrite(
+            tf.select(col("doc_id"), col("frame"), col("fhash")), txtStore)
+          Multimodal.frameStoreWrite(imgRows, imgStore)
+          Multimodal.frameStoreWrite(audRows, audStore)
+          Multimodal.frameStoreWrite(
+            vf.select(col("doc_id"), col("frame"), col("fhash")), vidStore)
+        } else {
+          // the four published-corpus gates — batch ids are new by the
+          // slice construction; the self-hit filters are the shared
+          // defensive gate discipline
+          val gT = Multimodal.videoNearDupStored(s, txtStore, tf,
+              maxHamming = 0)
+            .select(col("doc_id").as("d1"), col("dup_of").as("d2"))
+          val gI = Multimodal.frameProbeStoredDF(s, imgStore,
+              dh.select(col("doc_id").as("qid"), col("dhash").as("qhash")),
+              maxHamming = 3)
+            .filter(col("doc_id") =!= col("qid"))
+            .select(col("qid").as("d1"), col("doc_id").as("d2"))
+          val gA = Multimodal.frameProbeStoredDF(s, audStore,
+              af.select(col("doc_id").as("qid"), col("afp").as("qhash")),
+              maxHamming = 3)
+            .filter(col("doc_id") =!= col("qid"))
+            .select(col("qid").as("d1"), col("doc_id").as("d2"))
+          val gV = Multimodal.videoNearDupStored(s, vidStore, vf,
+              maxHamming = 3)
+            .select(col("doc_id").as("d1"), col("dup_of").as("d2"))
+          LabelStore.update(s, labelPath, batch.select(col("doc_id")),
+            within.union(gT).union(gI).union(gA).union(gV))
+          Seq((tf.select(col("doc_id"), col("frame"), col("fhash")), txtStore),
+              (imgRows, imgStore), (audRows, audStore),
+              (vf.select(col("doc_id"), col("frame"), col("fhash")), vidStore))
+            .foreach { case (rows, store) =>
+              graft.sources.Partitioned.appendBy(
+                Multimodal.bandFrames(rows)
+                  .withColumn("ingest_batch", lit(i.toLong)),
+                store, "band_i")
+            }
+        }
+      }
+      Pipeline14.cleanupAfter(
+        LabelStore.read(s, labelPath).orderBy(col("doc_id")), dirs: _*)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p132_incremental_crossmodal" -> (incrementalCrossModalLabels _),
     "p133_token_yield_live" -> (tokenYieldLive _),
     "p134_release_card_live" -> (releaseCardLive _),
   )
 
   val oracles: Map[String, String] = Map(
+    // p85's from-scratch cross-modal oracle VERBATIM — the unified
+    // live fold must land bit-identically on the four-modality
+    // contraction of the union corpus (append-equals-rebuild for the
+    // cross-modal label space)
+    "p132_incremental_crossmodal" -> Pipeline9.multimodalDedupOracle,
     // p121's from-scratch oracle VERBATIM — live weights must reproduce
     // the recomputed yield table bit-identically
     "p133_token_yield_live" -> Pipeline13.tokenYieldOracle,

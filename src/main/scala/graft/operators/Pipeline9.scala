@@ -627,17 +627,49 @@ object Pipeline9 {
     * second component: boilerplate near-duplicates concentrate on few
     * lengths, exactly where the guard is needed.
     */
-  def multimodalDedup(s: SparkSession, d: String): DataFrame = {
+  /** The exact-text signature of p85's text feed: TWO independently
+    * seeded xxhash64 keys — 128 effective bits, the composite the
+    * exact-dedup family uses so collision mass stays negligible at
+    * corpus-squared pair counts. One definition shared by the batch
+    * p85, the incremental p132 and the streaming handler: all three
+    * must agree bit-for-bit for the stored gate to be sound.
+    */
+  private[graft] def exactTextSig(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      xxhash64(col("text")).as("th"),
+      xxhash64(lit("p85-salt"), col("text")).as("th2"))
+
+  /** p85's text evidence on ANY document set: star edges min→member
+    * per exact-text group (same components as all-pairs under the
+    * closure, linearly many edges).
+    */
+  private[graft] def exactTextPairsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
-    val textPairs = docs
-      .select(col("doc_id"),
-        xxhash64(col("text")).as("th"),
-        xxhash64(lit("p85-salt"), col("text")).as("th2"))
+    exactTextSig(docs)
       .withColumn("d1",
         min(col("doc_id")).over(Window.partitionBy(col("th"), col("th2"))))
       .filter(col("d1") < col("doc_id"))
       .select(col("d1"), col("doc_id").as("d2"))
+  }
+
+  /** The exact-text signature as 2-frame "clips" for the at-rest
+    * banded store family: frame 0 = th, frame 1 = th2. The stored
+    * exact-match gate is then [[Multimodal.videoNearDupStored]] at
+    * radius 0 — equal length (always 2) and both frames aligned-equal
+    * is precisely (th, th2) equality, the 128-bit composite preserved
+    * at rest with zero new machinery.
+    */
+  private[graft] def exactTextSigFrames(docs: DataFrame): DataFrame =
+    exactTextSig(docs)
+      .select(col("doc_id"), explode(array(
+          struct(lit(0).as("frame"), col("th").as("fhash")),
+          struct(lit(1).as("frame"), col("th2").as("fhash")))).as("x"))
+      .select(col("doc_id"), col("x.frame").as("frame"),
+        lit(2).as("n_frames"), col("x.fhash").as("fhash"))
+
+  def multimodalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val textPairs = exactTextPairsOf(docs)
     val imgPairs = Multimodal.perceptualNearDupPairs(
         Multimodal.decodeRaster(Multimodal.attachRaster(docs))
           .select(col("doc_id"), col("dhash")), maxHamming = 3)

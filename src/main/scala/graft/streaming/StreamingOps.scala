@@ -1270,6 +1270,113 @@ object StreamingOps {
     gate
   }
 
+  /** The CROSS-MODAL maintenance handler — p132's loop as a library
+    * call, the composed form of the four per-modality handlers over
+    * ONE unified label space: per micro-batch of documents carrying
+    * every modality's raw payload (`doc_id, text, img, wav, vid` —
+    * the three binary columns in the attach writers' payload format),
+    *
+    *  1. decode each modality ONCE (text hashes to the (th, th2)
+    *     128-bit composite as 2-frame clips; raster to dHash; RIFF/PCM
+    *     to the 60-bit profile fingerprint; video to frame hashes);
+    *  2. gate each modality against ITS live banded store (exact-text
+    *     via the radius-0 aligned verify, image/audio via the banded
+    *     Hamming probe, video via the anchor-probe + aligned verify);
+    *  3. fold ALL evidence — four within-batch relations plus four
+    *     gate feeds — into the ONE label store with a single
+    *     union-find step, so a document whose text matches one
+    *     published doc and whose audio matches another merges all
+    *     three families exactly as p85's batch contraction would;
+    *  4. staged-ingest each modality's banded signature rows
+    *     exactly-once under its own stage subdir and merge, with the
+    *     per-store compaction triggers.
+    *
+    * Shared handler contracts: new ids only, serial folds,
+    * redelivery-safe via the fold marker + the label store's own
+    * anti-join. Returns the gate verdicts tagged by modality. The
+    * label store's weights then serve cross-modal-family soft-dedup
+    * release draws with no corpus re-decode — the state p85 used to
+    * recompute from scratch per refresh.
+    */
+  def multimodalMaintainBatch(spark: org.apache.spark.sql.SparkSession,
+                              txtStorePath: String, imgStorePath: String,
+                              audStorePath: String, vidStorePath: String,
+                              labelPath: String, stagePath: String,
+                              maxHamming: Int = 3,
+                              compactMaxFiles: Int = DefaultCompactMaxFiles)(
+                              batch: DataFrame, id: Long): DataFrame = {
+    import graft.operators.{LabelStore, Multimodal, Pipeline9}
+    def noVerdicts: DataFrame = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+      .withColumn("modality", lit(""))
+      .limit(0)
+    val stores = Seq(txtStorePath, imgStorePath, audStorePath, vidStorePath)
+    stores.foreach(recoverStoreSwap(spark, _)) // the shared heal-first step
+    val b = batch.localCheckpoint()
+    if (b.isEmpty) return noVerdicts
+    // ONE decode per modality: gates + within pairs + ingest rows
+    val tf = Pipeline9.exactTextSigFrames(b.select(col("doc_id"), col("text")))
+      .localCheckpoint()
+    val dh = Multimodal.decodeRaster(
+        b.select(col("doc_id"), col("img").as("payload")))
+      .select(col("doc_id"), col("dhash")).localCheckpoint()
+    val af = Multimodal.decodeWave(
+        b.select(col("doc_id"), col("wav").as("payload")))
+      .select(col("doc_id"), col("afp")).localCheckpoint()
+    val vf = Multimodal.decodeVideoFrames(
+        b.select(col("doc_id"), col("vid").as("payload")))
+      .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+      .localCheckpoint()
+    val gate = Multimodal.videoNearDupStored(spark, txtStorePath, tf, 0)
+      .select(col("doc_id"), col("dup_of"), lit("text").as("modality"))
+      .unionByName(Multimodal.frameProbeStoredDF(spark, imgStorePath,
+          dh.select(col("doc_id").as("qid"), col("dhash").as("qhash")),
+          maxHamming)
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"),
+          lit("image").as("modality")))
+      .unionByName(Multimodal.frameProbeStoredDF(spark, audStorePath,
+          af.select(col("doc_id").as("qid"), col("afp").as("qhash")),
+          maxHamming)
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid").as("doc_id"), col("doc_id").as("dup_of"),
+          lit("audio").as("modality")))
+      .unionByName(Multimodal.videoNearDupStored(spark, vidStorePath, vf,
+          maxHamming)
+        .select(col("doc_id"), col("dup_of"), lit("video").as("modality")))
+      .localCheckpoint() // feeds the fold AND the return
+    if (!batchFolded(spark, stagePath, id)) {
+      val within = Pipeline9.exactTextPairsOf(
+          b.select(col("doc_id"), col("text")))
+        .union(Multimodal.perceptualNearDupPairs(dh, maxHamming)
+          .select(col("d1"), col("d2")))
+        .union(Multimodal.perceptualNearDupPairs(
+            af.select(col("doc_id"), col("afp").as("dhash")), maxHamming)
+          .select(col("d1"), col("d2")))
+        .union(Multimodal.videoNearDupPairs(vf, maxHamming)
+          .select(col("d1"), col("d2")))
+      LabelStore.recoverAndUpdate(spark, labelPath,
+        b.select(col("doc_id")).distinct(),
+        within.union(
+          gate.select(col("doc_id").as("d1"), col("dup_of").as("d2"))))
+      markFolded(spark, stagePath, id)
+    }
+    val rows = Seq(
+      (tf.select(col("doc_id"), col("frame"), col("fhash")), "txt", txtStorePath),
+      (dh.select(col("doc_id"), lit(0).as("frame"),
+        col("dhash").as("fhash")), "img", imgStorePath),
+      (af.select(col("doc_id"), lit(0).as("frame"),
+        col("afp").as("fhash")), "aud", audStorePath),
+      (vf.select(col("doc_id"), col("frame"), col("fhash")), "vid", vidStorePath))
+    rows.foreach { case (r, tag, store) =>
+      idempotentParquetBatch(s"$stagePath/$tag")(Multimodal.bandFrames(r), id)
+      frameMergeStaged(spark, s"$stagePath/$tag", store)
+      compactIfDue(spark, store, "band_i", compactMaxFiles)(
+        (src, dst) => Multimodal.frameStoreCompact(spark, src, dst))
+    }
+    gate
+  }
+
   /** The composed ADMISSION pipeline — the one `foreachBatch` handler
     * an ingestion deployment copies: chain the frozen-model gates over
     * ONE micro-batch of (doc_id, text) documents and emit a per-

@@ -1795,6 +1795,98 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "second-wave track missed the first-wave twin through the merged store")
   }
 
+  test("gate-fed CROSS-MODAL label store: unified maintenance matches the from-scratch p85 contraction") {
+    // the p132 loop through the library handler: ONE label space fed by
+    // all four modality gates + within-batch relations. The designed
+    // merge: 470 carries doc 3's TEXT (joining the {3, 83} text family)
+    // while its payload signatures are congruent to 150 mod 160 (the
+    // fixture geometry the video/audio specs pin) — so folding 470
+    // unites a text family and a perceptual family ACROSS modalities,
+    // which the four separate per-modality stores cannot express; 630
+    // then reaches that family only through the MERGED stores
+    import graft.operators.{Dedup, LabelStore, Multimodal, Pipeline9}
+    def docsOf(ids: org.apache.spark.sql.DataFrame) = ids
+      .withColumn("tid",
+        when($"doc_id" === 83L, 3L)
+          .when($"doc_id" === 470L, 3L)
+          .otherwise($"doc_id"))
+      .select($"doc_id",
+        concat(lit("crossmodal text "), $"tid".cast("string")).as("text"))
+    def payloadDocsOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .join(Multimodal.attachRaster(docs).withColumnRenamed("payload", "img"),
+        Seq("doc_id"))
+      .join(Multimodal.attachWave(docs).withColumnRenamed("payload", "wav"),
+        Seq("doc_id"))
+      .join(Multimodal.attachVideo(docs).withColumnRenamed("payload", "vid"),
+        Seq("doc_id"))
+    def unionPairsOf(docs: org.apache.spark.sql.DataFrame) = {
+      val dh = Multimodal.decodeRaster(Multimodal.attachRaster(docs))
+        .select($"doc_id", $"dhash")
+      val af = Multimodal.decodeWave(Multimodal.attachWave(docs))
+        .select($"doc_id", $"afp")
+      val vf = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+        .select($"doc_id", $"frame", $"n_frames", $"fhash")
+      Pipeline9.exactTextPairsOf(docs)
+        .union(Multimodal.perceptualNearDupPairs(dh, 3)
+          .select($"d1", $"d2"))
+        .union(Multimodal.perceptualNearDupPairs(
+            af.select($"doc_id", $"afp".as("dhash")), 3)
+          .select($"d1", $"d2"))
+        .union(Multimodal.videoNearDupPairs(vf, 3).select($"d1", $"d2"))
+    }
+    val pubIds = spark.range(0, 300).select($"id".as("doc_id"))
+    val pub = docsOf(pubIds).localCheckpoint()
+    def tmp(t: String) = java.nio.file.Files.createTempDirectory(t).toString
+    val (txt, img, aud, vid) =
+      (tmp("xm_txt"), tmp("xm_img"), tmp("xm_aud"), tmp("xm_vid"))
+    val stage = tmp("xm_stage"); val labels = tmp("xm_lbl")
+    Multimodal.frameStoreWrite(
+      Pipeline9.exactTextSigFrames(pub)
+        .select($"doc_id", $"frame", $"fhash"), txt)
+    Multimodal.frameStoreWrite(
+      Multimodal.decodeRaster(Multimodal.attachRaster(pub))
+        .select($"doc_id", lit(0).as("frame"), $"dhash".as("fhash")), img)
+    Multimodal.frameStoreWrite(
+      Multimodal.decodeWave(Multimodal.attachWave(pub))
+        .select($"doc_id", lit(0).as("frame"), $"afp".as("fhash")), aud)
+    Multimodal.frameStoreWrite(
+      Multimodal.decodeVideoFrames(Multimodal.attachVideo(pub))
+        .select($"doc_id", $"frame", $"fhash"), vid)
+    LabelStore.write(
+      Dedup.dedupClusters(pubIds, "doc_id", unionPairsOf(pub)), labels)
+    val waves = Seq(Seq(470L), Seq(630L))
+    val verdicts = collection.mutable.Set.empty[(Long, Long, String)]
+    waves.zipWithIndex.foreach { case (ids, i) =>
+      verdicts ++= StreamingOps.multimodalMaintainBatch(spark,
+          txt, img, aud, vid, labels, stage)(
+          payloadDocsOf(docsOf(ids.toDF("doc_id"))), i.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    val unionIds = pubIds.union(waves.flatten.toDF("doc_id"))
+      .localCheckpoint()
+    val want = Dedup.dedupClusters(unionIds, "doc_id",
+        unionPairsOf(docsOf(unionIds)))
+      .collect().map(_.toSeq).toSet
+    val got = LabelStore.read(spark, labels)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "gate-fed cross-modal labels diverged from the from-scratch p85 contraction")
+    val lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(470L) === lbl(3L) && lbl(470L) === lbl(150L) &&
+      lbl(83L) === lbl(150L),
+      "the bridging doc did not unite the text and perceptual families")
+    assert(lbl(630L) === lbl(150L),
+      "second-wave doc did not join the unified family")
+    assert(verdicts.contains((470L, 3L, "text")),
+      "text gate missed the exact published match")
+    assert(verdicts.exists(v => v._1 == 470L && v._2 == 150L &&
+      (v._3 == "audio" || v._3 == "video")),
+      "perceptual gates missed the published congruent twin")
+    assert(verdicts.exists(v => v._1 == 630L && v._2 == 470L),
+      "second wave missed the first-wave doc through the merged stores")
+  }
+
   test("maintenance handler compaction trigger: sliver files fold to one per band, probe parity holds") {
     // dedupMaintainBatch consults the file-count trigger after every
     // merge: with the bound forced low, three appended batches must
