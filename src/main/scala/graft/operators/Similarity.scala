@@ -322,9 +322,24 @@ object Similarity {
     * curve's recall against the seed's).
     */
   def trainIvfCentroidsFrozen(corpus: DataFrame, nCells: Int,
-                              rounds: Int): Array[(Int, Seq[Float])] = {
+                              rounds: Int): Array[(Int, Seq[Float])] =
+    retrainIvfCentroidsFrozen(corpus, seedCentroids(corpus, nCells), rounds)
+
+  /** [[trainIvfCentroidsFrozen]] from an EXPLICIT seed — the WARM-START
+    * retrain of a live index under drift: the current frozen model is
+    * the seed, the live store's vectors are the corpus, and the same
+    * exact-integer Lloyd rounds move the centroids toward the drifted
+    * mass. Splitting the seed out keeps one training definition for
+    * both the cold build (p124) and the drift-triggered rebuild
+    * (`StreamingOps.ivfRetrainRebuild`) — deterministic and
+    * partition-order-free in both, which is what lets the rebuild's
+    * probe parity be spec-pinned.
+    */
+  def retrainIvfCentroidsFrozen(corpus: DataFrame,
+                                seed: Array[(Int, Seq[Float])],
+                                rounds: Int): Array[(Int, Seq[Float])] = {
     val par = ensureParallel(corpus)
-    var cents = seedCentroids(corpus, nCells)
+    var cents = seed
     for (_ <- 1 to rounds if cents.nonEmpty) {
       val micro = par
         .withColumn("best", array_max(cellScores(cents, col("embedding"))))
@@ -373,6 +388,21 @@ object Similarity {
     */
   private[graft] def assignCells(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
     assignScored(cents, corpus).drop("cell_cos")
+
+  /** [[assignCells]] with passthrough columns — the drift-triggered
+    * rebuild re-assigns the LIVE store's rows under the retrained model
+    * and must carry `ingest_batch` through (the streaming merge's
+    * exactly-once presence probe keys on it; dropping it would let a
+    * staged-but-untombstoned batch re-append duplicates after a
+    * rebuild, the compactor-preservation contract).
+    */
+  private[graft] def assignCellsKeeping(cents: Array[(Int, Seq[Float])],
+                                        corpus: DataFrame,
+                                        keep: Seq[String]): DataFrame =
+    ensureParallel(corpus)
+      .withColumn("best", array_max(cellScores(cents, col("embedding"))))
+      .select(Seq(col("vec_id"), col("embedding")) ++ keep.map(col) :+
+        (-col("best.ncid")).cast("int").as("cell"): _*)
 
   /** Per-query probe fan-out: the `nProbe` max-cosine cells of each
     * query vector — (qid, qe, cell), tiny by construction.

@@ -1059,16 +1059,31 @@ object StreamingOps {
     val old = new org.apache.hadoop.fs.Path(s"${storePath}__precompact")
     fs.delete(dst, true); fs.delete(old, true)
     compact(storePath, dst.toString)
-    // CHECKED renames (Hadoop reports failure by return value): a swap
-    // must either complete or leave a state recoverStoreSwap can heal —
-    // never silently delete the only surviving copy
+    swapInCompacted(spark, storePath)
+    true
+  }
+
+  /** The CHECKED-RENAME store swap shared by [[compactIfDue]] and the
+    * drift-triggered rebuild ([[ivfRetrainRebuild]]):
+    * `${storePath}__compact` must already hold the COMPLETE
+    * replacement; the live path renames away, the replacement renames
+    * in, the old copy drops. Hadoop reports rename failure by return
+    * value, so each step is require-checked — a swap either completes
+    * or leaves a state [[recoverStoreSwap]] can heal; it never
+    * silently deletes the only surviving copy.
+    */
+  private[graft] def swapInCompacted(spark: org.apache.spark.sql.SparkSession,
+                                     storePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"${storePath}__compact")
+    val old = new org.apache.hadoop.fs.Path(s"${storePath}__precompact")
     require(fs.rename(root, old),
-      s"compactIfDue: rename $root -> $old failed; store left in place")
+      s"swapInCompacted: rename $root -> $old failed; store left in place")
     require(fs.rename(dst, root),
-      s"compactIfDue: rename $dst -> $root failed; pre-compaction copy " +
+      s"swapInCompacted: rename $dst -> $root failed; previous copy " +
         s"preserved at $old — recoverStoreSwap($storePath) heals")
     fs.delete(old, true)
-    true
   }
 
   /** Heal [[compactIfDue]]'s swap windows: the store path can be
@@ -1093,6 +1108,77 @@ object StreamingOps {
       else false
     } else if (fs.exists(old)) { fs.delete(old, true); true }
     else false
+  }
+
+  /** Drift-triggered IVF RETRAIN + REBUILD — the composition the three
+    * existing parts were waiting for: the p112 drift gate
+    * ([[embeddingDriftGateBatch]]) says the feed moved, the warm-start
+    * frozen Lloyd ([[graft.operators.Similarity.retrainIvfCentroidsFrozen]],
+    * seeded at the CURRENT model) moves the centroids toward the
+    * drifted mass in the live store, and the checked-rename swap
+    * ([[swapInCompacted]], healed by [[recoverStoreSwap]]) puts the
+    * re-assigned layout in place. Without it a drifted feed degrades
+    * probe recall FOREVER (the p104 dial measures it): `cents` freeze
+    * at store build by the `ivfAppend` contract, so cells stop
+    * matching where the data actually lives.
+    *
+    * Returns the retrained model when the gate fired (the caller MUST
+    * adopt it — cells are defined by the model, so probing the rebuilt
+    * store with the old centroids reads the wrong cells), None when
+    * the batch is within the threshold. The rebuild re-reads only the
+    * live store (one assignment pass, map-side against the broadcast
+    * retrained model; `ingest_batch` carried through so the staged
+    * merge's exactly-once presence probe survives) and trains on the
+    * store's own vectors — never the raw corpus. Run from the one
+    * maintenance scheduler, like every swap here.
+    *
+    * SimilaritySpec pins the composition on a drifted clustered
+    * fixture: the gate fires on the drifted feed (and stays quiet on
+    * an in-distribution one), full-probe results on unchanged vectors
+    * are identical pre/post rebuild (the layout is
+    * semantics-preserving at any model), partial-probe recall on the
+    * drifted queries RECOVERS, and a crash between the two renames
+    * heals.
+    */
+  def ivfRetrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String,
+                          cents: Array[(Int, Seq[Float])],
+                          baseRates: DataFrame, batch: DataFrame,
+                          thresholdPpm2: Long, rounds: Int = 2)
+                          : Option[Array[(Int, Seq[Float])]] = {
+    recoverStoreSwap(spark, storePath)
+    val fired = embeddingDriftGateBatch(batch, baseRates, cents,
+      thresholdPpm2)
+    if (fired.isEmpty) None
+    else Some(ivfRetrainRebuild(spark, storePath, cents, rounds))
+  }
+
+  /** The rebuild half of [[ivfRetrainIfDrifted]], callable directly
+    * for scheduled (non-gated) retrains: warm-start frozen Lloyd on
+    * the LIVE store's vectors, re-assign every stored row under the
+    * retrained model into `__compact`, swap with the checked renames.
+    * Returns the retrained model.
+    */
+  def ivfRetrainRebuild(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String,
+                        cents: Array[(Int, Seq[Float])],
+                        rounds: Int = 2): Array[(Int, Seq[Float])] = {
+    import graft.operators.Similarity
+    recoverStoreSwap(spark, storePath)
+    val live = spark.read.parquet(storePath)
+      .select(col("vec_id"), col("embedding"), col("ingest_batch"))
+    val retrained = Similarity.retrainIvfCentroidsFrozen(
+      live.select(col("vec_id"), col("embedding")), cents, rounds)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"${storePath}__compact")
+    fs.delete(dst, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${storePath}__precompact"), true)
+    graft.sources.Partitioned.writeBy(
+      Similarity.assignCellsKeeping(retrained, live, Seq("ingest_batch")),
+      dst.toString, "cell")
+    swapInCompacted(spark, storePath)
+    retrained
   }
 
   /** The VECTOR maintenance handler — [[dedupMaintainBatch]]'s

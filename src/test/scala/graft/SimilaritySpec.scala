@@ -502,4 +502,85 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"),
       "cell-blocked pair generation degraded to an unblocked cartesian")
   }
+
+  test("drift-gated IVF retrain: gate fires, rebuilt layout recovers partial-probe recall, swap heals") {
+    // the composition p112 + warm-start frozen Lloyd + checked swap:
+    // a drifted feed fires the gate, the live store retrains and
+    // rebuilds, full-probe answers on unchanged vectors are identical
+    // (the layout is semantics-preserving at any model), and
+    // partial-probe recall on the drifted queries recovers. Everything
+    // here is deterministic (seeded fixture, integer-frozen training),
+    // so the inequalities are exact reproducible facts, not statistics.
+    import graft.streaming.StreamingOps
+    import graft.operators.Pipeline12
+    val rnd = new scala.util.Random(31)
+    def clusters(centers: Seq[Array[Float]], perC: Int, noise: Double,
+                 base: Long) =
+      (for (c <- centers.indices; m <- 0 until perC) yield {
+        val v = centers(c).map(x =>
+          x + (rnd.nextDouble() * 2 * noise - noise).toFloat)
+        (base + c * perC + m, v.toSeq)
+      }).toDF("vec_id", "embedding")
+    val baseCenters = Seq.fill(8)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val base = clusters(baseCenters, 10, 0.05, 0L).cache() // ids 0..79
+    val cents0 = Similarity.trainIvfCentroidsFrozen(base, 8, 2)
+    val store = java.nio.file.Files.createTempDirectory("drift_ivf").toString
+    Similarity.ivfWrite(base, cents0, store)
+    val baseRates = Pipeline12.cellRates(base, cents0, "cb", "rb")
+      .localCheckpoint()
+    val threshold = 1000000000L // 1e9 ppm² — ~3%+ of mass moving per cell
+    // an IN-DISTRIBUTION batch stays quiet (no rebuild paid)
+    val ok = clusters(baseCenters, 3, 0.05, 2000L)
+    assert(StreamingOps.ivfRetrainIfDrifted(spark, store, cents0,
+        baseRates, ok, threshold).isEmpty,
+      "gate fired on an in-distribution batch")
+    // the DRIFTED feed: wide clusters around new centers — under the
+    // frozen model their members scatter across cells (near-zero
+    // cosine to every centroid, noise decides), which is exactly the
+    // forever-degraded-recall state the retrain exists to fix
+    val driftCenters = Seq.fill(8)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val drifted = clusters(driftCenters, 25, 0.35, 1000L).cache()
+    Similarity.ivfAppend(drifted, cents0, store) // admitted at the frozen model
+    val q = base.filter($"vec_id" % 10 === 0L)
+    def fullProbe(model: Array[(Int, Seq[Float])]) =
+      Similarity.ivfTopKStored(spark, store, q, model, 5, nProbe = 8)
+        .collect().map(_.toSeq).toSet
+    val fullBefore = fullProbe(cents0)
+    val dq = drifted.filter($"vec_id" % 25 === 0L).cache()
+    val exact = Similarity.bruteForceTopK(base.unionByName(drifted), dq, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallAt(model: Array[(Int, Seq[Float])], np: Int) = {
+      val got = Similarity.ivfTopKStored(spark, store, dq, model, 5, np)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val degraded = recallAt(cents0, 2)
+    val retrained = StreamingOps.ivfRetrainIfDrifted(spark, store, cents0,
+      baseRates, drifted, threshold)
+    assert(retrained.nonEmpty, "gate did not fire on the drifted feed")
+    val cents1 = retrained.get
+    // unchanged vectors, full probe: identical answers pre/post rebuild
+    assert(fullProbe(cents1) === fullBefore,
+      "rebuild changed full-probe answers on unchanged vectors")
+    val recovered = recallAt(cents1, 2)
+    assert(recovered > degraded,
+      s"retrain did not recover drifted-query recall " +
+        s"($degraded -> $recovered)")
+    assert(recovered >= 0.5,
+      s"recovered recall $recovered below the clustered-fixture floor")
+    // crash between the two renames heals: both copies exist, the live
+    // path is missing — recoverStoreSwap finishes the swap
+    val want = spark.read.parquet(store).collect().map(_.toSeq).toSet
+    graft.sources.Maintenance.compactPartitioned(
+      spark, store, s"${store}__compact", "cell")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(s"${store}__precompact")))
+    assert(StreamingOps.recoverStoreSwap(spark, store))
+    assert(spark.read.parquet(store).collect().map(_.toSeq).toSet === want,
+      "healed store diverged after the simulated rename crash")
+  }
 }
