@@ -185,62 +185,53 @@ object Pipeline11 {
     * one extra round for the final candidate.
     */
   def perceptronTrainPocket(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val feats = featsOf(docs)
       .join(labelsOf(docs), Seq("doc_id"))
       .localCheckpoint(eager = false)
-    var w = feats.select(col("b")).distinct()
-      .withColumn("w", lit(0L)).localCheckpoint()
+    // the weight frame is MODEL-SIZED (≤B+1 buckets of two longs), so
+    // it lives on the driver between rounds and ships as a broadcast
+    // local relation into each round's plan — exactly the
+    // centroid/codebook discipline. This makes each round cost ONE
+    // driver action (the delta collect; margins → mis → delta fused in
+    // a single plan, the error count riding the bias bucket's row
+    // count), where the previous DataFrame-weights shape paid three
+    // (delta checkpoint, count job, weight-update checkpoint) — and
+    // with 40 rounds the per-action job floor, not the data, was the
+    // measured cost cap of this entry. It also retires the
+    // checkpoint-flattening workaround that shape needed (no
+    // round-over-round plan nesting exists anymore). Identical integer
+    // math round for round, so the unrolled oracle is untouched.
+    val buckets = feats.select(col("b")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val w = collection.mutable.LinkedHashMap[Long, Long](
+      buckets.map(_ -> 0L).toIndexedSeq: _*)
     var bestErr = Long.MaxValue
-    var bestW = w
+    var bestW = w.toSeq
     var fixed = false
     for (t <- 1 to PcPocketRounds + 1 if !fixed) {
-      // ONE heavy job per round (the previous shape paid three
-      // actions: a margins checkpoint, a count job and the update's
-      // checkpoint): margins under w_{t-1} flow straight into the
-      // mis filter and the delta aggregate inside a single plan, and
-      // the error count rides the delta's OWN aggregate — every
-      // document carries exactly one bias row (b = -1), so the bias
-      // group's row count IS the misclassified-document count; no
-      // second margins consumer, no separate count job. Identical
-      // integer math (same margins, same mis set, same delta), so
-      // the unrolled oracle is untouched. (A doc-keyed window
-      // one-pass variant was measured SLOWER: WindowExec sorts the
-      // docs×buckets stream where the aggregate pair collapses it
-      // map-side.)
-      val margins = feats.join(broadcast(w), Seq("b"), "left")
+      val wDf = w.toSeq.toDF("b", "w")
+      val margins = feats.join(broadcast(wDf), Seq("b"), "left")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
       val mis = margins.filter(col("y") * col("margin") <= 0)
-      val ck = feats.join(mis.select(col("doc_id")), Seq("doc_id"))
+      val delta = feats.join(mis.select(col("doc_id")), Seq("doc_id"))
         .groupBy(col("b"))
         .agg(sum(col("y") * col("cnt")).as("dw"),
           count(lit(1)).as("nd"))
-        .localCheckpoint()
-      // flatten the checkpoint through its raw RDD: a plain
-      // localCheckpoint REWRITES the LogicalRDD's size estimate from
-      // the origin plan, and since each round's plan embeds the
-      // previous round's checkpoint, the estimates compound into
-      // BigInts whose digit count doubles per round — by round ~25
-      // plan-time statistics spend minutes multiplying million-digit
-      // integers (measured: the un-flattened form never finished a
-      // bench rep). Re-wrapping the materialized rows resets the
-      // estimate to a constant; the frame is ≤B rows, so the
-      // round-trip costs nothing.
-      val combined = feats.sparkSession.createDataFrame(ck.rdd, ck.schema)
-      val e = combined.filter(col("b") === -1L)
-        .select(col("nd")).collect()
-        .headOption.map(_.getLong(0)).getOrElse(0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every misclassified document carries exactly one bias row
+      // (b = -1), so the bias group's row count IS the error count
+      val e = delta.find(_._1 == -1L).map(_._3).getOrElse(0L)
       if (t >= 2) {
-        if (e <= bestErr) { bestErr = e; bestW = w } // <=: tie → latest
+        if (e <= bestErr) { bestErr = e; bestW = w.toSeq } // <=: tie → latest
         if (e == 0) fixed = true
       }
-      if (!fixed && t <= PcPocketRounds) {
-        w = w.join(combined.select(col("b"), col("dw")), Seq("b"), "left")
-          .select(col("b"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
-          .localCheckpoint()
-      }
+      if (!fixed && t <= PcPocketRounds)
+        delta.foreach { case (b, dw, _) => w(b) = w.getOrElse(b, 0L) + dw }
     }
-    bestW
+    bestW.toDF("b", "w")
   }
 
   /** Library SCORE entry — the deploy half: score ANY corpus (held-out

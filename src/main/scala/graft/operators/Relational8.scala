@@ -64,18 +64,41 @@ object Relational8 {
     var visited = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
     var frontier = visited.select(col("node"))
     var depth = 1
-    while (depth <= maxHops && !frontier.isEmpty) {
-      val next = frontier.join(edges, col("node") === col("src"))
+    var exhausted = frontier.isEmpty
+    // TWO hops per driver action: on the bounded graphs this loop
+    // serves, the per-action job floor — not the data — is the
+    // measured cost (the p107 finding), so halving the actions halves
+    // the loop. Hop 1 rides a LAZY checkpoint: hop 2's plan references
+    // it three times (source, anti-join, union), and the lazy form
+    // materializes n1 once inside the same action instead of
+    // recomputing it per reference — no extra job, no triple work.
+    // Layer semantics identical to the one-hop form: n2 excludes
+    // visited AND n1, so a node reachable at both depths keeps its
+    // minimum. The odd tail (one hop left in the budget) runs single.
+    while (depth <= maxHops && !exhausted) {
+      val n1 = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint()
-      // visited is a UNION of already-checkpointed layers — its lineage
-      // stays one union node per round, so re-checkpointing it each
-      // round would only add a per-round materialization job (measured
-      // ~25% of the loop's wall-clock at bench scale) for nothing
-      visited = visited.union(next.withColumn("dist", lit(depth)))
-      frontier = next
-      depth += 1
+        .localCheckpoint(eager = false)
+      if (depth == maxHops) {
+        visited = visited.union(
+          n1.localCheckpoint().withColumn("dist", lit(depth)))
+        exhausted = true // the hop budget is spent either way
+      } else {
+        val n2 = n1.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .join(n1, Seq("node"), "left_anti")
+        val both = n1.withColumn("dist", lit(depth))
+          .union(n2.withColumn("dist", lit(depth + 1)))
+          .localCheckpoint()
+        // visited stays a union of checkpointed layers (one union node
+        // per round — re-checkpointing it would only add a job)
+        visited = visited.union(both)
+        frontier = both.filter(col("dist") === depth + 1).select(col("node"))
+        depth += 2
+        exhausted = frontier.isEmpty
+      }
     }
     visited
   }
@@ -519,19 +542,36 @@ object Relational8 {
     val dir = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    def peel(sv: DataFrame): DataFrame = dir
+      .join(sv.withColumnRenamed("node", "u"), Seq("u"))
+      .join(sv.withColumnRenamed("node", "v"), Seq("v"))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("node"))
     var surv = dir.select(col("u").as("node")).distinct().localCheckpoint()
     var rounds = 0
     var done = false
+    // TWO peels per driver action where the budget allows (the BFS
+    // double-step rationale: the per-action floor dominates on bounded
+    // graphs): survivors only ever shrink, so |s2| = |surv| proves
+    // BOTH peels were no-ops — the same fixpoint test, checked every
+    // other round. Peel 1 is a lazy checkpoint so peel 2's two
+    // references materialize it once within the action. The round
+    // accounting stays exact (an odd budget tail runs single), so the
+    // at-most-maxRounds contract — which the unrolled oracle's CTE
+    // count depends on — is unchanged.
     while (rounds < maxRounds && !done) {
-      val deg = dir
-        .join(surv.withColumnRenamed("node", "u"), Seq("u"))
-        .join(surv.withColumnRenamed("node", "v"), Seq("v"))
-        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      val next = deg.filter(col("deg") >= k).select(col("node"))
-        .localCheckpoint()
-      done = next.count() == surv.count() // survivors only ever shrink
-      surv = next
-      rounds += 1
+      if (rounds + 2 <= maxRounds) {
+        val s1 = peel(surv).localCheckpoint(eager = false)
+        val s2 = peel(s1).localCheckpoint()
+        done = s2.count() == surv.count()
+        surv = s2
+        rounds += 2
+      } else {
+        val next = peel(surv).localCheckpoint()
+        done = next.count() == surv.count()
+        surv = next
+        rounds += 1
+      }
     }
     dir.join(surv.withColumnRenamed("node", "u"), Seq("u"))
       .join(surv.withColumnRenamed("node", "v"), Seq("v"))
