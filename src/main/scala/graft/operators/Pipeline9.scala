@@ -687,8 +687,13 @@ object Pipeline9 {
       .orderBy(col("doc_id"))
   }
 
-  val multimodalDedupOracle: String =
-    s"""WITH RECURSIVE ${PipelineQueries.rasterDocsCte},
+  /** p85's label derivation as a reusable CTE chain (everything up to
+    * the `lab` relation) — shared by the p85/p132 label oracles and the
+    * cross-modal release draw's chained oracle (p135), the
+    * `videoClusterLabelCtes` pattern on the unified label space.
+    */
+  private[operators] val multimodalLabelCtes: String =
+    s"""${PipelineQueries.rasterDocsCte},
        |${PipelineQueries.rasterDhashCte},
        |${Pipeline8.waveDocsCte},
        |${Pipeline8.waveSampleCte},
@@ -721,7 +726,10 @@ object Pipeline9 {
        |  SELECT d.doc_id,
        |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
        |           AS canonical
-       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
+
+  val multimodalDedupOracle: String =
+    s"""WITH RECURSIVE $multimodalLabelCtes
        |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
 
   // ---- Eval-set release composition (p83) ----
