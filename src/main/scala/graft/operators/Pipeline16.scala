@@ -256,9 +256,86 @@ object Pipeline16 {
       .orderBy(col("epoch"), col("doc_id"))
   }
 
+  /** Retraction share of the registered entry: every tenth document
+    * (`doc_id % 10 == 7`) is withdrawn — enough removals at every SF
+    * to hit canonical removals, component splits AND kept components
+    * in one differential.
+    */
+  private val RetractMod = 10L
+  private val RetractRem = 7L
+
+  /** p136: the RETRACTION path under the full differential oracle —
+    * [[LabelStore.remove]] proven by DuckDB, not only by its specs:
+    * build the live text stores (label table + LSH signature store),
+    * withdraw every tenth document with the store-derived pair
+    * relation as the surviving evidence
+    * ([[Dedup.lshPairsFromStore]] — the documented always-safe form of
+    * the evidence-source contract), and emit the post-removal label
+    * table. The oracle recomputes the from-scratch contraction OF THE
+    * SURVIVING CORPUS (p118's pair CTEs restricted to survivors — the
+    * restriction commutes because LSH candidate pairs are per-document
+    * signature collisions, so removing documents never changes the
+    * pairs among the rest), which is exactly the remove-equals-rebuild
+    * claim: takedown compliance without a from-scratch recluster.
+    *
+    * Scale shape: one store build (the entry prices the retraction's
+    * operational context), then the removal itself — removed rows
+    * resolve bucket-pruned, member rows via one broadcast canonical
+    * probe, the recontraction is evidence-bounded, and only buckets
+    * holding an affected row rewrite (emptied ones DELETE via the
+    * stage's bucket manifest).
+    */
+  def retractionLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_retract_${tag}_").toString
+    val labelPath = tmp("labels"); val lshPath = tmp("lsh")
+    Pipeline14.withScratch(s, labelPath, lshPath) {
+      Dedup.lshStoreWrite(
+        Dedup.lshSignatureRows(docs, "doc_id", "text",
+          n = PipelineQueries.ShingleN, numHashes = 16, bands = 4),
+        lshPath)
+      LabelStore.write(
+        Dedup.dedupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)),
+        labelPath)
+      LabelStore.remove(s, labelPath,
+        docs.filter(pmod(col("doc_id"), lit(RetractMod)) === RetractRem)
+          .select(col("doc_id")),
+        Dedup.lshPairsFromStore(s, lshPath))
+      Pipeline14.cleanupAfter(
+        LabelStore.read(s, labelPath).orderBy(col("doc_id")),
+        labelPath, lshPath)
+    }
+  }
+
+  /** p136 oracle: p118's pair CTEs restricted to the surviving corpus,
+    * then the closure + min-label device over survivors only — the
+    * from-scratch rebuild the removal must land on bit-identically.
+    */
+  val retractionLabelsOracle: String =
+    s"""WITH RECURSIVE ${PipelineQueries.lshPairCtes},
+       |surv AS (SELECT doc_id FROM documents
+       |         WHERE doc_id % $RetractMod <> $RetractRem),
+       |sp AS (SELECT d1, d2 FROM prs
+       |       JOIN surv s1 ON prs.d1 = s1.doc_id
+       |       JOIN surv s2 ON prs.d2 = s2.doc_id),
+       |e AS (SELECT d1 AS a, d2 AS b FROM sp UNION SELECT d2, d1 FROM sp),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+       |           AS canonical
+       |  FROM surv d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p132_incremental_crossmodal" -> (incrementalCrossModalLabels _),
     "p135_crossmodal_release_live" -> (incrementalCrossModalRelease _),
+    "p136_retraction_labels" -> (retractionLabels _),
     "p133_token_yield_live" -> (tokenYieldLive _),
     "p134_release_card_live" -> (releaseCardLive _),
   )
@@ -291,6 +368,10 @@ object Pipeline16 {
     // cross-modal label space)
     "p132_incremental_crossmodal" -> Pipeline9.multimodalDedupOracle,
     "p135_crossmodal_release_live" -> incrementalCrossModalReleaseOracle,
+    // remove-equals-rebuild under the full differential: the
+    // post-removal store must hash-match the from-scratch contraction
+    // of the surviving corpus
+    "p136_retraction_labels" -> retractionLabelsOracle,
     // p121's from-scratch oracle VERBATIM — live weights must reproduce
     // the recomputed yield table bit-identically
     "p133_token_yield_live" -> Pipeline13.tokenYieldOracle,

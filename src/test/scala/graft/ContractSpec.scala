@@ -28,7 +28,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline15.queries, operators.Pipeline16.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 210,
+    assert(SparkEntry.queries.size >= 211,
       "registered-query surface shrank below the round-13 ledger")
   }
 
