@@ -74,6 +74,47 @@ object Maintenance {
       .option("parquet.block.size", rowGroupBytes)
       .parquet(dst)
 
+  /** REMOVE documents from a partitioned+sorted signature store — the
+    * store half of the retraction path ([[graft.operators.LabelStore
+    * .remove]] handles the label half): a retracted document's
+    * signature rows must leave the store too, or future gate probes
+    * keep matching withdrawn content and — worse — the label fold's
+    * endpoint lookup finds no stored label for the retracted id and
+    * treats it as NEW, silently resurrecting it as a cluster member
+    * (the reappearance hazard the composed
+    * `StreamingOps.dedupRetractBatch` spec pins).
+    *
+    * Rewrite-then-swap with the retracted ids anti-joined away,
+    * preserving the layout contract end to end: partition column,
+    * within-file sort (the probes' pushed-filter row-group skip),
+    * small row groups, and `ingest_batch` (the staged merges'
+    * exactly-once presence probe). A signature row's band values are
+    * id-independent, so a removal necessarily touches every partition
+    * — this is a full store rewrite, which is why deployments batch
+    * takedowns; the swap uses the shared checked-rename device
+    * ([[graft.streaming.StreamingOps.swapInCompacted]]) so a crash at
+    * any point heals via `recoverStoreSwap`.
+    */
+  def removePartitionedRows(spark: SparkSession, path: String,
+                            removeIds: DataFrame, idCol: String,
+                            partCol: String, sortCol: String,
+                            rowGroupBytes: Int = 1 << 20): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"${path}__compact")
+    fs.delete(dst, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${path}__precompact"), true)
+    spark.read.parquet(path)
+      .join(broadcast(removeIds.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(dst.toString)
+    graft.streaming.StreamingOps.swapInCompacted(spark, path)
+  }
+
   /** Per-file statistics manifest: (file, rows, min, max) of `keyCol`
     * for every parquet file of the table — the file-skipping index the
     * reference keeps in `chunksinfo.txt`, derived instead of

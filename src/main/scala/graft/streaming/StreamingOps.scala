@@ -1110,6 +1110,48 @@ object StreamingOps {
     else false
   }
 
+  /** The composed TEXT RETRACTION handler — takedown/license-withdrawal
+    * compliance over the live text stores, the operation the grow-only
+    * maintenance family could not express: given the retracted ids,
+    *
+    *  1. heal-first (`recoverStoreSwap` — a previous retraction's
+    *     crashed store swap must not wedge this one);
+    *  2. derive the surviving evidence FROM the signature store
+    *     ([[graft.operators.Dedup.lshPairsFromStore]] — computed BEFORE
+    *     the signatures leave, so affected components recontract from
+    *     the same relation the folds consumed);
+    *  3. `LabelStore.remove` — drop the retracted rows, recontract the
+    *     affected components (splits included), delete emptied buckets;
+    *  4. remove the retracted ids' signature rows from the store
+    *     ([[graft.sources.Maintenance.removePartitionedRows]], the
+    *     checked-swap rewrite).
+    *
+    * Step 4 is NOT optional hygiene: with signatures left behind, a
+    * later arrival matching the withdrawn content gates against the
+    * retracted id, and the label fold — finding no stored label for it
+    * — would treat it as a NEW document and silently resurrect it as a
+    * cluster member (StreamingSpec pins the hazard and its absence).
+    * Retractions serialize with folds through the one maintenance
+    * scheduler, like every store mutation here. Returns the number of
+    * label rows actually retracted.
+    */
+  def dedupRetractBatch(spark: org.apache.spark.sql.SparkSession,
+                        lshStorePath: String, labelPath: String)(
+                        removeIds: DataFrame): Long = {
+    import graft.operators.{Dedup, LabelStore}
+    recoverStoreSwap(spark, lshStorePath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = LabelStore.read(spark, labelPath)
+      .join(rm, Seq("doc_id")).count()
+    if (before > 0) {
+      LabelStore.remove(spark, labelPath, rm,
+        Dedup.lshPairsFromStore(spark, lshStorePath))
+      graft.sources.Maintenance.removePartitionedRows(
+        spark, lshStorePath, rm, "doc_id", "band", "sig_h")
+    }
+    before
+  }
+
   /** Drift-triggered IVF RETRAIN + REBUILD — the composition the three
     * existing parts were waiting for: the p112 drift gate
     * ([[embeddingDriftGateBatch]]) says the feed moved, the warm-start

@@ -1795,6 +1795,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "second-wave track missed the first-wave twin through the merged store")
   }
 
+  test("retraction handler: takedown removes labels AND signatures; withdrawn content cannot resurface") {
+    // the composed takedown path: LabelStore.remove alone is NOT
+    // compliance — signatures left in the store make later arrivals
+    // gate-match withdrawn content, and the fold (finding no stored
+    // label for the retracted id) resurrects it as a cluster CANONICAL.
+    // Two parallel fixtures: the handler (labels + signatures removed)
+    // stays clean; the labels-only half demonstrates the hazard is real.
+    import graft.operators.{Dedup, LabelStore}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val texts = docs.filter($"doc_id".isin(7L, 23L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // published corpus with a dup family {7, 1007}
+    val pub = docs.filter($"doc_id" < 200L)
+      .unionByName(Seq(1007L -> texts(7L)).toDF("doc_id", "text"))
+      .localCheckpoint()
+    def build(): (String, String) = {
+      val store = java.nio.file.Files.createTempDirectory("rt_lsh").toString
+      val labels = java.nio.file.Files.createTempDirectory("rt_lbl").toString
+      Engine.lshStoreWrite(pub, "doc_id", "text", store)
+      LabelStore.write(
+        Dedup.dedupClusters(pub, "doc_id",
+          Dedup.minhashLshPairs(pub, "doc_id", "text")), labels)
+      (store, labels)
+    }
+    def lbl(labels: String) = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ---- the composed handler: clean takedown ----
+    val (store, labels) = build()
+    assert(lbl(labels)(1007L) === 7L, "fixture family missing")
+    val n = StreamingOps.dedupRetractBatch(spark, store, labels)(
+      Seq(7L).toDF("doc_id"))
+    assert(n === 1L)
+    val afterRm = lbl(labels)
+    assert(!afterRm.contains(7L) && afterRm(1007L) === 1007L,
+      "retraction left the withdrawn row or stale canonical behind")
+    // a new copy of the withdrawn text arrives through the maintenance
+    // handler: it must match the surviving twin ONLY, and the withdrawn
+    // id must appear nowhere — not as a row, not as a canonical
+    val stage = java.nio.file.Files.createTempDirectory("rt_stage").toString
+    val verdicts = StreamingOps.dedupMaintainBatch(spark, store, labels,
+        stage)(Seq(2007L -> texts(7L)).toDF("doc_id", "text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verdicts.contains((2007L, 1007L)),
+      "arrival missed the surviving twin")
+    assert(!verdicts.exists(_._2 == 7L),
+      "gate matched the withdrawn document's signatures")
+    val afterArrival = lbl(labels)
+    assert(!afterArrival.contains(7L) &&
+      !afterArrival.values.toSet.contains(7L),
+      "withdrawn id resurfaced after a matching arrival")
+    assert(afterArrival(2007L) === 1007L)
+    // retracting an id that is not stored is a no-op
+    assert(StreamingOps.dedupRetractBatch(spark, store, labels)(
+      Seq(9999L).toDF("doc_id")) === 0L)
+    // ---- the hazard half: labels-only removal resurrects the id ----
+    val (storeH, labelsH) = build()
+    LabelStore.remove(spark, labelsH, Seq(7L).toDF("doc_id"),
+      Dedup.lshPairsFromStore(spark, storeH)) // signatures left behind
+    val stageH = java.nio.file.Files.createTempDirectory("rt_stageh").toString
+    StreamingOps.dedupMaintainBatch(spark, storeH, labelsH, stageH)(
+      Seq(2007L -> texts(7L)).toDF("doc_id", "text"), 0L).collect()
+    val hazard = lbl(labelsH)
+    assert(hazard.values.toSet.contains(7L),
+      "hazard fixture unexpectedly clean — the spec's premise broke " +
+        "(did the gate stop matching leftover signatures?)")
+  }
+
   test("gate-fed CROSS-MODAL label store: unified maintenance matches the from-scratch p85 contraction") {
     // the p132 loop through the library handler: ONE label space fed by
     // all four modality gates + within-batch relations. The designed
