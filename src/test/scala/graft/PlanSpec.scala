@@ -86,6 +86,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), "unexpected cartesian")
   }
 
+  test("p133/p135: the live decision tables never recompute signatures or decode") {
+    // the live twins' whole point is refresh-without-recompute: p133's
+    // plan must carry no MinHash/shingle stage (xxhash64 appears only
+    // in the signature pipelines — the token projection and weight
+    // window are hash-free), and p135's must touch no codec boundary
+    // (the decodes are object map-partitions; a store-only refresh
+    // plans none)
+    val p133 = plan("p133_token_yield_live")
+    assert(!p133.contains("xxhash64"),
+      "live token yield recomputed the signature pipeline")
+    val p135 = plan("p135_crossmodal_release_live")
+    assert(!p135.contains("MapPartitions") &&
+      !p135.contains("DeserializeToObject"),
+      "live cross-modal draw planned a decode stage")
+    assert(!p133.contains("CartesianProduct") &&
+      !p135.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("p100: stored frame probe pushes the band filter into the parquet scan") {
     val p = plan("p100_frame_probe_stored")
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*band_v.*"),
