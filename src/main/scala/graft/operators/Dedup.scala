@@ -222,7 +222,19 @@ object Dedup {
     */
   def lshPairsFromBands(banded: DataFrame,
                         maxBucket: Int = Int.MaxValue): DataFrame =
-    banded.groupBy(col("band"), col("sig"))
+    bucketPairs(banded, Seq("band", "sig"), maxBucket)
+
+  /** THE bucket-group-by pair tail — one definition behind
+    * [[lshPairsFromBands]] (bucket key = the signature string) and
+    * [[lshPairsFromStore]] (bucket key = the stored hash): the two
+    * spellings must stay in lockstep or the live decision tables'
+    * bit-identical-to-from-scratch oracles (p134/p136) silently
+    * diverge from the batch path. Same expression tree as the fused
+    * p04 form, so its plan (and pin) is untouched.
+    */
+  private def bucketPairs(rows: DataFrame, keyCols: Seq[String],
+                          maxBucket: Int): DataFrame =
+    rows.groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(unorderedPairs(col("ids"))).as("p"))
@@ -397,21 +409,20 @@ object Dedup {
     * pipeline that dominates from-scratch pair generation is already
     * paid and at rest as the maintained signature store, so the pair
     * matrix is one `(band, sig_h)` bucket group-by over 4 rows/doc
-    * (the [[lshPairsFromBands]] tail verbatim, hash keys standing in
-    * for signature strings exactly as the stored probes do — bucket
-    * identity is all that matters, collisions ~2⁻⁶⁴ per pair and
+    * (the [[lshPairsFromBands]] tail — the shared [[bucketPairs]]
+    * definition — with hash keys standing in for signature strings
+    * exactly as the stored probes do: bucket identity is all that
+    * matters, collisions ~2⁻⁶⁴ per pair and
     * differential-check-visible). Never a self-join; the group-by
-    * shuffles the store's own thin rows, not the corpus.
+    * shuffles the store's own thin rows, not the corpus. `maxBucket`
+    * is the same degenerate-bucket guard as the batch form's (a
+    * million-copy boilerplate bucket squares on one task); the
+    * registered oracle-checked entries run uncapped.
     */
   def lshPairsFromStore(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(col("band"), col("sig_h"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(unorderedPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("d1"), col("p.b").as("d2"))
-      .distinct()
+                        path: String,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    bucketPairs(spark.read.parquet(path), Seq("band", "sig_h"), maxBucket)
 
   /** One document's distinct shingle HASHES as storable rows
     * (doc_id, sh) — the verification-side twin of

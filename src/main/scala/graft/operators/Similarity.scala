@@ -374,12 +374,13 @@ object Similarity {
     * tie-break) shared by the layout write, the in-memory probe path,
     * and the cell report, so they can never desynchronize.
     */
-  private def assignScored(cents: Array[(Int, Seq[Float])], corpus: DataFrame): DataFrame =
+  private def assignScored(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
+                           keep: Seq[String] = Nil): DataFrame =
     ensureParallel(corpus)
       .withColumn("best", array_max(cellScores(cents, col("embedding"))))
-      .select(col("vec_id"), col("embedding"),
+      .select(Seq(col("vec_id"), col("embedding")) ++ keep.map(col) ++ Seq(
               (-col("best.ncid")).cast("int").as("cell"),
-              col("best.cos").as("cell_cos"))
+              col("best.cos").as("cell_cos")): _*)
 
   /** Package-visible so the IVF-PQ composition ([[Pipeline6]]), the
     * drift report ([[Pipeline12]]) and the streaming ingester
@@ -399,10 +400,7 @@ object Similarity {
   private[graft] def assignCellsKeeping(cents: Array[(Int, Seq[Float])],
                                         corpus: DataFrame,
                                         keep: Seq[String]): DataFrame =
-    ensureParallel(corpus)
-      .withColumn("best", array_max(cellScores(cents, col("embedding"))))
-      .select(Seq(col("vec_id"), col("embedding")) ++ keep.map(col) :+
-        (-col("best.ncid")).cast("int").as("cell"): _*)
+    assignScored(cents, corpus, keep).drop("cell_cos")
 
   /** Per-query probe fan-out: the `nProbe` max-cosine cells of each
     * query vector — (qid, qe, cell), tiny by construction.

@@ -1059,6 +1059,15 @@ object StreamingOps {
     val old = new org.apache.hadoop.fs.Path(s"${storePath}__precompact")
     fs.delete(dst, true); fs.delete(old, true)
     compact(storePath, dst.toString)
+    // carry the layout's model sidecar (a retrained store's `_model`)
+    // through the rewrite: the compactors read DATA files only
+    // (underscore paths are invisible to parquet readers), but a
+    // layout must never part from its model
+    val srcModel = new org.apache.hadoop.fs.Path(s"$storePath/_model")
+    if (fs.exists(srcModel))
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcModel, fs,
+        new org.apache.hadoop.fs.Path(s"$dst/_model"), false,
+        spark.sparkContext.hadoopConfiguration)
     swapInCompacted(spark, storePath)
     true
   }
@@ -1131,24 +1140,38 @@ object StreamingOps {
     * retracted id, and the label fold — finding no stored label for it
     * — would treat it as a NEW document and silently resurrect it as a
     * cluster member (StreamingSpec pins the hazard and its absence).
-    * Retractions serialize with folds through the one maintenance
-    * scheduler, like every store mutation here. Returns the number of
-    * label rows actually retracted.
+    *
+    * CRASH-IDEMPOTENT by construction: each half is gated on its OWN
+    * store's state, not on the other's — a crash between the label
+    * removal and the signature removal re-runs as a labels-no-op that
+    * still removes the signatures (gating both on the label count
+    * would make the retry a silent no-op and leave the withdrawn
+    * signatures live forever), and the heal-first step covers BOTH
+    * stores' crash windows (the LSH swap AND a label-store stage a
+    * previous removal left mid-flight). Retractions serialize with
+    * folds through the one maintenance scheduler, like every store
+    * mutation here. Returns the number of label rows actually
+    * retracted (0 on a pure retry/no-op).
     */
   def dedupRetractBatch(spark: org.apache.spark.sql.SparkSession,
                         lshStorePath: String, labelPath: String)(
                         removeIds: DataFrame): Long = {
     import graft.operators.{Dedup, LabelStore}
     recoverStoreSwap(spark, lshStorePath)
+    LabelStore.recover(spark, labelPath) // a crashed removal must not wedge
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = LabelStore.read(spark, labelPath)
       .join(rm, Seq("doc_id")).count()
-    if (before > 0) {
+    if (before > 0)
       LabelStore.remove(spark, labelPath, rm,
         Dedup.lshPairsFromStore(spark, lshStorePath))
+    // gated on the SIGNATURE store's own state: present after a crash
+    // between the halves even when the label rows are already gone
+    val sigsPresent = !spark.read.parquet(lshStorePath)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+    if (sigsPresent)
       graft.sources.Maintenance.removePartitionedRows(
         spark, lshStorePath, rm, "doc_id", "band", "sig_h")
-    }
     before
   }
 
@@ -1200,6 +1223,18 @@ object StreamingOps {
     * the LIVE store's vectors, re-assign every stored row under the
     * retrained model into `__compact`, swap with the checked renames.
     * Returns the retrained model.
+    *
+    * MODEL-ADOPTION ATOMICITY: cells are defined by the model, so a
+    * crash after the swap but before the caller persists the returned
+    * centroids would otherwise leave a layout nobody holds the model
+    * for — every probe/ingest under the old model would silently read
+    * and write the wrong cells. The rebuild therefore writes the
+    * retrained model INTO the compacted store (`_model`, an
+    * underscore path invisible to parquet readers of the store
+    * itself) BEFORE the swap: layout and model travel together
+    * through every crash window, and a restarted deployment recovers
+    * the layout's true model with [[ivfStoreModel]] instead of
+    * trusting its own possibly-stale copy.
     */
   def ivfRetrainRebuild(spark: org.apache.spark.sql.SparkSession,
                         storePath: String,
@@ -1219,8 +1254,33 @@ object StreamingOps {
     graft.sources.Partitioned.writeBy(
       Similarity.assignCellsKeeping(retrained, live, Seq("ingest_batch")),
       dst.toString, "cell")
+    // the model lands inside the replacement BEFORE the swap — never a
+    // window where the live layout and its model can part ways
+    import spark.implicits._
+    retrained.toSeq.toDF("ccid", "ce")
+      .write.mode("overwrite").parquet(s"$dst/_model")
     swapInCompacted(spark, storePath)
     retrained
+  }
+
+  /** The centroid model a store's layout was (re)built with, read back
+    * from its `_model` sidecar — present on every
+    * [[ivfRetrainRebuild]] output; None for stores that have never
+    * been retrained (their model is the build-time frozen one the
+    * deployment already holds, the `ivfAppend` contract). The
+    * source of truth after a crash: a layout always carries its own
+    * model, so no restart can probe rebuilt cells with stale
+    * centroids.
+    */
+  def ivfStoreModel(spark: org.apache.spark.sql.SparkSession,
+                    storePath: String): Option[Array[(Int, Seq[Float])]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/_model")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1))
   }
 
   /** The VECTOR maintenance handler — [[dedupMaintainBatch]]'s

@@ -561,6 +561,13 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       baseRates, drifted, threshold)
     assert(retrained.nonEmpty, "gate did not fire on the drifted feed")
     val cents1 = retrained.get
+    // model-adoption atomicity: the rebuilt layout carries its own
+    // model — a restart that lost the returned value recovers it from
+    // the store instead of probing rebuilt cells with stale centroids
+    assert(StreamingOps.ivfStoreModel(spark, store)
+        .map(_.toSeq.map { case (c, e) => (c, e.toSeq) }) ===
+      Some(cents1.toSeq.map { case (c, e) => (c, e.toSeq) }),
+      "rebuilt store does not carry the retrained model")
     // unchanged vectors, full probe: identical answers pre/post rebuild
     assert(fullProbe(cents1) === fullBefore,
       "rebuild changed full-probe answers on unchanged vectors")
@@ -570,6 +577,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         s"($degraded -> $recovered)")
     assert(recovered >= 0.5,
       s"recovered recall $recovered below the clustered-fixture floor")
+    // a triggered compaction carries the model sidecar through the
+    // rewrite — a layout must never part from its model
+    Similarity.ivfAppend(drifted.filter($"vec_id" === 1000L)
+      .withColumn("vec_id", $"vec_id" + 5000L), cents1, store)
+    assert(StreamingOps.compactIfDue(spark, store, "cell", maxFiles = 1)(
+      (src, dst) => graft.sources.Maintenance.compactPartitioned(
+        spark, src, dst, "cell")),
+      "compaction trigger did not fire on the slivered store")
+    assert(StreamingOps.ivfStoreModel(spark, store)
+        .map(_.toSeq.map { case (c, e) => (c, e.toSeq) }) ===
+      Some(cents1.toSeq.map { case (c, e) => (c, e.toSeq) }),
+      "compaction dropped or changed the layout's model sidecar")
     // crash between the two renames heals: both copies exist, the live
     // path is missing — recoverStoreSwap finishes the swap
     val want = spark.read.parquet(store).collect().map(_.toSeq).toSet
