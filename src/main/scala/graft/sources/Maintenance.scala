@@ -115,6 +115,54 @@ object Maintenance {
     graft.streaming.StreamingOps.swapInCompacted(spark, path)
   }
 
+  /** REMOVE vectors from an IVF cell layout — the CELL-PRUNED
+    * retraction: unlike the banded signature stores (where a
+    * document's rows land in every band partition, forcing
+    * [[removePartitionedRows]]'s full rewrite), a vector's rows live
+    * in exactly ONE cell, so a takedown rewrites only the cells that
+    * actually hold a retracted id: one pruned semi-join finds them,
+    * a dynamic partition overwrite rewrites them without their
+    * retracted rows, and cells the overwrite would leave EMPTY are
+    * deleted explicitly (a dynamic overwrite cannot empty a partition
+    * — the LabelStore.remove lesson). At 100 TB this is the
+    * difference between rewriting nProbe-sized slices and rewriting
+    * the index.
+    *
+    * Durability: the kept rows ride a localCheckpoint through the
+    * self-overwrite, and the whole operation is IDEMPOTENT — a crash
+    * mid-overwrite leaves some affected cells rewritten (complete and
+    * correct) and others untouched, and a RE-RUN of the same
+    * retraction converges (already-clean cells no longer list as
+    * affected). Serialize with folds through the one maintenance
+    * scheduler, like every store mutation here.
+    */
+  def removeIvfRows(spark: SparkSession, path: String,
+                    removeIds: DataFrame,
+                    idCol: String = "vec_id"): Boolean = {
+    val rm = broadcast(removeIds.select(col(idCol)).distinct())
+    val affected = spark.read.parquet(path)
+      .join(rm, Seq(idCol), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.get(0))
+    if (affected.isEmpty) return false
+    val kept = spark.read.parquet(path)
+      .filter(col("cell").isin(affected.toIndexedSeq: _*))
+      .join(rm, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val keptCells = kept.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSet
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- keptCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+    }
+    true
+  }
+
   /** Per-file statistics manifest: (file, rows, min, max) of `keyCol`
     * for every parquet file of the table — the file-skipping index the
     * reference keeps in `chunksinfo.txt`, derived instead of

@@ -1175,6 +1175,58 @@ object StreamingOps {
     before
   }
 
+  /** The VECTOR RETRACTION handler — [[dedupRetractBatch]]'s embedding
+    * twin over the live IVF + label stores, with the retraction
+    * evidence derived from the store itself: the affected components'
+    * SURVIVING members fetch their embeddings from the cell layout
+    * (component-bounded semi-join) and their τ-relation recomputes via
+    * the cell-blocked exact pass — no corpus access, no re-embedding.
+    * `nProbe` must match the width the FOLDS ran at (the evidence-
+    * source contract: recontraction must use the same relation the
+    * folds consumed; the registered incremental entry folds at full
+    * fan-out, `nProbe = cents.length`). The store half is CELL-PRUNED
+    * ([[graft.sources.Maintenance.removeIvfRows]] — a vector's rows
+    * live in one cell, so only the retracted ids' cells rewrite),
+    * and — as in the text twin — removing the vectors is NOT optional:
+    * leftover embeddings keep gate-matching withdrawn content and
+    * would resurrect the retracted id as a cluster canonical.
+    * Crash-idempotent the same way: each half gates on its own store's
+    * state; heal-first covers both stores' crash windows. Returns the
+    * number of label rows actually retracted.
+    */
+  def vectorRetractBatch(spark: org.apache.spark.sql.SparkSession,
+                         ivfStorePath: String, labelPath: String,
+                         cents: Array[(Int, Seq[Float])], tau: Double,
+                         nProbe: Int)(removeIds: DataFrame): Long = {
+    import graft.operators.{LabelStore, Similarity}
+    recoverStoreSwap(spark, ivfStorePath)
+    LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("vec_id").as("doc_id")).distinct()
+      .localCheckpoint()
+    val labels0 = LabelStore.read(spark, labelPath)
+      .localCheckpoint(eager = false) // three consumers below
+    val before = labels0.join(rm, Seq("doc_id")).count()
+    if (before > 0) {
+      // surviving members of the affected components, embeddings from
+      // the store — the component-bounded evidence reconstruction
+      val affC = labels0.join(rm, Seq("doc_id"))
+        .select(col("canonical")).distinct()
+      val survIds = labels0.join(broadcast(affC), Seq("canonical"))
+        .select(col("doc_id")).join(rm, Seq("doc_id"), "left_anti")
+      val survEmb = spark.read.parquet(ivfStorePath)
+        .select(col("vec_id"), col("embedding"))
+        .join(broadcast(survIds.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+      LabelStore.remove(spark, labelPath, rm,
+        Similarity.cellBlockedTauPairs(survEmb, cents, tau, nProbe))
+    }
+    // gated on the CELL store's own state (crash between the halves
+    // retries to completion — the dedupRetractBatch discipline)
+    graft.sources.Maintenance.removeIvfRows(spark, ivfStorePath,
+      rm.select(col("doc_id").as("vec_id")))
+    before
+  }
+
   /** Drift-triggered IVF RETRAIN + REBUILD — the composition the three
     * existing parts were waiting for: the p112 drift gate
     * ([[embeddingDriftGateBatch]]) says the feed moved, the warm-start

@@ -503,6 +503,68 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "cell-blocked pair generation degraded to an unblocked cartesian")
   }
 
+  test("vector retraction: cell-pruned takedown removes labels and vectors; withdrawn content cannot resurface") {
+    // the embedding twin of the text takedown: labels recontract from
+    // store-derived evidence, the IVF half rewrites ONLY the retracted
+    // ids' cells (untouched cells byte-identical, mtime-pinned), and a
+    // later duplicate of the withdrawn vector gates clean
+    import graft.streaming.StreamingOps
+    import graft.operators.LabelStore
+    val cents = Similarity.seedCentroids(corpus, 10)
+    val store = java.nio.file.Files.createTempDirectory("vrt_ivf").toString
+    val labels = java.nio.file.Files.createTempDirectory("vrt_lbl").toString
+    val stage = java.nio.file.Files.createTempDirectory("vrt_stage").toString
+    Similarity.ivfWrite(corpus, cents, store)
+    val tau = 0.9
+    LabelStore.write(
+      LabelStore.labelsFor(corpus.select($"vec_id".as("doc_id")),
+        Similarity.cellBlockedTauPairs(corpus, cents, tau, nProbe = 10)),
+      labels)
+    def lbl = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(5L) === 0L, "fixture cluster-0 family missing")
+    // file inventory before: cells NOT holding vector 0 must not move
+    def files() = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())).toMap
+    val cellOf0 = spark.read.parquet(store).filter($"vec_id" === 0L)
+      .select($"cell").head().get(0).toString
+    val before = files()
+    // retract the canonical of cluster 0
+    val n = StreamingOps.vectorRetractBatch(spark, store, labels,
+      cents, tau, nProbe = 10)(Seq(0L).toDF("vec_id"))
+    assert(n === 1L)
+    val after = files()
+    val untouchedBefore = before.filterNot(_._1.contains(s"cell=$cellOf0"))
+    assert(untouchedBefore.forall { case (p, m) => after.get(p).contains(m) },
+      "retraction rewrote cells that hold no retracted vector")
+    // labels: from-scratch parity on the surviving corpus
+    val surv = corpus.filter($"vec_id" =!= 0L)
+    val want = LabelStore.labelsFor(surv.select($"vec_id".as("doc_id")),
+        Similarity.cellBlockedTauPairs(surv, cents, tau, nProbe = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lbl.toSeq.map(t => (t._1, t._2)).toSet === want,
+      "vector retraction diverged from the from-scratch rebuild")
+    assert(!lbl.contains(0L) && lbl(5L) === 1L,
+      "withdrawn canonical still present or family not relabeled")
+    assert(spark.read.parquet(store).filter($"vec_id" === 0L).isEmpty,
+      "withdrawn vector still in the cell store")
+    // a duplicate of the withdrawn embedding arrives: it must match the
+    // surviving cluster-mates only, and id 0 must appear nowhere
+    val dup = corpus.filter($"vec_id" === 1L)
+      .select(lit(500L).as("vec_id"), $"embedding")
+    val verdicts = StreamingOps.vectorDedupMaintainBatch(spark, store,
+        labels, stage, cents, tau, nProbe = 10)(dup, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verdicts.nonEmpty && !verdicts.exists(_._2 == 0L),
+      "gate matched the withdrawn vector")
+    val lbl2 = lbl
+    assert(!lbl2.contains(0L) && !lbl2.values.toSet.contains(0L),
+      "withdrawn id resurfaced after a matching arrival")
+    assert(lbl2(500L) === 1L, "arrival missed the surviving family")
+  }
+
   test("drift-gated IVF retrain: gate fires, rebuilt layout recovers partial-probe recall, swap heals") {
     // the composition p112 + warm-start frozen Lloyd + checked swap:
     // a drifted feed fires the gate, the live store retrains and
