@@ -1175,6 +1175,90 @@ object StreamingOps {
     before
   }
 
+  /** The VIDEO RETRACTION handler — the takedown twin over the clip
+    * stores: retraction evidence reconstructs from the frame store's
+    * OWN rows (surviving members' frames from ONE band partition, clip
+    * length as `max(frame)+1` — the live-yield geometry device — and
+    * p90's equal-length aligned relation recomputed over that
+    * component-bounded slice; no corpus decode), then the banded
+    * signature rows leave via the full-rewrite removal (band values
+    * are content-derived, so every partition holds a retracted clip's
+    * rows — the text-store shape, not the IVF cell prune).
+    * Crash-idempotent and heal-first exactly as [[dedupRetractBatch]].
+    */
+  def videoRetractBatch(spark: org.apache.spark.sql.SparkSession,
+                        frameStorePath: String, labelPath: String,
+                        maxHamming: Int = 3)(removeIds: DataFrame): Long = {
+    import graft.operators.{LabelStore, Multimodal}
+    recoverStoreSwap(spark, frameStorePath)
+    LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val labels0 = LabelStore.read(spark, labelPath)
+      .localCheckpoint(eager = false)
+    val before = labels0.join(rm, Seq("doc_id")).count()
+    if (before > 0) {
+      val affC = labels0.join(rm, Seq("doc_id"))
+        .select(col("canonical")).distinct()
+      val survIds = labels0.join(broadcast(affC), Seq("canonical"))
+        .select(col("doc_id")).join(rm, Seq("doc_id"), "left_anti")
+      val frames0 = spark.read.parquet(frameStorePath)
+        .filter(col("band_i") === 0)
+        .select(col("doc_id"), col("frame"), col("fhash"))
+        .join(broadcast(survIds), Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = false) // feeds the length AND the pairs
+      val nfr = frames0.groupBy(col("doc_id"))
+        .agg((max(col("frame")) + 1).cast("int").as("n_frames"))
+      LabelStore.remove(spark, labelPath, rm,
+        Multimodal.videoNearDupPairs(
+            frames0.join(nfr, Seq("doc_id")), maxHamming)
+          .select(col("d1"), col("d2")))
+    }
+    val sigsPresent = !spark.read.parquet(frameStorePath)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+    if (sigsPresent)
+      graft.sources.Maintenance.removePartitionedRows(
+        spark, frameStorePath, rm, "doc_id", "band_i", "band_v")
+    before
+  }
+
+  /** The AUDIO RETRACTION handler — the fourth member completing the
+    * takedown matrix (text, vector, video, audio): a track's 60-bit
+    * fingerprint IS its one-frame signature, so the surviving
+    * members' fingerprints read straight off one band partition and
+    * the evidence is p79's banded relation over that bounded slice.
+    * Same store-half rewrite and crash discipline as the video twin.
+    */
+  def audioRetractBatch(spark: org.apache.spark.sql.SparkSession,
+                        fpStorePath: String, labelPath: String,
+                        maxHamming: Int = 3)(removeIds: DataFrame): Long = {
+    import graft.operators.{LabelStore, Multimodal}
+    recoverStoreSwap(spark, fpStorePath)
+    LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val labels0 = LabelStore.read(spark, labelPath)
+      .localCheckpoint(eager = false)
+    val before = labels0.join(rm, Seq("doc_id")).count()
+    if (before > 0) {
+      val affC = labels0.join(rm, Seq("doc_id"))
+        .select(col("canonical")).distinct()
+      val survIds = labels0.join(broadcast(affC), Seq("canonical"))
+        .select(col("doc_id")).join(rm, Seq("doc_id"), "left_anti")
+      val fps = spark.read.parquet(fpStorePath)
+        .filter(col("band_i") === 0)
+        .select(col("doc_id"), col("fhash").as("dhash"))
+        .join(broadcast(survIds), Seq("doc_id"), "left_semi")
+      LabelStore.remove(spark, labelPath, rm,
+        Multimodal.perceptualNearDupPairs(fps, maxHamming)
+          .select(col("d1"), col("d2")))
+    }
+    val sigsPresent = !spark.read.parquet(fpStorePath)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+    if (sigsPresent)
+      graft.sources.Maintenance.removePartitionedRows(
+        spark, fpStorePath, rm, "doc_id", "band_i", "band_v")
+    before
+  }
+
   /** The VECTOR RETRACTION handler — [[dedupRetractBatch]]'s embedding
     * twin over the live IVF + label stores, with the retraction
     * evidence derived from the store itself: the affected components'

@@ -1864,6 +1864,99 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         "(did the gate stop matching leftover signatures?)")
   }
 
+  test("video/audio retraction: takedown completes the matrix, no resurfacing through either gate") {
+    // the third and fourth takedown twins: evidence reconstructs from
+    // the stores' own rows (frames / fingerprints off one band
+    // partition), the retracted signatures leave, and a later
+    // congruent arrival (mod-160 fixture geometry) gates against the
+    // surviving twin only — the withdrawn id appears nowhere
+    import graft.operators.{Dedup, LabelStore, Multimodal}
+    val pubIds = spark.range(0, 300).select($"id".as("doc_id"))
+    // ---- VIDEO ----
+    val vStore = java.nio.file.Files.createTempDirectory("vret_frames").toString
+    val vLbl = java.nio.file.Files.createTempDirectory("vret_lbl").toString
+    val vStage = java.nio.file.Files.createTempDirectory("vret_stage").toString
+    def framesOf(ids: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeVideoFrames(Multimodal.attachVideo(ids))
+        .select($"doc_id", $"frame", $"n_frames", $"fhash")
+    val pubFrames = framesOf(pubIds).localCheckpoint()
+    Multimodal.frameStoreWrite(
+      pubFrames.select($"doc_id", $"frame", $"fhash"), vStore)
+    LabelStore.write(
+      Dedup.dedupClusters(pubIds, "doc_id",
+        Multimodal.videoNearDupPairs(pubFrames, 3).select($"d1", $"d2")),
+      vLbl)
+    def lblOf(p: String) = LabelStore.read(spark, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lblOf(vLbl)(170L) === 10L, "video fixture family missing")
+    // retract the family's canonical
+    assert(StreamingOps.videoRetractBatch(spark, vStore, vLbl)(
+      Seq(10L).toDF("doc_id")) === 1L)
+    val v1 = lblOf(vLbl)
+    // from-scratch parity over the survivors (the family is larger
+    // than the mod-160 twins — the radius links mod-80 neighbors too,
+    // so the expected labels are DERIVED, never hard-coded)
+    val vSurv = pubIds.filter($"doc_id" =!= 10L).localCheckpoint()
+    val vWant = Dedup.dedupClusters(vSurv, "doc_id",
+        Multimodal.videoNearDupPairs(framesOf(vSurv), 3)
+          .select($"d1", $"d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1.toSeq.map(t => (t._1, t._2)).toSet === vWant,
+      "video retraction diverged from the from-scratch rebuild")
+    assert(!v1.contains(10L),
+      "video retraction left the withdrawn row behind")
+    assert(spark.read.parquet(vStore).filter($"doc_id" === 10L).isEmpty,
+      "withdrawn clip's signatures still stored")
+    // a congruent clip arrives (330 ≡ 10 mod 160): matches the
+    // surviving family, never the withdrawn id
+    val vVerd = StreamingOps.videoMaintainBatch(spark, vStore, vLbl,
+        vStage)(Multimodal.attachVideo(Seq(330L).toDF("doc_id")), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vVerd.contains((330L, 170L)) && !vVerd.exists(_._2 == 10L),
+      "video gate matched the withdrawn clip")
+    val v2 = lblOf(vLbl)
+    assert(!v2.contains(10L) && !v2.values.toSet.contains(10L) &&
+      v2(330L) === v2(170L), "withdrawn clip id resurfaced")
+    // ---- AUDIO ----
+    val aStore = java.nio.file.Files.createTempDirectory("aret_fps").toString
+    val aLbl = java.nio.file.Files.createTempDirectory("aret_lbl").toString
+    val aStage = java.nio.file.Files.createTempDirectory("aret_stage").toString
+    def fpsOf(ids: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeWave(Multimodal.attachWave(ids))
+        .select($"doc_id", $"afp")
+    def aPairs(fps: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualNearDupPairs(
+        fps.select($"doc_id", $"afp".as("dhash")), 3).select($"d1", $"d2")
+    val pubFps = fpsOf(pubIds).localCheckpoint()
+    Multimodal.frameStoreWrite(
+      pubFps.select($"doc_id", lit(0).as("frame"), $"afp".as("fhash")),
+      aStore)
+    LabelStore.write(
+      Dedup.dedupClusters(pubIds, "doc_id", aPairs(pubFps)), aLbl)
+    assert(lblOf(aLbl)(170L) === lblOf(aLbl)(10L),
+      "audio fixture family missing")
+    assert(StreamingOps.audioRetractBatch(spark, aStore, aLbl)(
+      Seq(10L).toDF("doc_id")) === 1L)
+    assert(spark.read.parquet(aStore).filter($"doc_id" === 10L).isEmpty,
+      "withdrawn track's fingerprints still stored")
+    val aVerd = StreamingOps.audioMaintainBatch(spark, aStore, aLbl,
+        aStage)(Multimodal.attachWave(Seq(330L).toDF("doc_id")), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aVerd.exists(v => v._1 == 330L && v._2 != 10L) &&
+      !aVerd.exists(_._2 == 10L),
+      "audio gate matched the withdrawn track")
+    val a2 = lblOf(aLbl)
+    assert(!a2.contains(10L) && !a2.values.toSet.contains(10L),
+      "withdrawn track id resurfaced")
+    // retraction parity with the from-scratch rebuild of survivors
+    val surv = pubIds.filter($"doc_id" =!= 10L)
+      .union(Seq(330L).toDF("doc_id")).localCheckpoint()
+    val want = Dedup.dedupClusters(surv, "doc_id", aPairs(fpsOf(surv)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a2.toSeq.map(t => (t._1, t._2)).toSet === want,
+      "audio retraction+arrival diverged from the from-scratch rebuild")
+  }
+
   test("gate-fed CROSS-MODAL label store: unified maintenance matches the from-scratch p85 contraction") {
     // the p132 loop through the library handler: ONE label space fed by
     // all four modality gates + within-batch relations. The designed
