@@ -643,9 +643,17 @@ object Pipeline9 {
     * per exact-text group (same components as all-pairs under the
     * closure, linearly many edges).
     */
-  private[graft] def exactTextPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def exactTextPairsOf(docs: DataFrame): DataFrame =
+    exactPairsOfSig(exactTextSig(docs))
+
+  /** The star-edge tail over an ALREADY-HASHED `(doc_id, th, th2)`
+    * frame — split out so the cross-modal retraction can reconstruct
+    * the exact-text evidence from the STORE's own rows (the 2-frame
+    * clips pivot back to the signature pair) without touching text.
+    */
+  private[graft] def exactPairsOfSig(sig: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    exactTextSig(docs)
+    sig
       .withColumn("d1",
         min(col("doc_id")).over(Window.partitionBy(col("th"), col("th2"))))
       .filter(col("d1") < col("doc_id"))

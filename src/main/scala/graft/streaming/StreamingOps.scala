@@ -1175,6 +1175,74 @@ object StreamingOps {
     before
   }
 
+  /** The CROSS-MODAL RETRACTION handler — takedown over the UNIFIED
+    * label space ([[multimodalMaintainBatch]]'s stores): the
+    * retraction evidence is the union of all four modalities'
+    * relations, each reconstructed from ITS store's own rows over the
+    * affected components' surviving members (text: the 2-frame
+    * (th, th2) clips pivot back to the signature pair and re-derive
+    * the star edges; image/audio: the banded Hamming relation over
+    * the one-frame rows; video: the equal-length aligned relation
+    * over reconstructed frame tables) — no modality ever re-decodes.
+    * The retracted ids' signature rows then leave ALL FOUR stores;
+    * every half gates on its own store's state (crash-idempotent, the
+    * [[dedupRetractBatch]] discipline) and the heal-first step covers
+    * all five crash windows. Returns the label rows retracted.
+    */
+  def multimodalRetractBatch(spark: org.apache.spark.sql.SparkSession,
+                             txtStorePath: String, imgStorePath: String,
+                             audStorePath: String, vidStorePath: String,
+                             labelPath: String, maxHamming: Int = 3)(
+                             removeIds: DataFrame): Long = {
+    import graft.operators.{LabelStore, Multimodal, Pipeline9}
+    val stores = Seq(txtStorePath, imgStorePath, audStorePath, vidStorePath)
+    stores.foreach(recoverStoreSwap(spark, _))
+    LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val labels0 = LabelStore.read(spark, labelPath)
+      .localCheckpoint(eager = false)
+    val before = labels0.join(rm, Seq("doc_id")).count()
+    if (before > 0) {
+      val affC = labels0.join(rm, Seq("doc_id"))
+        .select(col("canonical")).distinct()
+      val survIds = labels0.join(broadcast(affC), Seq("canonical"))
+        .select(col("doc_id")).join(rm, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = false) // four consumers below
+      def bandRows(path: String) = spark.read.parquet(path)
+        .filter(col("band_i") === 0)
+        .select(col("doc_id"), col("frame"), col("fhash"))
+        .join(broadcast(survIds), Seq("doc_id"), "left_semi")
+      val eT = Pipeline9.exactPairsOfSig(
+        bandRows(txtStorePath).groupBy(col("doc_id")).agg(
+          max(when(col("frame") === 0, col("fhash"))).as("th"),
+          max(when(col("frame") === 1, col("fhash"))).as("th2")))
+      val eI = Multimodal.perceptualNearDupPairs(
+          bandRows(imgStorePath)
+            .select(col("doc_id"), col("fhash").as("dhash")), maxHamming)
+        .select(col("d1"), col("d2"))
+      val eA = Multimodal.perceptualNearDupPairs(
+          bandRows(audStorePath)
+            .select(col("doc_id"), col("fhash").as("dhash")), maxHamming)
+        .select(col("d1"), col("d2"))
+      val vf0 = bandRows(vidStorePath).localCheckpoint(eager = false)
+      val nfr = vf0.groupBy(col("doc_id"))
+        .agg((max(col("frame")) + 1).cast("int").as("n_frames"))
+      val eV = Multimodal.videoNearDupPairs(
+          vf0.join(nfr, Seq("doc_id")), maxHamming)
+        .select(col("d1"), col("d2"))
+      LabelStore.remove(spark, labelPath, rm,
+        eT.union(eI).union(eA).union(eV))
+    }
+    stores.foreach { store =>
+      val present = !spark.read.parquet(store)
+        .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+      if (present)
+        graft.sources.Maintenance.removePartitionedRows(
+          spark, store, rm, "doc_id", "band_i", "band_v")
+    }
+    before
+  }
+
   /** The VIDEO RETRACTION handler — the takedown twin over the clip
     * stores: retraction evidence reconstructs from the frame store's
     * OWN rows (surviving members' frames from ONE band partition, clip

@@ -2047,6 +2047,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "perceptual gates missed the published congruent twin")
     assert(verdicts.exists(v => v._1 == 630L && v._2 == 470L),
       "second wave missed the first-wave doc through the merged stores")
+    // ---- retraction over the unified space: withdraw the BRIDGE ----
+    // 470 united the text and perceptual families; retracting it must
+    // split them back apart (evidence reconstructed from all four
+    // stores, no re-decode) and its signatures must leave every store
+    assert(StreamingOps.multimodalRetractBatch(spark, txt, img, aud,
+      vid, labels)(Seq(470L).toDF("doc_id")) === 1L)
+    val surv = unionIds.filter($"doc_id" =!= 470L).localCheckpoint()
+    val wantRm = Dedup.dedupClusters(surv, "doc_id",
+        unionPairsOf(docsOf(surv)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotRm = LabelStore.read(spark, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotRm === wantRm,
+      "cross-modal retraction diverged from the from-scratch rebuild")
+    Seq(txt, img, aud, vid).foreach { s =>
+      assert(spark.read.parquet(s).filter($"doc_id" === 470L).isEmpty,
+        s"withdrawn doc's signatures still in $s")
+    }
+    // a congruent arrival (790 ≡ 150 mod 160, unique text) matches the
+    // perceptual family but never the withdrawn bridge
+    val verd2 = StreamingOps.multimodalMaintainBatch(spark,
+        txt, img, aud, vid, labels, stage)(
+        payloadDocsOf(docsOf(Seq(790L).toDF("doc_id"))), 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(verd2.exists(v => v._1 == 790L && v._2 == 150L) &&
+      !verd2.exists(_._2 == 470L),
+      "gates matched the withdrawn bridge after retraction")
+    val lblFinal = LabelStore.read(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!lblFinal.contains(470L) &&
+      !lblFinal.values.toSet.contains(470L),
+      "withdrawn bridge resurfaced through the unified fold")
+    assert(lblFinal(790L) === lblFinal(150L),
+      "congruent arrival missed the surviving perceptual family")
   }
 
   test("maintenance handler compaction trigger: sliver files fold to one per band, probe parity holds") {
