@@ -1095,4 +1095,39 @@ object Engine {
         edges.select(col("src").as("d1"), col("dst").as("d2")))
       .select(col("doc_id").as("node"), col("canonical").as("component"))
   }
+
+  /** The ONE-CALL text takedown — the full blast radius of withdrawing
+    * documents from a text deployment, in dependency order: the dedup
+    * stores (labels recontract from store-derived evidence, LSH
+    * signatures leave so later arrivals cannot gate-match withdrawn
+    * content — `StreamingOps.dedupRetractBatch`), the verified gate's
+    * shingle SIDECAR (bucket-pruned `Maintenance.removePrunedRows` —
+    * without it the exact-Jaccard verify keeps confirming re-uploads
+    * of withdrawn text), and the POSTING store (the retrieval half:
+    * rows leave, stats decrement exactly —
+    * `StreamingOps.lexicalRetractBatch`). Pass None for stores the
+    * deployment does not keep. Every member is individually
+    * crash-idempotent and gated on its own store's state, so a crash
+    * anywhere re-runs to convergence; run from the one maintenance
+    * scheduler like every store mutation. Returns the number of label
+    * rows retracted (0 on a pure retry).
+    */
+  def takedownText(spark: SparkSession, removeIds: DataFrame,
+                   lshStorePath: String, labelPath: String,
+                   sidecarPath: Option[String] = None,
+                   postingTable: Option[String] = None,
+                   postingBuckets: Int = 8,
+                   retractId: Long = -2L): Long = {
+    val n = graft.streaming.StreamingOps.dedupRetractBatch(
+      spark, lshStorePath, labelPath)(removeIds)
+    sidecarPath.foreach { p =>
+      graft.sources.Maintenance.removePrunedRows(spark, p, removeIds,
+        "doc_id", "bucket", Some("doc_id"))
+    }
+    postingTable.foreach { t =>
+      graft.streaming.StreamingOps.lexicalRetractBatch(
+        spark, t, postingBuckets, retractId)(removeIds)
+    }
+    n
+  }
 }

@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Pipeline9.queries ++ operators.Pipeline10.queries ++
       operators.Pipeline11.queries ++ operators.Pipeline12.queries ++
       operators.Pipeline13.queries ++ operators.Pipeline14.queries ++
-      operators.Pipeline15.queries ++ operators.Pipeline16.queries
+      operators.Pipeline15.queries ++ operators.Pipeline16.queries ++
+      operators.Pipeline17.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.Pipeline9.oracles ++ operators.Pipeline10.oracles ++
       operators.Pipeline11.oracles ++ operators.Pipeline12.oracles ++
       operators.Pipeline13.oracles ++ operators.Pipeline14.oracles ++
-      operators.Pipeline15.oracles ++ operators.Pipeline16.oracles
+      operators.Pipeline15.oracles ++ operators.Pipeline16.oracles ++
+      operators.Pipeline17.oracles
 }

@@ -261,8 +261,8 @@ object Pipeline16 {
     * to hit canonical removals, component splits AND kept components
     * in one differential.
     */
-  private val RetractMod = 10L
-  private val RetractRem = 7L
+  private[operators] val RetractMod = 10L
+  private[operators] val RetractRem = 7L
 
   /** p136: the RETRACTION path under the full differential oracle —
     * [[LabelStore.remove]] proven by DuckDB, not only by its specs:
@@ -314,8 +314,14 @@ object Pipeline16 {
     * then the closure + min-label device over survivors only — the
     * from-scratch rebuild the removal must land on bit-identically.
     */
-  val retractionLabelsOracle: String =
-    s"""WITH RECURSIVE ${PipelineQueries.lshPairCtes},
+  /** The surviving-corpus label CTE chain (p118's pairs restricted to
+    * survivors, closed and min-labeled) WITHOUT the final select —
+    * shared by the p136 oracle and p137/p138's post-retraction
+    * compositions so the three differentials cannot diverge on what
+    * "the from-scratch rebuild of the survivors" means.
+    */
+  private[operators] val survivorLabelCtes: String =
+    s"""${PipelineQueries.lshPairCtes},
        |surv AS (SELECT doc_id FROM documents
        |         WHERE doc_id % $RetractMod <> $RetractRem),
        |sp AS (SELECT d1, d2 FROM prs
@@ -329,7 +335,10 @@ object Pipeline16 {
        |  SELECT d.doc_id,
        |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
        |           AS canonical
-       |  FROM surv d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |  FROM surv d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
+
+  val retractionLabelsOracle: String =
+    s"""WITH RECURSIVE $survivorLabelCtes
        |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

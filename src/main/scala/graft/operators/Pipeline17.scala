@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 17: RETRACTION REACHES RETRIEVAL AND THE
+  * RELEASE. p136 proved the label-store takedown
+  * (remove-equals-rebuild under the full differential); this batch
+  * proves the other two halves of a real takedown's blast radius under
+  * the same oracle discipline:
+  *
+  *  - p137: a withdrawn document must stop being RETRIEVABLE — the
+  *    posting store loses its rows AND the BM25 statistics decrement
+  *    exactly, so ranking over the survivors is bit-identical to a
+  *    from-scratch index of the surviving corpus (not "the doc is
+  *    filtered out but still skews idf/avgdl").
+  *  - p138: a withdrawal must reach the RELEASE — the post-takedown
+  *    epoch draw over the live weights equals the from-scratch draw
+  *    over the surviving corpus, including the survivors whose
+  *    sampling weight RISES because their cluster shrank.
+  *
+  * Both run the actual composed handlers
+  * ([[graft.streaming.StreamingOps.lexicalRetractBatch]],
+  * [[graft.streaming.StreamingOps.dedupRetractBatch]]) in the
+  * registered path, so the deployment code itself carries a DuckDB
+  * differential, not just its specs.
+  */
+object Pipeline17 {
+
+  /** batch_id of the registered retraction in the stats table's
+    * namespace (ingests are >= 0, the build row is -1; retractions
+    * use <= -2 — the [[graft.streaming.StreamingOps.lexicalRetractBatch]]
+    * contract).
+    */
+  private val RetractBatchId = -2L
+
+  /** The retracted id set — Pipeline16's split (every tenth document),
+    * shared so p136/p137/p138 withdraw the SAME documents and the
+    * three oracles' `surv` relations agree.
+    */
+  private def retractIds(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(Pipeline16.RetractMod))
+        === Pipeline16.RetractRem)
+      .select(col("doc_id"))
+
+  /** p137: POST-RETRACTION stored BM25 — the retrieval half of a
+    * takedown: build the term-bucketed posting store over the full
+    * corpus, withdraw every tenth document through the composed
+    * lexical retraction handler, and answer the registered BM25 top-k
+    * from what remains. The oracle computes BM25 from scratch over the
+    * SURVIVING corpus, so the differential checks all three things a
+    * lexical takedown must get right at once: the retracted docs'
+    * posting rows are gone (they can no longer rank), the surviving
+    * rows are intact (nobody else's tf/dl moved), and the global
+    * statistics decremented EXACTLY (idf and avgdl are corpus-level —
+    * a stale n or sdl shifts every survivor's score, which round(·,4)
+    * would surface; the negative stats row's long arithmetic is what
+    * makes this bit-exact rather than drifting).
+    *
+    * Scale shape: the entry prices the takedown's operational context
+    * end to end per rep — one store build (the one-off index cost),
+    * one staged bucket-preserving rewrite (the documented full-rewrite
+    * price of a term-bucketed layout, why deployments batch
+    * takedowns), and the steady-state pruned probe (≤|Q| buckets).
+    */
+  def retractionBm25(s: SparkSession, d: String): DataFrame = {
+    val t = "graft_retract_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = documents(s, d)
+    Pipeline6.postingsWrite(docs, t, nBuckets = 8)
+    graft.streaming.StreamingOps.lexicalRetractBatch(
+      s, t, nBuckets = 8, retractId = RetractBatchId)(retractIds(docs))
+    Pipeline6.bm25TopKStored(s, t, k = 20)
+  }
+
+  /** p137 oracle: the registered BM25 chain ([[Pipeline6.bm25CteFrom]])
+    * pointed at the surviving corpus — from-scratch stats, df and
+    * scores over survivors only.
+    */
+  val retractionBm25Oracle: String =
+    s"""WITH sdocs AS (SELECT * FROM documents
+       |  WHERE doc_id % ${Pipeline16.RetractMod} <> ${Pipeline16.RetractRem}),
+       |${Pipeline6.bm25CteFrom("sdocs")},
+       |top AS (SELECT doc_id, score,
+       |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       |            AS rnk
+       |        FROM per)
+       |SELECT doc_id, round(score, 4) AS bm25, rnk
+       |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** The post-retraction TEXT store pair, built ONCE per JVM per
+    * dataset (the IndexStores memo): the live label table + LSH
+    * signature store over the full corpus, then the composed text
+    * takedown ([[graft.streaming.StreamingOps.dedupRetractBatch]] —
+    * labels recontract from the store-derived evidence, signatures
+    * leave the store). p136 prices the retraction itself per rep;
+    * this memo serves the DOWNSTREAM refresh p138 prices.
+    */
+  private def retractedTextRoot(s: SparkSession, d: String): String =
+    IndexStores.of("retract_text_store", d) { p =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/lsh") {
+        Dedup.lshStoreWrite(
+          Dedup.lshSignatureRows(docs, "doc_id", "text",
+            n = PipelineQueries.ShingleN, numHashes = 16, bands = 4),
+          s"$p/lsh")
+        LabelStore.write(
+          Dedup.dedupClusters(docs, "doc_id",
+            Dedup.minhashLshPairs(docs, "doc_id", "text",
+              n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)),
+          s"$p/labels")
+        graft.streaming.StreamingOps.dedupRetractBatch(
+          s, s"$p/lsh", s"$p/labels")(retractIds(docs))
+      }
+    }
+
+  /** p138: the POST-RETRACTION release draw — takedown composed with
+    * the release chain: live weights from the post-removal label table
+    * ([[LabelStore.weightsFromStore]] — the p129 device) into p120's
+    * deterministic epoch draw. The oracle chains the from-scratch
+    * contraction OF THE SURVIVING CORPUS (p136's `lab` CTEs verbatim)
+    * under the weight window and the md5 draw, so the differential
+    * pins the takedown's release semantics: withdrawn documents never
+    * appear in any epoch, and each affected cluster's SURVIVORS are
+    * drawn at their RAISED weight (`1e6 div` the post-removal cluster
+    * size) — a release that kept sampling at stale weights would
+    * under-represent exactly the families the takedown touched.
+    *
+    * Scale shape: the store pair builds once (memoized); the refresh
+    * itself is one label-table scan + the window count + a broadcast
+    * epoch grid — no corpus rescan, no signature recompute (the
+    * p129/p130 between-ingests discipline).
+    */
+  def retractionRelease(s: SparkSession, d: String): DataFrame = {
+    val root = retractedTextRoot(s, d)
+    Pipeline13.softDedupSampleOf(
+        LabelStore.weightsFromStore(s, s"$root/labels"),
+        Pipeline13.SampleEpochs)
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  /** p138 oracle: the surviving-corpus label chain
+    * ([[Pipeline16.survivorLabelCtes]]) under p120's weight + draw
+    * CTEs — the chained differential, epoch grid from p120's own
+    * constant.
+    */
+  val retractionReleaseOracle: String =
+    s"""WITH RECURSIVE ${Pipeline16.survivorLabelCtes},
+       |wts AS (
+       |  SELECT doc_id, canonical,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |ep AS (SELECT unnest(range(0, ${Pipeline13.SampleEpochs})) AS epoch)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
+       |       w.weight_ppm
+       |FROM wts w CROSS JOIN ep e
+       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
+       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+       |      < w.weight_ppm
+       |ORDER BY epoch, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p137_retraction_bm25" -> (retractionBm25 _),
+    "p138_retraction_release_live" -> (retractionRelease _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // from-scratch BM25 over the surviving corpus: rows gone, survivors
+    // intact, idf/avgdl decremented exactly
+    "p137_retraction_bm25" -> retractionBm25Oracle,
+    // from-scratch labels + weights + draw over the surviving corpus:
+    // withdrawn docs never drawn, survivors drawn at raised weights
+    "p138_retraction_release_live" -> retractionReleaseOracle,
+  )
+}

@@ -513,11 +513,16 @@ object Pipeline6 {
     * `Double.toString` (shortest round-trip form), so DuckDB parses back
     * the exact doubles Spark computes with.
     */
-  private def bm25Cte: String = {
+  private def bm25Cte: String = bm25CteFrom("documents")
+
+  /** The same chain over any corpus relation — the post-retraction
+    * differential (p137) points it at the SURVIVING corpus.
+    */
+  private[operators] def bm25CteFrom(docsRel: String): String = {
     val terms = QTerms.map(t => s"'$t'").mkString(", ")
     val filters = QTerms.map(t => s"coalesce(sum(contrib) FILTER (term = '$t'), 0.0)")
     val fold = filters.reduceLeft((a, b) => s"($a + $b)")
-    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $docsRel),
        |stats AS (SELECT count(*) AS n, sum(len(w)) AS sdl FROM ws),
        |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok

@@ -73,6 +73,39 @@ object Bucketed {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  /** REMOVE rows from a bucketed table by id — the takedown rewrite of
+    * the term-bucketed posting store: a document's posting rows scatter
+    * across every term bucket (bucket identity is the TERM, not the
+    * doc), so unlike the doc-bucketed/cell-partitioned stores there is
+    * no pruned form — this is a full staged rewrite with the retracted
+    * ids anti-joined away, re-declaring the bucket spec (and with it
+    * every pruning/co-location property) and landing one file per
+    * bucket ([[compactBucketed]]'s alignment device, so a retraction
+    * doubles as a compaction). Same DROP→RENAME swap and
+    * [[recoverBucketedSwap]]-healed crash window as the compactor;
+    * deployments batch takedowns for exactly this reason. Retraction
+    * sets are takedown-batch-sized by contract, so the id frame
+    * broadcasts.
+    */
+  def removeBucketedRows(spark: SparkSession, table: String, key: String,
+                         n: Int, removeIds: DataFrame,
+                         idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tmp = s"${table}__compact"
+    recoverBucketedSwap(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"removeBucketedRows: $table does not exist (and no crashed swap to heal)")
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writeBucketed(
+      spark.table(table)
+        .join(broadcast(removeIds.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+        .repartition(n, col(key)),
+      tmp, key, n)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Heal the DROP→RENAME window of [[compactBucketed]]: a crash
     * between the two statements leaves `table` absent with its COMPLETE
     * replacement still registered as `table__compact` (saveAsTable only

@@ -138,27 +138,60 @@ object Maintenance {
     */
   def removeIvfRows(spark: SparkSession, path: String,
                     removeIds: DataFrame,
-                    idCol: String = "vec_id"): Boolean = {
+                    idCol: String = "vec_id"): Boolean =
+    removePrunedRows(spark, path, removeIds, idCol, partCol = "cell",
+      sortCol = None)
+
+  /** The GENERAL pruned retraction over any hive-partitioned store
+    * whose affected partitions are row-locatable: [[removeIvfRows]]'
+    * device with the partition column as a parameter — one pruned
+    * semi-join finds the partitions actually holding a retracted row,
+    * a dynamic partition overwrite rewrites ONLY those (optionally
+    * re-sorted so a pushed-filter layout keeps its row-group skip),
+    * and partitions the overwrite would leave EMPTY are deleted
+    * explicitly. Serves the IVF cell layouts (`partCol = "cell"`) and
+    * the doc_id-bucketed shingle SIDECAR (`partCol = "bucket"`,
+    * `sortCol = Some("doc_id")` — bucket is `doc_id mod n`, so a
+    * takedown rewrites at most |retracted ids| buckets, never the
+    * store). The banded signature stores CANNOT use it — band values
+    * are content-derived, every partition holds a retracted doc's rows
+    * — which is what [[removePartitionedRows]]' full rewrite is for.
+    *
+    * Same idempotence contract as the IVF form: a crash mid-overwrite
+    * leaves some affected partitions rewritten (complete and correct)
+    * and others untouched; the re-run converges because clean
+    * partitions no longer list as affected. Takedown batches are
+    * bounded (the retraction-queue contract), so the id set
+    * broadcasts.
+    */
+  def removePrunedRows(spark: SparkSession, path: String,
+                       removeIds: DataFrame, idCol: String,
+                       partCol: String, sortCol: Option[String],
+                       rowGroupBytes: Int = 1 << 20): Boolean = {
     val rm = broadcast(removeIds.select(col(idCol)).distinct())
     val affected = spark.read.parquet(path)
       .join(rm, Seq(idCol), "left_semi")
-      .select(col("cell")).distinct()
+      .select(col(partCol)).distinct()
       .collect().map(_.get(0))
     if (affected.isEmpty) return false
-    val kept = spark.read.parquet(path)
-      .filter(col("cell").isin(affected.toIndexedSeq: _*))
+    val kept0 = spark.read.parquet(path)
+      .filter(col(partCol).isin(affected.toIndexedSeq: _*))
       .join(rm, Seq(idCol), "left_anti")
+    val kept = sortCol.fold(kept0)(sc => kept0
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(sc)))
       .localCheckpoint()
-    val keptCells = kept.select(col("cell")).distinct()
+    val keptParts = kept.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSet
     kept.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell")
+      .option("parquet.block.size", rowGroupBytes)
+      .partitionBy(partCol)
       .parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (affected.toSet -- keptCells).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+    (affected.toSet -- keptParts).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$c"), true)
     }
     true
   }

@@ -1990,6 +1990,80 @@ object StreamingOps {
     ready.length
   }
 
+  /** The LEXICAL RETRACTION handler — takedown reaches RETRIEVAL: the
+    * dedup-store takedowns ([[dedupRetractBatch]] and its twins) stop
+    * withdrawn content from re-clustering, but a retracted document
+    * left in the POSTING store stays *retrievable* — BM25, phrase and
+    * proximity probes keep returning it, which is the user-visible
+    * compliance failure. This handler removes the retracted ids'
+    * posting rows from the term-bucketed index AND appends the exact
+    * NEGATIVE stats row that keeps BM25's idf/avgdl bit-identical to a
+    * from-scratch index of the surviving corpus:
+    *
+    *  1. heal-first ([[graft.sources.Bucketed.recoverBucketedSwap]] —
+    *     a previous retraction/compaction's crashed swap must not
+    *     wedge this one);
+    *  2. stats half, gated on the append-only `_stats` table's own
+    *     state (a row with `batch_id = retractId` IS the commit
+    *     record, the [[lexicalMergeStaged]] discipline): derive the
+    *     retracted docs' exact (n, sdl) FROM the store's own rows
+    *     (postings are self-describing — every doc owns ≥1 row and
+    *     carries its dl on each), then append `(retractId, -n, -sdl)`.
+    *     Readers fold stats with `sum` on longs, so the decrement is
+    *     exact and order-free — idf/avgdl after retraction equal the
+    *     surviving corpus's, not an approximation.
+    *  3. posting half, gated on the store's own state (any retracted
+    *     id still present): the staged bucket-preserving rewrite
+    *     ([[graft.sources.Bucketed.removeBucketedRows]] — a doc's
+    *     terms scatter across every term bucket, so this is the full
+    *     rewrite the banded stores also pay; takedowns batch).
+    *
+    * ORDER MATTERS for crash safety: stats first, because after the
+    * rows are gone their (n, sdl) is underivable — a crash between the
+    * halves re-runs as a stats-no-op (the commit record exists) that
+    * still removes the postings, and a full retry is a double no-op.
+    * The transient between the halves (stats decremented, rows still
+    * present) is the same read-skew window every staged merge has in
+    * reverse; mutations serialize through the one maintenance
+    * scheduler. `retractId` must be unique in the stats table's
+    * batch_id namespace (ingest ids are ≥ 0 and the build row is -1 —
+    * use ≤ -2 for retractions). Returns the number of documents whose
+    * postings were actually retracted (0 on a retry/no-op).
+    */
+  def lexicalRetractBatch(spark: org.apache.spark.sql.SparkSession,
+                          table: String, nBuckets: Int, retractId: Long)(
+                          removeIds: DataFrame): Long = {
+    require(retractId <= -2L,
+      s"lexicalRetractBatch: retractId $retractId collides with the ingest " +
+        "batch_id namespace (ingests are >= 0, the build row is -1)")
+    graft.sources.Bucketed.recoverBucketedSwap(spark, table)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val committed = !spark.table(s"${table}_stats")
+      .filter(col("batch_id") === retractId).isEmpty
+    var removedDocs = 0L
+    if (!committed) {
+      val gone = spark.table(table)
+        .join(broadcast(rm), Seq("doc_id"), "left_semi")
+      // 1-row exact decrement, derived from the store's own rows before
+      // they leave (the self-describing-postings argument of the merge)
+      val dec = graft.operators.Pipeline6.statsOfPostings(gone).head()
+      removedDocs = dec.getLong(0)
+      spark.range(1)
+        .select(lit(retractId).as("batch_id"),
+          lit(-dec.getLong(0)).as("n"), lit(-dec.getLong(1)).as("sdl"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(s"${table}_stats")
+    }
+    // posting half gated on the STORE's own state: still present after a
+    // crash between the halves even when the stats row is committed
+    val present = !spark.table(table)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+    if (present)
+      graft.sources.Bucketed.removeBucketedRows(
+        spark, table, "term", nBuckets, rm, "doc_id")
+    removedDocs
+  }
+
   /** Distinct xxhash64 shingle hashes of a benchmark document set —
     * the one index definition shared by [[contaminationGate]] and the
     * parity spec's batch twin. One tiny job over the eval set (the

@@ -1,0 +1,126 @@
+// Takedown pricing: every retraction scaladoc claims a cost shape.
+// The banded/term-bucketed stores pay a FULL rewrite per takedown
+// batch — a doc's signature/posting rows scatter across every
+// partition, so the cost is the STORE's size and deployments batch
+// takedowns (measured here: ~linear in the store via the ScaleProbe
+// self-union device). The id-locatable layouts (doc_id-bucketed
+// shingle sidecar, IVF cells) retract PRUNED — the cost is the
+// AFFECTED partitions' size, not the store's and not the batch's
+// (measured here directly: the same-sized takedown batch priced twice,
+// once scattered across every partition, once co-located in ONE — the
+// co-located form must cost ~1/partitions of the scattered one, which
+// is the whole 100 TB argument: with thousands of cells/buckets a
+// bounded takedown touches a vanishing store fraction).
+// Results recorded in BASELINE.md's "Takedown pricing" section.
+// One-off audit tool (not a registered query).
+// Run: sbt "runMain graft.tools.TakedownProbe" [mult]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, LabelStore, Pipeline6, Similarity}
+import graft.sources.Maintenance
+import graft.streaming.StreamingOps
+
+object TakedownProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 4
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs0 = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def tmp(t: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_tdp_$t").toString
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- full-rewrite paths: ~linear in the store (takedowns batch) ----
+    Seq(1, mult).foreach { m =>
+      // store grows m-x (disjoint id ranges); the takedown batch stays
+      // the BASE 1% class — fixed work arriving at a growing store
+      val docs = (0 until m).map(i =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val rm = docs0.filter(pmod(col("doc_id"), lit(100L)) === 7L)
+        .select(col("doc_id")).localCheckpoint()
+      val lsh = tmp("lsh"); val lbl = tmp("lbl")
+      Dedup.lshStoreWrite(Dedup.lshSignatureRows(docs, "doc_id", "text"), lsh)
+      LabelStore.write(Dedup.dedupClusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text")), lbl)
+      val tDedup = timed {
+        StreamingOps.dedupRetractBatch(spark, lsh, lbl)(rm)
+      }
+      val pt = s"graft_tdp_postings_$m"
+      Pipeline6.postingsWrite(docs, pt, nBuckets = 8)
+      val tLex = timed {
+        StreamingOps.lexicalRetractBatch(spark, pt, nBuckets = 8,
+          retractId = -2L)(rm)
+      }
+      println(f"[takedown/full] mult=$m docs=${docs.count()} " +
+        f"retracted=${rm.count()} dedup_rewrite=$tDedup%.2fs " +
+        f"lexical_rewrite=$tLex%.2fs")
+    }
+
+    // ---- pruned paths: cost follows AFFECTED partitions, not batch ----
+    // the same-sized takedown twice: scattered (ids = 7 mod 100 — every
+    // residue class, so every bucket holds one) vs co-located (ids = 7
+    // mod 16 thinned 1/6 to match the count — ONE bucket of 16)
+    val scattered = docs0.filter(pmod(col("doc_id"), lit(100L)) === 7L)
+      .select(col("doc_id")).localCheckpoint()
+    val clustered = docs0
+      .filter(pmod(col("doc_id"), lit(16L)) === 7L &&
+        pmod(floor(col("doc_id") / 16L), lit(6L)) === 0L)
+      .select(col("doc_id")).localCheckpoint()
+    def sidecarRetract(rm: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val side = tmp("side")
+      Dedup.shingleStoreWrite(
+        Dedup.shingleSidecarRows(docs0, "doc_id", "text"), side)
+      val t = timed {
+        Maintenance.removePrunedRows(spark, side, rm,
+          "doc_id", "bucket", Some("doc_id"))
+      }
+      (t, rm.count())
+    }
+    val (tScat, nScat) = sidecarRetract(scattered)
+    val (tClus, nClus) = sidecarRetract(clustered)
+    println(f"[takedown/pruned] sidecar scattered n=$nScat " +
+      f"(16/16 buckets) $tScat%.2fs vs co-located n=$nClus " +
+      f"(1/16 buckets) $tClus%.2fs")
+
+    // IVF cells: co-located = one cell's own members (cells are
+    // content-derived, so the co-located case is a real one — a model
+    // version's vectors land together), scattered = same count spread
+    val emb0 = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb0, 8)
+    def ivfRetract(rm: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val ivf = tmp("ivf")
+      Similarity.ivfWrite(emb0, cents, ivf)
+      val t = timed { Maintenance.removeIvfRows(spark, ivf, rm) }
+      (t, rm.count())
+    }
+    val cellOf = Similarity.assignCells(cents, emb0)
+      .select(col("vec_id"), col("cell")).localCheckpoint()
+    val oneCell = cellOf.filter(col("cell") === 0)
+      .filter(pmod(col("vec_id"), lit(8L)) === 1L).select(col("vec_id"))
+    val nOne = oneCell.count()
+    val scatteredV = cellOf
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= (nOne / 8L + 1L)).select(col("vec_id"))
+    val (tVOne, nVOne) = ivfRetract(oneCell)
+    val (tVScat, nVScat) = ivfRetract(scatteredV)
+    println(f"[takedown/pruned] ivf co-located n=$nVOne (1/8 cells) " +
+      f"$tVOne%.2fs vs scattered n=$nVScat (8/8 cells) $tVScat%.2fs")
+    spark.stop()
+  }
+}

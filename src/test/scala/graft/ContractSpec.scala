@@ -25,10 +25,11 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline9.queries, operators.Pipeline10.queries,
       operators.Pipeline11.queries, operators.Pipeline12.queries,
       operators.Pipeline13.queries, operators.Pipeline14.queries,
-      operators.Pipeline15.queries, operators.Pipeline16.queries)
+      operators.Pipeline15.queries, operators.Pipeline16.queries,
+      operators.Pipeline17.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 211,
+    assert(SparkEntry.queries.size >= 213,
       "registered-query surface shrank below the round-13 ledger")
   }
 
