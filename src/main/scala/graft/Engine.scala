@@ -1130,4 +1130,32 @@ object Engine {
     }
     n
   }
+
+  /** The ONE-CALL vector takedown — [[takedownText]]'s embedding twin:
+    * the dedup half (labels recontract, the retracted vectors leave
+    * the p41 cell store — `StreamingOps.vectorRetractBatch`) plus the
+    * RETRIEVAL half the eager handler alone misses: a deployment
+    * serving ADC probes holds the p49 CODES store too, and a
+    * withdrawn vector left there stays retrievable (its 8-byte code
+    * row keeps ranking in every shortlist). Both stores retract
+    * CELL-PRUNED (`Maintenance.removeIvfRows` — a vector's rows live
+    * in exactly one cell of each layout). Pass None when the
+    * deployment keeps no compressed index. Individually idempotent
+    * halves; run from the one maintenance scheduler. Returns the
+    * label rows retracted.
+    */
+  def takedownVectors(spark: SparkSession, removeIds: DataFrame,
+                      ivfStorePath: String, labelPath: String,
+                      cents: Array[(Int, Seq[Float])], tau: Double,
+                      nProbe: Int,
+                      codesStorePath: Option[String] = None): Long = {
+    val n = graft.streaming.StreamingOps.vectorRetractBatch(
+      spark, ivfStorePath, labelPath, cents, tau, nProbe)(removeIds)
+    codesStorePath.foreach { p =>
+      graft.sources.Maintenance.removeIvfRows(spark, p,
+        removeIds.select(org.apache.spark.sql.functions
+          .col("vec_id")))
+    }
+    n
+  }
 }

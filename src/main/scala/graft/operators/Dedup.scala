@@ -338,6 +338,17 @@ object Dedup {
     * (p04's contract); compose with [[ngramJaccardPairs]] or a
     * downstream gate to verify.
     */
+  /** Tombstone-aware LSH store scan — every reader of the signature
+    * store goes through it, so a DEFERRED takedown
+    * ([[graft.sources.Maintenance.tombstoneAppend]]) stops matching the
+    * moment it is queued, not only after the compaction applies it
+    * physically. No pending tombstones → a plain scan.
+    */
+  private def lshStoreScan(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    graft.sources.Maintenance.minusTombstones(spark, path,
+      spark.read.parquet(path), "doc_id")
+
   def lshProbeStored(spark: org.apache.spark.sql.SparkSession,
                      path: String,
                      querySigs: Seq[(Long, Int, Long)],
@@ -352,7 +363,7 @@ object Dedup {
         col("band") === b && col("sig_h").isin(hs: _*)
       }.reduce(_ || _)
       val qs = typedLit(querySigs)
-      spark.read.parquet(path)
+      lshStoreScan(spark, path)
         .filter(cond)
         .select(col("doc_id"), col("band"), col("sig_h"),
           explode(qs).as("q"))
@@ -367,7 +378,7 @@ object Dedup {
       import spark.implicits._
       val q = querySigs.toDF("qid", "band", "sig_h")
       val bands = querySigs.map(_._2).distinct.sorted
-      spark.read.parquet(path)
+      lshStoreScan(spark, path)
         .filter(col("band").isin(bands: _*))
         .join(broadcast(q), Seq("band", "sig_h"))
         .select(col("qid"), col("doc_id"))
@@ -395,7 +406,7 @@ object Dedup {
       .collect().map(_.getInt(0)).sorted
     if (bands.isEmpty) return sr
       .select(col("doc_id").as("qid"), col("doc_id")).limit(0)
-    spark.read.parquet(path)
+    lshStoreScan(spark, path)
       .filter(col("band").isin(bands.toIndexedSeq: _*))
       .join(sr.select(col("doc_id").as("qid"), col("band"),
         col("sig_h")), Seq("band", "sig_h"))
@@ -422,7 +433,7 @@ object Dedup {
   def lshPairsFromStore(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         maxBucket: Int = Int.MaxValue): DataFrame =
-    bucketPairs(spark.read.parquet(path), Seq("band", "sig_h"), maxBucket)
+    bucketPairs(lshStoreScan(spark, path), Seq("band", "sig_h"), maxBucket)
 
   /** One document's distinct shingle HASHES as storable rows
     * (doc_id, sh) — the verification-side twin of

@@ -689,6 +689,18 @@ object Multimodal {
     * trading the pushed `band_v IN` row-group skip for a broadcast
     * hash match. Identical semantics on both paths (spec-pinned).
     */
+  /** Tombstone-aware banded-store scan — every reader of the frame/
+    * fingerprint store family goes through it, so a DEFERRED takedown
+    * ([[graft.sources.Maintenance.tombstoneAppend]]) stops matching the
+    * moment it is queued; the physical rewrite rides the next
+    * compaction (the `Dedup.lshStoreScan` discipline on the perceptual
+    * layouts). No pending tombstones → a plain scan.
+    */
+  private def frameStoreScan(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    graft.sources.Maintenance.minusTombstones(spark, path,
+      spark.read.parquet(path), "doc_id")
+
   def frameProbeStored(spark: org.apache.spark.sql.SparkSession,
                        path: String, queryHashes: Seq[(Long, Long)],
                        maxHamming: Int = 3,
@@ -705,7 +717,7 @@ object Multimodal {
         col("band_i") === b && col("band_v").isin(bvByBand(b): _*)
       }.reduce(_ || _)
       val qs = typedLit(queryHashes.map { case (q, h) => (q, h) })
-      spark.read.parquet(path)
+      frameStoreScan(spark, path)
         .filter(cond)
         .select(col("doc_id"), col("frame"), col("fhash"), col("band_i"),
           col("band_v"),
@@ -728,7 +740,7 @@ object Multimodal {
       val q = queryHashes.flatMap { case (qid, h) =>
         (0 until 4).map(b => (qid, h, b, (h >>> (15 * b)) & 32767L))
       }.toDF("qid", "qh", "band_i", "band_v")
-      spark.read.parquet(path)
+      frameStoreScan(spark, path)
         .join(q, Seq("band_i", "band_v"))
         .filter(bit_count(col("qh").bitwiseXOR(col("fhash"))) <= maxHamming)
         .select(col("qid"), col("doc_id"), col("frame"),
@@ -761,7 +773,7 @@ object Multimodal {
       .withColumn("band_i", explode(sequence(lit(0), lit(3))))
       .withColumn("band_v", expr("shiftright(qhash, 15 * band_i) & 32767"))
     val ham = bit_count(col("qhash").bitwiseXOR(col("fhash")))
-    spark.read.parquet(path)
+    frameStoreScan(spark, path)
       .join(q, Seq("band_i", "band_v"))
       .filter(ham <= maxHamming)
       .select(col("qid"), col("doc_id"), col("frame"),
@@ -807,7 +819,7 @@ object Multimodal {
     val candDocs = cand.select(col("did")).distinct()
     // stored frames of candidate docs only: one band partition, each
     // frame once, candidate ids broadcast (banding-sparse)
-    val sfc = spark.read.parquet(storePath)
+    val sfc = frameStoreScan(spark, storePath)
       .filter(col("band_i") === 0)
       .select(col("doc_id").as("did"), col("frame"), col("fhash").as("h2"))
       .join(broadcast(candDocs), Seq("did"))

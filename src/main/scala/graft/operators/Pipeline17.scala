@@ -160,9 +160,73 @@ object Pipeline17 {
        |      < w.weight_ppm
        |ORDER BY epoch, doc_id""".stripMargin
 
+  /** The DEFERRED-takedown text store, built once per JVM per dataset:
+    * full-corpus label + LSH stores, then the deferred handler
+    * ([[graft.streaming.StreamingOps.dedupRetractDeferred]] — labels
+    * recontract now, the signature rows only TOMBSTONE; the physical
+    * rewrite is left to the compaction cadence). Deliberately a
+    * SEPARATE memo family from p138's eager store: p139 exists to
+    * check the tombstoned state itself.
+    */
+  private def deferredTextRoot(s: SparkSession, d: String): String =
+    IndexStores.of("defer_text_store", d) { p =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/lsh") {
+        Dedup.lshStoreWrite(
+          Dedup.lshSignatureRows(docs, "doc_id", "text",
+            n = PipelineQueries.ShingleN, numHashes = 16, bands = 4),
+          s"$p/lsh")
+        LabelStore.write(
+          Dedup.dedupClusters(docs, "doc_id",
+            Dedup.minhashLshPairs(docs, "doc_id", "text",
+              n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)),
+          s"$p/labels")
+        graft.streaming.StreamingOps.dedupRetractDeferred(
+          s, s"$p/lsh", s"$p/labels")(retractIds(docs))
+      }
+    }
+
+  /** p139: the TOMBSTONE-AWARE reader under the full differential —
+    * the deferred takedown's correctness rests entirely on every
+    * store reader excluding the pending tombstone set, so this entry
+    * checks exactly that mechanism: the pair relation derived FROM the
+    * tombstoned store ([[Dedup.lshPairsFromStore]], the decision
+    * tables' live pair source) must hash-match the from-scratch LSH
+    * pair relation OF THE SURVIVING CORPUS, even though the withdrawn
+    * documents' signature rows are still physically present in the
+    * store (only queued in the zone — the restriction commutes because
+    * LSH candidate pairs are per-document signature collisions). p136
+    * checks the label half of a takedown; this checks the read half of
+    * the DEFERRED store state that exists between a takedown and its
+    * applying compaction.
+    *
+    * Scale shape: the store pair builds once (memoized); the entry
+    * itself is one (band, sig_h) bucket group-by over the store's thin
+    * rows plus a broadcast anti-join against the pending set — the
+    * deferred design's steady-state read tax, priced.
+    */
+  def deferredRetractionPairs(s: SparkSession, d: String): DataFrame = {
+    val root = deferredTextRoot(s, d)
+    Dedup.lshPairsFromStore(s, s"$root/lsh")
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** p139 oracle: p04's pair CTEs restricted to the survivors — the
+    * from-scratch pair relation the tombstone-aware read must land on.
+    */
+  val deferredRetractionPairsOracle: String =
+    s"""WITH ${PipelineQueries.lshPairCtes},
+       |surv AS (SELECT doc_id FROM documents
+       |  WHERE doc_id % ${Pipeline16.RetractMod} <> ${Pipeline16.RetractRem}),
+       |sp AS (SELECT d1, d2 FROM prs
+       |       JOIN surv s1 ON prs.d1 = s1.doc_id
+       |       JOIN surv s2 ON prs.d2 = s2.doc_id)
+       |SELECT d1, d2 FROM sp ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p137_retraction_bm25" -> (retractionBm25 _),
     "p138_retraction_release_live" -> (retractionRelease _),
+    "p139_deferred_retraction_pairs" -> (deferredRetractionPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +236,8 @@ object Pipeline17 {
     // from-scratch labels + weights + draw over the surviving corpus:
     // withdrawn docs never drawn, survivors drawn at raised weights
     "p138_retraction_release_live" -> retractionReleaseOracle,
+    // the tombstone-aware read differential: pairs from the deferred
+    // store state = the from-scratch pair relation over survivors
+    "p139_deferred_retraction_pairs" -> deferredRetractionPairsOracle,
   )
 }

@@ -67,12 +67,73 @@ object Maintenance {
   def compactPartitionedSorted(spark: SparkSession, src: String, dst: String,
                                partCol: String, sortCol: String,
                                rowGroupBytes: Int = 1 << 20): Unit =
-    spark.read.parquet(src)
+    // tombstone-aware: a compaction is exactly when DEFERRED takedowns
+    // ([[tombstoneAppend]]) get applied physically — the rewrite drops
+    // the tombstoned rows, and since the zone is not part of the data
+    // files it is not copied to `dst`, so after the caller's swap the
+    // applied tombstones evaporate with the old store copy
+    minusTombstones(spark, src, spark.read.parquet(src), "doc_id")
       .repartition(col(partCol))
       .sortWithinPartitions(col(partCol), col(sortCol))
       .write.mode("overwrite").partitionBy(partCol)
       .option("parquet.block.size", rowGroupBytes)
       .parquet(dst)
+
+  /** DEFERRED takedown for the full-rewrite store family: the banded
+    * signature stores pay a full rewrite per eager retraction
+    * ([[removePartitionedRows]] — band values are content-derived, so
+    * every partition holds a retracted doc's rows; TakedownProbe
+    * measures the linear term). A tombstone makes the takedown itself
+    * O(batch): the retracted ids land append-only in an
+    * underscore-prefixed zone INSIDE the store path (invisible to
+    * parquet discovery, like `_model`), every tombstone-aware reader
+    * anti-joins them out (the probes and pair derivations — withdrawn
+    * content stops matching IMMEDIATELY), and the physical rewrite
+    * rides the NEXT scheduled compaction for free
+    * ([[compactPartitionedSorted]] drops the rows; the swap retires
+    * the zone with the old copy). The zone stays bounded by the
+    * takedowns since the last compaction — the same bound the
+    * broadcast anti-join relies on.
+    */
+  private def tombstoneZone(path: String) = s"$path/_graft_tombstones"
+
+  /** Queue ids for deferred removal. Ids already queued are not
+    * re-appended (the zone cannot grow under replay); duplicates would
+    * be harmless to readers anyway (anti-join semantics).
+    */
+  def tombstoneAppend(spark: SparkSession, path: String,
+                      removeIds: DataFrame, idCol: String): Unit = {
+    val fresh = tombstones(spark, path, idCol) match {
+      case Some(ts) => removeIds.select(col(idCol)).distinct()
+        .join(broadcast(ts), Seq(idCol), "left_anti")
+      case None => removeIds.select(col(idCol)).distinct()
+    }
+    fresh.write.mode("append").parquet(tombstoneZone(path))
+  }
+
+  /** The pending tombstone set, if any. */
+  def tombstones(spark: SparkSession, path: String,
+                 idCol: String): Option[DataFrame] = {
+    val z = new org.apache.hadoop.fs.Path(tombstoneZone(path))
+    val fs = z.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(z) &&
+        fs.listStatus(z).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(z.toString).select(col(idCol)).distinct())
+    else None
+  }
+
+  /** Anti-join a store scan (or any frame carrying `idCol`) against
+    * the store's pending tombstones — the one spelling every
+    * tombstone-aware reader uses. No zone → the frame passes through
+    * untouched (zero cost on the common path); the zone is bounded by
+    * takedowns-since-last-compaction, so it broadcasts.
+    */
+  def minusTombstones(spark: SparkSession, path: String, rows: DataFrame,
+                      idCol: String): DataFrame =
+    tombstones(spark, path, idCol) match {
+      case Some(ts) => rows.join(broadcast(ts), Seq(idCol), "left_anti")
+      case None => rows
+    }
 
   /** REMOVE documents from a partitioned+sorted signature store — the
     * store half of the retraction path ([[graft.operators.LabelStore
@@ -104,7 +165,10 @@ object Maintenance {
     val dst = new org.apache.hadoop.fs.Path(s"${path}__compact")
     fs.delete(dst, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"${path}__precompact"), true)
-    spark.read.parquet(path)
+    // also apply any PENDING deferred tombstones: the swap below
+    // retires the zone with the old copy, so leaving their rows in the
+    // rewrite would silently resurrect previously-deferred takedowns
+    minusTombstones(spark, path, spark.read.parquet(path), idCol)
       .join(broadcast(removeIds.select(col(idCol)).distinct()),
         Seq(idCol), "left_anti")
       .repartition(col(partCol))

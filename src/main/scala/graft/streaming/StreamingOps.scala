@@ -1175,6 +1175,51 @@ object StreamingOps {
     before
   }
 
+  /** The DEFERRED text retraction — [[dedupRetractBatch]] with the
+    * store half tombstoned instead of rewritten: the eager handler's
+    * signature removal is a FULL store rewrite (band values are
+    * content-derived — TakedownProbe measures the linear term, hours
+    * per batch at deployment scale), so this variant makes the
+    * takedown itself O(batch): the label half runs identically (the
+    * affected components recontract NOW — labels must never serve
+    * withdrawn rows), then the retracted ids land in the store's
+    * tombstone zone ([[graft.sources.Maintenance.tombstoneAppend]]).
+    * Every store reader is tombstone-aware (probes, pair derivations
+    * — `Dedup.lshStoreScan`), so withdrawn content stops gate-matching
+    * IMMEDIATELY; the physical rewrite rides the next scheduled
+    * compaction for free (`lshStoreCompact`/`compactIfDue` drop the
+    * rows and the swap retires the zone with the old copy).
+    *
+    * Same crash discipline as the eager twin: heal-first, each half
+    * gated on its own state (the tombstone append skips ids already
+    * queued), replay converges. The trade, stated: until the next
+    * compaction every store read pays a broadcast anti-join against
+    * the pending set (bounded by takedowns-since-last-compaction),
+    * and the withdrawn rows still occupy disk. Choose eager when
+    * takedown batches are rare and large, deferred when they are
+    * frequent and the compaction cadence already runs.
+    */
+  def dedupRetractDeferred(spark: org.apache.spark.sql.SparkSession,
+                           lshStorePath: String, labelPath: String)(
+                           removeIds: DataFrame): Long = {
+    import graft.operators.{Dedup, LabelStore}
+    recoverStoreSwap(spark, lshStorePath)
+    LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = LabelStore.read(spark, labelPath)
+      .join(rm, Seq("doc_id")).count()
+    if (before > 0)
+      // the pair derivation is tombstone-aware, so the surviving
+      // evidence already excludes previously deferred takedowns; the
+      // CURRENT ids' rows are still visible, exactly as in the eager
+      // handler (LabelStore.remove drops their endpoints itself)
+      LabelStore.remove(spark, labelPath, rm,
+        Dedup.lshPairsFromStore(spark, lshStorePath))
+    graft.sources.Maintenance.tombstoneAppend(spark, lshStorePath,
+      rm, "doc_id")
+    before
+  }
+
   /** The CROSS-MODAL RETRACTION handler — takedown over the UNIFIED
     * label space ([[multimodalMaintainBatch]]'s stores): the
     * retraction evidence is the union of all four modalities'
@@ -1194,11 +1239,55 @@ object StreamingOps {
                              audStorePath: String, vidStorePath: String,
                              labelPath: String, maxHamming: Int = 3)(
                              removeIds: DataFrame): Long = {
-    import graft.operators.{LabelStore, Multimodal, Pipeline9}
+    import graft.operators.LabelStore
     val stores = Seq(txtStorePath, imgStorePath, audStorePath, vidStorePath)
     stores.foreach(recoverStoreSwap(spark, _))
     LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = multimodalRetractLabels(spark, txtStorePath, imgStorePath,
+      audStorePath, vidStorePath, labelPath, maxHamming, rm)
+    stores.foreach { store =>
+      val present = !spark.read.parquet(store)
+        .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+      if (present)
+        graft.sources.Maintenance.removePartitionedRows(
+          spark, store, rm, "doc_id", "band_i", "band_v")
+    }
+    before
+  }
+
+  /** [[multimodalRetractBatch]] with all FOUR store halves TOMBSTONED —
+    * the deferred takedown on the unified label space: one label
+    * recontraction now, four O(batch) zone appends, four physical
+    * rewrites left to each store's own compaction cadence.
+    */
+  def multimodalRetractDeferred(spark: org.apache.spark.sql.SparkSession,
+                                txtStorePath: String, imgStorePath: String,
+                                audStorePath: String, vidStorePath: String,
+                                labelPath: String, maxHamming: Int = 3)(
+                                removeIds: DataFrame): Long = {
+    import graft.operators.LabelStore
+    val stores = Seq(txtStorePath, imgStorePath, audStorePath, vidStorePath)
+    stores.foreach(recoverStoreSwap(spark, _))
+    LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = multimodalRetractLabels(spark, txtStorePath, imgStorePath,
+      audStorePath, vidStorePath, labelPath, maxHamming, rm)
+    stores.foreach(graft.sources.Maintenance.tombstoneAppend(spark, _,
+      rm, "doc_id"))
+    before
+  }
+
+  /** The label half of the unified takedown — shared by the eager and
+    * deferred handlers; the surviving-member semi-join excludes every
+    * previously retracted id ([[videoRetractLabels]]' rationale).
+    */
+  private def multimodalRetractLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      txtStorePath: String, imgStorePath: String, audStorePath: String,
+      vidStorePath: String, labelPath: String, maxHamming: Int,
+      rm: DataFrame): Long = {
+    import graft.operators.{LabelStore, Multimodal, Pipeline9}
     val labels0 = LabelStore.read(spark, labelPath)
       .localCheckpoint(eager = false)
     val before = labels0.join(rm, Seq("doc_id")).count()
@@ -1233,13 +1322,6 @@ object StreamingOps {
       LabelStore.remove(spark, labelPath, rm,
         eT.union(eI).union(eA).union(eV))
     }
-    stores.foreach { store =>
-      val present = !spark.read.parquet(store)
-        .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
-      if (present)
-        graft.sources.Maintenance.removePartitionedRows(
-          spark, store, rm, "doc_id", "band_i", "band_v")
-    }
     before
   }
 
@@ -1257,10 +1339,30 @@ object StreamingOps {
   def videoRetractBatch(spark: org.apache.spark.sql.SparkSession,
                         frameStorePath: String, labelPath: String,
                         maxHamming: Int = 3)(removeIds: DataFrame): Long = {
-    import graft.operators.{LabelStore, Multimodal}
     recoverStoreSwap(spark, frameStorePath)
-    LabelStore.recover(spark, labelPath)
+    graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = videoRetractLabels(spark, frameStorePath, labelPath,
+      maxHamming, rm)
+    val sigsPresent = !spark.read.parquet(frameStorePath)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+    if (sigsPresent)
+      graft.sources.Maintenance.removePartitionedRows(
+        spark, frameStorePath, rm, "doc_id", "band_i", "band_v")
+    before
+  }
+
+  /** The label half of the video takedown, shared verbatim by the
+    * eager and deferred handlers. Evidence reconstruction reads the
+    * store raw but semi-joins the surviving members FROM THE LABEL
+    * TABLE, which already excludes every previously retracted id
+    * (eager or deferred) — so pending tombstones cannot leak back in
+    * as evidence.
+    */
+  private def videoRetractLabels(spark: org.apache.spark.sql.SparkSession,
+                                 frameStorePath: String, labelPath: String,
+                                 maxHamming: Int, rm: DataFrame): Long = {
+    import graft.operators.{LabelStore, Multimodal}
     val labels0 = LabelStore.read(spark, labelPath)
       .localCheckpoint(eager = false)
     val before = labels0.join(rm, Seq("doc_id")).count()
@@ -1281,11 +1383,25 @@ object StreamingOps {
             frames0.join(nfr, Seq("doc_id")), maxHamming)
           .select(col("d1"), col("d2")))
     }
-    val sigsPresent = !spark.read.parquet(frameStorePath)
-      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
-    if (sigsPresent)
-      graft.sources.Maintenance.removePartitionedRows(
-        spark, frameStorePath, rm, "doc_id", "band_i", "band_v")
+    before
+  }
+
+  /** [[videoRetractBatch]] with the store half TOMBSTONED instead of
+    * rewritten — the [[dedupRetractDeferred]] discipline on the clip
+    * stores: labels recontract now, the frame store's rewrite rides
+    * the next compaction, the gate stops matching immediately because
+    * every frame-store reader is tombstone-aware.
+    */
+  def videoRetractDeferred(spark: org.apache.spark.sql.SparkSession,
+                           frameStorePath: String, labelPath: String,
+                           maxHamming: Int = 3)(removeIds: DataFrame): Long = {
+    recoverStoreSwap(spark, frameStorePath)
+    graft.operators.LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = videoRetractLabels(spark, frameStorePath, labelPath,
+      maxHamming, rm)
+    graft.sources.Maintenance.tombstoneAppend(spark, frameStorePath,
+      rm, "doc_id")
     before
   }
 
@@ -1299,10 +1415,28 @@ object StreamingOps {
   def audioRetractBatch(spark: org.apache.spark.sql.SparkSession,
                         fpStorePath: String, labelPath: String,
                         maxHamming: Int = 3)(removeIds: DataFrame): Long = {
-    import graft.operators.{LabelStore, Multimodal}
     recoverStoreSwap(spark, fpStorePath)
-    LabelStore.recover(spark, labelPath)
+    graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = audioRetractLabels(spark, fpStorePath, labelPath,
+      maxHamming, rm)
+    val sigsPresent = !spark.read.parquet(fpStorePath)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
+    if (sigsPresent)
+      graft.sources.Maintenance.removePartitionedRows(
+        spark, fpStorePath, rm, "doc_id", "band_i", "band_v")
+    before
+  }
+
+  /** The label half of the audio takedown — shared by the eager and
+    * deferred handlers ([[videoRetractLabels]]' rationale: the label
+    * table's surviving-member semi-join already excludes every
+    * previously retracted id, pending tombstones included).
+    */
+  private def audioRetractLabels(spark: org.apache.spark.sql.SparkSession,
+                                 fpStorePath: String, labelPath: String,
+                                 maxHamming: Int, rm: DataFrame): Long = {
+    import graft.operators.{LabelStore, Multimodal}
     val labels0 = LabelStore.read(spark, labelPath)
       .localCheckpoint(eager = false)
     val before = labels0.join(rm, Seq("doc_id")).count()
@@ -1319,11 +1453,22 @@ object StreamingOps {
         Multimodal.perceptualNearDupPairs(fps, maxHamming)
           .select(col("d1"), col("d2")))
     }
-    val sigsPresent = !spark.read.parquet(fpStorePath)
-      .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
-    if (sigsPresent)
-      graft.sources.Maintenance.removePartitionedRows(
-        spark, fpStorePath, rm, "doc_id", "band_i", "band_v")
+    before
+  }
+
+  /** [[audioRetractBatch]] with the store half TOMBSTONED — the
+    * deferred takedown on the track-fingerprint store.
+    */
+  def audioRetractDeferred(spark: org.apache.spark.sql.SparkSession,
+                           fpStorePath: String, labelPath: String,
+                           maxHamming: Int = 3)(removeIds: DataFrame): Long = {
+    recoverStoreSwap(spark, fpStorePath)
+    graft.operators.LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val before = audioRetractLabels(spark, fpStorePath, labelPath,
+      maxHamming, rm)
+    graft.sources.Maintenance.tombstoneAppend(spark, fpStorePath,
+      rm, "doc_id")
     before
   }
 

@@ -199,6 +199,199 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
       postingBuckets = 4) === 0L)
   }
 
+  /** Near-dup fixture for the deferred path: 7 and 107 are exact
+    * copies (an LSH pair at any banding), so withdrawing 7 exercises
+    * both the gate probe and the pair derivation.
+    */
+  private def dupCorpus = corpus.union(
+    Seq((107L, "merge merge merge stream stream vector vector vector"))
+      .toDF("doc_id", "text"))
+
+  private def sigsOf(docs: org.apache.spark.sql.DataFrame) =
+    Dedup.lshSignatureRows(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4)
+
+  test("deferred takedown: tombstoned docs stop matching immediately; labels equal the eager twin") {
+    import graft.operators.LabelStore
+    def build(tag: String): (String, String) = {
+      val lsh = java.nio.file.Files.createTempDirectory(s"def_${tag}_lsh_").toString
+      val lbl = java.nio.file.Files.createTempDirectory(s"def_${tag}_lbl_").toString
+      Dedup.lshStoreWrite(sigsOf(dupCorpus), lsh)
+      LabelStore.write(Dedup.dedupClusters(dupCorpus, "doc_id",
+        Dedup.minhashLshPairs(dupCorpus, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4)), lbl)
+      (lsh, lbl)
+    }
+    val (dLsh, dLbl) = build("d"); val (eLsh, eLbl) = build("e")
+    val rm = Seq(7L).toDF("doc_id")
+    // a re-upload of doc 7's content gate-matches the store before...
+    val probe = sigsOf(Seq((999L, "merge merge merge stream stream vector vector vector"))
+      .toDF("doc_id", "text"))
+    def hits(lsh: String) = Dedup.lshProbeStoredDF(spark, lsh, probe)
+      .filter(col("doc_id") === 7L).count()
+    assert(hits(dLsh) === 1L)
+
+    assert(StreamingOps.dedupRetractDeferred(spark, dLsh, dLbl)(rm) === 1L)
+    assert(StreamingOps.dedupRetractBatch(spark, eLsh, eLbl)(rm) === 1L)
+
+    // ...and stops the moment the tombstone is queued, on BOTH probe
+    // forms, even though the rows are still physically present
+    assert(hits(dLsh) === 0L)
+    val sigs7 = sigsOf(dupCorpus.filter(col("doc_id") === 7L))
+      .collect().map(r => (999L, r.getInt(1), r.getLong(2))).toSeq
+    assert(!Dedup.lshProbeStored(spark, dLsh, sigs7)
+      .collect().exists(_.getLong(1) === 7L))
+    assert(spark.read.parquet(dLsh).filter(col("doc_id") === 7L).count() === 4L,
+      "deferred: rows should still be on disk until compaction")
+    // pair derivation excludes the pending set; labels match the eager
+    // handler exactly
+    assert(Dedup.lshPairsFromStore(spark, dLsh)
+      .filter(col("d1") === 7L || col("d2") === 7L).isEmpty)
+    assert(LabelStore.read(spark, dLbl).orderBy("doc_id").collect().toSeq ===
+      LabelStore.read(spark, eLbl).orderBy("doc_id").collect().toSeq)
+    // replay: no growth, no change
+    assert(StreamingOps.dedupRetractDeferred(spark, dLsh, dLbl)(rm) === 0L)
+    val zone = spark.read.parquet(s"$dLsh/_graft_tombstones")
+    assert(zone.count() === 1L)
+  }
+
+  test("compaction applies pending tombstones physically and retires the zone") {
+    val lsh = java.nio.file.Files.createTempDirectory("def_cmp_lsh_").toString
+    Dedup.lshStoreWrite(sigsOf(dupCorpus), lsh)
+    Maintenance.tombstoneAppend(spark, lsh, Seq(7L).toDF("doc_id"), "doc_id")
+    // the scheduled compactor's exact sequence: rewrite to __compact,
+    // checked-rename swap (compactIfDue's body)
+    Dedup.lshStoreCompact(spark, lsh, s"${lsh}__compact")
+    StreamingOps.swapInCompacted(spark, lsh)
+    // physically gone — a RAW scan (no tombstone filter) proves it —
+    // and the zone evaporated with the old store copy
+    assert(spark.read.parquet(lsh).filter(col("doc_id") === 7L).isEmpty)
+    assert(!new java.io.File(s"$lsh/_graft_tombstones").exists())
+    // probe parity with a from-scratch store of the survivors
+    val ref = java.nio.file.Files.createTempDirectory("def_cmp_ref_").toString
+    Dedup.lshStoreWrite(sigsOf(dupCorpus.filter(col("doc_id") =!= 7L)), ref)
+    val probe = sigsOf(Seq((999L, "merge merge merge stream stream vector vector vector"))
+      .toDF("doc_id", "text"))
+    assert(Dedup.lshProbeStoredDF(spark, lsh, probe).orderBy("doc_id")
+      .collect().toSeq ===
+      Dedup.lshProbeStoredDF(spark, ref, probe).orderBy("doc_id")
+        .collect().toSeq)
+  }
+
+  test("eager removal applies pending tombstones too (no resurrection on mixed use)") {
+    val lsh = java.nio.file.Files.createTempDirectory("def_mix_lsh_").toString
+    Dedup.lshStoreWrite(sigsOf(dupCorpus), lsh)
+    Maintenance.tombstoneAppend(spark, lsh, Seq(7L).toDF("doc_id"), "doc_id")
+    // an EAGER removal of a different doc rewrites the store and its
+    // swap retires the zone — the pending id's rows must leave with it
+    Maintenance.removePartitionedRows(spark, lsh,
+      Seq(9L).toDF("doc_id"), "doc_id", "band", "sig_h")
+    assert(spark.read.parquet(lsh)
+      .filter(col("doc_id").isin(7L, 9L)).isEmpty)
+    assert(!new java.io.File(s"$lsh/_graft_tombstones").exists())
+  }
+
+  test("frame-store tombstones: the video gate stops matching a withdrawn clip immediately") {
+    import graft.operators.Multimodal
+    val store = java.nio.file.Files.createTempDirectory("def_vid_").toString
+    // two 2-frame clips: 1 and 2 are near-identical (hamming 0)
+    val frames = Seq(
+      (1L, 0, 2, 0x1111L), (1L, 1, 2, 0x2222L),
+      (2L, 0, 2, 0x1111L), (2L, 1, 2, 0x2222L),
+      (3L, 0, 2, 0x7f00L), (3L, 1, 2, 0x0f0fL),
+    ).toDF("doc_id", "frame", "n_frames", "fhash")
+    Multimodal.frameStoreWrite(
+      frames.select(col("doc_id"), col("frame"), col("fhash")), store)
+    val arriving = frames.filter(col("doc_id") === 2L)
+      .localCheckpoint()
+    def gate() = Multimodal.videoNearDupStored(spark, store, arriving)
+      .filter(col("dup_of") === 1L).count()
+    assert(gate() === 1L)
+    Maintenance.tombstoneAppend(spark, store, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(gate() === 0L, "withdrawn clip still gate-matches")
+    assert(Multimodal.frameProbeStoredDF(spark, store,
+        arriving.filter(col("frame") === 0)
+          .select(col("doc_id").as("qid"), col("fhash").as("qhash")))
+      .filter(col("doc_id") === 1L).isEmpty)
+  }
+
+  test("video deferred takedown: labels equal the eager twin, clip invisible, store rewrite deferred") {
+    import graft.operators.{LabelStore, Multimodal}
+    // clips 1/2 duplicate each other; 3 is alone; withdraw 1
+    val frames = Seq(
+      (1L, 0, 2, 0x1111L), (1L, 1, 2, 0x2222L),
+      (2L, 0, 2, 0x1111L), (2L, 1, 2, 0x2222L),
+      (3L, 0, 2, 0x7f00L), (3L, 1, 2, 0x0f0fL),
+    ).toDF("doc_id", "frame", "n_frames", "fhash").localCheckpoint()
+    def build(tag: String): (String, String) = {
+      val store = java.nio.file.Files.createTempDirectory(s"vdef_${tag}_s_").toString
+      val lbl = java.nio.file.Files.createTempDirectory(s"vdef_${tag}_l_").toString
+      Multimodal.frameStoreWrite(
+        frames.select(col("doc_id"), col("frame"), col("fhash")), store)
+      LabelStore.write(
+        LabelStore.labelsFor(frames.select(col("doc_id")).distinct(),
+          Multimodal.videoNearDupPairs(frames, maxHamming = 3)
+            .select(col("d1"), col("d2"))), lbl)
+      (store, lbl)
+    }
+    val (dS, dL) = build("d"); val (eS, eL) = build("e")
+    val rm = Seq(1L).toDF("doc_id")
+    assert(StreamingOps.videoRetractDeferred(spark, dS, dL)(rm) === 1L)
+    assert(StreamingOps.videoRetractBatch(spark, eS, eL)(rm) === 1L)
+    assert(LabelStore.read(spark, dL).orderBy("doc_id").collect().toSeq ===
+      LabelStore.read(spark, eL).orderBy("doc_id").collect().toSeq)
+    // deferred store still holds the rows; eager one does not
+    assert(spark.read.parquet(dS).filter(col("doc_id") === 1L).count() > 0)
+    assert(spark.read.parquet(eS).filter(col("doc_id") === 1L).isEmpty)
+    // but the gate treats both identically: a congruent later arrival
+    // matches neither store's withdrawn clip
+    val arriving = frames.filter(col("doc_id") === 2L)
+    Seq(dS, eS).foreach { s =>
+      assert(Multimodal.videoNearDupStored(spark, s, arriving)
+        .filter(col("dup_of") === 1L).isEmpty)
+    }
+    // the next compaction applies the deferred half physically
+    Multimodal.frameStoreCompact(spark, dS, s"${dS}__compact")
+    StreamingOps.swapInCompacted(spark, dS)
+    assert(spark.read.parquet(dS).filter(col("doc_id") === 1L).isEmpty)
+    assert(!new java.io.File(s"$dS/_graft_tombstones").exists())
+  }
+
+  test("Engine.takedownVectors clears the embedding AND codes stores; withdrawn vectors unrankable") {
+    import graft.operators.LabelStore
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val ivf = java.nio.file.Files.createTempDirectory("tdv_ivf_").toString
+    val codes = java.nio.file.Files.createTempDirectory("tdv_codes_").toString
+    val lbl = java.nio.file.Files.createTempDirectory("tdv_lbl_").toString
+    Similarity.ivfWrite(emb, cents, ivf)
+    Pipeline6.ivfPqWrite(cents, cb, emb, codes)
+    LabelStore.write(LabelStore.labelsFor(
+      emb.select(col("vec_id").as("doc_id")),
+      Seq.empty[(Long, Long)].toDF("d1", "d2")), lbl)
+
+    val rm = emb.filter(pmod(col("vec_id"), lit(10L)) === 3L)
+      .select(col("vec_id"))
+    val n = Engine.takedownVectors(spark, rm, ivf, lbl, cents,
+      tau = 0.3, nProbe = 8, codesStorePath = Some(codes))
+    assert(n === rm.count())
+    assert(spark.read.parquet(ivf).join(rm, Seq("vec_id"), "left_semi").isEmpty)
+    assert(spark.read.parquet(codes).join(rm, Seq("vec_id"), "left_semi").isEmpty)
+    assert(LabelStore.read(spark, lbl)
+      .join(rm.select(col("vec_id").as("doc_id")), Seq("doc_id")).isEmpty)
+    // unrankable through the compressed index even at full fan-out
+    val qs = emb.filter(col("vec_id").isin(1L, 2L))
+    assert(!Pipeline6.ivfPqTopKStored(spark, codes, qs, cents, cb,
+        k = 1000, nProbe = 8).collect()
+      .exists(r => r.getLong(1) % 10L === 3L))
+    // replay is a no-op
+    assert(Engine.takedownVectors(spark, rm, ivf, lbl, cents,
+      tau = 0.3, nProbe = 8, codesStorePath = Some(codes)) === 0L)
+  }
+
   test("IVF-PQ codes retraction: probe parity with a rebuild of the survivors, untouched cells intact") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
