@@ -435,6 +435,27 @@ object Dedup {
                         maxBucket: Int = Int.MaxValue): DataFrame =
     bucketPairs(lshStoreScan(spark, path), Seq("band", "sig_h"), maxBucket)
 
+  /** [[lshPairsFromStore]] restricted to pairs AMONG `ids` — the
+    * component-bounded evidence derivation the retraction handlers
+    * use: a takedown only needs the pair relation among the affected
+    * components' surviving members, and a bucket pair has both
+    * endpoints in that set iff both rows survive the semi-join, so
+    * filtering BEFORE the group-by yields exactly the restricted
+    * relation while the shuffle carries members' rows instead of the
+    * store (TakedownProbe measured the full-store derivation as the
+    * dominant term of the label half at scale — the same
+    * component-bounding the video/audio/vector handlers already do).
+    * `ids` is takedown-component-sized and broadcasts.
+    */
+  def lshPairsFromStoreAmong(spark: org.apache.spark.sql.SparkSession,
+                             path: String, ids: DataFrame,
+                             maxBucket: Int = Int.MaxValue): DataFrame =
+    bucketPairs(
+      lshStoreScan(spark, path)
+        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+          "left_semi"),
+      Seq("band", "sig_h"), maxBucket)
+
   /** One document's distinct shingle HASHES as storable rows
     * (doc_id, sh) — the verification-side twin of
     * [[lshSignatureRows]]: 64-bit xxhash64 keys stand in for the

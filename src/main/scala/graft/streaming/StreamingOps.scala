@@ -1156,15 +1156,10 @@ object StreamingOps {
   def dedupRetractBatch(spark: org.apache.spark.sql.SparkSession,
                         lshStorePath: String, labelPath: String)(
                         removeIds: DataFrame): Long = {
-    import graft.operators.{Dedup, LabelStore}
     recoverStoreSwap(spark, lshStorePath)
-    LabelStore.recover(spark, labelPath) // a crashed removal must not wedge
+    graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
-    val before = LabelStore.read(spark, labelPath)
-      .join(rm, Seq("doc_id")).count()
-    if (before > 0)
-      LabelStore.remove(spark, labelPath, rm,
-        Dedup.lshPairsFromStore(spark, lshStorePath))
+    val before = textRetractLabels(spark, lshStorePath, labelPath, rm)
     // gated on the SIGNATURE store's own state: present after a crash
     // between the halves even when the label rows are already gone
     val sigsPresent = !spark.read.parquet(lshStorePath)
@@ -1172,6 +1167,36 @@ object StreamingOps {
     if (sigsPresent)
       graft.sources.Maintenance.removePartitionedRows(
         spark, lshStorePath, rm, "doc_id", "band", "sig_h")
+    before
+  }
+
+  /** The label half of the text takedown, shared by the eager and
+    * deferred handlers: evidence is the store's pair relation AMONG
+    * the affected components' surviving members
+    * ([[graft.operators.Dedup.lshPairsFromStoreAmong]] — the
+    * component-bounded derivation; the full-store
+    * `lshPairsFromStore` remains the documented always-safe form for
+    * direct `LabelStore.remove` callers, and `remove`'s own
+    * survivor filter makes the two land identically). The member set
+    * comes from the label table, which already excludes every
+    * previously retracted id — eager or deferred — so pending
+    * tombstones cannot leak back in as evidence.
+    */
+  private def textRetractLabels(spark: org.apache.spark.sql.SparkSession,
+                                lshStorePath: String, labelPath: String,
+                                rm: DataFrame): Long = {
+    import graft.operators.{Dedup, LabelStore}
+    val labels0 = LabelStore.read(spark, labelPath)
+      .localCheckpoint(eager = false)
+    val before = labels0.join(rm, Seq("doc_id")).count()
+    if (before > 0) {
+      val affC = labels0.join(rm, Seq("doc_id"))
+        .select(col("canonical")).distinct()
+      val survIds = labels0.join(broadcast(affC), Seq("canonical"))
+        .select(col("doc_id")).join(rm, Seq("doc_id"), "left_anti")
+      LabelStore.remove(spark, labelPath, rm,
+        Dedup.lshPairsFromStoreAmong(spark, lshStorePath, survIds))
+    }
     before
   }
 
@@ -1202,19 +1227,10 @@ object StreamingOps {
   def dedupRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                            lshStorePath: String, labelPath: String)(
                            removeIds: DataFrame): Long = {
-    import graft.operators.{Dedup, LabelStore}
     recoverStoreSwap(spark, lshStorePath)
-    LabelStore.recover(spark, labelPath)
+    graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
-    val before = LabelStore.read(spark, labelPath)
-      .join(rm, Seq("doc_id")).count()
-    if (before > 0)
-      // the pair derivation is tombstone-aware, so the surviving
-      // evidence already excludes previously deferred takedowns; the
-      // CURRENT ids' rows are still visible, exactly as in the eager
-      // handler (LabelStore.remove drops their endpoints itself)
-      LabelStore.remove(spark, labelPath, rm,
-        Dedup.lshPairsFromStore(spark, lshStorePath))
+    val before = textRetractLabels(spark, lshStorePath, labelPath, rm)
     graft.sources.Maintenance.tombstoneAppend(spark, lshStorePath,
       rm, "doc_id")
     before

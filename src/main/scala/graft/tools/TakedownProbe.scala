@@ -64,9 +64,19 @@ object TakedownProbe {
         StreamingOps.lexicalRetractBatch(spark, pt, nBuckets = 8,
           retractId = -2L)(rm)
       }
+      // the DEFERRED twin on an identical store pair: label half +
+      // tombstone append only — the O(batch) claim, measured against
+      // the eager rewrite at the same store size
+      val lshD = tmp("lshD"); val lblD = tmp("lblD")
+      Dedup.lshStoreWrite(Dedup.lshSignatureRows(docs, "doc_id", "text"), lshD)
+      LabelStore.write(Dedup.dedupClusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text")), lblD)
+      val tDefer = timed {
+        StreamingOps.dedupRetractDeferred(spark, lshD, lblD)(rm)
+      }
       println(f"[takedown/full] mult=$m docs=${docs.count()} " +
         f"retracted=${rm.count()} dedup_rewrite=$tDedup%.2fs " +
-        f"lexical_rewrite=$tLex%.2fs")
+        f"dedup_deferred=$tDefer%.2fs lexical_rewrite=$tLex%.2fs")
     }
 
     // ---- pruned paths: cost follows AFFECTED partitions, not batch ----
