@@ -1112,21 +1112,45 @@ object Engine {
     * scheduler like every store mutation. Returns the number of label
     * rows retracted (0 on a pure retry).
     */
+  /** `deferred = true` routes the LSH-store half through the
+    * tombstone path (`dedupRetractDeferred` — O(batch) takedown, the
+    * physical rewrite rides the compaction cadence) instead of the
+    * eager full rewrite; the sidecar stays a pruned rewrite (already
+    * cheap) and the posting store has no deferred form (its stats
+    * row must decrement when the rows leave).
+    */
+  /** `retractId = None` (the default) derives the posting-store
+    * commit-record id FROM THE BATCH CONTENT
+    * (`StreamingOps.retractIdFor`) — a crash retry of the same batch
+    * reuses its record (idempotent) while successive DISTINCT
+    * takedowns get distinct ids, so each one's exact stats decrement
+    * lands; a hand-picked constant here would make every takedown
+    * after the first silently skip the decrement and skew BM25
+    * forever. Pass an explicit id only to coordinate with an external
+    * retraction ledger.
+    */
   def takedownText(spark: SparkSession, removeIds: DataFrame,
                    lshStorePath: String, labelPath: String,
                    sidecarPath: Option[String] = None,
                    postingTable: Option[String] = None,
                    postingBuckets: Int = 8,
-                   retractId: Long = -2L): Long = {
-    val n = graft.streaming.StreamingOps.dedupRetractBatch(
-      spark, lshStorePath, labelPath)(removeIds)
+                   retractId: Option[Long] = None,
+                   deferred: Boolean = false): Long = {
+    val retract =
+      if (deferred) graft.streaming.StreamingOps.dedupRetractDeferred(
+        spark, lshStorePath, labelPath) _
+      else graft.streaming.StreamingOps.dedupRetractBatch(
+        spark, lshStorePath, labelPath) _
+    val n = retract(removeIds)
     sidecarPath.foreach { p =>
       graft.sources.Maintenance.removePrunedRows(spark, p, removeIds,
         "doc_id", "bucket", Some("doc_id"))
     }
     postingTable.foreach { t =>
+      val rid = retractId.getOrElse(
+        graft.streaming.StreamingOps.retractIdFor(removeIds))
       graft.streaming.StreamingOps.lexicalRetractBatch(
-        spark, t, postingBuckets, retractId)(removeIds)
+        spark, t, postingBuckets, rid)(removeIds)
     }
     n
   }

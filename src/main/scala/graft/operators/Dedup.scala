@@ -325,6 +325,17 @@ object Dedup {
     */
   val DefaultLshBands = 4
 
+  /** Tombstone-aware LSH store scan — every reader of the signature
+    * store goes through it, so a DEFERRED takedown
+    * ([[graft.sources.Maintenance.tombstoneAppend]]) stops matching the
+    * moment it is queued, not only after the compaction applies it
+    * physically. No pending tombstones → a plain scan.
+    */
+  private def lshStoreScan(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    graft.sources.Maintenance.minusTombstones(spark, path,
+      spark.read.parquet(path))
+
   /** Stored candidate probe: every stored document sharing at least
     * one band signature with a query — p04's candidate semantics
     * answered from the at-rest store. Up to [[MaxProbeLiterals]] query
@@ -338,17 +349,6 @@ object Dedup {
     * (p04's contract); compose with [[ngramJaccardPairs]] or a
     * downstream gate to verify.
     */
-  /** Tombstone-aware LSH store scan — every reader of the signature
-    * store goes through it, so a DEFERRED takedown
-    * ([[graft.sources.Maintenance.tombstoneAppend]]) stops matching the
-    * moment it is queued, not only after the compaction applies it
-    * physically. No pending tombstones → a plain scan.
-    */
-  private def lshStoreScan(spark: org.apache.spark.sql.SparkSession,
-                           path: String): DataFrame =
-    graft.sources.Maintenance.minusTombstones(spark, path,
-      spark.read.parquet(path), "doc_id")
-
   def lshProbeStored(spark: org.apache.spark.sql.SparkSession,
                      path: String,
                      querySigs: Seq[(Long, Int, Long)],

@@ -673,6 +673,18 @@ object Multimodal {
     graft.sources.Maintenance.compactPartitionedSorted(
       spark, src, dst, "band_i", "band_v", rowGroupBytes)
 
+  /** Tombstone-aware banded-store scan — every reader of the frame/
+    * fingerprint store family goes through it, so a DEFERRED takedown
+    * ([[graft.sources.Maintenance.tombstoneAppend]]) stops matching the
+    * moment it is queued; the physical rewrite rides the next
+    * compaction (the `Dedup.lshStoreScan` discipline on the perceptual
+    * layouts). No pending tombstones → a plain scan.
+    */
+  private def frameStoreScan(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    graft.sources.Maintenance.minusTombstones(spark, path,
+      spark.read.parquet(path))
+
   /** Stored twin of [[perceptualProbe]]: answer a LITERAL query-hash
     * batch from a [[frameStoreWrite]] store. The query hashes are
     * plan-time literals (query batches are model-sized — the
@@ -689,18 +701,6 @@ object Multimodal {
     * trading the pushed `band_v IN` row-group skip for a broadcast
     * hash match. Identical semantics on both paths (spec-pinned).
     */
-  /** Tombstone-aware banded-store scan — every reader of the frame/
-    * fingerprint store family goes through it, so a DEFERRED takedown
-    * ([[graft.sources.Maintenance.tombstoneAppend]]) stops matching the
-    * moment it is queued; the physical rewrite rides the next
-    * compaction (the `Dedup.lshStoreScan` discipline on the perceptual
-    * layouts). No pending tombstones → a plain scan.
-    */
-  private def frameStoreScan(spark: org.apache.spark.sql.SparkSession,
-                             path: String): DataFrame =
-    graft.sources.Maintenance.minusTombstones(spark, path,
-      spark.read.parquet(path), "doc_id")
-
   def frameProbeStored(spark: org.apache.spark.sql.SparkSession,
                        path: String, queryHashes: Seq[(Long, Long)],
                        maxHamming: Int = 3,

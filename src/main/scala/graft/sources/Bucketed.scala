@@ -95,6 +95,16 @@ object Bucketed {
     recoverBucketedSwap(spark, table)
     require(spark.catalog.tableExists(table),
       s"removeBucketedRows: $table does not exist (and no crashed swap to heal)")
+    // the bucket spec is load-bearing (every pruning/co-location
+    // property keys on it) and the catalog already records it — a
+    // caller restating the wrong count must fail loudly, not silently
+    // re-bucket the live store under later readers
+    val catalogN = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .collect().headOption.map(_.getString(1).trim.toInt)
+    require(catalogN.contains(n),
+      s"removeBucketedRows: $table is bucketed into ${catalogN.orNull}, " +
+        s"caller said $n — refusing to rewrite with a different spec")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     writeBucketed(
       spark.table(table)

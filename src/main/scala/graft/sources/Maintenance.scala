@@ -72,7 +72,7 @@ object Maintenance {
     // the tombstoned rows, and since the zone is not part of the data
     // files it is not copied to `dst`, so after the caller's swap the
     // applied tombstones evaporate with the old store copy
-    minusTombstones(spark, src, spark.read.parquet(src), "doc_id")
+    minusTombstones(spark, src, spark.read.parquet(src))
       .repartition(col(partCol))
       .sortWithinPartitions(col(partCol), col(sortCol))
       .write.mode("overwrite").partitionBy(partCol)
@@ -99,39 +99,53 @@ object Maintenance {
 
   /** Queue ids for deferred removal. Ids already queued are not
     * re-appended (the zone cannot grow under replay); duplicates would
-    * be harmless to readers anyway (anti-join semantics).
+    * be harmless to readers anyway (anti-join semantics). `idCol`
+    * names the store's id column and is RECORDED by the zone itself
+    * (its one column), so readers and compactors never restate it —
+    * a zone and its store cannot disagree on the key.
     */
   def tombstoneAppend(spark: SparkSession, path: String,
                       removeIds: DataFrame, idCol: String): Unit = {
-    val fresh = tombstones(spark, path, idCol) match {
-      case Some(ts) => removeIds.select(col(idCol)).distinct()
-        .join(broadcast(ts), Seq(idCol), "left_anti")
+    val fresh = tombstones(spark, path) match {
+      case Some(ts) =>
+        require(ts.columns.sameElements(Array(idCol)),
+          s"tombstoneAppend: zone of $path is keyed by " +
+            s"${ts.columns.mkString(",")}, not $idCol")
+        removeIds.select(col(idCol)).distinct()
+          .join(broadcast(ts), Seq(idCol), "left_anti")
       case None => removeIds.select(col(idCol)).distinct()
     }
     fresh.write.mode("append").parquet(tombstoneZone(path))
   }
 
-  /** The pending tombstone set, if any. */
-  def tombstones(spark: SparkSession, path: String,
-                 idCol: String): Option[DataFrame] = {
+  /** The pending tombstone set, if any — a 1-column frame whose column
+    * NAME is the store's id column (written by [[tombstoneAppend]]).
+    */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val z = new org.apache.hadoop.fs.Path(tombstoneZone(path))
     val fs = z.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(z) &&
         fs.listStatus(z).exists(_.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(z.toString).select(col(idCol)).distinct())
+      Some(spark.read.parquet(z.toString).distinct())
     else None
   }
 
-  /** Anti-join a store scan (or any frame carrying `idCol`) against
-    * the store's pending tombstones — the one spelling every
-    * tombstone-aware reader uses. No zone → the frame passes through
-    * untouched (zero cost on the common path); the zone is bounded by
-    * takedowns-since-last-compaction, so it broadcasts.
+  /** Anti-join a store scan (or any frame carrying the store's id
+    * column) against the store's pending tombstones — the one spelling
+    * every tombstone-aware reader uses. The join key comes from the
+    * ZONE's own schema, so a reader can never filter on the wrong
+    * column; a frame that lacks it fails loudly. No zone → the frame
+    * passes through untouched (zero cost on the common path); the zone
+    * is bounded by takedowns-since-last-compaction, so it broadcasts.
     */
-  def minusTombstones(spark: SparkSession, path: String, rows: DataFrame,
-                      idCol: String): DataFrame =
-    tombstones(spark, path, idCol) match {
-      case Some(ts) => rows.join(broadcast(ts), Seq(idCol), "left_anti")
+  def minusTombstones(spark: SparkSession, path: String,
+                      rows: DataFrame): DataFrame =
+    tombstones(spark, path) match {
+      case Some(ts) =>
+        val idCol = ts.columns.head
+        require(rows.columns.contains(idCol),
+          s"minusTombstones: frame lacks the zone's id column $idCol")
+        rows.join(broadcast(ts), Seq(idCol), "left_anti")
       case None => rows
     }
 
@@ -168,7 +182,7 @@ object Maintenance {
     // also apply any PENDING deferred tombstones: the swap below
     // retires the zone with the old copy, so leaving their rows in the
     // rewrite would silently resurrect previously-deferred takedowns
-    minusTombstones(spark, path, spark.read.parquet(path), idCol)
+    minusTombstones(spark, path, spark.read.parquet(path))
       .join(broadcast(removeIds.select(col(idCol)).distinct()),
         Seq(idCol), "left_anti")
       .repartition(col(partCol))

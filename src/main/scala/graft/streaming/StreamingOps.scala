@@ -340,9 +340,13 @@ object StreamingOps {
       // violated contract must not report a clip as containing itself
       .filter(col("did") =!= col("qid"))
     // stored frames of candidate docs only: one band partition, each
-    // frame once, candidate ids broadcast
+    // frame once, candidate ids broadcast. Tombstone-aware like every
+    // frame-store reader — today the candidates already come from the
+    // tombstone-aware probe, but the verify read must not depend on
+    // that masking (the invariant is per-reader, not per-path)
     val candDocs = cand.select(col("did")).distinct()
-    val sfc = spark.read.parquet(storePath)
+    val sfc = graft.sources.Maintenance.minusTombstones(spark, storePath,
+        spark.read.parquet(storePath))
       .filter(col("band_i") === 0)
       .select(col("doc_id").as("did"), col("frame").as("fl"),
         col("fhash").as("h2"))
@@ -1125,10 +1129,16 @@ object StreamingOps {
     *
     *  1. heal-first (`recoverStoreSwap` — a previous retraction's
     *     crashed store swap must not wedge this one);
-    *  2. derive the surviving evidence FROM the signature store
-    *     ([[graft.operators.Dedup.lshPairsFromStore]] — computed BEFORE
-    *     the signatures leave, so affected components recontract from
-    *     the same relation the folds consumed);
+    *  2. derive the surviving evidence FROM the signature store,
+    *     COMPONENT-BOUNDED
+    *     ([[graft.operators.Dedup.lshPairsFromStoreAmong]] over the
+    *     affected components' surviving members — computed BEFORE the
+    *     signatures leave, so affected components recontract from the
+    *     same relation the folds consumed; the full-store
+    *     `lshPairsFromStore` remains the always-safe form for direct
+    *     `LabelStore.remove` callers, but scales with the store
+    *     where this scales with the takedown's components —
+    *     TakedownProbe measured the difference);
     *  3. `LabelStore.remove` — drop the retracted rows, recontract the
     *     affected components (splits included), delete emptied buckets;
     *  4. remove the retracted ids' signature rows from the store
@@ -2191,6 +2201,23 @@ object StreamingOps {
     * use ≤ -2 for retractions). Returns the number of documents whose
     * postings were actually retracted (0 on a retry/no-op).
     */
+  /** Deterministic CONTENT-DERIVED retraction id for
+    * [[lexicalRetractBatch]]: the order-free sum of the batch's
+    * per-id hashes, mapped into the reserved `<= -2` range. The same
+    * takedown batch always maps to the same id — a crash retry finds
+    * its own commit record and stays idempotent — while two DISTINCT
+    * batches collide with probability ~2⁻⁶², closing the id-reuse
+    * hazard of a hand-picked constant: reusing an id across different
+    * batches makes the second takedown silently skip its stats
+    * decrement, permanently skewing idf/avgdl.
+    */
+  def retractIdFor(removeIds: DataFrame): Long = {
+    val s = removeIds.select(col("doc_id")).distinct()
+      .select(xxhash64(col("doc_id")).as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+    -2L - (s >>> 2)
+  }
+
   def lexicalRetractBatch(spark: org.apache.spark.sql.SparkSession,
                           table: String, nBuckets: Int, retractId: Long)(
                           removeIds: DataFrame): Long = {

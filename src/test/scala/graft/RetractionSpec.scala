@@ -197,6 +197,52 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     assert(Engine.takedownText(spark, rmIds, lsh, lbl,
       sidecarPath = Some(side), postingTable = Some(t),
       postingBuckets = 4) === 0L)
+    // the deferred spelling: a further takedown tombstones instead of
+    // rewriting, and the withdrawn doc is equally invisible
+    assert(Engine.takedownText(spark, Seq(4L).toDF("doc_id"), lsh, lbl,
+      deferred = true) === 1L)
+    assert(spark.read.parquet(lsh).filter(col("doc_id") === 4L).count() === 4L,
+      "deferred facade should tombstone, not rewrite")
+    assert(graft.operators.LabelStore.read(spark, lbl)
+      .filter(col("doc_id") === 4L).isEmpty)
+    assert(Dedup.lshPairsFromStore(spark, lsh)
+      .filter(col("d1") === 4L || col("d2") === 4L).isEmpty)
+  }
+
+  test("successive takedowns each land their stats decrement (content-derived retraction ids)") {
+    val lsh = java.nio.file.Files.createTempDirectory("tdx2_lsh_").toString
+    val lbl = java.nio.file.Files.createTempDirectory("tdx2_lbl_").toString
+    val t = "graft_spec_tdx2_postings"
+    Dedup.lshStoreWrite(sigsOf(corpus), lsh)
+    graft.operators.LabelStore.write(
+      Dedup.dedupClusters(corpus, "doc_id",
+        Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4)), lbl)
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+    // two DISTINCT takedown batches through the one-call facade, both
+    // on the default (content-derived) retraction id — the second
+    // decrement must land, not silently skip on a reused commit record
+    Engine.takedownText(spark, Seq(7L).toDF("doc_id"), lsh, lbl,
+      postingTable = Some(t), postingBuckets = 4)
+    Engine.takedownText(spark, Seq(10L).toDF("doc_id"), lsh, lbl,
+      postingTable = Some(t), postingBuckets = 4)
+    val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
+    val sWs = corpus.filter(!col("doc_id").isin(7L, 10L))
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === sWs.getLong(0))
+    assert(st.getLong(1) === sWs.getLong(1))
+    // same-batch retry still converges on one commit record
+    assert(StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+      StreamingOps.retractIdFor(Seq(10L).toDF("doc_id")))(
+      Seq(10L).toDF("doc_id")) === 0L)
+    assert(spark.table(s"${t}_stats").agg(sum("n")).head().getLong(0) ===
+      sWs.getLong(0))
+    // a mis-stated bucket count must fail loudly, not re-bucket
+    intercept[IllegalArgumentException] {
+      graft.sources.Bucketed.removeBucketedRows(spark, t, "term", 8,
+        Seq(9L).toDF("doc_id"), "doc_id")
+    }
   }
 
   /** Near-dup fixture for the deferred path: 7 and 107 are exact
