@@ -1042,9 +1042,20 @@ object StreamingOps {
     * serially from one maintenance scheduler (the shared contract), so
     * no probe races the swap.
     */
+  /** `maxTombstoneFiles` is the DEFERRED-takedown half of the trigger:
+    * each [[graft.sources.Maintenance.tombstoneAppend]] lands at most
+    * one file in the store's zone, so the zone's FILE count bounds the
+    * takedowns queued since the last compaction — past the bound, the
+    * compaction (which applies them physically and retires the zone)
+    * is due even when no partition has accumulated slivers. Without
+    * this, a store that only ever takes deferred takedowns would pay
+    * the broadcast anti-join read tax forever; with it, the tax is
+    * bounded by the trigger. Listing-only, like the sliver check.
+    */
   private[graft] def compactIfDue(spark: org.apache.spark.sql.SparkSession,
                                   storePath: String, partCol: String,
-                                  maxFiles: Int)(
+                                  maxFiles: Int,
+                                  maxTombstoneFiles: Int = 16)(
                                   compact: (String, String) => Unit): Boolean = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1053,7 +1064,11 @@ object StreamingOps {
     recoverStoreSwap(spark, storePath)
     if (maxFiles <= 0) return false
     if (!fs.exists(root)) return false
-    val due = fs.listStatus(root).exists { st =>
+    val zone = new org.apache.hadoop.fs.Path(s"$storePath/_graft_tombstones")
+    val zoneDue = maxTombstoneFiles > 0 && fs.exists(zone) &&
+      fs.listStatus(zone)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxTombstoneFiles
+    val due = zoneDue || fs.listStatus(root).exists { st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$partCol=") &&
         fs.listStatus(st.getPath)
           .count(_.getPath.getName.endsWith(".parquet")) > maxFiles

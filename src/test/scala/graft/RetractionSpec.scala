@@ -324,6 +324,27 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
         .collect().toSeq)
   }
 
+  test("the compaction trigger fires on accumulated tombstones, bounding the deferred read tax") {
+    val lsh = java.nio.file.Files.createTempDirectory("def_trig_lsh_").toString
+    Dedup.lshStoreWrite(sigsOf(dupCorpus), lsh)
+    // a freshly built store: one file per band, the sliver half of the
+    // trigger is quiet — and stays quiet after one takedown
+    Maintenance.tombstoneAppend(spark, lsh, Seq(7L).toDF("doc_id"), "doc_id")
+    assert(!StreamingOps.compactIfDue(spark, lsh, "band", maxFiles = 64)(
+      (s, d) => Dedup.lshStoreCompact(spark, s, d)))
+    assert(new java.io.File(s"$lsh/_graft_tombstones").exists())
+    // ...but a queue of deferred takedowns makes the compaction due on
+    // the ZONE's file count alone, applying them and retiring the zone
+    (0 until 20).foreach { i =>
+      Maintenance.tombstoneAppend(spark, lsh,
+        Seq(1000L + i).toDF("doc_id"), "doc_id")
+    }
+    assert(StreamingOps.compactIfDue(spark, lsh, "band", maxFiles = 64)(
+      (s, d) => Dedup.lshStoreCompact(spark, s, d)))
+    assert(!new java.io.File(s"$lsh/_graft_tombstones").exists())
+    assert(spark.read.parquet(lsh).filter(col("doc_id") === 7L).isEmpty)
+  }
+
   test("eager removal applies pending tombstones too (no resurrection on mixed use)") {
     val lsh = java.nio.file.Files.createTempDirectory("def_mix_lsh_").toString
     Dedup.lshStoreWrite(sigsOf(dupCorpus), lsh)
