@@ -276,7 +276,7 @@ object Pipeline14 {
     * near-random; 0.3 keeps a few dozen genuine pairs at every SF with
     * the nearest >1e-3 from the boundary).
     */
-  private val VecTau = 0.3
+  private[operators] val VecTau = 0.3
 
   /** p126: INCREMENTAL vector cluster/weight maintenance — the VECTOR
     * member of p123's family: SemDeDup-style τ-component labels (and

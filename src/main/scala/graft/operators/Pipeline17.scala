@@ -223,10 +223,85 @@ object Pipeline17 {
        |       JOIN surv s2 ON prs.d2 = s2.doc_id)
        |SELECT d1, d2 FROM sp ORDER BY d1, d2""".stripMargin
 
+  /** p140: the VECTOR retraction under the full differential — p136's
+    * remove-equals-rebuild claim proven by DuckDB on the SECOND label
+    * space: build the live vector stores (the p41 cell layout + the
+    * τ-component label table over the exact cell-blocked τ-graph),
+    * withdraw every tenth vector through the composed handler
+    * ([[graft.streaming.StreamingOps.vectorRetractBatch]] — evidence
+    * reconstructed from the store's own surviving embeddings,
+    * component-bounded, the cell store rewritten CELL-PRUNED), and
+    * emit the post-removal label table. The oracle recomputes the
+    * from-scratch τ-contraction OF THE SURVIVING VECTORS (the
+    * restriction commutes because the τ-relation is pairwise), so the
+    * differential pins the same three things as the text twin: the
+    * withdrawn labels are gone, affected components recontract
+    * correctly (splits included), and untouched components are
+    * byte-stable. Registered at `nProbe = nCells` where the handler's
+    * recontraction relation is exactly the survivors' τ-graph — what
+    * makes the from-scratch oracle reachable (the p126 discipline).
+    *
+    * Scale shape: one store + label build (the retraction's
+    * operational context, priced per rep), then the removal — member
+    * lookups bucket-pruned, evidence cell-blocked over the affected
+    * components' survivors only, the cell store rewrite pruned to the
+    * retracted ids' cells.
+    */
+  def retractionVectorLabels(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_vret_${tag}_").toString
+    val ivfPath = tmp("ivf"); val labelPath = tmp("labels")
+    Pipeline14.withScratch(s, ivfPath, labelPath) {
+      val cents = Similarity.seedCentroids(emb, 8)
+      Similarity.ivfWrite(emb, cents, ivfPath)
+      LabelStore.write(
+        LabelStore.labelsFor(emb.select(col("vec_id").as("doc_id")),
+          Similarity.cellBlockedTauPairs(emb, cents, Pipeline14.VecTau,
+            nProbe = cents.length)),
+        labelPath)
+      graft.streaming.StreamingOps.vectorRetractBatch(
+        s, ivfPath, labelPath, cents, Pipeline14.VecTau,
+        nProbe = cents.length)(
+        emb.filter(pmod(col("vec_id"), lit(Pipeline16.RetractMod))
+            === Pipeline16.RetractRem)
+          .select(col("vec_id")))
+      Pipeline14.cleanupAfter(
+        LabelStore.read(s, labelPath).orderBy(col("doc_id")),
+        ivfPath, labelPath)
+    }
+  }
+
+  /** p140 oracle: the from-scratch τ-contraction of the surviving
+    * vectors — p126's pair/closure/label CTEs restricted to survivors.
+    */
+  val retractionVectorLabelsOracle: String = {
+    val cos = PipelineQueries.duckCos("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE sv AS (SELECT * FROM embeddings
+       |  WHERE vec_id % ${Pipeline16.RetractMod} <> ${Pipeline16.RetractRem}),
+       |vp AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM sv a JOIN sv b ON b.vec_id > a.vec_id
+       |  WHERE $cos >= ${Pipeline14.VecTau}),
+       |e AS (SELECT d1 AS a, d2 AS b FROM vp UNION SELECT d2, d1 FROM vp),
+       |r AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS vec_id, min(b) AS mn FROM r GROUP BY a),
+       |lab AS (
+       |  SELECT v.vec_id,
+       |         CAST(coalesce(least(c.vec_id, c.mn), v.vec_id) AS BIGINT)
+       |           AS canonical
+       |  FROM sv v LEFT JOIN comp c ON v.vec_id = c.vec_id)
+       |SELECT CAST(vec_id AS BIGINT) AS doc_id, canonical
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p137_retraction_bm25" -> (retractionBm25 _),
     "p138_retraction_release_live" -> (retractionRelease _),
     "p139_deferred_retraction_pairs" -> (deferredRetractionPairs _),
+    "p140_retraction_vector_labels" -> (retractionVectorLabels _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +314,9 @@ object Pipeline17 {
     // the tombstone-aware read differential: pairs from the deferred
     // store state = the from-scratch pair relation over survivors
     "p139_deferred_retraction_pairs" -> deferredRetractionPairsOracle,
+    // remove-equals-rebuild on the VECTOR label space: the
+    // post-removal store = the from-scratch τ-contraction of the
+    // surviving vectors
+    "p140_retraction_vector_labels" -> retractionVectorLabelsOracle,
   )
 }
