@@ -1112,12 +1112,14 @@ object Engine {
     * scheduler like every store mutation. Returns the number of label
     * rows retracted (0 on a pure retry).
     */
-  /** `deferred = true` routes the LSH-store half through the
-    * tombstone path (`dedupRetractDeferred` — O(batch) takedown, the
-    * physical rewrite rides the compaction cadence) instead of the
-    * eager full rewrite; the sidecar stays a pruned rewrite (already
-    * cheap) and the posting store has no deferred form (its stats
-    * row must decrement when the rows leave).
+  /** `deferred = true` routes BOTH full-rewrite halves through their
+    * tombstone paths — the LSH store (`dedupRetractDeferred`) and the
+    * posting store (`lexicalRetractDeferred`: stats still decrement
+    * NOW, exactly; the rows only queue, every stored probe anti-joins
+    * the pending set, and the physical rewrite rides the bucketed
+    * compaction cadence) — so a deferred takedown is O(batch) across
+    * every store the deployment keeps; the sidecar stays a pruned
+    * rewrite (already cheap, bucket-locatable).
     */
   /** `retractId = None` (the default) derives the posting-store
     * commit-record id FROM THE BATCH CONTENT
@@ -1149,7 +1151,9 @@ object Engine {
     postingTable.foreach { t =>
       val rid = retractId.getOrElse(
         graft.streaming.StreamingOps.retractIdFor(removeIds))
-      graft.streaming.StreamingOps.lexicalRetractBatch(
+      if (deferred) graft.streaming.StreamingOps.lexicalRetractDeferred(
+        spark, t, postingBuckets, rid)(removeIds)
+      else graft.streaming.StreamingOps.lexicalRetractBatch(
         spark, t, postingBuckets, rid)(removeIds)
     }
     n

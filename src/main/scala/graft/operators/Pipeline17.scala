@@ -39,7 +39,7 @@ object Pipeline17 {
     * shared so p136/p137/p138 withdraw the SAME documents and the
     * three oracles' `surv` relations agree.
     */
-  private def retractIds(docs: DataFrame): DataFrame =
+  private[operators] def retractIds(docs: DataFrame): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(Pipeline16.RetractMod))
         === Pipeline16.RetractRem)
       .select(col("doc_id"))
@@ -297,8 +297,57 @@ object Pipeline17 {
        |FROM lab ORDER BY doc_id""".stripMargin
   }
 
+  /** The DEFERRED-takedown posting store, built once per JVM per
+    * dataset: full-corpus term-bucketed index, then the deferred
+    * lexical handler ([[graft.streaming.StreamingOps
+    * .lexicalRetractDeferred]] — the exact negative stats row lands
+    * NOW, the retracted ids only TOMBSTONE; the physical rewrite is
+    * left to the compaction cadence, disabled here so the entry probes
+    * the tombstoned state itself). p137's eager twin rebuilds per rep
+    * (pricing the full-rewrite takedown); this memo serves the
+    * steady-state tombstone-aware READ p141 prices.
+    */
+  private val deferPostings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deferredPostingsFor(s: SparkSession, d: String): String =
+    deferPostings.computeIfAbsent(d, _ => {
+      val t = "graft_defer_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = documents(s, d)
+      Pipeline6.postingsWrite(docs, t, nBuckets = 8)
+      graft.streaming.StreamingOps.lexicalRetractDeferred(
+        s, t, nBuckets = 8, retractId = RetractBatchId,
+        compactMaxFiles = 0)(retractIds(docs))
+      t
+    })
+
+  /** p141: the TOMBSTONE-AWARE BM25 read — the deferred lexical
+    * takedown's correctness differential, completing the family p139
+    * opened for the banded stores: between a deferred takedown and its
+    * applying compaction the withdrawn documents' posting rows are
+    * still physically present (only queued in the table directory's
+    * zone), yet the registered BM25 top-k over that state must
+    * hash-match a FROM-SCRATCH index of the surviving corpus (p137's
+    * oracle, reused verbatim) — which checks all three deferred-read
+    * obligations at once: every stored probe anti-joins the pending
+    * set (withdrawn docs cannot rank), the survivors' rows are
+    * untouched (no tf/dl moved), and the stats table's negative commit
+    * record decremented idf/avgdl EXACTLY even though the rows remain.
+    *
+    * Scale shape: the store + deferred takedown build once (memoized);
+    * the entry itself is the steady-state deferred read — a ≤|Q|-bucket
+    * pruned posting scan plus one broadcast anti-join against the
+    * takedown-bounded pending set. The read tax is bounded by the
+    * zone-count compaction trigger
+    * ([[graft.sources.Bucketed.compactIfDueBucketed]]) and its curve
+    * is measured in TakedownProbe/BASELINE.md.
+    */
+  def deferredRetractionBm25(s: SparkSession, d: String): DataFrame =
+    Pipeline6.bm25TopKStored(s, deferredPostingsFor(s, d), k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p137_retraction_bm25" -> (retractionBm25 _),
+    "p141_deferred_retraction_bm25" -> (deferredRetractionBm25 _),
     "p138_retraction_release_live" -> (retractionRelease _),
     "p139_deferred_retraction_pairs" -> (deferredRetractionPairs _),
     "p140_retraction_vector_labels" -> (retractionVectorLabels _),
@@ -308,6 +357,10 @@ object Pipeline17 {
     // from-scratch BM25 over the surviving corpus: rows gone, survivors
     // intact, idf/avgdl decremented exactly
     "p137_retraction_bm25" -> retractionBm25Oracle,
+    // the same from-scratch survivor index, now matched by the
+    // TOMBSTONE-AWARE read over the deferred state (rows physically
+    // present, only queued) — p139's differential for the lexical store
+    "p141_deferred_retraction_bm25" -> retractionBm25Oracle,
     // from-scratch labels + weights + draw over the surviving corpus:
     // withdrawn docs never drawn, survivors drawn at raised weights
     "p138_retraction_release_live" -> retractionReleaseOracle,

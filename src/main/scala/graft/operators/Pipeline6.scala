@@ -284,6 +284,23 @@ object Pipeline6 {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
            coalesce(sum(col("sdl")), lit(0L)).as("sdl"))
 
+  /** TOMBSTONE-AWARE term-pruned scan of a stored posting table: the
+    * bucket-pruned scan with the table directory's pending deferred
+    * takedowns ([[graft.streaming.StreamingOps.lexicalRetractDeferred]])
+    * anti-joined out — withdrawn documents stop ranking IMMEDIATELY,
+    * before the compaction that removes their rows physically. The term
+    * filter stays directly on the table scan (bucket pruning and
+    * pushdown untouched); with no zone the frame passes through and the
+    * plan is bit-identical to the eager-store one (one fs.exists). All
+    * three stored probe families (BM25, phrase, proximity) read through
+    * here, the every-reader contract of the deferred design.
+    */
+  private def storedPostings(spark: SparkSession, table: String,
+                             terms: Seq[String]): DataFrame =
+    graft.sources.Maintenance.minusTombstones(spark,
+      graft.sources.Bucketed.tableLocation(spark, table),
+      spark.table(table).filter(col("term").isin(terms: _*)))
+
   /** BM25 top-k over a stored [[postingsWrite]] index: the same scoring
     * tail as the scan-time path ([[bm25FromPostings]]) fed from the
     * bucket-pruned posting scan — same oracle as p45, the layout is
@@ -292,7 +309,7 @@ object Pipeline6 {
   def bm25TopKStored(spark: SparkSession, table: String, k: Int,
                      terms: Seq[String] = QTerms): DataFrame = {
     val q = terms.distinct.sorted
-    val tf = spark.table(table).filter(col("term").isin(q: _*))
+    val tf = storedPostings(spark, table, q)
     val scores = bm25FromPostings(tf, foldedStats(spark, table), q,
       dfViaWindow = true)
     topNRanked(scores, Seq(col("score").desc, col("doc_id")), k, "rnk")
@@ -392,7 +409,7 @@ object Pipeline6 {
   def phraseTopKStored(spark: SparkSession, table: String,
                        phrase: Seq[String], k: Int): DataFrame =
     phraseFromPostings(
-      spark.table(table).filter(col("term").isin(phrase.distinct: _*))
+      storedPostings(spark, table, phrase.distinct)
         .select(col("term"), col("doc_id"), col("positions")),
       phrase, k)
 
@@ -447,7 +464,7 @@ object Pipeline6 {
   def proximityTopKStored(spark: SparkSession, table: String, termA: String,
                           termB: String, w: Int, k: Int): DataFrame =
     proximityFromPostings(
-      spark.table(table).filter(col("term").isin(Seq(termA, termB).distinct: _*))
+      storedPostings(spark, table, Seq(termA, termB).distinct)
         .select(col("term"), col("doc_id"), col("positions")),
       termA, termB, w, k)
 

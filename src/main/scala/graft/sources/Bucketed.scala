@@ -56,6 +56,28 @@ object Bucketed {
     * recovery is one `ALTER TABLE RENAME`, and the source table is
     * untouched until its replacement is fully written.
     */
+  /** The table's storage location from the catalog — where a bucketed
+    * store's underscore-prefixed sidecars (the deferred-takedown
+    * tombstone zone) live, invisible to table scans exactly like the
+    * hive stores' `_model`/`_graft_tombstones` paths.
+    */
+  def tableLocation(spark: SparkSession, table: String): String = {
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location").head().getString(1)
+  }
+
+  /** TOMBSTONE-AWARE: a compaction is exactly when deferred takedowns
+    * ([[Maintenance.tombstoneAppend]] into the table directory's zone)
+    * get applied physically — the rewrite anti-joins the queued ids
+    * away ([[Maintenance.minusTombstones]]; no zone → passthrough), and
+    * since the replacement is a fresh table directory the zone retires
+    * with the old copy at the DROP. Leaving the queued rows in would
+    * silently resurrect previously-deferred takedowns the moment the
+    * swap deleted their zone. Mutations (appends, takedowns,
+    * compactions) serialize through the one maintenance scheduler, so
+    * no tombstone lands between the rewrite's read and the DROP.
+    */
   def compactBucketed(spark: SparkSession, table: String, key: String,
                       n: Int): Unit = {
     import org.apache.spark.sql.functions.col
@@ -68,7 +90,10 @@ object Bucketed {
     require(spark.catalog.tableExists(table),
       s"compactBucketed: $table does not exist (and no crashed swap to heal)")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    writeBucketed(spark.table(table).repartition(n, col(key)), tmp, key, n)
+    writeBucketed(
+      Maintenance.minusTombstones(spark, tableLocation(spark, table),
+          spark.table(table))
+        .repartition(n, col(key)), tmp, key, n)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
@@ -106,8 +131,13 @@ object Bucketed {
       s"removeBucketedRows: $table is bucketed into ${catalogN.orNull}, " +
         s"caller said $n — refusing to rewrite with a different spec")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // also apply any PENDING deferred tombstones (the
+    // removePartitionedRows discipline): the DROP below retires the
+    // zone with the old table directory, so leaving their rows in the
+    // rewrite would silently resurrect previously-deferred takedowns
     writeBucketed(
-      spark.table(table)
+      Maintenance.minusTombstones(spark, tableLocation(spark, table),
+          spark.table(table))
         .join(broadcast(removeIds.select(col(idCol)).distinct()),
           Seq(idCol), "left_anti")
         .repartition(n, col(key)),
@@ -146,18 +176,32 @@ object Bucketed {
     * is the trigger for the BASELINE-measured 19× sliver pathology of
     * the streamed posting store.
     */
+  /** `maxTombstoneFiles` is the DEFERRED-takedown half of the trigger
+    * (the `StreamingOps.compactIfDue` twin): each
+    * [[Maintenance.tombstoneAppend]] lands at most one file in the
+    * table directory's zone, so the zone's FILE count bounds the
+    * takedowns queued since the last compaction — past the bound the
+    * compaction (tombstone-aware since [[compactBucketed]] routes
+    * through `minusTombstones`; the zone retires with the old table
+    * dir) is due even when no bucket has accumulated slivers, keeping
+    * the readers' broadcast anti-join tax bounded. Listing-only, like
+    * the sliver check; `maxFiles <= 0` disables BOTH triggers.
+    */
   def compactIfDueBucketed(spark: SparkSession, table: String, key: String,
-                           n: Int, maxFiles: Int): Boolean = {
-    import org.apache.spark.sql.functions.col
+                           n: Int, maxFiles: Int,
+                           maxTombstoneFiles: Int = 16): Boolean = {
     // heal first, even when the trigger is disabled: a PREVIOUS run's
     // crashed swap must not wedge this one behind a missing table
     recoverBucketedSwap(spark, table)
     if (maxFiles <= 0) return false
-    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
-      .filter(col("col_name") === "Location").head().getString(1)
+    val loc = tableLocation(spark, table)
     val root = new org.apache.hadoop.fs.Path(loc)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return false
+    val zone = new org.apache.hadoop.fs.Path(s"$loc/_graft_tombstones")
+    val zoneDue = maxTombstoneFiles > 0 && fs.exists(zone) &&
+      fs.listStatus(zone)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxTombstoneFiles
     val bucketOf = "_(\\d+)\\.c000".r
     val counts = fs.listStatus(root).toSeq
       .map(_.getPath.getName)
@@ -166,7 +210,7 @@ object Bucketed {
       .filter(n => !n.startsWith(".") && n.endsWith(".parquet"))
       .flatMap(n => bucketOf.findFirstMatchIn(n).map(_.group(1)))
       .groupBy(identity).view.mapValues(_.size)
-    if (!counts.exists(_._2 > maxFiles)) return false
+    if (!zoneDue && !counts.exists(_._2 > maxFiles)) return false
     compactBucketed(spark, table, key, n)
     true
   }

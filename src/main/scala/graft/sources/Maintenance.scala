@@ -45,7 +45,13 @@ object Maintenance {
     */
   def compactPartitioned(spark: SparkSession, src: String, dst: String,
                          partCol: String, extraFiles: Int = 1): Unit = {
-    val df = spark.read.parquet(src)
+    // tombstone-aware like [[compactPartitionedSorted]]: the public
+    // tombstoneAppend is store-agnostic, so a zone CAN land on a store
+    // compacted through this path (the IVF layouts) — a rewrite that
+    // kept the queued rows while the caller's swap retired the zone
+    // would silently resurrect deferred takedowns. No zone →
+    // passthrough, one fs.exists.
+    val df = minusTombstones(spark, src, spark.read.parquet(src))
     val parted =
       if (extraFiles <= 1) df.repartition(col(partCol))
       else df.repartition(col(partCol), pmod(spark_partition_id(), lit(extraFiles)))
@@ -115,7 +121,12 @@ object Maintenance {
           .join(broadcast(ts), Seq(idCol), "left_anti")
       case None => removeIds.select(col(idCol)).distinct()
     }
-    fresh.write.mode("append").parquet(tombstoneZone(path))
+    // skip the append when nothing is genuinely new (pure replay /
+    // already-queued batch): an empty part-file would still count
+    // against the zone-file compaction triggers, so crash-retries
+    // could fire a full compaction early for no pending work
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").parquet(tombstoneZone(path))
   }
 
   /** The pending tombstone set, if any — a 1-column frame whose column

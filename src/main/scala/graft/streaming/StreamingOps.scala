@@ -2267,6 +2267,94 @@ object StreamingOps {
     removedDocs
   }
 
+  /** DEFERRED lexical takedown — the p139 tombstone device applied to
+    * the one takedown family that still paid a full store rewrite per
+    * batch ([[lexicalRetractBatch]]: a doc's posting rows scatter
+    * across every term bucket, so the eager form rewrites the index;
+    * TakedownProbe measured its linear term). This handler is O(batch):
+    *
+    *  1. heal-first, then the SAME exact stats discipline as the eager
+    *     twin — derive the retracted docs' (n, sdl) from the store's
+    *     own still-present rows and append the negative commit record,
+    *     gated on the `_stats` table's own state. Stats decrement NOW
+    *     (idf/avgdl must reflect the survivors immediately), which is
+    *     safe because the rows are only QUEUED, not gone — the
+    *     derivation stays possible until the applying compaction, and
+    *     the commit record keeps retries from double-decrementing.
+    *     Ids already pending in the zone are excluded from the
+    *     derivation (their decrement landed with THEIR batch —
+    *     counting their still-present rows again would double-count);
+    *     ids already physically gone contribute zero rows. ORDER
+    *     MATTERS exactly as in the eager twin: stats before zone, so
+    *     no crash window can queue an id whose decrement never landed.
+    *  2. the retracted ids land append-only in the table directory's
+    *     tombstone zone ([[graft.sources.Maintenance.tombstoneAppend]]
+    *     — dedup-on-append, so replay cannot grow it); every stored
+    *     probe (BM25/phrase/proximity — `Pipeline6.storedPostings`)
+    *     anti-joins the pending set, so withdrawn documents stop
+    *     ranking IMMEDIATELY;
+    *  3. the physical rewrite rides the bucketed compaction cadence
+    *     ([[graft.sources.Bucketed.compactIfDueBucketed]] — its
+    *     zone-count trigger fires past `maxTombstoneFiles` queued
+    *     batches, and [[graft.sources.Bucketed.compactBucketed]] is
+    *     tombstone-aware: the rewrite drops the queued rows and the
+    *     zone retires with the old table directory), bounding the
+    *     readers' broadcast anti-join tax.
+    *
+    * Same retractId namespace contract as the eager twin (≤ -2,
+    * content-derive with [[retractIdFor]]); mutate the store ONLY
+    * through these handlers (a bare tombstoneAppend would queue ids
+    * whose stats never decremented). Returns the number of documents
+    * whose stats decrement landed in this call (0 on a retry/no-op).
+    */
+  def lexicalRetractDeferred(spark: org.apache.spark.sql.SparkSession,
+                             table: String, nBuckets: Int, retractId: Long,
+                             compactMaxFiles: Int = DefaultCompactMaxFiles,
+                             maxTombstoneFiles: Int = 16)(
+                             removeIds: DataFrame): Long = {
+    require(retractId <= -2L,
+      s"lexicalRetractDeferred: retractId $retractId collides with the " +
+        "ingest batch_id namespace (ingests are >= 0, the build row is -1)")
+    graft.sources.Bucketed.recoverBucketedSwap(spark, table)
+    val loc = graft.sources.Bucketed.tableLocation(spark, table)
+    val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val committed = !spark.table(s"${table}_stats")
+      .filter(col("batch_id") === retractId).isEmpty
+    var removedDocs = 0L
+    if (!committed) {
+      // only genuinely-new ids count: rows of ids already queued in the
+      // zone are still physically present but THEIR batch already
+      // decremented them
+      val fresh = graft.sources.Maintenance.tombstones(spark, loc) match {
+        case Some(ts) => rm.join(broadcast(ts), Seq("doc_id"), "left_anti")
+        case None => rm
+      }
+      val gone = spark.table(table)
+        .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+      val dec = graft.operators.Pipeline6.statsOfPostings(gone).head()
+      removedDocs = dec.getLong(0)
+      spark.range(1)
+        .select(lit(retractId).as("batch_id"),
+          lit(-dec.getLong(0)).as("n"), lit(-dec.getLong(1)).as("sdl"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(s"${table}_stats")
+    }
+    // zone half, gated on the STORE's own state (the eager twin's
+    // discipline): only ids whose rows physically remain need queuing —
+    // a replay AFTER the applying compaction retired the zone must not
+    // re-queue already-removed ids into a fresh zone. Already-queued
+    // ids dedup inside the append; a crash between the halves re-runs
+    // here with the commit record short-circuiting the stats.
+    val stillPresent = spark.table(table)
+      .join(broadcast(rm), Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+    graft.sources.Maintenance.tombstoneAppend(spark, loc, stillPresent,
+      "doc_id")
+    graft.sources.Bucketed.compactIfDueBucketed(spark, table, "term",
+      nBuckets, compactMaxFiles, maxTombstoneFiles)
+    removedDocs
+  }
+
   /** Distinct xxhash64 shingle hashes of a benchmark document set —
     * the one index definition shared by [[contaminationGate]] and the
     * parity spec's batch twin. One tiny job over the eval set (the

@@ -120,6 +120,144 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def zoneDirOf(table: String) = new java.io.File(
+    Bucketed.tableLocation(spark, table).stripPrefix("file:") +
+      "/_graft_tombstones")
+
+  test("deferred lexical takedown: withdrawn docs stop ranking immediately; reads equal a from-scratch survivor index") {
+    val t = "graft_spec_lexdef_a"
+    val ref = "graft_spec_lexdef_a_ref"
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+    val pre = Pipeline6.bm25TopKStored(spark, t, k = 5, terms = Terms).collect()
+    assert(pre.head.getLong(0) === 7L, "fixture: doc 7 must rank 1 pre-takedown")
+
+    val n = StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -2L, compactMaxFiles = 0)(rmIds)
+    assert(n === 2L)
+    // DEFERRED: the rows are still physically present, only queued
+    assert(spark.table(t).filter(col("doc_id").isin(7L, 10L)).count() > 0L,
+      "deferred: posting rows should still be on disk until compaction")
+    assert(zoneDirOf(t).exists())
+
+    // every stored probe family is tombstone-aware — reads over the
+    // deferred state equal a from-scratch index of the survivors
+    Pipeline6.postingsWrite(survivors, ref, nBuckets = 4)
+    assert(Pipeline6.bm25TopKStored(spark, t, 5, Terms).collect().toSeq ===
+      Pipeline6.bm25TopKStored(spark, ref, 5, Terms).collect().toSeq)
+    assert(Pipeline6.phraseTopKStored(spark, t, Seq("merge", "merge"), 5)
+      .collect().toSeq ===
+      Pipeline6.phraseTopKStored(spark, ref, Seq("merge", "merge"), 5)
+        .collect().toSeq)
+    assert(Pipeline6.proximityTopKStored(spark, t, "merge", "stream", 6, 5)
+      .collect().toSeq ===
+      Pipeline6.proximityTopKStored(spark, ref, "merge", "stream", 6, 5)
+        .collect().toSeq)
+
+    // the stats fold ALREADY equals the survivors' exact (n, sdl): the
+    // negative commit record lands at queue time, not at compaction
+    val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
+    val sWs = survivors.select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === sWs.getLong(0))
+    assert(st.getLong(1) === sWs.getLong(1))
+
+    // replay: no double decrement, the zone does not grow
+    val statsRows = spark.table(s"${t}_stats").count()
+    assert(StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -2L, compactMaxFiles = 0)(rmIds) === 0L)
+    assert(spark.table(s"${t}_stats").count() === statsRows)
+    assert(spark.read.parquet(zoneDirOf(t).toString).count() === 2L)
+  }
+
+  test("deferred lexical crash windows heal; overlapping batches decrement only genuinely-new ids") {
+    val t = "graft_spec_lexdef_b"
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+
+    // window: stats record committed, crash before the zone append —
+    // the retry must skip the decrement and still queue the batch
+    val dec = corpus.filter(col("doc_id").isin(7L, 10L))
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    spark.range(1)
+      .select(lit(-2L).as("batch_id"), lit(-dec.getLong(0)).as("n"),
+        lit(-dec.getLong(1)).as("sdl"))
+      .write.mode("append").format("parquet").saveAsTable(s"${t}_stats")
+    val statsRows0 = spark.table(s"${t}_stats").count()
+    assert(StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -2L, compactMaxFiles = 0)(rmIds) === 0L,
+      "stats half must skip on the committed record")
+    assert(spark.table(s"${t}_stats").count() === statsRows0)
+    assert(zoneDirOf(t).exists(), "zone half must still run")
+    assert(!Pipeline6.bm25TopKStored(spark, t, 12, Terms).collect()
+      .exists(r => r.getLong(0) == 7L || r.getLong(0) == 10L))
+
+    // an OVERLAPPING second batch {10, 9}: 10 is already pending (its
+    // decrement landed with batch -2), so only 9's stats move
+    assert(StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -3L, compactMaxFiles = 0)(Seq(10L, 9L).toDF("doc_id"))
+      === 1L)
+    val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
+    val sWs = corpus.filter(!col("doc_id").isin(7L, 10L, 9L))
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === sWs.getLong(0), "no double decrement of 10")
+    assert(st.getLong(1) === sWs.getLong(1))
+    assert(spark.read.parquet(zoneDirOf(t).toString).count() === 3L)
+
+    // retractId namespace guard, same as the eager twin
+    intercept[IllegalArgumentException] {
+      StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+        retractId = 0L)(rmIds)
+    }
+  }
+
+  test("bucketed compaction applies pending lexical tombstones; the zone-count trigger bounds the read tax") {
+    val t = "graft_spec_lexdef_c"
+    val ref = "graft_spec_lexdef_c_ref"
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+    StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -2L, compactMaxFiles = 0)(rmIds)
+    // one queued batch: the zone half of the trigger stays quiet
+    assert(!Bucketed.compactIfDueBucketed(spark, t, "term", 4,
+      maxFiles = 64, maxTombstoneFiles = 8))
+    // ...but a QUEUE of takedowns makes the compaction due on the
+    // zone's file count alone (ids need not exist — only the count)
+    val loc = Bucketed.tableLocation(spark, t)
+    (0 until 9).foreach { i =>
+      Maintenance.tombstoneAppend(spark, loc,
+        Seq(1000L + i).toDF("doc_id"), "doc_id")
+    }
+    assert(Bucketed.compactIfDueBucketed(spark, t, "term", 4,
+      maxFiles = 64, maxTombstoneFiles = 8))
+    // physically gone — a RAW table scan proves it — zone retired with
+    // the old table directory, stats untouched (they landed at queue
+    // time), reads unchanged
+    assert(spark.table(t).filter(col("doc_id").isin(7L, 10L)).isEmpty)
+    assert(!zoneDirOf(t).exists())
+    Pipeline6.postingsWrite(survivors, ref, nBuckets = 4)
+    assert(Pipeline6.bm25TopKStored(spark, t, 5, Terms).collect().toSeq ===
+      Pipeline6.bm25TopKStored(spark, ref, 5, Terms).collect().toSeq)
+  }
+
+  test("eager lexical removal applies pending tombstones too (no resurrection on mixed use)") {
+    val t = "graft_spec_lexdef_d"
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+    // doc 7 queued deferred; an EAGER takedown of doc 10 then rewrites
+    // the store — its swap retires the zone, so 7's rows must leave
+    // with it or they would silently resurrect
+    StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -2L, compactMaxFiles = 0)(Seq(7L).toDF("doc_id"))
+    StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+      retractId = -3L)(Seq(10L).toDF("doc_id"))
+    assert(spark.table(t).filter(col("doc_id").isin(7L, 10L)).isEmpty)
+    assert(!zoneDirOf(t).exists())
+    val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
+    val sWs = survivors.select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === sWs.getLong(0))
+    assert(st.getLong(1) === sWs.getLong(1))
+  }
+
   test("sidecar retraction is bucket-pruned and the verified gate stops confirming withdrawn docs") {
     // ids chosen so doc 19 is ALONE in its bucket (19 mod 8 = 3): its
     // retraction must DELETE the bucket directory outright
