@@ -22,7 +22,7 @@ object SparkEntry {
       operators.Pipeline11.queries ++ operators.Pipeline12.queries ++
       operators.Pipeline13.queries ++ operators.Pipeline14.queries ++
       operators.Pipeline15.queries ++ operators.Pipeline16.queries ++
-      operators.Pipeline17.queries
+      operators.Pipeline17.queries ++ operators.Pipeline18.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -38,5 +38,5 @@ object SparkEntry {
       operators.Pipeline11.oracles ++ operators.Pipeline12.oracles ++
       operators.Pipeline13.oracles ++ operators.Pipeline14.oracles ++
       operators.Pipeline15.oracles ++ operators.Pipeline16.oracles ++
-      operators.Pipeline17.oracles
+      operators.Pipeline17.oracles ++ operators.Pipeline18.oracles
 }

@@ -162,14 +162,24 @@ object Pipeline10 {
     * (doc_id, canonical)) — shared by the p91 oracle and the p125
     * video soft-dedup composition, the `clusterLabelCtes` precedent.
     */
-  private[operators] val videoClusterLabelCtes: String =
+  /** The pair-relation PREFIX of the p91 chain (everything up to `vp`)
+    * — split out so the post-retraction oracles can close over a
+    * SURVIVOR-restricted copy of the same pair relation (the
+    * restriction commutes at the pair level — the aligned-frame
+    * relation is pairwise — but NOT through the closure, where
+    * connectivity via a retracted clip must break).
+    */
+  private[operators] val videoPairCtes: String =
     s"""$videoDocsCte,
        |$videoFhashCte,
        |vp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
        |       FROM vh a JOIN vh b
        |         ON b.doc_id > a.doc_id AND b.nf = a.nf AND b.f = a.f
        |       GROUP BY a.doc_id, b.doc_id
-       |       HAVING max(bit_count(xor(a.fhash, b.fhash))) <= 3),
+       |       HAVING max(bit_count(xor(a.fhash, b.fhash))) <= 3)""".stripMargin
+
+  private[operators] val videoClusterLabelCtes: String =
+    s"""$videoPairCtes,
        |e AS (SELECT d1 AS a, d2 AS b FROM vp UNION SELECT d2, d1 FROM vp),
        |r AS (SELECT a, b FROM e
        |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),

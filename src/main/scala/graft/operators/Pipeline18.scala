@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline operators, batch 18: the retraction family COMPLETED
+  * across label spaces. p136/p140 proved remove-equals-rebuild for the
+  * text and vector spaces and p138 proved the post-retraction release
+  * draw for text; this batch closes the remaining asymmetries:
+  *
+  *  - p142: the post-retraction release draw over the VIDEO label
+  *    space — a withdrawn clip must never surface in any epoch, and
+  *    its family's surviving clips must draw at their RAISED weight.
+  *  - p143: remove-equals-rebuild on the UNIFIED cross-modal label
+  *    space — the composed takedown handler
+  *    ([[graft.streaming.StreamingOps.multimodalRetractBatch]], all
+  *    four modality stores + the label table) under the from-scratch
+  *    contraction of the surviving corpus.
+  *  - p144: the post-retraction release draw over the unified space —
+  *    the takedown composed through to the cross-modal release.
+  *
+  * All three run the actual composed handlers in the registered path
+  * and share one retracted-id definition with p136–p141
+  * ([[Pipeline17.retractIds]] — every tenth document), so the
+  * differentials' `surv` relations agree across the whole family. The
+  * oracles close over SURVIVOR-restricted copies of the registered
+  * pair CTEs ([[Pipeline10.videoPairCtes]] /
+  * [[Pipeline9.multimodalPairCtes]]): restriction commutes at the
+  * pair level (every evidence feed is pairwise) but deliberately NOT
+  * through the closure — a family bridged only by a retracted
+  * document must split, which is exactly what the handlers'
+  * component-bounded recontraction is on the hook for.
+  */
+object Pipeline18 {
+
+  /** The shared survivor-restricted closure tail: pairs already
+    * restricted to survivors (`sp`), closed and min-labeled over the
+    * surviving ids — the p136 `survivorLabelCtes` shape with the pair
+    * source as a parameter, so the three spaces cannot diverge on what
+    * "the from-scratch rebuild of the survivors" means.
+    */
+  private def survivorClosureTail(pairRel: String): String =
+    s"""surv AS (SELECT doc_id FROM documents
+       |         WHERE doc_id % ${Pipeline16.RetractMod} <> ${Pipeline16.RetractRem}),
+       |sp AS (SELECT d1, d2 FROM $pairRel p
+       |       JOIN surv s1 ON p.d1 = s1.doc_id
+       |       JOIN surv s2 ON p.d2 = s2.doc_id),
+       |se AS (SELECT d1 AS a, d2 AS b FROM sp UNION SELECT d2, d1 FROM sp),
+       |sr AS (SELECT a, b FROM se
+       |       UNION SELECT sr.a, se2.b FROM sr JOIN se se2 ON sr.b = se2.a),
+       |scomp AS (SELECT a AS doc_id, min(b) AS mn FROM sr GROUP BY a),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(least(c.doc_id, c.mn), d.doc_id) AS BIGINT)
+       |           AS canonical
+       |  FROM surv d LEFT JOIN scomp c ON d.doc_id = c.doc_id)""".stripMargin
+
+  /** p120's deterministic weight + epoch-draw tail over a `lab`
+    * relation — the chained-release oracle device shared with
+    * p131/p135/p138, epoch grid from p120's own constant.
+    */
+  private val releaseDrawTail: String =
+    s"""wts AS (
+       |  SELECT doc_id, canonical,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |ep AS (SELECT unnest(range(0, ${Pipeline13.SampleEpochs})) AS epoch)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
+       |       w.weight_ppm
+       |FROM wts w CROSS JOIN ep e
+       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
+       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+       |      < w.weight_ppm
+       |ORDER BY epoch, doc_id""".stripMargin
+
+  /** The post-retraction VIDEO store pair, built once per JVM per
+    * dataset: banded frame store + clip-family label table over the
+    * full corpus, then the composed video takedown
+    * ([[graft.streaming.StreamingOps.videoRetractBatch]] — evidence
+    * reconstructed from the store's own surviving frames, full-rewrite
+    * signature removal). One decode pass feeds both the store and the
+    * label build (the p125 discipline); the memo serves the DOWNSTREAM
+    * refresh p142 prices.
+    */
+  private def retractedVideoRoot(s: SparkSession, d: String): String =
+    IndexStores.of("retract_video_store", d) { p =>
+      val docs = documents(s, d)
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/frames") {
+        val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+          .localCheckpoint()
+        Multimodal.frameStoreWrite(
+          frames.select(col("doc_id"), col("frame"), col("fhash")),
+          s"$p/frames")
+        graft.operators.LabelStore.write(
+          Pipeline10.videoClusterLabelsOf(docs, frames), s"$p/labels")
+        graft.streaming.StreamingOps.videoRetractBatch(
+          s, s"$p/frames", s"$p/labels")(Pipeline17.retractIds(docs))
+      }
+    }
+
+  /** p142: the POST-RETRACTION release draw over the VIDEO label space
+    * — p138's composed chain (takedown handler → live weights → p120's
+    * deterministic epoch draw) on the second label space: withdrawn
+    * clips never surface in ANY epoch, and each affected family's
+    * surviving clips draw at their RAISED weight (`1e6 div` the
+    * post-removal family size) — the release semantics a video
+    * takedown must get right, which sampling at stale weights would
+    * miss exactly on the families the takedown touched.
+    *
+    * Scale shape: the store pair + takedown build once (memoized); the
+    * refresh is one label-table scan + the weight window + a broadcast
+    * epoch grid — no decode, no signature recompute.
+    */
+  def retractionVideoRelease(s: SparkSession, d: String): DataFrame = {
+    val root = retractedVideoRoot(s, d)
+    Pipeline13.softDedupSampleOf(
+        LabelStore.weightsFromStore(s, s"$root/labels"),
+        Pipeline13.SampleEpochs)
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  /** p142 oracle: the survivor-restricted closure of p91's pair CTEs
+    * under the weight + draw tail.
+    */
+  val retractionVideoReleaseOracle: String =
+    s"""WITH RECURSIVE ${Pipeline10.videoPairCtes},
+       |${survivorClosureTail("vp")},
+       |$releaseDrawTail""".stripMargin
+
+  /** The post-retraction CROSS-MODAL store set, built once per JVM per
+    * dataset: the four modality signature stores + the UNIFIED label
+    * table over the full corpus (one decode per modality, p132's store
+    * shapes), then the composed unified takedown
+    * ([[graft.streaming.StreamingOps.multimodalRetractBatch]] —
+    * evidence reconstructed per modality from ITS store's own rows
+    * over the affected components' survivors, the retracted ids'
+    * signature rows leaving ALL FOUR stores). Serves p143 (the label
+    * differential) and p144 (the downstream release draw).
+    */
+  private def retractedXmodalRoot(s: SparkSession, d: String): String =
+    IndexStores.of("retract_xmodal_store", d) { p =>
+      val dirs = Seq("labels", "txt", "img", "aud", "vid").map(t => s"$p/$t")
+      Pipeline14.withScratch(s, dirs: _*) {
+        val docs = documents(s, d)
+        val tf = Pipeline9.exactTextSigFrames(docs).localCheckpoint()
+        val dh = Multimodal.decodeRaster(Multimodal.attachRaster(docs))
+          .select(col("doc_id"), col("dhash")).localCheckpoint()
+        val af = Multimodal.decodeWave(Multimodal.attachWave(docs))
+          .select(col("doc_id"), col("afp")).localCheckpoint()
+        val vf = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+          .localCheckpoint()
+        val pairs = Pipeline9.exactTextPairsOf(docs)
+          .union(Multimodal.perceptualNearDupPairs(dh, maxHamming = 3)
+            .select(col("d1"), col("d2")))
+          .union(Multimodal.perceptualNearDupPairs(
+              af.select(col("doc_id"), col("afp").as("dhash")),
+              maxHamming = 3)
+            .select(col("d1"), col("d2")))
+          .union(Multimodal.videoNearDupPairs(vf, maxHamming = 3)
+            .select(col("d1"), col("d2")))
+        LabelStore.write(
+          LabelStore.labelsFor(docs.select(col("doc_id")), pairs), dirs(0))
+        Multimodal.frameStoreWrite(
+          tf.select(col("doc_id"), col("frame"), col("fhash")), dirs(1))
+        Multimodal.frameStoreWrite(
+          dh.select(col("doc_id"), lit(0).as("frame"),
+            col("dhash").as("fhash")), dirs(2))
+        Multimodal.frameStoreWrite(
+          af.select(col("doc_id"), lit(0).as("frame"),
+            col("afp").as("fhash")), dirs(3))
+        Multimodal.frameStoreWrite(
+          vf.select(col("doc_id"), col("frame"), col("fhash")), dirs(4))
+        graft.streaming.StreamingOps.multimodalRetractBatch(
+          s, dirs(1), dirs(2), dirs(3), dirs(4), dirs(0))(
+          Pipeline17.retractIds(docs))
+      }
+    }
+
+  /** p143: remove-equals-rebuild on the UNIFIED label space — the
+    * third and last label-space differential, completing p136 (text)
+    * and p140 (vectors): withdraw every tenth document through the
+    * composed cross-modal handler and the post-removal unified label
+    * table must hash-match the from-scratch four-modality contraction
+    * of the SURVIVING corpus. This pins the hardest case the
+    * per-modality differentials cannot see: a family bridged ACROSS
+    * modalities only through a retracted document must split, with
+    * each fragment recontracting to its own surviving minimum.
+    *
+    * Scale shape: the store set + takedown build once (memoized —
+    * p132 already prices the unified ingestion per rep); the entry is
+    * one label-table scan. The takedown itself is component-bounded
+    * per modality (survivor semi-joins from the label table, banded
+    * pair recomputation over the affected slice only) with the four
+    * store rewrites full-rewrite by necessity (band values are
+    * content-derived) — the deferred twin tombstones instead.
+    */
+  def retractionXmodalLabels(s: SparkSession, d: String): DataFrame =
+    LabelStore.read(s, s"${retractedXmodalRoot(s, d)}/labels")
+      .orderBy(col("doc_id"))
+
+  /** p143 oracle: the survivor-restricted closure of p85's union pair
+    * CTEs — the from-scratch rebuild of the surviving corpus.
+    */
+  val retractionXmodalLabelsOracle: String =
+    s"""WITH RECURSIVE ${Pipeline9.multimodalPairCtes},
+       |${survivorClosureTail("prs")}
+       |SELECT doc_id, canonical FROM lab ORDER BY doc_id""".stripMargin
+
+  /** p144: the POST-RETRACTION release draw over the UNIFIED label
+    * space — the takedown composed through to the cross-modal release
+    * (p135's draw over p143's post-removal state): a clip/image/track/
+    * document withdrawn in ANY modality never surfaces in any epoch of
+    * the unified release, and cross-modal families that lost members
+    * draw their survivors at raised weights. Same memoized store set
+    * as p143; the refresh is label-scan + weight window + epoch grid.
+    */
+  def retractionXmodalRelease(s: SparkSession, d: String): DataFrame = {
+    val root = retractedXmodalRoot(s, d)
+    Pipeline13.softDedupSampleOf(
+        LabelStore.weightsFromStore(s, s"$root/labels"),
+        Pipeline13.SampleEpochs)
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  /** p144 oracle: p143's survivor chain under the weight + draw tail. */
+  val retractionXmodalReleaseOracle: String =
+    s"""WITH RECURSIVE ${Pipeline9.multimodalPairCtes},
+       |${survivorClosureTail("prs")},
+       |$releaseDrawTail""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p142_retraction_video_release" -> (retractionVideoRelease _),
+    "p143_retraction_crossmodal_labels" -> (retractionXmodalLabels _),
+    "p144_retraction_crossmodal_release" -> (retractionXmodalRelease _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // withdrawn clips never drawn; surviving family members drawn at
+    // raised weights — the video release differential
+    "p142_retraction_video_release" -> retractionVideoReleaseOracle,
+    // remove-equals-rebuild on the unified cross-modal label space
+    "p143_retraction_crossmodal_labels" -> retractionXmodalLabelsOracle,
+    // the unified release draw over the post-takedown state
+    "p144_retraction_crossmodal_release" -> retractionXmodalReleaseOracle,
+  )
+}

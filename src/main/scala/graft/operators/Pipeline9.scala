@@ -700,7 +700,14 @@ object Pipeline9 {
     * cross-modal release draw's chained oracle (p135), the
     * `videoClusterLabelCtes` pattern on the unified label space.
     */
-  private[operators] val multimodalLabelCtes: String =
+  /** The four-modality pair-relation PREFIX (everything up to `prs`) —
+    * split out so the post-retraction oracles can close over a
+    * SURVIVOR-restricted copy of the same union relation (restriction
+    * commutes at the pair level — every feed is pairwise — but not
+    * through the closure, where a family bridged only by a retracted
+    * document must split).
+    */
+  private[operators] val multimodalPairCtes: String =
     s"""${PipelineQueries.rasterDocsCte},
        |${PipelineQueries.rasterDhashCte},
        |${Pipeline8.waveDocsCte},
@@ -725,7 +732,10 @@ object Pipeline9 {
        |prs AS (SELECT d1, d2 FROM tp UNION
        |        SELECT d1, d2 FROM ip UNION
        |        SELECT d1, d2 FROM ap UNION
-       |        SELECT d1, d2 FROM vp),
+       |        SELECT d1, d2 FROM vp)""".stripMargin
+
+  private[operators] val multimodalLabelCtes: String =
+    s"""$multimodalPairCtes,
        |e AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
        |r AS (SELECT a, b FROM e
        |      UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),

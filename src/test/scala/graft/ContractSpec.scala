@@ -26,11 +26,11 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline11.queries, operators.Pipeline12.queries,
       operators.Pipeline13.queries, operators.Pipeline14.queries,
       operators.Pipeline15.queries, operators.Pipeline16.queries,
-      operators.Pipeline17.queries)
+      operators.Pipeline17.queries, operators.Pipeline18.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 215,
-      "registered-query surface shrank below the round-13 ledger")
+    assert(SparkEntry.queries.size >= 219,
+      "registered-query surface shrank below the round-14 ledger")
   }
 
   test("rows-only queries (no oracle) are the documented exceptions only") {
