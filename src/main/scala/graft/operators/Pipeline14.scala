@@ -128,7 +128,7 @@ object Pipeline14 {
     * eps early-exit) because the round count is part of the oracle's
     * unrolled semantics; 2 matches `ivfTopKTrained`'s default budget.
     */
-  private val TrainedRounds = 2
+  private[operators] val TrainedRounds = 2
 
   /** p124: the SEED-vs-TRAINED ANN tuning curve, answered from AT-REST
     * stores — p116's table with a second method row family: the same
@@ -412,32 +412,55 @@ object Pipeline14 {
     * content, so one chain serves both method families and the stored
     * layouts are proven semantics-preserving.
     */
+  /** One frozen-Lloyd round as DuckDB CTEs — the argmax assignment
+    * (the registered p13 CTE device) and the exact integer micro-mean
+    * (`sum(round(v·10⁶))` then integer `//`, which DuckDB truncates
+    * toward zero on BIGINTs exactly like Java long division — its
+    * floor semantics apply only to DOUBLEs), centroids read back as
+    * REAL. Round `t` reads `cent{t-1}` (round 0 = `cents0`, the seed)
+    * and yields `cent$t`. Factored out of the p124 oracle so the
+    * drift-retrain differential (p145) re-derives the SAME training
+    * loop — one SQL definition of a Lloyd round for every oracle that
+    * trains.
+    */
+  private[operators] def lloydRoundCte(t: Int): String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    val prev = if (t == 1) "cents0" else s"cent${t - 1}"
+    s"""assign$t AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS ce2, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
+       |m$t AS (
+       |  SELECT a.cell, u.i AS pos,
+       |         CAST(sum(round(CAST(a.ce2[u.i + 1] AS DOUBLE) * 1000000))
+       |              AS BIGINT) AS s,
+       |         count(*) AS c
+       |  FROM assign$t a, unnest(range(0, len(a.ce2))) AS u(i)
+       |  GROUP BY 1, 2),
+       |cent$t AS MATERIALIZED (
+       |  SELECT c0.ccid, coalesce(n.ce, c0.ce) AS ce
+       |  FROM $prev c0 LEFT JOIN (
+       |    SELECT cell AS ccid,
+       |           list(CAST(CAST(s // c AS DOUBLE) / 1000000 AS REAL)
+       |                ORDER BY pos) AS ce
+       |    FROM m$t GROUP BY 1) n USING (ccid))""".stripMargin
+  }
+
+  /** The seed-model CTE shared by the training oracles: the first
+    * nCells=8 vectors by id — [[Similarity.seedCentroids]]' exact
+    * definition in SQL.
+    */
+  private[operators] val seedCentsCte: String =
+    """cents0 AS (
+      |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+      |  WHERE vec_id < 8)""".stripMargin
+
   val annTuningTrainedOracle: String = {
     val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
     val cos = PipelineQueries.duckCos("p.qe", "a.ce2")
-    def trainRound(t: Int): String = {
-      val prev = if (t == 1) "cents0" else s"cent${t - 1}"
-      s"""assign$t AS MATERIALIZED (
-         |  SELECT vec_id AS cid, embedding AS ce2, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.ccid AS cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |                ORDER BY $ccos DESC, c.ccid) AS rn
-         |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
-         |m$t AS (
-         |  SELECT a.cell, u.i AS pos,
-         |         CAST(sum(round(CAST(a.ce2[u.i + 1] AS DOUBLE) * 1000000))
-         |              AS BIGINT) AS s,
-         |         count(*) AS c
-         |  FROM assign$t a, unnest(range(0, len(a.ce2))) AS u(i)
-         |  GROUP BY 1, 2),
-         |cent$t AS MATERIALIZED (
-         |  SELECT c0.ccid, coalesce(n.ce, c0.ce) AS ce
-         |  FROM $prev c0 LEFT JOIN (
-         |    SELECT cell AS ccid,
-         |           list(CAST(CAST(s // c AS DOUBLE) / 1000000 AS REAL)
-         |                ORDER BY pos) AS ce
-         |    FROM m$t GROUP BY 1) n USING (ccid))""".stripMargin
-    }
+    def trainRound(t: Int): String = lloydRoundCte(t)
     // the final trained assignment (under the last round's centroids) —
     // the trained store's content
     val finalAssign =
@@ -486,9 +509,7 @@ object Pipeline14 {
          |FROM np LEFT JOIN hits$tag h USING (nprobe)
          |LEFT JOIN reads$tag r USING (nprobe)
          |CROSS JOIN dn CROSS JOIN tot""".stripMargin
-    s"""WITH cents0 AS (
-       |  SELECT vec_id AS ccid, embedding AS ce FROM embeddings
-       |  WHERE vec_id < 8),
+    s"""WITH $seedCentsCte,
        |${(1 to TrainedRounds).map(trainRound).mkString(",\n")},
        |$finalAssign,
        |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS nprobe),

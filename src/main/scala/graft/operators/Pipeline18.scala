@@ -232,8 +232,101 @@ object Pipeline18 {
        |${survivorClosureTail("prs")},
        |$releaseDrawTail""".stripMargin
 
+  /** Lloyd rounds of the registered drift-gated retrain — the
+    * composed handler's own default
+    * ([[graft.streaming.StreamingOps.ivfRetrainIfDrifted]]), restated
+    * here so the oracle's round count can never silently diverge from
+    * the entry's.
+    */
+  private val RetrainRounds = 2
+
+  /** Squared-ppm drift threshold of the registered gate: the
+    * single-cell flood scores ~(10⁶ − 10⁶/nCells)² ≈ 7.7·10¹¹ on its
+    * cell, while the p112 report's natural splits measure ≤ ~10⁷ at
+    * every SF — 10⁹ separates them by two orders each way.
+    */
+  private val DriftThresholdPpm2 = 1000000000L
+
+  /** p145: the DRIFT-GATED RETRAIN composition under a full oracle —
+    * the last spec-only maintenance composition registered: build the
+    * live IVF layout under the deployment's frozen seed model, present
+    * the drift gate with a SINGLE-CELL FLOOD batch (every vector the
+    * seed assigns to cell 0 — the embedding-model-switch signature the
+    * gate exists for; a require pins that it actually fires, and
+    * SimilaritySpec separately pins that natural splits stay quiet),
+    * and run the composed handler: gate fire → warm-start frozen Lloyd
+    * on the live store's own vectors → full re-assignment into
+    * `__compact` with the retrained model landing INSIDE the
+    * replacement (`_model`) → checked-rename swap. The entry emits the
+    * swapped store's (vec_id, cell) layout; the oracle re-derives the
+    * warm-start training from first principles (the p124 Lloyd-round
+    * CTEs — frozen integer-micro arithmetic is bit-stable across
+    * engines, which is what makes this composition oracle-able) and
+    * assigns the corpus under the retrained model. A handler that
+    * skipped the retrain, trained from the wrong seed, ran a different
+    * round count, or swapped a stale layout all hash-mismatch; the
+    * entry also requires the swapped layout's `_model` sidecar to
+    * equal the returned model (layout and model may never part).
+    *
+    * Scale shape: the gate is an nCells-bounded rate compare; the
+    * retrain is `rounds` passes of map-only broadcast-argmax + a
+    * model-sized (cell, dim) integer aggregate; the rebuild is one
+    * store-wide assignment pass (the honest price of a model change —
+    * cells are DEFINED by the model) riding the same checked-swap
+    * device as every compaction, with `ingest_batch` carried through
+    * so the staged merges' exactly-once probe survives the rebuild.
+    */
+  def driftRetrainAssignment(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_driftrt_ivf_").toString
+    Pipeline14.withScratch(s, ivfPath) {
+      val seed = Similarity.seedCentroids(emb, 8)
+      Similarity.ivfWrite(emb, seed, ivfPath)
+      val baseRates = Pipeline12.cellRates(emb, seed, "cb", "rb")
+      val flood = Similarity.assignCells(seed, emb)
+        .filter(col("cell") === 0)
+        .select(col("vec_id"), col("embedding"))
+      val retrained = graft.streaming.StreamingOps.ivfRetrainIfDrifted(
+        s, ivfPath, seed, baseRates, flood,
+        thresholdPpm2 = DriftThresholdPpm2, rounds = RetrainRounds)
+      require(retrained.nonEmpty,
+        "fixture: the single-cell flood must fire the drift gate")
+      val adopted = graft.streaming.StreamingOps.ivfStoreModel(s, ivfPath)
+      require(adopted.exists(_.toSeq == retrained.get.toSeq),
+        "the swapped layout's _model sidecar must equal the retrained model")
+      Pipeline14.cleanupAfter(
+        s.read.parquet(ivfPath)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"))
+          .orderBy(col("vec_id")),
+        ivfPath)
+    }
+  }
+
+  /** p145 oracle: the warm-start frozen Lloyd re-derived from first
+    * principles (the shared p124 round CTEs seeded at the deployment
+    * model) and the corpus assigned under the retrained centroids —
+    * the from-scratch layout the swap must land on.
+    */
+  val driftRetrainAssignmentOracle: String = {
+    val ccos = PipelineQueries.duckCos("e.embedding", "c.ce")
+    s"""WITH ${Pipeline14.seedCentsCte},
+       |${(1 to RetrainRounds).map(Pipeline14.lloydRoundCte).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.ccid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $ccos DESC, c.ccid) AS rn
+       |    FROM embeddings e CROSS JOIN cent$RetrainRounds c) WHERE rn = 1)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(cell AS INTEGER) AS cell
+       |FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p142_retraction_video_release" -> (retractionVideoRelease _),
+    "p145_drift_retrain_assignment" -> (driftRetrainAssignment _),
     "p143_retraction_crossmodal_labels" -> (retractionXmodalLabels _),
     "p144_retraction_crossmodal_release" -> (retractionXmodalRelease _),
   )
@@ -246,5 +339,8 @@ object Pipeline18 {
     "p143_retraction_crossmodal_labels" -> retractionXmodalLabelsOracle,
     // the unified release draw over the post-takedown state
     "p144_retraction_crossmodal_release" -> retractionXmodalReleaseOracle,
+    // gate fire → warm-start frozen Lloyd → checked swap: the swapped
+    // layout = the from-scratch assignment under the same warm start
+    "p145_drift_retrain_assignment" -> driftRetrainAssignmentOracle,
   )
 }
