@@ -20,6 +20,40 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
 
+  /** PRICING CLASS of each registered entry, so the single-pass total
+    * diffs like-for-like: most entries price a steady-state PROBE
+    * against memoized live state (index builds are charged to the
+    * untimed warmup pass, as on a long-lived cluster), but some
+    * deliberately price heavier operational context PER REP — the 2×
+    * rule and round-over-round total diffs should compare within a
+    * class, not across the mixture. Default: "probe".
+    *
+    *  - "ingestion": the incremental fold loops rebuild their stores
+    *    and run the full multi-batch ingestion per rep — the fold IS
+    *    the product being priced.
+    *  - "retraction": per-rep store rebuild + composed takedown (the
+    *    differentials that must exercise the takedown itself; their
+    *    memoized-store siblings p138/p139/p141–p144 are probe-class).
+    *  - "training": per-rep model training in the registered path.
+    */
+  private val pricingClass: Map[String, String] = Map(
+    "p123_incremental_soft_dedup" -> "ingestion",
+    "p126_incremental_vector_labels" -> "ingestion",
+    "p127_incremental_video_labels" -> "ingestion",
+    "p128_incremental_audio_labels" -> "ingestion",
+    "p132_incremental_crossmodal" -> "ingestion",
+    "p136_retraction_labels" -> "retraction",
+    "p137_retraction_bm25" -> "retraction",
+    "p140_retraction_vector_labels" -> "retraction",
+    "p69_bpe_merges" -> "training",
+    "p107_perceptron_pocket" -> "training",
+    "p124_ann_tuning_trained" -> "training",
+    "p145_drift_retrain_assignment" -> "training",
+  )
+
+  private def classOf(name: String): String =
+    pricingClass.getOrElse(name, "probe")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -94,10 +128,21 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
+    // per-pricing-class totals (like-for-like diffing; see pricingClass)
+    // and the non-default tags themselves, so the artifact names which
+    // keys sit in which class without repeating 200+ "probe" entries
+    val classTotals = ok.groupBy { case (k, _) => classOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (c, qs) => "\"" + c + "\":" + sec(qs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val classTags = pricingClass.toSeq.sorted
+      .map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
+      .mkString("{", ",", "}")
     def line(qs: Seq[(String, Double)], tag: String): String =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""queries":${renderQueries(qs)},"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"errors":$errJson,""" +
+        s""""class_totals":$classTotals,"classes":$classTags,""" +
         s""""sf":"$sfDir","warmup":$doWarm$tag}"""
     // Full line first (every key, for local pin_check runs), then a
     // compact top-40 summary line LAST so the harness's bounded stdout

@@ -94,7 +94,9 @@ object Bucketed {
       Maintenance.minusTombstones(spark, tableLocation(spark, table),
           spark.table(table))
         .repartition(n, col(key)), tmp, key, n)
+    graft.CrashPoints.hit("bucketedSwap.staged")
     spark.sql(s"DROP TABLE $table")
+    graft.CrashPoints.hit("bucketedSwap.dropped")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
@@ -142,7 +144,9 @@ object Bucketed {
           Seq(idCol), "left_anti")
         .repartition(n, col(key)),
       tmp, key, n)
+    graft.CrashPoints.hit("bucketedSwap.staged")
     spark.sql(s"DROP TABLE $table")
+    graft.CrashPoints.hit("bucketedSwap.dropped")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 

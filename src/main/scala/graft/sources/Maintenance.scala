@@ -201,6 +201,7 @@ object Maintenance {
       .write.mode("overwrite").partitionBy(partCol)
       .option("parquet.block.size", rowGroupBytes)
       .parquet(dst.toString)
+    graft.CrashPoints.hit("removePartitionedRows.staged")
     graft.streaming.StreamingOps.swapInCompacted(spark, path)
   }
 
@@ -277,6 +278,7 @@ object Maintenance {
       .option("parquet.block.size", rowGroupBytes)
       .partitionBy(partCol)
       .parquet(path)
+    graft.CrashPoints.hit("removePrunedRows.overwrite")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (affected.toSet -- keptParts).foreach { c =>

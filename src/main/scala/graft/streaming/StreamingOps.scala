@@ -1108,6 +1108,7 @@ object StreamingOps {
     val old = new org.apache.hadoop.fs.Path(s"${storePath}__precompact")
     require(fs.rename(root, old),
       s"swapInCompacted: rename $root -> $old failed; store left in place")
+    graft.CrashPoints.hit("swapInCompacted.mid") // between the renames
     require(fs.rename(dst, root),
       s"swapInCompacted: rename $dst -> $root failed; previous copy " +
         s"preserved at $old — recoverStoreSwap($storePath) heals")
@@ -1185,6 +1186,7 @@ object StreamingOps {
     graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = textRetractLabels(spark, lshStorePath, labelPath, rm)
+    graft.CrashPoints.hit("dedupRetract.labels")
     // gated on the SIGNATURE store's own state: present after a crash
     // between the halves even when the label rows are already gone
     val sigsPresent = !spark.read.parquet(lshStorePath)
@@ -1256,6 +1258,7 @@ object StreamingOps {
     graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = textRetractLabels(spark, lshStorePath, labelPath, rm)
+    graft.CrashPoints.hit("dedupRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, lshStorePath,
       rm, "doc_id")
     before
@@ -1287,12 +1290,14 @@ object StreamingOps {
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = multimodalRetractLabels(spark, txtStorePath, imgStorePath,
       audStorePath, vidStorePath, labelPath, maxHamming, rm)
+    graft.CrashPoints.hit("multimodalRetract.labels")
     stores.foreach { store =>
       val present = !spark.read.parquet(store)
         .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
       if (present)
         graft.sources.Maintenance.removePartitionedRows(
           spark, store, rm, "doc_id", "band_i", "band_v")
+      graft.CrashPoints.hit("multimodalRetract.store")
     }
     before
   }
@@ -1314,8 +1319,11 @@ object StreamingOps {
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = multimodalRetractLabels(spark, txtStorePath, imgStorePath,
       audStorePath, vidStorePath, labelPath, maxHamming, rm)
-    stores.foreach(graft.sources.Maintenance.tombstoneAppend(spark, _,
-      rm, "doc_id"))
+    graft.CrashPoints.hit("multimodalRetractDeferred.labels")
+    stores.foreach { store =>
+      graft.sources.Maintenance.tombstoneAppend(spark, store, rm, "doc_id")
+      graft.CrashPoints.hit("multimodalRetractDeferred.zone")
+    }
     before
   }
 
@@ -1385,6 +1393,7 @@ object StreamingOps {
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = videoRetractLabels(spark, frameStorePath, labelPath,
       maxHamming, rm)
+    graft.CrashPoints.hit("videoRetract.labels")
     val sigsPresent = !spark.read.parquet(frameStorePath)
       .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
     if (sigsPresent)
@@ -1441,6 +1450,7 @@ object StreamingOps {
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = videoRetractLabels(spark, frameStorePath, labelPath,
       maxHamming, rm)
+    graft.CrashPoints.hit("videoRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, frameStorePath,
       rm, "doc_id")
     before
@@ -1461,6 +1471,7 @@ object StreamingOps {
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = audioRetractLabels(spark, fpStorePath, labelPath,
       maxHamming, rm)
+    graft.CrashPoints.hit("audioRetract.labels")
     val sigsPresent = !spark.read.parquet(fpStorePath)
       .join(broadcast(rm), Seq("doc_id"), "left_semi").isEmpty
     if (sigsPresent)
@@ -1508,6 +1519,7 @@ object StreamingOps {
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val before = audioRetractLabels(spark, fpStorePath, labelPath,
       maxHamming, rm)
+    graft.CrashPoints.hit("audioRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, fpStorePath,
       rm, "doc_id")
     before
@@ -1558,6 +1570,7 @@ object StreamingOps {
       LabelStore.remove(spark, labelPath, rm,
         Similarity.cellBlockedTauPairs(survEmb, cents, tau, nProbe))
     }
+    graft.CrashPoints.hit("vectorRetract.labels")
     // gated on the CELL store's own state (crash between the halves
     // retries to completion — the dedupRetractBatch discipline)
     graft.sources.Maintenance.removeIvfRows(spark, ivfStorePath,
@@ -1644,11 +1657,13 @@ object StreamingOps {
     graft.sources.Partitioned.writeBy(
       Similarity.assignCellsKeeping(retrained, live, Seq("ingest_batch")),
       dst.toString, "cell")
+    graft.CrashPoints.hit("ivfRetrainRebuild.layout")
     // the model lands inside the replacement BEFORE the swap — never a
     // window where the live layout and its model can part ways
     import spark.implicits._
     retrained.toSeq.toDF("ccid", "ce")
       .write.mode("overwrite").parquet(s"$dst/_model")
+    graft.CrashPoints.hit("ivfRetrainRebuild.model")
     swapInCompacted(spark, storePath)
     retrained
   }
@@ -2257,6 +2272,7 @@ object StreamingOps {
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(s"${table}_stats")
     }
+    graft.CrashPoints.hit("lexicalRetract.stats")
     // posting half gated on the STORE's own state: still present after a
     // crash between the halves even when the stats row is committed
     val present = !spark.table(table)
@@ -2339,6 +2355,7 @@ object StreamingOps {
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(s"${table}_stats")
     }
+    graft.CrashPoints.hit("lexicalRetractDeferred.stats")
     // zone half, gated on the STORE's own state (the eager twin's
     // discipline): only ids whose rows physically remain need queuing —
     // a replay AFTER the applying compaction retired the zone must not

@@ -33,6 +33,7 @@ object TakedownProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs0 = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).localCheckpoint()
@@ -64,6 +65,16 @@ object TakedownProbe {
         StreamingOps.lexicalRetractBatch(spark, pt, nBuckets = 8,
           retractId = -2L)(rm)
       }
+      // the DEFERRED lexical twin on an identical store: stats row +
+      // zone append only (compaction triggers disabled) — the p141
+      // O(batch) claim, measured against the eager rewrite at the
+      // same store size
+      val ptD = s"graft_tdp_postings_d_$m"
+      Pipeline6.postingsWrite(docs, ptD, nBuckets = 8)
+      val tLexDefer = timed {
+        StreamingOps.lexicalRetractDeferred(spark, ptD, nBuckets = 8,
+          retractId = -2L, compactMaxFiles = 0)(rm)
+      }
       // the DEFERRED twin on an identical store pair: label half +
       // tombstone append only — the O(batch) claim, measured against
       // the eager rewrite at the same store size
@@ -76,7 +87,58 @@ object TakedownProbe {
       }
       println(f"[takedown/full] mult=$m docs=${docs.count()} " +
         f"retracted=${rm.count()} dedup_rewrite=$tDedup%.2fs " +
-        f"dedup_deferred=$tDefer%.2fs lexical_rewrite=$tLex%.2fs")
+        f"dedup_deferred=$tDefer%.2fs lexical_rewrite=$tLex%.2fs " +
+        f"lexical_deferred=$tLexDefer%.2fs")
+    }
+
+    // ---- deferred READ-TAX curve: probe latency vs tombstone-zone
+    // size (queued takedown batches since the last compaction) on the
+    // text LSH store, the video frame store and the posting store —
+    // the zone-count trigger's bound made visible. Batches queue ids
+    // the probes never match (disjoint range), so latency deltas are
+    // pure anti-join tax, not result-size drift.
+    {
+      val lshR = tmp("lshR")
+      Dedup.lshStoreWrite(Dedup.lshSignatureRows(docs0, "doc_id", "text"), lshR)
+      val probeSigs = Dedup.lshSignatureRows(
+        docs0.limit(200), "doc_id", "text")
+        .localCheckpoint()
+      val frames = graft.operators.Multimodal.decodeVideoFrames(
+          graft.operators.Multimodal.attachVideo(docs0))
+        .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+        .localCheckpoint()
+      val frmR = tmp("frmR")
+      graft.operators.Multimodal.frameStoreWrite(
+        frames.select(col("doc_id"), col("frame"), col("fhash")), frmR)
+      val probeClips = frames.filter(col("doc_id") < 200).localCheckpoint()
+      val ptR = "graft_tdp_postings_tax"
+      Pipeline6.postingsWrite(docs0, ptR, nBuckets = 8)
+      def lshProbe(): Unit =
+        Dedup.lshProbeStoredDF(spark, lshR, probeSigs).count()
+      def frmProbe(): Unit =
+        graft.operators.Multimodal.videoNearDupStored(
+          spark, frmR, probeClips, maxHamming = 3).count()
+      def bm25Probe(): Unit =
+        Pipeline6.bm25TopKStored(spark, ptR, k = 20).count()
+      val zones = Seq(0, 1, 4, 16)
+      var queued = 0
+      val rows = zones.map { z =>
+        while (queued < z) {
+          val ids = Seq.tabulate(50)(j =>
+            900000000L + queued.toLong * 1000L + j).toDF("doc_id")
+          Maintenance.tombstoneAppend(spark, lshR, ids, "doc_id")
+          Maintenance.tombstoneAppend(spark, frmR, ids, "doc_id")
+          Maintenance.tombstoneAppend(spark,
+            graft.sources.Bucketed.tableLocation(spark, ptR), ids, "doc_id")
+          queued += 1
+        }
+        lshProbe(); frmProbe(); bm25Probe() // warm
+        val tL = Seq.fill(3)(timed(lshProbe())).min
+        val tF = Seq.fill(3)(timed(frmProbe())).min
+        val tB = Seq.fill(3)(timed(bm25Probe())).min
+        f"zone=$z lsh_probe=$tL%.2fs frame_probe=$tF%.2fs bm25_probe=$tB%.2fs"
+      }
+      rows.foreach(r => println(s"[takedown/readtax] $r"))
     }
 
     // ---- pruned paths: cost follows AFFECTED partitions, not batch ----

@@ -37,7 +37,7 @@ def load_bench(path):
         if isinstance(whole, dict) and isinstance(whole.get("tail"), str):
             text = whole["tail"]
         elif isinstance(whole, dict) and "queries" in whole:
-            return whole["queries"]
+            return whole["queries"], whole.get("class_totals", {})
     except ValueError:
         pass
     for line in text.splitlines():
@@ -48,19 +48,24 @@ def load_bench(path):
         except (ValueError, IndexError):
             continue
         if "queries" in obj:
-            return obj["queries"]
+            return obj["queries"], obj.get("class_totals", {})
     sys.exit(f"no bench JSON line with a 'queries' field found in {path}")
 
 
 def load_pins(path):
     """Parse every `| key | sec |`-shaped cell pair from markdown table
-    rows; later tables override earlier ones (the newest pin wins)."""
-    pins = {}
+    rows; later tables override earlier ones (the newest pin wins).
+    Rows shaped `| class:probe | sec |` pin a PRICING-CLASS total
+    (the Bench line's class_totals field) instead of a query."""
+    pins, class_pins = {}, {}
     row = re.compile(r"\|\s*([pq]\d+\w*)\s*\|\s*(\d+\.\d+)\s*")
+    crow = re.compile(r"\|\s*class:(\w+)\s*\|\s*(\d+\.\d+)\s*")
     for line in open(path):
         for m in row.finditer(line):
             pins[m.group(1)] = float(m.group(2))
-    return pins
+        for m in crow.finditer(line):
+            class_pins[m.group(1)] = float(m.group(2))
+    return pins, class_pins
 
 
 def main():
@@ -80,9 +85,21 @@ def main():
                          "(default: 0.25)")
     ns = ap.parse_args()
     band = ns.band
-    bench = load_bench(ns.bench)
-    pins = load_pins(ns.baseline)
+    bench, class_totals = load_bench(ns.bench)
+    pins, class_pins = load_pins(ns.baseline)
+    # pricing-class totals: the like-for-like view of the single-pass
+    # total (class drift is informative per class; a class total over
+    # the band against its class pin counts as a mover like any key)
     movers, noise, checked = [], [], 0
+    for c, tot in sorted(class_totals.items()):
+        pin = class_pins.get(c)
+        if pin is None:
+            print(f"class {c}: {tot:.2f} s (unpinned)")
+        else:
+            flag = "MOVER" if tot > pin * (1 + band) else "ok"
+            print(f"class {c}: {pin:.2f} -> {tot:.2f} ({tot / pin:.2f}x, {flag})")
+            if tot > pin * (1 + band):
+                movers.append((tot / pin, f"class:{c}", pin, tot))
     for k, pin in sorted(pins.items()):
         if k not in bench:
             print(f"retired {k} (pinned {pin:.2f}, absent from run)")
