@@ -930,7 +930,7 @@ object Pipeline12 {
       .join(broadcast(sizes), Seq("cell"))
       .groupBy(col("nprobe")).agg(sum(col("csz")).as("rows_read"))
     val totals = assigned.agg(count(lit(1)).as("n"))
-      .crossJoin(queries.agg(count(lit(1)).as("nq")))
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("nq"))))
     np.join(hits, Seq("nprobe"), "left")
       .join(reads, Seq("nprobe"), "left")
       .crossJoin(broadcast(denom)).crossJoin(broadcast(totals))

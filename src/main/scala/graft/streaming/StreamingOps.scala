@@ -2260,7 +2260,13 @@ object StreamingOps {
       .filter(col("batch_id") === retractId).isEmpty
     var removedDocs = 0L
     if (!committed) {
-      val gone = spark.table(table)
+      // tombstone-aware on MIXED use: an id already QUEUED deferred has
+      // physically-present rows whose stats decrement landed with ITS
+      // batch — counting them again here would double-decrement, so the
+      // derivation excludes the pending set (the deferred twin's rule)
+      val gone = graft.sources.Maintenance.minusTombstones(spark,
+          graft.sources.Bucketed.tableLocation(spark, table),
+          spark.table(table))
         .join(broadcast(rm), Seq("doc_id"), "left_semi")
       // 1-row exact decrement, derived from the store's own rows before
       // they leave (the self-describing-postings argument of the merge)

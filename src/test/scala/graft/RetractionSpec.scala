@@ -242,19 +242,22 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
   test("eager lexical removal applies pending tombstones too (no resurrection on mixed use)") {
     val t = "graft_spec_lexdef_d"
     Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
-    // doc 7 queued deferred; an EAGER takedown of doc 10 then rewrites
+    // doc 7 queued deferred; an EAGER takedown of {7, 10} then rewrites
     // the store — its swap retires the zone, so 7's rows must leave
-    // with it or they would silently resurrect
+    // with it (no resurrection) AND 7's stats must not decrement AGAIN
+    // (its decrement landed when it was queued): the eager derivation
+    // excludes the pending set exactly like the deferred twin's
     StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
       retractId = -2L, compactMaxFiles = 0)(Seq(7L).toDF("doc_id"))
-    StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
-      retractId = -3L)(Seq(10L).toDF("doc_id"))
+    val n = StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+      retractId = -3L)(Seq(7L, 10L).toDF("doc_id"))
+    assert(n === 1L, "only doc 10 is genuinely new to this takedown")
     assert(spark.table(t).filter(col("doc_id").isin(7L, 10L)).isEmpty)
     assert(!zoneDirOf(t).exists())
     val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
     val sWs = survivors.select(size(split(col("text"), " ")).as("dl"))
       .agg(count(lit(1)), sum("dl")).head()
-    assert(st.getLong(0) === sWs.getLong(0))
+    assert(st.getLong(0) === sWs.getLong(0), "no double decrement of 7")
     assert(st.getLong(1) === sWs.getLong(1))
   }
 
