@@ -345,9 +345,98 @@ object Pipeline17 {
   def deferredRetractionBm25(s: SparkSession, d: String): DataFrame =
     Pipeline6.bm25TopKStored(s, deferredPostingsFor(s, d), k = 20)
 
+  /** The deferred-then-COMPACTED posting store, built once per JVM per
+    * dataset: p141's deferred takedown followed by the bucketed
+    * compaction that applies it physically
+    * ([[graft.sources.Bucketed.compactBucketed]] — the zone-count
+    * trigger's action, forced deterministically here). p141 checks the
+    * tombstoned state's reads; this memo serves p146, which checks the
+    * OTHER end of the lifecycle: the compactor's tombstone-aware
+    * rewrite (queued rows dropped, zone retired with the old table
+    * directory) must land on the same survivor index.
+    */
+  private val compactedPostings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def compactedPostingsFor(s: SparkSession, d: String): String =
+    compactedPostings.computeIfAbsent(d, _ => {
+      val t = "graft_defcmp_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = documents(s, d)
+      Pipeline6.postingsWrite(docs, t, nBuckets = 8)
+      graft.streaming.StreamingOps.lexicalRetractDeferred(
+        s, t, nBuckets = 8, retractId = RetractBatchId,
+        compactMaxFiles = 0)(retractIds(docs))
+      graft.sources.Bucketed.compactBucketed(s, t, "term", 8)
+      t
+    })
+
+  /** p146: the POST-COMPACTION lexical state — the tombstone
+    * lifecycle's second differential, completing p141: after the
+    * applying compaction the withdrawn rows are physically gone and
+    * the zone is retired, and the registered BM25 must STILL
+    * hash-match the from-scratch survivor index (p137's oracle, third
+    * reuse). This is the oracle on the round-14 compactor change
+    * itself — a rewrite that forgot the anti-join would resurrect the
+    * queued rows the moment the swap deleted their zone, and this
+    * differential (not just a spec fixture) would catch it at sf
+    * scale: scores of resurrected docs re-enter the top-k and every
+    * survivor's idf shifts against the decremented stats.
+    *
+    * Scale shape: store + takedown + compaction build once (memoized);
+    * the entry is the steady-state pruned probe over the clean store —
+    * the post-compaction twin of p141's tombstone-aware read, so the
+    * two entries also price the read tax's two endpoints.
+    */
+  def compactedRetractionBm25(s: SparkSession, d: String): DataFrame =
+    Pipeline6.bm25TopKStored(s, compactedPostingsFor(s, d), k = 20)
+
+  /** The deferred-then-COMPACTED text signature store — p139's memo
+    * followed by the banded store's applying compaction
+    * (`lshStoreCompact` + the checked-rename swap, exactly what
+    * `compactIfDue` runs when the zone-count trigger fires). Serves
+    * p147, the banded twin of p146.
+    */
+  private def compactedTextRoot(s: SparkSession, d: String): String =
+    IndexStores.of("defcmp_text_store", d) { p =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/lsh") {
+        Dedup.lshStoreWrite(
+          Dedup.lshSignatureRows(docs, "doc_id", "text",
+            n = PipelineQueries.ShingleN, numHashes = 16, bands = 4),
+          s"$p/lsh")
+        LabelStore.write(
+          Dedup.dedupClusters(docs, "doc_id",
+            Dedup.minhashLshPairs(docs, "doc_id", "text",
+              n = PipelineQueries.ShingleN, numHashes = 16, bands = 4)),
+          s"$p/labels")
+        graft.streaming.StreamingOps.dedupRetractDeferred(
+          s, s"$p/lsh", s"$p/labels")(retractIds(docs))
+        Dedup.lshStoreCompact(s, s"$p/lsh", s"$p/lsh__compact")
+        graft.streaming.StreamingOps.swapInCompacted(s, s"$p/lsh")
+      }
+    }
+
+  /** p147: the POST-COMPACTION banded state — p139's differential on
+    * the other end of the banded lifecycle: after the compaction
+    * applies the queued tombstones (rows dropped by the
+    * tombstone-aware sorted rewrite, zone retired with the old store
+    * copy), the pair relation derived from the store must STILL equal
+    * the from-scratch LSH pairs of the surviving corpus — now with the
+    * anti-join a provable no-op rather than the thing under test.
+    * Together p139/p147 (banded) and p141/p146 (bucketed) pin both
+    * endpoints of the deferred design for both store families.
+    */
+  def compactedRetractionPairs(s: SparkSession, d: String): DataFrame = {
+    val root = compactedTextRoot(s, d)
+    Dedup.lshPairsFromStore(s, s"$root/lsh")
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p137_retraction_bm25" -> (retractionBm25 _),
     "p141_deferred_retraction_bm25" -> (deferredRetractionBm25 _),
+    "p146_compacted_retraction_bm25" -> (compactedRetractionBm25 _),
+    "p147_compacted_retraction_pairs" -> (compactedRetractionPairs _),
     "p138_retraction_release_live" -> (retractionRelease _),
     "p139_deferred_retraction_pairs" -> (deferredRetractionPairs _),
     "p140_retraction_vector_labels" -> (retractionVectorLabels _),
@@ -361,6 +450,12 @@ object Pipeline17 {
     // TOMBSTONE-AWARE read over the deferred state (rows physically
     // present, only queued) — p139's differential for the lexical store
     "p141_deferred_retraction_bm25" -> retractionBm25Oracle,
+    // ...and matched again AFTER the applying compaction (rows gone,
+    // zone retired) — the oracle on the tombstone-aware compactor
+    "p146_compacted_retraction_bm25" -> retractionBm25Oracle,
+    // the banded twin: the pair relation after the compaction applies
+    // the queued tombstones = the from-scratch survivor pairs
+    "p147_compacted_retraction_pairs" -> deferredRetractionPairsOracle,
     // from-scratch labels + weights + draw over the surviving corpus:
     // withdrawn docs never drawn, survivors drawn at raised weights
     "p138_retraction_release_live" -> retractionReleaseOracle,
