@@ -232,6 +232,63 @@ object Pipeline18 {
        |${survivorClosureTail("prs")},
        |$releaseDrawTail""".stripMargin
 
+  /** The post-retraction AUDIO store pair, built once per JVM per
+    * dataset: one-frame fingerprint store + track-family label table
+    * over the full corpus (p128's store shape), then the composed
+    * audio takedown ([[graft.streaming.StreamingOps.audioRetractBatch]]
+    * — evidence is p79's banded relation over the affected components'
+    * surviving fingerprints, read from one band partition). Serves
+    * p148, completing the four-modality release-draw symmetry.
+    */
+  private def retractedAudioRoot(s: SparkSession, d: String): String =
+    IndexStores.of("retract_audio_store", d) { p =>
+      val docs = documents(s, d)
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/fp") {
+        val af = Multimodal.decodeWave(Multimodal.attachWave(docs))
+          .select(col("doc_id"), col("afp")).localCheckpoint()
+        Multimodal.frameStoreWrite(
+          af.select(col("doc_id"), lit(0).as("frame"),
+            col("afp").as("fhash")), s"$p/fp")
+        LabelStore.write(
+          LabelStore.labelsFor(af.select(col("doc_id")),
+            Multimodal.perceptualNearDupPairs(
+                af.select(col("doc_id"), col("afp").as("dhash")),
+                maxHamming = 3)
+              .select(col("d1"), col("d2"))),
+          s"$p/labels")
+        graft.streaming.StreamingOps.audioRetractBatch(
+          s, s"$p/fp", s"$p/labels")(Pipeline17.retractIds(docs))
+      }
+    }
+
+  /** p148: the POST-RETRACTION release draw over the AUDIO label space
+    * — the fourth and last modality through the takedown-composed
+    * release chain (text p138, video p142, unified p144): withdrawn
+    * tracks never surface in any epoch, surviving family members draw
+    * at their raised weight. Same memoized-store/refresh pricing as
+    * its three siblings; the oracle closes a survivor-restricted copy
+    * of p79's fingerprint pair relation (re-derived from the wave
+    * generator formula, the audio oracle discipline) under the
+    * weight + draw tail.
+    */
+  def retractionAudioRelease(s: SparkSession, d: String): DataFrame = {
+    val root = retractedAudioRoot(s, d)
+    Pipeline13.softDedupSampleOf(
+        LabelStore.weightsFromStore(s, s"$root/labels"),
+        Pipeline13.SampleEpochs)
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  val retractionAudioReleaseOracle: String =
+    s"""WITH RECURSIVE ${Pipeline8.waveDocsCte},
+       |${Pipeline8.waveSampleCte},
+       |${Pipeline8.waveFpCtes},
+       |ap AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+       |${survivorClosureTail("ap")},
+       |$releaseDrawTail""".stripMargin
+
   /** Lloyd rounds of the registered drift-gated retrain — the
     * composed handler's own default
     * ([[graft.streaming.StreamingOps.ivfRetrainIfDrifted]]), restated
@@ -329,6 +386,7 @@ object Pipeline18 {
     "p145_drift_retrain_assignment" -> (driftRetrainAssignment _),
     "p143_retraction_crossmodal_labels" -> (retractionXmodalLabels _),
     "p144_retraction_crossmodal_release" -> (retractionXmodalRelease _),
+    "p148_retraction_audio_release" -> (retractionAudioRelease _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +400,8 @@ object Pipeline18 {
     // gate fire → warm-start frozen Lloyd → checked swap: the swapped
     // layout = the from-scratch assignment under the same warm start
     "p145_drift_retrain_assignment" -> driftRetrainAssignmentOracle,
+    // the fourth modality's takedown-composed release: withdrawn
+    // tracks never drawn, surviving family members at raised weights
+    "p148_retraction_audio_release" -> retractionAudioReleaseOracle,
   )
 }

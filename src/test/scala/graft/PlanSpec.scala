@@ -399,4 +399,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "band roll-up lost its map-side partial aggregation")
     assert(p.contains("Window"), "the cumulative counts left the window form")
   }
+
+  test("p141: the tombstone-aware posting read keeps bucket pruning and plans a broadcast anti-join") {
+    // p141's memoized store carries a PENDING tombstone zone — the
+    // deferred state the read tax exists for: the probe must keep the
+    // bucketed scan's term pruning (the ≤|Q|-bucket read) AND exclude
+    // the pending set via a BROADCAST anti-join (zone bounded by
+    // takedowns-since-compaction), never an exchange on the postings
+    val p = plan("p141_deferred_retraction_bm25")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, "deferred posting scan lost bucket pruning")
+    assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt === 8,
+      "3 query terms should still prune to <=3 of 8 buckets under the zone")
+    assert("BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin".r
+        .findFirstIn(p.replace("\n", " ")).isDefined,
+      "the pending-tombstone exclusion is not a broadcast anti-join")
+    // the per-doc scoring aggregate keeps its one legitimate doc_id
+    // exchange; the anti-join itself must not add a shuffled join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the tombstone anti-join degraded to a shuffled join")
+  }
 }
