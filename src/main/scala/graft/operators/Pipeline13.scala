@@ -160,6 +160,28 @@ object Pipeline13 {
   // two silently diverge on the next bump
   private[operators] val SampleEpochs = 4
 
+  /** p120's deterministic weight + epoch-draw tail over a `lab`
+    * relation — THE one SQL definition of the chained release draw,
+    * shared by every composed release oracle (p131/p135/p138/p142/
+    * p144/p148) so the family cannot drift on the draw formula or the
+    * epoch grid: a constant or rounding tweak lands everywhere or
+    * nowhere.
+    */
+  private[operators] val releaseDrawTail: String =
+    s"""wts AS (
+       |  SELECT doc_id, canonical,
+       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM lab),
+       |ep AS (SELECT unnest(range(0, $SampleEpochs)) AS epoch)
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
+       |       w.weight_ppm
+       |FROM wts w CROSS JOIN ep e
+       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
+       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
+       |      < w.weight_ppm
+       |ORDER BY epoch, doc_id""".stripMargin
+
   /** p120: the sampling REALIZATION of p118 — the per-epoch document
     * list a trainer actually consumes. A document is drawn in epoch e
     * iff `md5_bucket(doc_id || ':' || e) mod 1e6 < weight_ppm` (the

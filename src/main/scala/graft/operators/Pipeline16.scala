@@ -356,19 +356,7 @@ object Pipeline16 {
     */
   val incrementalCrossModalReleaseOracle: String =
     s"""WITH RECURSIVE ${Pipeline9.multimodalLabelCtes},
-       |wts AS (
-       |  SELECT doc_id, canonical,
-       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
-       |              AS BIGINT) AS weight_ppm
-       |  FROM lab),
-       |ep AS (SELECT unnest(range(0, ${Pipeline13.SampleEpochs})) AS epoch)
-       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
-       |       w.weight_ppm
-       |FROM wts w CROSS JOIN ep e
-       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
-       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
-       |      < w.weight_ppm
-       |ORDER BY epoch, doc_id""".stripMargin
+       |${Pipeline13.releaseDrawTail}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // p85's from-scratch cross-modal oracle VERBATIM — the unified

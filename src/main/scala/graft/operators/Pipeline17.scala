@@ -146,19 +146,7 @@ object Pipeline17 {
     */
   val retractionReleaseOracle: String =
     s"""WITH RECURSIVE ${Pipeline16.survivorLabelCtes},
-       |wts AS (
-       |  SELECT doc_id, canonical,
-       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
-       |              AS BIGINT) AS weight_ppm
-       |  FROM lab),
-       |ep AS (SELECT unnest(range(0, ${Pipeline13.SampleEpochs})) AS epoch)
-       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
-       |       w.weight_ppm
-       |FROM wts w CROSS JOIN ep e
-       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
-       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
-       |      < w.weight_ppm
-       |ORDER BY epoch, doc_id""".stripMargin
+       |${Pipeline13.releaseDrawTail}""".stripMargin
 
   /** The DEFERRED-takedown text store, built once per JVM per dataset:
     * full-corpus label + LSH stores, then the deferred handler
@@ -307,19 +295,31 @@ object Pipeline17 {
     * (pricing the full-rewrite takedown); this memo serves the
     * steady-state tombstone-aware READ p141 prices.
     */
-  private val deferPostings =
+  private val deferStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def deferredPostingsFor(s: SparkSession, d: String): String =
-    deferPostings.computeIfAbsent(d, _ => {
-      val t = "graft_defer_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  /** ONE builder for both lexical lifecycle endpoints: full-corpus
+    * store + deferred takedown (compaction triggers disabled so the
+    * tombstoned state persists), optionally followed by the applying
+    * compaction — p141 and p146 must share the build verbatim or the
+    * two endpoints silently diverge.
+    */
+  private def deferredStoreFor(s: SparkSession, d: String, prefix: String,
+                               compactAfter: Boolean): String =
+    deferStores.computeIfAbsent(prefix + d, _ => {
+      val t = prefix + d.replaceAll("[^A-Za-z0-9]", "_")
       val docs = documents(s, d)
       Pipeline6.postingsWrite(docs, t, nBuckets = 8)
       graft.streaming.StreamingOps.lexicalRetractDeferred(
         s, t, nBuckets = 8, retractId = RetractBatchId,
         compactMaxFiles = 0)(retractIds(docs))
+      if (compactAfter)
+        graft.sources.Bucketed.compactBucketed(s, t, "term", 8)
       t
     })
+
+  private def deferredPostingsFor(s: SparkSession, d: String): String =
+    deferredStoreFor(s, d, "graft_defer_postings_", compactAfter = false)
 
   /** p141: the TOMBSTONE-AWARE BM25 read — the deferred lexical
     * takedown's correctness differential, completing the family p139
@@ -355,20 +355,8 @@ object Pipeline17 {
     * rewrite (queued rows dropped, zone retired with the old table
     * directory) must land on the same survivor index.
     */
-  private val compactedPostings =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def compactedPostingsFor(s: SparkSession, d: String): String =
-    compactedPostings.computeIfAbsent(d, _ => {
-      val t = "graft_defcmp_postings_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      val docs = documents(s, d)
-      Pipeline6.postingsWrite(docs, t, nBuckets = 8)
-      graft.streaming.StreamingOps.lexicalRetractDeferred(
-        s, t, nBuckets = 8, retractId = RetractBatchId,
-        compactMaxFiles = 0)(retractIds(docs))
-      graft.sources.Bucketed.compactBucketed(s, t, "term", 8)
-      t
-    })
+    deferredStoreFor(s, d, "graft_defcmp_postings_", compactAfter = true)
 
   /** p146: the POST-COMPACTION lexical state — the tombstone
     * lifecycle's second differential, completing p141: after the

@@ -57,23 +57,10 @@ object Pipeline18 {
        |  FROM surv d LEFT JOIN scomp c ON d.doc_id = c.doc_id)""".stripMargin
 
   /** p120's deterministic weight + epoch-draw tail over a `lab`
-    * relation — the chained-release oracle device shared with
-    * p131/p135/p138, epoch grid from p120's own constant.
+    * relation — the ONE shared definition ([[Pipeline13
+    * .releaseDrawTail]]) every chained release oracle composes.
     */
-  private val releaseDrawTail: String =
-    s"""wts AS (
-       |  SELECT doc_id, canonical,
-       |         CAST(1000000 // count(*) OVER (PARTITION BY canonical)
-       |              AS BIGINT) AS weight_ppm
-       |  FROM lab),
-       |ep AS (SELECT unnest(range(0, ${Pipeline13.SampleEpochs})) AS epoch)
-       |SELECT CAST(e.epoch AS BIGINT) AS epoch, w.doc_id, w.canonical,
-       |       w.weight_ppm
-       |FROM wts w CROSS JOIN ep e
-       |WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR) || ':' ||
-       |        CAST(e.epoch AS VARCHAR)), 1, 7) AS BIGINT) % 1000000
-       |      < w.weight_ppm
-       |ORDER BY epoch, doc_id""".stripMargin
+  private def releaseDrawTail: String = Pipeline13.releaseDrawTail
 
   /** The post-retraction VIDEO store pair, built once per JVM per
     * dataset: banded frame store + clip-family label table over the

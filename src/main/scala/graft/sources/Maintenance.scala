@@ -124,9 +124,15 @@ object Maintenance {
     // skip the append when nothing is genuinely new (pure replay /
     // already-queued batch): an empty part-file would still count
     // against the zone-file compaction triggers, so crash-retries
-    // could fire a full compaction early for no pending work
+    // could fire a full compaction early for no pending work. The
+    // coalesce(1) keeps the other half of the triggers' premise true —
+    // ONE file per append, so the zone's file count IS the queued-batch
+    // count (a multi-partition anti-join output would otherwise land
+    // one file per partition and fire the compaction after a single
+    // large batch); takedown batches are broadcast-bounded by contract,
+    // so one writer task is the right shape anyway
     if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(tombstoneZone(path))
+      fresh.coalesce(1).write.mode("append").parquet(tombstoneZone(path))
   }
 
   /** The pending tombstone set, if any — a 1-column frame whose column

@@ -1645,7 +1645,14 @@ object StreamingOps {
                         rounds: Int = 2): Array[(Int, Seq[Float])] = {
     import graft.operators.Similarity
     recoverStoreSwap(spark, storePath)
-    val live = spark.read.parquet(storePath)
+    // tombstone-aware like every full rewrite-and-swap: the swap below
+    // retires the zone with the old root, so keeping queued rows in the
+    // rebuilt layout would silently resurrect deferred takedowns AND
+    // destroy the only record that they were pending (no zone →
+    // passthrough; the retrain then also trains on survivors only,
+    // which is what a post-takedown model must do)
+    val live = graft.sources.Maintenance.minusTombstones(spark, storePath,
+        spark.read.parquet(storePath))
       .select(col("vec_id"), col("embedding"), col("ingest_batch"))
     val retrained = Similarity.retrainIvfCentroidsFrozen(
       live.select(col("vec_id"), col("embedding")), cents, rounds)
@@ -2145,7 +2152,9 @@ object StreamingOps {
     * posting row or a stats fold, so bm25FromPostings' one-row-per-
     * (term, doc) invariant survives any crash. Zero-row batches fold
     * as a (id, 0, 0) stats row — never a poison pill. Run merges
-    * serially from one scheduler.
+    * serially from one scheduler, and retry a crashed job to
+    * completion before admitting the next (the takedown handlers'
+    * overlap-ordering contract rides the same discipline).
     */
   /** `compactMaxFiles` wires the family's compaction trigger to the
     * BUCKETED layout: past that many sliver files in any bucket, the
@@ -2326,8 +2335,16 @@ object StreamingOps {
     * Same retractId namespace contract as the eager twin (≤ -2,
     * content-derive with [[retractIdFor]]); mutate the store ONLY
     * through these handlers (a bare tombstoneAppend would queue ids
-    * whose stats never decremented). Returns the number of documents
-    * whose stats decrement landed in this call (0 on a retry/no-op).
+    * whose stats never decremented). OVERLAP ORDERING: batches sharing
+    * ids are supported only under the serial scheduler's
+    * retry-to-completion discipline — a crashed takedown must re-run
+    * before the NEXT takedown is admitted, because inside the
+    * stats→zone crash window an id's decrement has landed while its
+    * queue entry has not, and a second batch admitted there would
+    * count the id as new and decrement it again (both lexical forms
+    * share this: the "already decremented" fact is only observable
+    * through the zone). Returns the number of documents whose stats
+    * decrement landed in this call (0 on a retry/no-op).
     */
   def lexicalRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                              table: String, nBuckets: Int, retractId: Long,
@@ -2340,19 +2357,24 @@ object StreamingOps {
     graft.sources.Bucketed.recoverBucketedSwap(spark, table)
     val loc = graft.sources.Bucketed.tableLocation(spark, table)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    // the rows this batch is actually responsible for: ids genuinely
+    // NEW to the zone (already-queued ids' decrements landed with THEIR
+    // batch) whose rows are physically present (already-removed ids
+    // contribute nothing). ONE materialized store scan serves both
+    // halves — the stats fold and the zone append must not re-plan the
+    // table read (a doc_id semi-join cannot bucket-prune a
+    // term-bucketed layout, so each scan is a full-index read).
+    val fresh = graft.sources.Maintenance.tombstones(spark, loc) match {
+      case Some(ts) => rm.join(broadcast(ts), Seq("doc_id"), "left_anti")
+      case None => rm
+    }
+    val gone = spark.table(table)
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val committed = !spark.table(s"${table}_stats")
       .filter(col("batch_id") === retractId).isEmpty
     var removedDocs = 0L
     if (!committed) {
-      // only genuinely-new ids count: rows of ids already queued in the
-      // zone are still physically present but THEIR batch already
-      // decremented them
-      val fresh = graft.sources.Maintenance.tombstones(spark, loc) match {
-        case Some(ts) => rm.join(broadcast(ts), Seq("doc_id"), "left_anti")
-        case None => rm
-      }
-      val gone = spark.table(table)
-        .join(broadcast(fresh), Seq("doc_id"), "left_semi")
       val dec = graft.operators.Pipeline6.statsOfPostings(gone).head()
       removedDocs = dec.getLong(0)
       spark.range(1)
@@ -2362,17 +2384,13 @@ object StreamingOps {
         .format("parquet").saveAsTable(s"${table}_stats")
     }
     graft.CrashPoints.hit("lexicalRetractDeferred.stats")
-    // zone half, gated on the STORE's own state (the eager twin's
-    // discipline): only ids whose rows physically remain need queuing —
-    // a replay AFTER the applying compaction retired the zone must not
-    // re-queue already-removed ids into a fresh zone. Already-queued
-    // ids dedup inside the append; a crash between the halves re-runs
-    // here with the commit record short-circuiting the stats.
-    val stillPresent = spark.table(table)
-      .join(broadcast(rm), Seq("doc_id"), "left_semi")
-      .select(col("doc_id")).distinct()
-    graft.sources.Maintenance.tombstoneAppend(spark, loc, stillPresent,
-      "doc_id")
+    // zone half: exactly the fresh-and-present ids need queuing,
+    // derived from the same materialized scan — a replay AFTER the
+    // applying compaction retired the zone re-derives an empty set and
+    // appends nothing; a crash between the halves re-runs here with
+    // the commit record short-circuiting the stats.
+    graft.sources.Maintenance.tombstoneAppend(spark, loc,
+      gone.select(col("doc_id")).distinct(), "doc_id")
     graft.sources.Bucketed.compactIfDueBucketed(spark, table, "term",
       nBuckets, compactMaxFiles, maxTombstoneFiles)
     removedDocs

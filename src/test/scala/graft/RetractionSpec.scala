@@ -565,6 +565,37 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$dS/_graft_tombstones").exists())
   }
 
+  test("retrain/rebuild applies pending IVF tombstones (no resurrection, trains on survivors)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb, 8)
+    val ivf = java.nio.file.Files.createTempDirectory("rtz_ivf_").toString
+    val ref = java.nio.file.Files.createTempDirectory("rtz_ref_").toString
+    Similarity.ivfWrite(emb, cents, ivf)
+    val rm = emb.filter(pmod(col("vec_id"), lit(10L)) === 3L)
+      .select(col("vec_id"))
+    Maintenance.tombstoneAppend(spark, ivf, rm, "vec_id")
+    // the drift-triggered rebuild is the OTHER full rewrite-and-swap of
+    // this store family: its swap retires the zone, so the rewrite must
+    // drop the queued rows (and train on survivors) or deferred
+    // takedowns silently resurrect with their pending record destroyed
+    val retrained = StreamingOps.ivfRetrainRebuild(spark, ivf, cents,
+      rounds = 2)
+    assert(spark.read.parquet(ivf).join(rm, Seq("vec_id"), "left_semi")
+      .isEmpty, "rebuild resurrected tombstoned vectors")
+    assert(!new java.io.File(s"$ivf/_graft_tombstones").exists(),
+      "zone should retire with the old store copy")
+    // the retrained model equals a from-scratch warm-start retrain of
+    // the SURVIVORS — the rebuild must not train on withdrawn mass
+    val surv = emb.join(rm, Seq("vec_id"), "left_anti")
+    Similarity.ivfWrite(surv, cents, ref)
+    val refModel = StreamingOps.ivfRetrainRebuild(spark, ref, cents,
+      rounds = 2)
+    assert(retrained.toSeq === refModel.toSeq,
+      "retrain saw the tombstoned vectors")
+  }
+
   test("Engine.takedownVectors clears the embedding AND codes stores; withdrawn vectors unrankable") {
     import graft.operators.LabelStore
     val dir = "/root/testdata/sf0.001"

@@ -89,16 +89,22 @@ def main():
     pins, class_pins = load_pins(ns.baseline)
     # pricing-class totals: the like-for-like view of the single-pass
     # total (class drift is informative per class; a class total over
-    # the band against its class pin counts as a mover like any key)
+    # the band against its class pin counts as a mover like any key,
+    # under the same absolute floor that keeps sub-noise ratio
+    # exceedances from failing the run)
     movers, noise, checked = [], [], 0
-    for c, tot in sorted(class_totals.items()):
-        pin = class_pins.get(c)
-        if pin is None:
+    for c in sorted(set(class_totals) | set(class_pins)):
+        tot, pin = class_totals.get(c), class_pins.get(c)
+        if tot is None:
+            print(f"retired class:{c} (pinned {pin:.2f}, absent from run "
+                  "— did Bench stop emitting class_totals?)")
+        elif pin is None:
             print(f"class {c}: {tot:.2f} s (unpinned)")
         else:
-            flag = "MOVER" if tot > pin * (1 + band) else "ok"
+            over = tot > pin * (1 + band) and tot - pin > ns.min_abs
+            flag = "MOVER" if over else "ok"
             print(f"class {c}: {pin:.2f} -> {tot:.2f} ({tot / pin:.2f}x, {flag})")
-            if tot > pin * (1 + band):
+            if over:
                 movers.append((tot / pin, f"class:{c}", pin, tot))
     for k, pin in sorted(pins.items()):
         if k not in bench:
