@@ -781,6 +781,30 @@ object Multimodal {
       .distinct()
   }
 
+  /** The p90/p91 TEMPORAL pair relation re-derived from a stored
+    * [[frameStoreWrite]] layout — the video twin of
+    * [[graft.operators.Dedup.lshPairsFromStore]], the LIVE pair source
+    * for decision tables over the clip space: the decode that
+    * dominates from-scratch pair generation is already paid and at
+    * rest, so the pair matrix is one band-partition read (each frame
+    * exactly once at `band_i = 0`), the clip length recovered as
+    * `max(frame)+1` (the store IS the geometry record — the live-yield
+    * device), and p90's equal-length aligned relation recomputed over
+    * those rows. TOMBSTONE-AWARE via the shared scan: clips queued for
+    * deferred takedown stop pairing immediately, which is what p149's
+    * differential pins against the from-scratch survivor relation.
+    */
+  def videoPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, maxHamming: Int = 3): DataFrame = {
+    val frames0 = frameStoreScan(spark, path)
+      .filter(col("band_i") === 0)
+      .select(col("doc_id"), col("frame"), col("fhash"))
+    val nfr = frames0.groupBy(col("doc_id"))
+      .agg((max(col("frame")) + 1).cast("int").as("n_frames"))
+    videoNearDupPairs(frames0.join(nfr, Seq("doc_id")), maxHamming)
+      .select(col("d1"), col("d2"))
+  }
+
   /** TEMPORAL NEAR-DUP pairs of a decoded batch AGAINST a stored
     * [[frameStoreWrite]] layout — p90's equal-length aligned-frame
     * relation (same frame count, every aligned frame within Hamming ≤

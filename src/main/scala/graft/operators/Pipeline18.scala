@@ -117,6 +117,66 @@ object Pipeline18 {
        |${survivorClosureTail("vp")},
        |$releaseDrawTail""".stripMargin
 
+  /** The DEFERRED-takedown video store pair, built once per JVM per
+    * dataset: full-corpus frame store + clip-family labels, then the
+    * deferred handler ([[graft.streaming.StreamingOps
+    * .videoRetractDeferred]] — labels recontract now, the withdrawn
+    * clips' frame rows only TOMBSTONE; the physical rewrite is left to
+    * the compaction cadence). The p139 memo discipline on the video
+    * store family: p149 exists to check the tombstoned state itself.
+    */
+  private def deferredVideoRoot(s: SparkSession, d: String): String =
+    IndexStores.of("defer_video_store", d) { p =>
+      val docs = documents(s, d)
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/frames") {
+        val frames = Multimodal.decodeVideoFrames(Multimodal.attachVideo(docs))
+          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+          .localCheckpoint()
+        Multimodal.frameStoreWrite(
+          frames.select(col("doc_id"), col("frame"), col("fhash")),
+          s"$p/frames")
+        graft.operators.LabelStore.write(
+          Pipeline10.videoClusterLabelsOf(docs, frames), s"$p/labels")
+        graft.streaming.StreamingOps.videoRetractDeferred(
+          s, s"$p/frames", s"$p/labels")(Pipeline17.retractIds(docs))
+      }
+    }
+
+  /** p149: the TOMBSTONE-AWARE video pair read — p139's differential
+    * on the second banded store family: between a deferred video
+    * takedown and its applying compaction the withdrawn clips' frame
+    * rows are still physically on disk (only queued in the zone), yet
+    * the pair relation derived FROM the store
+    * ([[Multimodal.videoPairsFromStore]], the clip space's live pair
+    * source) must hash-match the from-scratch temporal relation of the
+    * SURVIVING corpus — the restriction commutes because the
+    * equal-length aligned relation is pairwise. Completes the
+    * deferred-read oracle family: text p139/p147, lexical p141/p146,
+    * video p149.
+    *
+    * Scale shape: store + takedown build once (memoized); the entry is
+    * one band-partition read (each frame once), a model-sized length
+    * roll-up, p90's banded pair derivation, and the broadcast
+    * anti-join against the pending set — the video read tax, priced.
+    */
+  def deferredVideoPairs(s: SparkSession, d: String): DataFrame = {
+    val root = deferredVideoRoot(s, d)
+    Multimodal.videoPairsFromStore(s, s"$root/frames", maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** p149 oracle: p91's pair CTEs restricted to the survivors — the
+    * from-scratch relation the tombstone-aware read must land on.
+    */
+  val deferredVideoPairsOracle: String =
+    s"""WITH ${Pipeline10.videoPairCtes},
+       |surv AS (SELECT doc_id FROM documents
+       |         WHERE doc_id % ${Pipeline16.RetractMod} <> ${Pipeline16.RetractRem}),
+       |sp AS (SELECT d1, d2 FROM vp
+       |       JOIN surv s1 ON vp.d1 = s1.doc_id
+       |       JOIN surv s2 ON vp.d2 = s2.doc_id)
+       |SELECT d1, d2 FROM sp ORDER BY d1, d2""".stripMargin
+
   /** The post-retraction CROSS-MODAL store set, built once per JVM per
     * dataset: the four modality signature stores + the UNIFIED label
     * table over the full corpus (one decode per modality, p132's store
@@ -374,6 +434,7 @@ object Pipeline18 {
     "p143_retraction_crossmodal_labels" -> (retractionXmodalLabels _),
     "p144_retraction_crossmodal_release" -> (retractionXmodalRelease _),
     "p148_retraction_audio_release" -> (retractionAudioRelease _),
+    "p149_deferred_video_pairs" -> (deferredVideoPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +451,8 @@ object Pipeline18 {
     // the fourth modality's takedown-composed release: withdrawn
     // tracks never drawn, surviving family members at raised weights
     "p148_retraction_audio_release" -> retractionAudioReleaseOracle,
+    // the tombstone-aware video pair read over the deferred store
+    // state = the from-scratch temporal relation over survivors
+    "p149_deferred_video_pairs" -> deferredVideoPairsOracle,
   )
 }
