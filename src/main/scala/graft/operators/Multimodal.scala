@@ -805,6 +805,27 @@ object Multimodal {
       .select(col("d1"), col("d2"))
   }
 
+  /** The ONE-FRAME pair relation re-derived from a stored
+    * [[frameStoreWrite]] layout of single-frame signatures (the audio
+    * fingerprint store, the image dHash store) — the banded Hamming
+    * relation ([[perceptualNearDupPairs]]) over the store's own rows:
+    * one band-partition read (each signature exactly once at
+    * `band_i = 0`), tombstone-aware through the shared scan, so
+    * signatures queued for deferred takedown stop pairing immediately
+    * (p150's differential). The single-frame special case of
+    * [[videoPairsFromStore]], split out because the one-frame layout
+    * needs no length roll-up or alignment stage.
+    */
+  def perceptualPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               maxHamming: Int = 3): DataFrame =
+    perceptualNearDupPairs(
+      frameStoreScan(spark, path)
+        .filter(col("band_i") === 0)
+        .select(col("doc_id"), col("fhash").as("dhash")),
+      maxHamming)
+      .select(col("d1"), col("d2"))
+
   /** TEMPORAL NEAR-DUP pairs of a decoded batch AGAINST a stored
     * [[frameStoreWrite]] layout — p90's equal-length aligned-frame
     * relation (same frame count, every aligned frame within Hamming ≤

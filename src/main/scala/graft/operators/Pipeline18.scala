@@ -177,6 +177,64 @@ object Pipeline18 {
        |       JOIN surv s2 ON vp.d2 = s2.doc_id)
        |SELECT d1, d2 FROM sp ORDER BY d1, d2""".stripMargin
 
+  /** The DEFERRED-takedown audio store pair — the one-frame twin of
+    * [[deferredVideoRoot]]: fingerprint store + track-family labels,
+    * then [[graft.streaming.StreamingOps.audioRetractDeferred]].
+    */
+  private def deferredAudioRoot(s: SparkSession, d: String): String =
+    IndexStores.of("defer_audio_store", d) { p =>
+      val docs = documents(s, d)
+      Pipeline14.withScratch(s, s"$p/labels", s"$p/fp") {
+        val af = Multimodal.decodeWave(Multimodal.attachWave(docs))
+          .select(col("doc_id"), col("afp")).localCheckpoint()
+        Multimodal.frameStoreWrite(
+          af.select(col("doc_id"), lit(0).as("frame"),
+            col("afp").as("fhash")), s"$p/fp")
+        LabelStore.write(
+          LabelStore.labelsFor(af.select(col("doc_id")),
+            Multimodal.perceptualNearDupPairs(
+                af.select(col("doc_id"), col("afp").as("dhash")),
+                maxHamming = 3)
+              .select(col("d1"), col("d2"))),
+          s"$p/labels")
+        graft.streaming.StreamingOps.audioRetractDeferred(
+          s, s"$p/fp", s"$p/labels")(Pipeline17.retractIds(docs))
+      }
+    }
+
+  /** p150: the TOMBSTONE-AWARE audio pair read — the last member of
+    * the deferred-read oracle family (text p139/p147, lexical
+    * p141/p146, video p149): the fingerprint pair relation derived
+    * from the tombstoned one-frame store
+    * ([[Multimodal.perceptualPairsFromStore]]) must hash-match the
+    * from-scratch banded Hamming relation of the SURVIVING corpus
+    * while the withdrawn tracks' rows are still physically on disk.
+    * Every banded store family's deferred state now carries its own
+    * differential.
+    */
+  def deferredAudioPairs(s: SparkSession, d: String): DataFrame = {
+    val root = deferredAudioRoot(s, d)
+    Multimodal.perceptualPairsFromStore(s, s"$root/fp", maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** p150 oracle: p79's fingerprint pair relation (re-derived from the
+    * wave generator formula) restricted to the survivors.
+    */
+  val deferredAudioPairsOracle: String =
+    s"""WITH ${Pipeline8.waveDocsCte},
+       |${Pipeline8.waveSampleCte},
+       |${Pipeline8.waveFpCtes},
+       |ap AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+       |surv AS (SELECT doc_id FROM documents
+       |         WHERE doc_id % ${Pipeline16.RetractMod} <> ${Pipeline16.RetractRem}),
+       |sp AS (SELECT d1, d2 FROM ap
+       |       JOIN surv s1 ON ap.d1 = s1.doc_id
+       |       JOIN surv s2 ON ap.d2 = s2.doc_id)
+       |SELECT d1, d2 FROM sp ORDER BY d1, d2""".stripMargin
+
   /** The post-retraction CROSS-MODAL store set, built once per JVM per
     * dataset: the four modality signature stores + the UNIFIED label
     * table over the full corpus (one decode per modality, p132's store
@@ -435,6 +493,7 @@ object Pipeline18 {
     "p144_retraction_crossmodal_release" -> (retractionXmodalRelease _),
     "p148_retraction_audio_release" -> (retractionAudioRelease _),
     "p149_deferred_video_pairs" -> (deferredVideoPairs _),
+    "p150_deferred_audio_pairs" -> (deferredAudioPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,5 +513,8 @@ object Pipeline18 {
     // the tombstone-aware video pair read over the deferred store
     // state = the from-scratch temporal relation over survivors
     "p149_deferred_video_pairs" -> deferredVideoPairsOracle,
+    // the one-frame twin: the tombstone-aware fingerprint pair read
+    // = the from-scratch banded Hamming relation over survivors
+    "p150_deferred_audio_pairs" -> deferredAudioPairsOracle,
   )
 }
