@@ -447,26 +447,19 @@ object Dedup {
     * component-bounding the video/audio/vector handlers already do).
     * `ids` is takedown-component-sized and broadcasts.
     *
-    * The filter-before-group-by commutation only holds UNCAPPED: with
-    * a finite `maxBucket`, a bucket over the cap in the full store can
-    * shrink below it after the semi-join and emit pairs the full
-    * derivation suppressed — so a capped run is required to restate
-    * the default, failing loudly rather than silently widening the
-    * evidence relation.
+    * Deliberately NO `maxBucket` knob: the filter-before-group-by
+    * commutation only holds uncapped — with a finite cap, a bucket
+    * over the cap in the full store can shrink below it after the
+    * semi-join and emit pairs the full derivation suppressed. Cap at
+    * the consumer instead.
     */
   def lshPairsFromStoreAmong(spark: org.apache.spark.sql.SparkSession,
-                             path: String, ids: DataFrame,
-                             maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxBucket == Int.MaxValue,
-      "lshPairsFromStoreAmong: a finite maxBucket does not commute with " +
-        "the id restriction (a capped-out bucket can re-qualify after the " +
-        "semi-join); cap at the consumer instead")
+                             path: String, ids: DataFrame): DataFrame =
     bucketPairs(
       lshStoreScan(spark, path)
         .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
           "left_semi"),
-      Seq("band", "sig_h"), maxBucket)
-  }
+      Seq("band", "sig_h"), Int.MaxValue)
 
   /** One document's distinct shingle HASHES as storable rows
     * (doc_id, sh) — the verification-side twin of

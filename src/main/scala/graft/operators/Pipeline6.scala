@@ -266,6 +266,10 @@ object Pipeline6 {
   def postingsWrite(docs: DataFrame, table: String, nBuckets: Int): Unit = {
     dropStaleTable(docs.sparkSession, table)
     dropStaleTable(docs.sparkSession, s"${table}_stats")
+    // a fresh store must not inherit a previous build's takedown
+    // completion ledger: a stale done record sharing a retraction id
+    // would mask a genuinely stranded takedown from the admission guard
+    dropStaleTable(docs.sparkSession, s"${table}_retract_done")
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     graft.sources.Bucketed.writeBucketed(
       postingsOf(docs).withColumn("ingest_batch", lit(-1L)),

@@ -61,7 +61,23 @@ object Bucketed {
     * tombstone zone) live, invisible to table scans exactly like the
     * hive stores' `_model`/`_graft_tombstones` paths.
     */
-  def tableLocation(spark: SparkSession, table: String): String = {
+  def tableLocation(spark: SparkSession, table: String): String =
+    locationCache.computeIfAbsent(
+      spark.conf.get("spark.sql.warehouse.dir") + "#" + table,
+      _ => describeLocation(spark, table))
+
+  /** Location lookups are cached per (warehouse, table): a managed
+    * table's directory is `<warehouse>/<name>` and the rename-based
+    * swap ([[compactBucketed]]'s DROP→RENAME) restores exactly that
+    * name, so the mapping is stable for the table's whole life — while
+    * the uncached form paid a `DESCRIBE FORMATTED` driver round-trip on
+    * EVERY stored-probe read (three posting-probe families call this on
+    * their hot path, where the eager path paid nothing).
+    */
+  private val locationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def describeLocation(spark: SparkSession, table: String): String = {
     import org.apache.spark.sql.functions.col
     spark.sql(s"DESCRIBE FORMATTED $table")
       .filter(col("col_name") === "Location").head().getString(1)

@@ -112,7 +112,13 @@ object Maintenance {
     */
   def tombstoneAppend(spark: SparkSession, path: String,
                       removeIds: DataFrame, idCol: String): Unit = {
-    val fresh = tombstones(spark, path) match {
+    // materialized (localCheckpoint) so the emptiness check below and
+    // the written rows see the SAME set — the API does not force
+    // removeIds to be deterministic, and a caller frame that differed
+    // between the two evaluations would otherwise desynchronize the
+    // zone-file count from the queued-batch count. Takedown batches
+    // are broadcast-bounded by contract, so the checkpoint is tiny.
+    val fresh = (tombstones(spark, path) match {
       case Some(ts) =>
         require(ts.columns.sameElements(Array(idCol)),
           s"tombstoneAppend: zone of $path is keyed by " +
@@ -120,7 +126,7 @@ object Maintenance {
         removeIds.select(col(idCol)).distinct()
           .join(broadcast(ts), Seq(idCol), "left_anti")
       case None => removeIds.select(col(idCol)).distinct()
-    }
+    }).localCheckpoint()
     // skip the append when nothing is genuinely new (pure replay /
     // already-queued batch): an empty part-file would still count
     // against the zone-file compaction triggers, so crash-retries

@@ -2153,8 +2153,9 @@ object StreamingOps {
     * (term, doc) invariant survives any crash. Zero-row batches fold
     * as a (id, 0, 0) stats row — never a poison pill. Run merges
     * serially from one scheduler, and retry a crashed job to
-    * completion before admitting the next (the takedown handlers'
-    * overlap-ordering contract rides the same discipline).
+    * completion before admitting the next (the takedown handlers
+    * additionally ENFORCE their half of that ordering in code —
+    * [[guardRetractAdmission]]).
     */
   /** `compactMaxFiles` wires the family's compaction trigger to the
     * BUCKETED layout: past that many sliver files in any bucket, the
@@ -2257,6 +2258,75 @@ object StreamingOps {
     -2L - (s >>> 2)
   }
 
+  /** The completion ledger behind the takedown ADMISSION GUARD: one
+    * `batch_id` row per retraction whose NON-stats half (posting
+    * rewrite / zone append) has landed. A separate append-only catalog
+    * table — like `_stats` it survives every compaction swap (the swap
+    * replaces the posting table's directory, never the sidecar
+    * tables), so `stats-committed minus done` is exactly the set of
+    * takedowns stranded in the stats→zone/stats→rewrite crash window,
+    * forever observable.
+    */
+  private def retractDoneTable(table: String) = s"${table}_retract_done"
+
+  /** Retraction ids of `table` whose stats commit record landed but
+    * whose completion record did not — each one is a takedown that
+    * crashed between its halves. Inside that window the "already
+    * decremented" fact is observable ONLY through the missing
+    * zone/rewrite, so a second overlapping batch admitted there would
+    * decrement shared ids AGAIN; the guard below refuses exactly that.
+    * One tiny sidecar-table read; empty on every healthy store.
+    */
+  def unfinishedRetractions(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Seq[Long] = {
+    if (!spark.catalog.tableExists(s"${table}_stats")) return Nil
+    val committed = spark.table(s"${table}_stats")
+      .filter(col("batch_id") <= -2L).select(col("batch_id")).distinct()
+    val open =
+      if (spark.catalog.tableExists(retractDoneTable(table)))
+        committed.join(spark.table(retractDoneTable(table)),
+          Seq("batch_id"), "left_anti")
+      else committed
+    open.collect().map(_.getLong(0)).toSeq
+  }
+
+  /** The ADMISSION GUARD both lexical takedown forms run on entry —
+    * the overlap-ordering contract enforced instead of documented: a
+    * NEW batch is refused while a DIFFERENT batch's takedown is
+    * stranded between its stats commit and its zone/rewrite half
+    * (retry that batch to completion first — it is idempotent); the
+    * stranded batch's own retry is always admitted. Without this, a
+    * second batch sharing ids with the stranded one would re-derive
+    * those ids as "new" (their rows are still present and not yet
+    * queued) and decrement their stats a second time, skewing
+    * idf/avgdl forever.
+    */
+  private def guardRetractAdmission(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, retractId: Long): Unit = {
+    val stale = unfinishedRetractions(spark, table).filterNot(_ == retractId)
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"takedown admission refused for $table: retraction batch(es) " +
+          s"${stale.mkString(", ")} committed stats but never finished " +
+          "(crashed between the halves) — retry them to completion " +
+          s"before admitting $retractId, or shared ids would " +
+          "double-decrement")
+  }
+
+  /** Append `retractId`'s completion record (idempotent — a retry that
+    * finds its record leaves the ledger unchanged).
+    */
+  private def markRetractDone(spark: org.apache.spark.sql.SparkSession,
+                              table: String, retractId: Long): Unit = {
+    val done = retractDoneTable(table)
+    val already = spark.catalog.tableExists(done) &&
+      !spark.table(done).filter(col("batch_id") === retractId).isEmpty
+    if (!already)
+      spark.range(1).select(lit(retractId).as("batch_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(done)
+  }
+
   def lexicalRetractBatch(spark: org.apache.spark.sql.SparkSession,
                           table: String, nBuckets: Int, retractId: Long)(
                           removeIds: DataFrame): Long = {
@@ -2264,6 +2334,7 @@ object StreamingOps {
       s"lexicalRetractBatch: retractId $retractId collides with the ingest " +
         "batch_id namespace (ingests are >= 0, the build row is -1)")
     graft.sources.Bucketed.recoverBucketedSwap(spark, table)
+    guardRetractAdmission(spark, table, retractId)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val committed = !spark.table(s"${table}_stats")
       .filter(col("batch_id") === retractId).isEmpty
@@ -2295,6 +2366,8 @@ object StreamingOps {
     if (present)
       graft.sources.Bucketed.removeBucketedRows(
         spark, table, "term", nBuckets, rm, "doc_id")
+    graft.CrashPoints.hit("lexicalRetract.postings")
+    markRetractDone(spark, table, retractId)
     removedDocs
   }
 
@@ -2335,16 +2408,16 @@ object StreamingOps {
     * Same retractId namespace contract as the eager twin (≤ -2,
     * content-derive with [[retractIdFor]]); mutate the store ONLY
     * through these handlers (a bare tombstoneAppend would queue ids
-    * whose stats never decremented). OVERLAP ORDERING: batches sharing
-    * ids are supported only under the serial scheduler's
-    * retry-to-completion discipline — a crashed takedown must re-run
-    * before the NEXT takedown is admitted, because inside the
+    * whose stats never decremented). OVERLAP ORDERING: inside the
     * stats→zone crash window an id's decrement has landed while its
-    * queue entry has not, and a second batch admitted there would
-    * count the id as new and decrement it again (both lexical forms
-    * share this: the "already decremented" fact is only observable
-    * through the zone). Returns the number of documents whose stats
-    * decrement landed in this call (0 on a retry/no-op).
+    * queue entry has not, so a second batch admitted there would count
+    * the id as new and decrement it again — both lexical forms now
+    * ENFORCE the contract on entry ([[guardRetractAdmission]] over the
+    * `_retract_done` completion ledger): a different batch's takedown
+    * stranded between its halves refuses the admission until its retry
+    * completes; the stranded batch's own retry is always admitted.
+    * Returns the number of documents whose stats decrement landed in
+    * this call (0 on a retry/no-op).
     */
   def lexicalRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                              table: String, nBuckets: Int, retractId: Long,
@@ -2355,6 +2428,7 @@ object StreamingOps {
       s"lexicalRetractDeferred: retractId $retractId collides with the " +
         "ingest batch_id namespace (ingests are >= 0, the build row is -1)")
     graft.sources.Bucketed.recoverBucketedSwap(spark, table)
+    guardRetractAdmission(spark, table, retractId)
     val loc = graft.sources.Bucketed.tableLocation(spark, table)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     // the rows this batch is actually responsible for: ids genuinely
@@ -2391,6 +2465,8 @@ object StreamingOps {
     // the commit record short-circuiting the stats.
     graft.sources.Maintenance.tombstoneAppend(spark, loc,
       gone.select(col("doc_id")).distinct(), "doc_id")
+    graft.CrashPoints.hit("lexicalRetractDeferred.zone")
+    markRetractDone(spark, table, retractId)
     graft.sources.Bucketed.compactIfDueBucketed(spark, table, "term",
       nBuckets, compactMaxFiles, maxTombstoneFiles)
     removedDocs

@@ -261,6 +261,49 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     assert(st.getLong(1) === sWs.getLong(1))
   }
 
+  test("admission guard: a stranded takedown refuses overlapping admissions until its retry completes") {
+    val t = "graft_spec_lexguard"
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+    // strand batch -2 {7,10} in the stats→zone window: the handler dies
+    // right after its stats commit record lands (the one window where
+    // "already decremented" is not yet observable through the zone)
+    CrashPoints.arm(0)
+    try intercept[CrashPoints.InjectedCrash] {
+      StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+        retractId = -2L, compactMaxFiles = 0)(rmIds)
+    } finally CrashPoints.disarm()
+    assert(StreamingOps.unfinishedRetractions(spark, t) === Seq(-2L))
+
+    // a DIFFERENT batch overlapping the stranded one must be refused by
+    // BOTH forms — admitted, it would re-derive doc 10 as "new" (rows
+    // present, zone entry missing) and decrement it a second time
+    intercept[IllegalStateException] {
+      StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+        retractId = -3L, compactMaxFiles = 0)(Seq(10L, 9L).toDF("doc_id"))
+    }
+    intercept[IllegalStateException] {
+      StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+        retractId = -3L)(Seq(10L, 9L).toDF("doc_id"))
+    }
+
+    // the stranded batch's own retry is admitted, completes, clears the
+    // ledger...
+    assert(StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -2L, compactMaxFiles = 0)(rmIds) === 0L)
+    assert(StreamingOps.unfinishedRetractions(spark, t).isEmpty)
+    // ...after which the second batch admits and decrements ONLY the
+    // genuinely-new doc 9 — exactly-once stats despite the overlap+crash
+    assert(StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+      retractId = -3L, compactMaxFiles = 0)(Seq(10L, 9L).toDF("doc_id"))
+      === 1L)
+    val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
+    val sWs = corpus.filter(!col("doc_id").isin(7L, 10L, 9L))
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === sWs.getLong(0), "doc 10 double-decremented")
+    assert(st.getLong(1) === sWs.getLong(1))
+  }
+
   test("sidecar retraction is bucket-pruned and the verified gate stops confirming withdrawn docs") {
     // ids chosen so doc 19 is ALONE in its bucket (19 mod 8 = 3): its
     // retraction must DELETE the bucket directory outright
