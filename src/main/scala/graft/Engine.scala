@@ -1172,17 +1172,32 @@ object Engine {
     * halves; run from the one maintenance scheduler. Returns the
     * label rows retracted.
     */
+  /** `deferred = true` routes BOTH cell layouts through their
+    * tombstone paths (`StreamingOps.vectorRetractDeferred` for the
+    * embedding store; a zone append for the codes store — its reader
+    * `Pipeline6.ivfPqTopKStored` is tombstone-aware like every stored
+    * probe): labels still recontract NOW, the withdrawn vectors stop
+    * ranking immediately through BOTH indexes, and the physical
+    * rewrites ride the maintenance cadence — the takedown itself is
+    * O(batch) instead of O(affected cells).
+    */
   def takedownVectors(spark: SparkSession, removeIds: DataFrame,
                       ivfStorePath: String, labelPath: String,
                       cents: Array[(Int, Seq[Float])], tau: Double,
                       nProbe: Int,
-                      codesStorePath: Option[String] = None): Long = {
-    val n = graft.streaming.StreamingOps.vectorRetractBatch(
-      spark, ivfStorePath, labelPath, cents, tau, nProbe)(removeIds)
+                      codesStorePath: Option[String] = None,
+                      deferred: Boolean = false): Long = {
+    val retract =
+      if (deferred) graft.streaming.StreamingOps.vectorRetractDeferred(
+        spark, ivfStorePath, labelPath, cents, tau, nProbe) _
+      else graft.streaming.StreamingOps.vectorRetractBatch(
+        spark, ivfStorePath, labelPath, cents, tau, nProbe) _
+    val n = retract(removeIds)
     codesStorePath.foreach { p =>
-      graft.sources.Maintenance.removeIvfRows(spark, p,
-        removeIds.select(org.apache.spark.sql.functions
-          .col("vec_id")))
+      val ids = removeIds.select(org.apache.spark.sql.functions.col("vec_id"))
+      if (deferred)
+        graft.sources.Maintenance.tombstoneAppend(spark, p, ids, "vec_id")
+      else graft.sources.Maintenance.removeIvfRows(spark, p, ids)
     }
     n
   }

@@ -420,8 +420,81 @@ object Pipeline17 {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** The DEFERRED-takedown vector store, built once per JVM per
+    * dataset: the p140 operational context (p41 cell layout +
+    * τ-component labels at full fan-out) followed by the DEFERRED
+    * handler ([[graft.streaming.StreamingOps.vectorRetractDeferred]] —
+    * labels recontract now, the retracted vec_ids only queue in the
+    * store's tombstone zone; the physical rewrite is left to the
+    * compaction cadence so the entry probes the tombstoned state
+    * itself). Completes the deferred family across every store kind:
+    * banded (p139/p147), bucketed lexical (p141/p146), and now the
+    * cell-partitioned vector layout.
+    */
+  private def deferredVectorRoot(s: SparkSession, d: String): String =
+    IndexStores.of("defer_vec_store", d) { p =>
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val cents = Similarity.seedCentroids(emb, 8)
+      Pipeline14.withScratch(s, s"$p/ivf", s"$p/labels") {
+        Similarity.ivfWrite(emb, cents, s"$p/ivf")
+        LabelStore.write(
+          LabelStore.labelsFor(emb.select(col("vec_id").as("doc_id")),
+            Similarity.cellBlockedTauPairs(emb, cents, Pipeline14.VecTau,
+              nProbe = cents.length)),
+          s"$p/labels")
+        graft.streaming.StreamingOps.vectorRetractDeferred(
+          s, s"$p/ivf", s"$p/labels", cents, Pipeline14.VecTau,
+          nProbe = cents.length)(
+          emb.filter(pmod(col("vec_id"), lit(Pipeline16.RetractMod))
+              === Pipeline16.RetractRem)
+            .select(col("vec_id")))
+      }
+    }
+
+  /** p151: the TOMBSTONE-AWARE ANN read — the deferred VECTOR
+    * takedown's correctness differential, the last store family
+    * (verdict r14 item 3): between the deferred takedown and its
+    * applying compaction the withdrawn vectors' rows are still
+    * physically present in the cell layout (only queued in the zone),
+    * yet the τ-contraction recomputed ENTIRELY from store reads — the
+    * survivor id set from the tombstone-aware cell scan, the pair
+    * relation from the stored ANN near-dup probe
+    * ([[Similarity.ivfProbeNearDup]] at full fan-out, the p73 witness
+    * relation answered from the store) — must hash-match the
+    * from-scratch τ-contraction of the surviving vectors (p140's
+    * oracle, reused verbatim). A stored reader that forgot the
+    * anti-join would let withdrawn vectors re-enter as pair endpoints
+    * AND as label ids, and the differential catches both.
+    *
+    * Scale shape: the store + deferred takedown build once (memoized);
+    * the entry prices the steady-state deferred read — the DPP-pruned
+    * cell probe plus one broadcast anti-join against the
+    * takedown-bounded pending set — and the label contraction over
+    * the component-bounded pair relation.
+    */
+  def deferredRetractionVectorLabels(s: SparkSession, d: String): DataFrame = {
+    val root = deferredVectorRoot(s, d)
+    val ivf = s"$root/ivf"
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.seedCentroids(emb, 8)
+    // survivors FROM the store (tombstone-aware scan), pairs FROM the
+    // stored probe (tombstone-aware on its corpus side)
+    val surv = graft.sources.Maintenance.minusTombstones(s, ivf,
+        s.read.parquet(ivf))
+      .select(col("vec_id"), col("embedding"))
+    val pairs = Similarity.ivfProbeNearDup(s, ivf, surv, cents,
+        Pipeline14.VecTau, nProbe = cents.length)
+      .filter(col("qid") < col("cid"))
+      .select(col("qid").as("d1"), col("cid").as("d2"))
+    LabelStore.labelsFor(surv.select(col("vec_id").as("doc_id")), pairs)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p137_retraction_bm25" -> (retractionBm25 _),
+    "p151_deferred_retraction_vector_labels" ->
+      (deferredRetractionVectorLabels _),
     "p141_deferred_retraction_bm25" -> (deferredRetractionBm25 _),
     "p146_compacted_retraction_bm25" -> (compactedRetractionBm25 _),
     "p147_compacted_retraction_pairs" -> (compactedRetractionPairs _),
@@ -454,5 +527,10 @@ object Pipeline17 {
     // post-removal store = the from-scratch τ-contraction of the
     // surviving vectors
     "p140_retraction_vector_labels" -> retractionVectorLabelsOracle,
+    // the same from-scratch survivor contraction, now recomputed from
+    // TOMBSTONE-AWARE store reads over the deferred state (rows
+    // physically present, only queued) — p139/p141's differential for
+    // the cell-partitioned vector family
+    "p151_deferred_retraction_vector_labels" -> retractionVectorLabelsOracle,
   )
 }

@@ -1092,9 +1092,20 @@ object Pipeline6 {
     val m = pqM(cb)
     val probes = Similarity.probeCells(cents, queries, nProbe)
       .select(col("qid"), col("cell"))
-    val cands = spark.read.parquet(path)
+    val joined = spark.read.parquet(path)
       .join(broadcast(probes), Seq("cell"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+    // tombstone-aware like every stored probe: a deferred takedown's
+    // queued vec_ids must stop ranking through the COMPRESSED index
+    // too, or a withdrawn vector's 8-byte code row keeps surfacing in
+    // shortlists until the compaction (no zone → passthrough). The
+    // anti-join is declared above the probe join and left to the
+    // optimizer; PlanSpec pins that the scan keeps its dynamic cell
+    // pruning under a pending zone.
+    val alive = graft.sources.Maintenance.tombstones(spark, path)
+      .fold(joined)(ts =>
+        joined.join(broadcast(ts), Seq("vec_id"), "left_anti"))
+    val cands = alive
       .select(col("qid") +: col("vec_id").as("cid") +:
         // stored codes are smallint; widen to the LUT frame's int key
         (0 until m).map(s => col(s"c$s").cast("int").as(s"c$s")): _*)

@@ -429,14 +429,27 @@ object Similarity {
               (-col("p.ncid")).cast("int").as("cell"))
 
   /** Probe join + exact rerank: candidates are cell-mates of a probe,
-    * scored by true cosine, top-k kept per query.
+    * scored by true cosine, top-k kept per query. `pending` is a
+    * store's queued deferred-takedown ids (the tombstone zone, column
+    * name authoritative): they anti-join out AFTER the cell join but
+    * BEFORE the rank, so withdrawn vectors neither rank nor occupy
+    * top-k slots. Declared above the probe join and left to the
+    * optimizer (PushDownLeftSemiAntiJoin sinks it next to the scan
+    * when beneficial); PlanSpec pins that the scan KEEPS its dynamic
+    * partition pruning and the exclusion stays a broadcast anti-join
+    * under a pending zone.
     */
-  private def probeJoinTopK(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  private def probeJoinTopK(assigned: DataFrame, probes: DataFrame, k: Int,
+                            pending: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    assigned
+    val joined = assigned
       .select(col("vec_id").as("cid_"), col("embedding").as("ce"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid_"))
+    val alive = pending.fold(joined)(ts => joined.join(
+      broadcast(ts.select(col(ts.columns.head).as("cid_"))),
+      Seq("cid_"), "left_anti"))
+    alive
       .select(col("qid"), col("cid_").as("cid"),
               cosine(col("qe"), col("ce")).as("cos"))
       .withColumn("rnk", row_number().over(w))
@@ -489,10 +502,24 @@ object Similarity {
     * with the same centroids (the layout is semantics-preserving), so
     * the stored path shares p13's differential oracle.
     */
+  /** Every stored-probe entry point is TOMBSTONE-AWARE: the store's
+    * pending deferred takedowns
+    * ([[graft.streaming.StreamingOps.vectorRetractDeferred]]) broadcast
+    * anti-join out of the candidate set, so a withdrawn vector stops
+    * ranking IMMEDIATELY, before the compaction that removes its rows
+    * physically. No zone → the plan is untouched (one fs.exists, the
+    * same zero-cost common path as the lexical/banded stores); under a
+    * zone the scan keeps its dynamic partition pruning (PlanSpec-
+    * pinned, see [[probeJoinTopK]]).
+    */
+  private def pendingOf(spark: SparkSession, path: String): Option[DataFrame] =
+    graft.sources.Maintenance.tombstones(spark, path)
+
   def ivfTopKStored(spark: SparkSession, path: String, queries: DataFrame,
                     cents: Array[(Int, Seq[Float])], k: Int,
                     nProbe: Int = 2): DataFrame =
-    probeJoinTopK(spark.read.parquet(path), probeCells(cents, queries, nProbe), k)
+    probeJoinTopK(spark.read.parquet(path), probeCells(cents, queries, nProbe),
+      k, pendingOf(spark, path))
 
   /** PRE-filtered ANN over a stored [[ivfWrite]] layout: top-k among
     * ONLY the corpus vectors whose vec_id appears in `allowed` — the
@@ -520,7 +547,7 @@ object Similarity {
     probeJoinTopK(
       spark.read.parquet(path)
         .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi"),
-      probeCells(cents, queries, nProbe), k)
+      probeCells(cents, queries, nProbe), k, pendingOf(spark, path))
 
   /** Stored EMBEDDING near-dup probe — the vector member of the
     * published-corpus probe family (text: `Dedup.lshProbeStored`,
@@ -548,14 +575,21 @@ object Similarity {
   def ivfProbeNearDup(spark: SparkSession, path: String,
                       queries: DataFrame,
                       cents: Array[(Int, Seq[Float])], tau: Double,
-                      nProbe: Int = 2): DataFrame =
-    spark.read.parquet(path)
+                      nProbe: Int = 2): DataFrame = {
+    val joined = spark.read.parquet(path)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
       .join(broadcast(probeCells(cents, queries, nProbe)), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
+    // tombstone anti-join above the probe join (PlanSpec pins DPP
+    // survival) — withdrawn vectors stop witnessing immediately
+    val alive = pendingOf(spark, path).fold(joined)(ts => joined.join(
+      broadcast(ts.select(col(ts.columns.head).as("cid"))),
+      Seq("cid"), "left_anti"))
+    alive
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos"))
+  }
 
   /** WITHIN-BATCH τ-pairs by IVF cell blocking — the deployable
     * spelling of "all pairs of this batch within cosine τ": each

@@ -1548,11 +1548,33 @@ object StreamingOps {
                          ivfStorePath: String, labelPath: String,
                          cents: Array[(Int, Seq[Float])], tau: Double,
                          nProbe: Int)(removeIds: DataFrame): Long = {
-    import graft.operators.{LabelStore, Similarity}
     recoverStoreSwap(spark, ivfStorePath)
-    LabelStore.recover(spark, labelPath)
+    graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("vec_id").as("doc_id")).distinct()
       .localCheckpoint()
+    val before = vectorRetractLabels(spark, ivfStorePath, labelPath,
+      cents, tau, nProbe, rm)
+    graft.CrashPoints.hit("vectorRetract.labels")
+    // gated on the CELL store's own state (crash between the halves
+    // retries to completion — the dedupRetractBatch discipline)
+    graft.sources.Maintenance.removeIvfRows(spark, ivfStorePath,
+      rm.select(col("doc_id").as("vec_id")))
+    before
+  }
+
+  /** The label half of the vector takedown, shared by the eager and
+    * deferred handlers: the affected components' SURVIVING members
+    * fetch their embeddings from the cell store (member set from the
+    * label table, which already excludes every previously retracted
+    * id — eager or deferred — so pending tombstones cannot leak back
+    * in as evidence) and their τ-relation recomputes cell-blocked.
+    */
+  private def vectorRetractLabels(spark: org.apache.spark.sql.SparkSession,
+                                  ivfStorePath: String, labelPath: String,
+                                  cents: Array[(Int, Seq[Float])],
+                                  tau: Double, nProbe: Int,
+                                  rm: DataFrame): Long = {
+    import graft.operators.{LabelStore, Similarity}
     val labels0 = LabelStore.read(spark, labelPath)
       .localCheckpoint(eager = false) // three consumers below
     val before = labels0.join(rm, Seq("doc_id")).count()
@@ -1570,11 +1592,49 @@ object StreamingOps {
       LabelStore.remove(spark, labelPath, rm,
         Similarity.cellBlockedTauPairs(survEmb, cents, tau, nProbe))
     }
-    graft.CrashPoints.hit("vectorRetract.labels")
-    // gated on the CELL store's own state (crash between the halves
-    // retries to completion — the dedupRetractBatch discipline)
-    graft.sources.Maintenance.removeIvfRows(spark, ivfStorePath,
-      rm.select(col("doc_id").as("vec_id")))
+    before
+  }
+
+  /** [[vectorRetractBatch]] with the store half TOMBSTONED — the
+    * deferred takedown for the LAST store family that paid its rewrite
+    * eagerly: the IVF cell rewrite is already cell-pruned (a vector
+    * lives in exactly one cell), but it is still a rewrite term per
+    * batch, and the zone device is store-agnostic. The label half runs
+    * identically (affected components recontract NOW — labels must
+    * never serve withdrawn rows); the retracted vec_ids then land in
+    * the store's tombstone zone, every stored ANN reader anti-joins
+    * the pending set ([[graft.operators.Similarity]]'s storedScan —
+    * top-k, filtered, near-dup probes — plus the compressed codes
+    * probe `Pipeline6.ivfPqTopKStored`), so a withdrawn vector stops
+    * ranking IMMEDIATELY, and the physical rewrite rides whichever
+    * full rewrite comes first on the maintenance cadence: the
+    * zone-count-triggered compaction ([[compactIfDue]] over the
+    * tombstone-aware `Maintenance.compactPartitioned`), an eager
+    * retraction's pruned rewrite, or the drift-triggered
+    * [[ivfRetrainRebuild]] (both route through `minusTombstones`).
+    *
+    * Same crash discipline as the banded twins: heal-first, each half
+    * gated on its own state (the zone append dedups already-queued
+    * ids), replay converges. No stats table in this family — the label
+    * table is the only derived state, and it keys on its own rows —
+    * so no admission guard is owed: an overlapping batch in the
+    * labels→zone window re-runs the label half as a no-op (the rows
+    * are already gone from the labels) and queues only genuinely-new
+    * ids. Returns the label rows retracted (0 on a retry).
+    */
+  def vectorRetractDeferred(spark: org.apache.spark.sql.SparkSession,
+                            ivfStorePath: String, labelPath: String,
+                            cents: Array[(Int, Seq[Float])], tau: Double,
+                            nProbe: Int)(removeIds: DataFrame): Long = {
+    recoverStoreSwap(spark, ivfStorePath)
+    graft.operators.LabelStore.recover(spark, labelPath)
+    val rm = removeIds.select(col("vec_id").as("doc_id")).distinct()
+      .localCheckpoint()
+    val before = vectorRetractLabels(spark, ivfStorePath, labelPath,
+      cents, tau, nProbe, rm)
+    graft.CrashPoints.hit("vectorRetractDeferred.labels")
+    graft.sources.Maintenance.tombstoneAppend(spark, ivfStorePath,
+      rm.select(col("doc_id").as("vec_id")), "vec_id")
     before
   }
 

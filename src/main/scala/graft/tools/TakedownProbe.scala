@@ -193,6 +193,39 @@ object TakedownProbe {
     val (tVScat, nVScat) = ivfRetract(scatteredV)
     println(f"[takedown/pruned] ivf co-located n=$nVOne (1/8 cells) " +
       f"$tVOne%.2fs vs scattered n=$nVScat (8/8 cells) $tVScat%.2fs")
+
+    // ---- deferred VECTOR family (p151): the takedown itself is one
+    // zone append — O(batch) — vs the eager cell-pruned rewrite of the
+    // SAME batch above; and the stored ANN probe's read tax vs queued
+    // zone size (disjoint ids, so deltas are pure anti-join tax)
+    {
+      val ivfD = tmp("ivfD")
+      Similarity.ivfWrite(emb0, cents, ivfD)
+      val tVDefer = timed {
+        Maintenance.tombstoneAppend(spark, ivfD, scatteredV, "vec_id")
+      }
+      println(f"[takedown/deferred] ivf deferred n=$nVScat " +
+        f"zone_append=$tVDefer%.2fs (eager pruned rewrite of the same " +
+        f"batch: $tVScat%.2fs)")
+      val ivfZ = tmp("ivfZ")
+      Similarity.ivfWrite(emb0, cents, ivfZ)
+      val qs = emb0.filter(col("vec_id") < 200).localCheckpoint()
+      def vProbe(): Unit =
+        Similarity.ivfTopKStored(spark, ivfZ, qs, cents, k = 10,
+          nProbe = 2).count()
+      var queued = 0
+      val rows = Seq(0, 1, 4, 16).map { z =>
+        while (queued < z) {
+          Maintenance.tombstoneAppend(spark, ivfZ,
+            Seq.tabulate(50)(j => 900000000L + queued.toLong * 1000L + j)
+              .toDF("vec_id"), "vec_id")
+          queued += 1
+        }
+        vProbe() // warm
+        f"zone=$z ivf_probe=${Seq.fill(3)(timed(vProbe())).min}%.2fs"
+      }
+      rows.foreach(r => println(s"[takedown/readtax] $r"))
+    }
     spark.stop()
   }
 }

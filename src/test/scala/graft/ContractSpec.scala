@@ -29,8 +29,8 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       operators.Pipeline17.queries, operators.Pipeline18.queries)
     assert(all.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query name across batches (map merge dropped one)")
-    assert(SparkEntry.queries.size >= 225,
-      "registered-query surface shrank below the round-14 ledger")
+    assert(SparkEntry.queries.size >= 226,
+      "registered-query surface shrank below the round-15 ledger")
   }
 
   test("rows-only queries (no oracle) are the documented exceptions only") {

@@ -201,6 +201,10 @@ class CrashSweepSpec extends AnyFunSuite with SparkTestBase {
       () => StreamingOps.vectorRetractBatch(spark, ivf, lbl, cents,
         tau = 0.95, nProbe = 4)(rm))(
       () => labelState(lbl) ++ storeState(ivf))
+    sweep("vectorRetractDeferred")(build)(
+      () => StreamingOps.vectorRetractDeferred(spark, ivf, lbl, cents,
+        tau = 0.95, nProbe = 4)(rm))(
+      () => labelState(lbl) ++ storeState(ivf) ++ zoneState(ivf))
   }
 
   test("crash sweep: drift retrain/rebuild heals at every boundary") {

@@ -419,4 +419,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the tombstone anti-join degraded to a shuffled join")
   }
+
+  test("p151: the tombstone-aware IVF probe keeps dynamic cell pruning and plans a broadcast anti-join") {
+    // the vector twin of the p141 pin: a PENDING zone on the cell store
+    // must not cost the stored ANN probe its two scale properties — the
+    // broadcast-probe join's dynamic partition pruning (nProbe/nCells
+    // directories read, never the corpus) and a BROADCAST anti-join for
+    // the pending set (bounded by takedowns-since-compaction)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // parquet-backed sides like the registered p41/p115 stores (DPP is
+    // only planned when both join sides are file relations with
+    // selective filters — a LocalRelation probe side never qualifies)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = operators.Similarity.seedCentroids(emb, 8)
+    val ivf = java.nio.file.Files.createTempDirectory("plan_p151_").toString
+    operators.Similarity.ivfWrite(emb, cents, ivf)
+    sources.Maintenance.tombstoneAppend(spark, ivf,
+      Seq(2L).toDF("vec_id"), "vec_id")
+    val p = operators.Similarity.ivfProbeNearDup(spark, ivf,
+        emb.filter(col("vec_id") < 5), cents, tau = 0.9, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      "the pending zone cost the stored ANN probe its dynamic cell pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      "cell is no longer a partition column of the probed layout")
+    assert("BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin".r
+        .findFirstIn(p.replace("\n", " ")).isDefined,
+      "the pending-tombstone exclusion is not a broadcast anti-join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a join in the tombstone-aware probe degraded to a shuffled join")
+  }
 }

@@ -639,6 +639,94 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
       "retrain saw the tombstoned vectors")
   }
 
+  test("vector deferred takedown: labels equal the eager twin, vector unrankable through every probe, store rewrite deferred") {
+    import graft.operators.LabelStore
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    def build(tag: String): (String, String) = {
+      val ivf = java.nio.file.Files.createTempDirectory(s"vdef2_${tag}_i_").toString
+      val lbl = java.nio.file.Files.createTempDirectory(s"vdef2_${tag}_l_").toString
+      Similarity.ivfWrite(emb, cents, ivf)
+      LabelStore.write(
+        LabelStore.labelsFor(emb.select(col("vec_id").as("doc_id")),
+          Similarity.cellBlockedTauPairs(emb, cents, 0.3,
+            nProbe = cents.length)),
+        lbl)
+      (ivf, lbl)
+    }
+    val (dIvf, dLbl) = build("d"); val (eIvf, eLbl) = build("e")
+    val rm = emb.filter(pmod(col("vec_id"), lit(10L)) === 3L)
+      .select(col("vec_id")).localCheckpoint()
+    val nD = StreamingOps.vectorRetractDeferred(spark, dIvf, dLbl, cents,
+      tau = 0.3, nProbe = cents.length)(rm)
+    val nE = StreamingOps.vectorRetractBatch(spark, eIvf, eLbl, cents,
+      tau = 0.3, nProbe = cents.length)(rm)
+    assert(nD === nE && nD === rm.count())
+    // labels identical to the eager twin's; deferred rows still on disk
+    assert(LabelStore.read(spark, dLbl).orderBy("doc_id").collect().toSeq ===
+      LabelStore.read(spark, eLbl).orderBy("doc_id").collect().toSeq)
+    assert(spark.read.parquet(dIvf).join(rm, Seq("vec_id"), "left_semi")
+      .count() > 0L, "deferred: rows should stay on disk until compaction")
+    // ...but unrankable NOW through every stored probe form, at full
+    // fan-out, exactly as through the eager store
+    val qs = emb.filter(col("vec_id").isin(1L, 2L)).localCheckpoint()
+    def gotIds(ivf: String): Set[Long] =
+      Similarity.ivfTopKStored(spark, ivf, qs, cents, k = 1000, nProbe = 8)
+        .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(gotIds(dIvf) === gotIds(eIvf))
+    assert(!gotIds(dIvf).exists(_ % 10L === 3L))
+    assert(Similarity.ivfProbeNearDup(spark, dIvf, qs, cents, tau = 0.3,
+        nProbe = 8).filter(pmod(col("cid"), lit(10L)) === 3L).isEmpty)
+    // replay: no label change, the zone does not grow
+    assert(StreamingOps.vectorRetractDeferred(spark, dIvf, dLbl, cents,
+      tau = 0.3, nProbe = cents.length)(rm) === 0L)
+    assert(spark.read.parquet(s"$dIvf/_graft_tombstones").count() === rm.count())
+    // one queued batch: the zone half of the compaction trigger stays
+    // quiet (the read tax is bounded, not zero)...
+    assert(!StreamingOps.compactIfDue(spark, dIvf, "cell", maxFiles = 64,
+      maxTombstoneFiles = 8)(
+      (src, dst) => Maintenance.compactPartitioned(spark, src, dst, "cell")))
+    // ...but a QUEUE of takedowns makes it due on the zone's file count
+    // alone, and the tombstone-aware rewrite applies them physically,
+    // retiring the zone with the old store copy
+    (0 until 9).foreach { i =>
+      Maintenance.tombstoneAppend(spark, dIvf,
+        Seq(100000L + i).toDF("vec_id"), "vec_id")
+    }
+    assert(StreamingOps.compactIfDue(spark, dIvf, "cell", maxFiles = 64,
+      maxTombstoneFiles = 8)(
+      (src, dst) => Maintenance.compactPartitioned(spark, src, dst, "cell")))
+    assert(spark.read.parquet(dIvf).join(rm, Seq("vec_id"), "left_semi").isEmpty)
+    assert(!new java.io.File(s"$dIvf/_graft_tombstones").exists())
+    assert(gotIds(dIvf) === gotIds(eIvf), "post-compaction probe parity")
+  }
+
+  test("deferred codes takedown: a withdrawn vector stops ranking through the compressed index immediately") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Pipeline6.pqCodebook(emb)
+    val codes = java.nio.file.Files.createTempDirectory("cdef_codes_").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb, codes)
+    val rm = emb.filter(pmod(col("vec_id"), lit(10L)) === 3L)
+      .select(col("vec_id"))
+    Maintenance.tombstoneAppend(spark, codes, rm, "vec_id")
+    val qs = emb.filter(col("vec_id").isin(1L, 2L))
+    val got = Pipeline6.ivfPqTopKStored(spark, codes, qs, cents, cb,
+      k = 1000, nProbe = 8).collect()
+    assert(!got.exists(_.getLong(1) % 10L === 3L),
+      "tombstoned code rows still rank")
+    // parity with a from-scratch codes store of the survivors
+    val ref = java.nio.file.Files.createTempDirectory("cdef_ref_").toString
+    Pipeline6.ivfPqWrite(cents, cb, emb.join(rm, Seq("vec_id"), "left_anti"), ref)
+    assert(got.toSeq === Pipeline6.ivfPqTopKStored(spark, ref, qs, cents,
+      cb, k = 1000, nProbe = 8).collect().toSeq)
+  }
+
   test("Engine.takedownVectors clears the embedding AND codes stores; withdrawn vectors unrankable") {
     import graft.operators.LabelStore
     val dir = "/root/testdata/sf0.001"
