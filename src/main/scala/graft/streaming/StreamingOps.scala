@@ -2302,19 +2302,24 @@ object StreamingOps {
     * postings were actually retracted (0 on a retry/no-op).
     */
   /** Deterministic CONTENT-DERIVED retraction id for
-    * [[lexicalRetractBatch]]: the order-free sum of the batch's
+    * [[lexicalRetractBatch]]: the order-free XOR-fold of the batch's
     * per-id hashes, mapped into the reserved `<= -2` range. The same
     * takedown batch always maps to the same id — a crash retry finds
     * its own commit record and stays idempotent — while two DISTINCT
     * batches collide with probability ~2⁻⁶², closing the id-reuse
     * hazard of a hand-picked constant: reusing an id across different
     * batches makes the second takedown silently skip its stats
-    * decrement, permanently skewing idf/avgdl.
+    * decrement, permanently skewing idf/avgdl. XOR, not SUM: the fold
+    * runs under ANSI arithmetic, where summing full-range xxhash64
+    * longs overflows on a multi-id batch (found by the randomized
+    * interleaving harness); XOR is equally order-free, cannot
+    * overflow, and the post-distinct input means no id can cancel
+    * itself out.
     */
   def retractIdFor(removeIds: DataFrame): Long = {
     val s = removeIds.select(col("doc_id")).distinct()
       .select(xxhash64(col("doc_id")).as("h"))
-      .agg(coalesce(sum(col("h")), lit(0L))).head().getLong(0)
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head().getLong(0)
     -2L - (s >>> 2)
   }
 

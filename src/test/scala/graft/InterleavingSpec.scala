@@ -1,0 +1,272 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, LabelStore, Pipeline6}
+import graft.sources.{Bucketed, Maintenance}
+import graft.streaming.StreamingOps
+
+/** RANDOMIZED lifecycle-interleaving property harness (round-15 verdict
+  * item 1): every lifecycle proof so far — append-equals-rebuild,
+  * remove-equals-rebuild, both deferred endpoints — runs ONE hand-picked
+  * operation order; this suite drives RANDOM sequences of
+  * ingest / eager retract / deferred retract / compact over a live
+  * store family and asserts after EVERY step that the tombstone-aware
+  * reads equal the from-scratch state of the surviving corpus (the
+  * p137/p139 oracles as the model), so any interleaving in which the
+  * handlers' individually-proven invariants fail to COMPOSE fails here
+  * with its seed and step. The crash sweep showed programmatic
+  * enumeration finds what hand-enumeration misses; this is the same
+  * idea for operation ORDER instead of crash position.
+  *
+  * Generator contracts (the deployment contracts, not test shortcuts):
+  * ingested ids are fresh (an id is ingested at most once), retracted
+  * ids stay retracted (takedowns are permanent), retraction batches MAY
+  * overlap earlier ones and may name already-gone ids (the handlers'
+  * replay/overlap semantics are part of what composes), and mutations
+  * run serially (the one-maintenance-scheduler contract). Sequence
+  * count is env-tunable: SPARK_GRAFT_INTERLEAVE_SEQS (default 50 per
+  * family — 100 total), SPARK_GRAFT_INTERLEAVE_STEPS (default 4).
+  */
+class InterleavingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val nSeqs =
+    sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_SEQS", "50").toInt
+  private val nSteps =
+    sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_STEPS", "4").toInt
+
+  /** Sequences run CONCURRENTLY (8 at a time): each owns its stores,
+    * stage and tables, so the one-maintenance-scheduler contract —
+    * which is per store — still holds within every sequence, while the
+    * suite's wall clock divides by the pool. The from-scratch model
+    * caches are the only shared state and are computed under their own
+    * locks.
+    */
+  private def runAll(run: Int => Unit): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until nSeqs).map(s => Future(run(s)))),
+      45.minutes)
+    finally pool.shutdown()
+  }
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"ileave_${tag}_").toString
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ---- the document universe: 8 groups x 3 exact copies, fully
+  // disjoint word sets across groups (no cross-group shingles), every
+  // text wide enough for the handlers' 5-word shingles. Group members
+  // are exact copies, so the LSH pair relation is per-group — but the
+  // MODEL never assumes that: it recomputes pairs/labels from scratch
+  // with the handlers' own batch functions over the live subset.
+  private val universe: Seq[(Long, String)] =
+    (0 until 24).map { i =>
+      val g = i / 3
+      (i.toLong + 1L,
+        s"g${g}ax g${g}bx g${g}cx g${g}dx g${g}ex g${g}fx g${g}gx g${g}hx")
+    }
+
+  private def docsOf(ids: Set[Long]): DataFrame =
+    universe.filter(d => ids.contains(d._1)).toDF("doc_id", "text")
+
+  // ---- TEXT LSH + LABEL family ----
+
+  /** From-scratch model of the live set, cached per set (sequences
+    * revisit the same states): the LSH pair relation and the label
+    * contraction a rebuild would produce.
+    */
+  private val textModel =
+    collection.mutable.Map.empty[Set[Long], (Seq[String], Seq[String])]
+
+  private def textExpected(live: Set[Long]): (Seq[String], Seq[String]) =
+    textModel.synchronized(textModel.getOrElseUpdate(live, {
+      val d = docsOf(live).localCheckpoint()
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 5, numHashes = 16, bands = 4).localCheckpoint()
+      (rows(pairs.select(col("d1"), col("d2"))),
+        rows(Dedup.dedupClusters(d, "doc_id", pairs)))
+    }))
+
+  private def checkText(lsh: String, lbl: String, live: Set[Long],
+                        ctx: String): Unit = {
+    val (wantPairs, wantLabels) = textExpected(live)
+    assert(rows(Dedup.lshPairsFromStore(spark, lsh)
+        .select(col("d1"), col("d2"))) === wantPairs,
+      s"$ctx: store-derived pairs diverged from the from-scratch " +
+        "survivor relation")
+    assert(rows(LabelStore.read(spark, lbl)) === wantLabels,
+      s"$ctx: labels diverged from the from-scratch survivor contraction")
+  }
+
+  private def runTextSequence(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val lsh = tmp("lsh"); val lbl = tmp("lbl"); val stage = tmp("stg")
+    var live = universe.take(6).map(_._1).toSet
+    var pool = universe.drop(6).map(_._1)
+    var everRetracted = Set.empty[Long]
+    var nextBatch = 0L
+    val init = docsOf(live).localCheckpoint()
+    Dedup.lshStoreWrite(Dedup.lshSignatureRows(init, "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4), lsh)
+    LabelStore.write(Dedup.dedupClusters(init, "doc_id",
+      Dedup.minhashLshPairs(init, "doc_id", "text",
+        n = 5, numHashes = 16, bands = 4)), lbl)
+    checkText(lsh, lbl, live, s"text seed=$seed init")
+
+    (0 until nSteps).foreach { step =>
+      val ctx = s"text seed=$seed step=$step"
+      def retractTargets(): Set[Long] = {
+        // 1-2 ids from live ∪ already-retracted: overlap and
+        // gone-id replay are part of the contract under test
+        val cand = (live ++ everRetracted).toSeq.sorted
+        rnd.shuffle(cand).take(1 + rnd.nextInt(2)).toSet
+      }
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 if pool.nonEmpty => // ingest via the live handler
+          val take = 1 + rnd.nextInt(math.min(3, pool.size))
+          val ids = pool.take(take).toSet; pool = pool.drop(take)
+          StreamingOps.dedupMaintainBatch(spark, lsh, lbl, stage)(
+            docsOf(ids), { nextBatch += 1; nextBatch })
+          live ++= ids
+        case 0 | 1 | 2 => // pool exhausted: compact instead
+          Dedup.lshStoreCompact(spark, lsh, s"${lsh}__compact")
+          StreamingOps.swapInCompacted(spark, lsh)
+        case 3 | 4 => // eager retraction
+          val ids = retractTargets()
+          StreamingOps.dedupRetractBatch(spark, lsh, lbl)(
+            ids.toSeq.toDF("doc_id"))
+          everRetracted ++= ids; live --= ids
+        case 5 | 6 => // deferred retraction (zone persists until compact)
+          val ids = retractTargets()
+          StreamingOps.dedupRetractDeferred(spark, lsh, lbl)(
+            ids.toSeq.toDF("doc_id"))
+          everRetracted ++= ids; live --= ids
+        case 7 => // the applying compaction
+          Dedup.lshStoreCompact(spark, lsh, s"${lsh}__compact")
+          StreamingOps.swapInCompacted(spark, lsh)
+      }
+      checkText(lsh, lbl, live, ctx)
+    }
+  }
+
+  test("random ingest/retract/compact interleavings keep the text LSH store equal to a from-scratch survivor rebuild") {
+    runAll(runTextSequence)
+  }
+
+  // ---- LEXICAL posting-store family ----
+
+  private val Terms = Seq("merge", "stream", "vector")
+
+  /** 24 docs over a shared query-term vocabulary: term overlap across
+    * docs makes idf/avgdl genuinely corpus-dependent, so a single
+    * skipped or doubled stats decrement moves every survivor's score.
+    */
+  private val lexUniverse: Seq[(Long, String)] =
+    (0 until 24).map { i =>
+      val id = i.toLong + 1L
+      val extra = i % 4 match {
+        case 0 => "merge merge stream"
+        case 1 => "vector stream stream"
+        case 2 => "merge vector"
+        case 3 => s"filler${i}a filler${i}b"
+      }
+      (id, s"doc${i}w1 doc${i}w2 $extra doc${i}w3")
+    }
+
+  private def lexDocsOf(ids: Set[Long]): DataFrame =
+    lexUniverse.filter(d => ids.contains(d._1)).toDF("doc_id", "text")
+
+  /** From-scratch model per live set: the BM25 top-k a rebuild would
+    * serve and the exact folded (n, sdl). The reference index is built,
+    * read, and dropped on each cache miss.
+    */
+  private val lexModel =
+    collection.mutable.Map.empty[Set[Long], (Seq[String], (Long, Long))]
+
+  private def lexExpected(live: Set[Long]): (Seq[String], (Long, Long)) =
+    lexModel.synchronized(lexModel.getOrElseUpdate(live, {
+      val ref = "graft_ileave_ref"
+      Pipeline6.postingsWrite(lexDocsOf(live), ref, nBuckets = 4)
+      val top = rows(Pipeline6.bm25TopKStored(spark, ref, k = 100,
+        terms = Terms))
+      val st = lexDocsOf(live)
+        .select(size(split(col("text"), " ")).as("dl"))
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      spark.sql(s"DROP TABLE IF EXISTS $ref")
+      spark.sql(s"DROP TABLE IF EXISTS ${ref}_stats")
+      (top, (st.getLong(0), st.getLong(1)))
+    }))
+
+  private def checkLex(t: String, live: Set[Long], ctx: String): Unit = {
+    val (wantTop, (wantN, wantSdl)) = lexExpected(live)
+    assert(rows(Pipeline6.bm25TopKStored(spark, t, k = 100,
+        terms = Terms)) === wantTop,
+      s"$ctx: stored BM25 diverged from the from-scratch survivor index")
+    val st = spark.table(s"${t}_stats")
+      .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("sdl"), lit(0L))).head()
+    assert((st.getLong(0), st.getLong(1)) === ((wantN, wantSdl)),
+      s"$ctx: folded stats diverged from the survivors' exact (n, sdl)")
+  }
+
+  private def runLexSequence(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val t = s"graft_ileave_lex_$seed"
+    val stage = tmp("lstg")
+    var live = lexUniverse.take(6).map(_._1).toSet
+    var pool = lexUniverse.drop(6).map(_._1)
+    var everRetracted = Set.empty[Long]
+    var nextBatch = 0L
+    Pipeline6.postingsWrite(lexDocsOf(live), t, nBuckets = 4)
+    checkLex(t, live, s"lex seed=$seed init")
+
+    (0 until nSteps).foreach { step =>
+      val ctx = s"lex seed=$seed step=$step"
+      def retractTargets(): Set[Long] = {
+        val cand = (live ++ everRetracted).toSeq.sorted
+        rnd.shuffle(cand).take(1 + rnd.nextInt(2)).toSet
+      }
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 if pool.nonEmpty => // staged ingest + merge
+          val take = 1 + rnd.nextInt(math.min(3, pool.size))
+          val ids = pool.take(take).toSet; pool = pool.drop(take)
+          StreamingOps.lexicalIngestBatch(stage)(
+            lexDocsOf(ids), { nextBatch += 1; nextBatch })
+          StreamingOps.lexicalMergeStaged(spark, stage, t, nBuckets = 4,
+            compactMaxFiles = 0)
+          live ++= ids
+        case 0 | 1 | 2 => // pool exhausted: compact instead
+          Bucketed.compactBucketed(spark, t, "term", 4)
+        case 3 | 4 => // eager retraction (content-derived retractId)
+          val ids = retractTargets()
+          val rm = ids.toSeq.toDF("doc_id")
+          StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+            StreamingOps.retractIdFor(rm))(rm)
+          everRetracted ++= ids; live --= ids
+        case 5 | 6 => // deferred retraction (zone persists until compact)
+          val ids = retractTargets()
+          val rm = ids.toSeq.toDF("doc_id")
+          StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+            StreamingOps.retractIdFor(rm), compactMaxFiles = 0)(rm)
+          everRetracted ++= ids; live --= ids
+        case 7 => // the applying compaction
+          Bucketed.compactBucketed(spark, t, "term", 4)
+      }
+      checkLex(t, live, ctx)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_retract_done")
+  }
+
+  test("random ingest/retract/compact interleavings keep the posting store equal to a from-scratch survivor rebuild") {
+    runAll(runLexSequence)
+  }
+}
