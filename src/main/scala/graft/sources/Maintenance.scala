@@ -299,6 +299,53 @@ object Maintenance {
     true
   }
 
+  /** Reader-side RETRY for the store-swap windows — the concurrency
+    * contract for probes that do NOT serialize through the one
+    * maintenance scheduler: every swap device here is rename-based
+    * (the hive stores' `swapInCompacted` rename pair, the bucketed
+    * tables' DROP→RENAME, the label store's staged overwrite), so a
+    * reader racing a swap can transiently observe (a) the store path
+    * or table MISSING for one resolution (between the two renames /
+    * between DROP and RENAME), (b) file-level FileNotFound mid-scan
+    * when its resolved file list predates the swap and the old copy's
+    * deletion wins the race, or (c) the label store's fail-loud
+    * dirty-stage error for the DURATION of a fold (deliberate — a
+    * dynamic partition overwrite is not snapshot-isolated, so the loud
+    * error is what turns a torn read into a retry). All three are
+    * TRANSIENT by construction — a swap either completes or heals, and
+    * every complete state serves consistent reads — so the correct
+    * reader behavior is bounded retry, never fallback logic. What a
+    * retried read can NEVER observe is partial state: renames are
+    * atomic per directory, the replacement is complete before the
+    * first rename, and the label store errors rather than serving a
+    * half-overwritten bucket set (SwapRaceSpec races a tight probe
+    * loop against repeated swaps on all three devices and asserts
+    * every read is exact).
+    *
+    * Bounded: rethrows after `attempts`; only the three transient
+    * classes retry, anything else propagates immediately.
+    */
+  def retryOnSwap[T](attempts: Int = 8, backoffMs: Long = 50)(
+      body: => T): T = {
+    def transient(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists {
+        case _: java.io.FileNotFoundException => true
+        case _: org.apache.spark.sql.AnalysisException => true
+        case e: IllegalArgumentException =>
+          e.getMessage != null && e.getMessage.contains("update stage")
+        case _ => false
+      }
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if attempt < attempts - 1 && transient(t) =>
+          attempt += 1; Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Per-file statistics manifest: (file, rows, min, max) of `keyCol`
     * for every parquet file of the table — the file-skipping index the
     * reference keeps in `chunksinfo.txt`, derived instead of

@@ -1039,8 +1039,11 @@ object StreamingOps {
     * per-batch stats pass would scale with the STORE where this scales
     * with its file count. The swap renames the live path away, renames
     * the compacted store in, then deletes the old copy — handlers run
-    * serially from one maintenance scheduler (the shared contract), so
-    * no probe races the swap.
+    * serially from one maintenance scheduler (the shared contract);
+    * probes that DO race the swap from outside the scheduler retry via
+    * [[graft.sources.Maintenance.retryOnSwap]] (the documented reader
+    * contract — SwapRaceSpec proves a racing reader can only observe a
+    * transient miss, never partial state).
     */
   /** `maxTombstoneFiles` is the DEFERRED-takedown half of the trigger:
     * each [[graft.sources.Maintenance.tombstoneAppend]] lands at most
