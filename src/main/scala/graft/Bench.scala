@@ -45,6 +45,7 @@ object Bench {
     "p136_retraction_labels" -> "retraction",
     "p137_retraction_bm25" -> "retraction",
     "p140_retraction_vector_labels" -> "retraction",
+    "p56_pq_trained" -> "training", // reclassified r15: trains per rep
     "p69_bpe_merges" -> "training",
     "p107_perceptron_pocket" -> "training",
     "p124_ann_tuning_trained" -> "training",

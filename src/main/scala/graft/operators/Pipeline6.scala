@@ -781,6 +781,60 @@ object Pipeline6 {
     (cb, rounds)
   }
 
+  /** FROZEN per-subspace Lloyd training — [[trainPqCodebook]] with the
+    * p124 device ([[Similarity.trainIvfCentroidsFrozen]]) applied to
+    * the PQ codebook, which is what graduates p56 from rows-only to a
+    * full differential: each round's per-(subspace, code, position)
+    * member means are computed in EXACT INTEGER MICRO-UNITS
+    * (`sum(round(pv·10⁶) as long)` — order-free under any partitioning
+    * — divided once, truncating toward zero like DuckDB's BIGINT `//`)
+    * and read back as floats, so the trained codebook is a
+    * deterministic function of the corpus CONTENT alone and a DuckDB
+    * oracle can re-derive the whole training loop. Always runs exactly
+    * `rounds` rounds (the round count is part of the registered
+    * semantics — no eps early-exit); codes that lose all members keep
+    * their previous vectors; assignment reuses [[withCodes]]' argmin,
+    * so training and encoding can never disagree. Same scale shape as
+    * the float form: one corpus pass per round, a model-sized
+    * (m × nCodes × subDim) aggregate.
+    */
+  def trainPqCodebookFrozen(corpus: DataFrame, nCodes: Int = PqNCodes,
+                            m: Int = PqM,
+                            rounds: Int = PqTrainedRounds): Array[(Int, Seq[Seq[Float]])] = {
+    val par = Parallelism.ensureParallel(corpus)
+    var cb = pqCodebook(corpus, nCodes, m)
+    for (_ <- 1 to rounds if cb.nonEmpty) {
+      val sub = pqSub(cb)
+      val micro = withCodes(cb, par)
+        .select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("s"), (-col(s"__b$s.nc")).cast("int").as("code"),
+                 slice(col("embedding"), s * sub + 1, sub).as("v"))
+        }: _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.code").as("code"),
+                posexplode(col("x.v")).as(Seq("pos", "pv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(round(col("pv") * lit(1000000.0)).cast("long")).as("ms"),
+             count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val byKey: Map[(Int, Int), Seq[Float]] =
+        micro.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+          k -> xs.sortBy(_._3)
+            .map(x => ((x._4 / x._5).toDouble / 1e6).toFloat).toSeq
+        }
+      cb = cb.map { case (cid, subs) =>
+        (cid, subs.indices.map(s => byKey.getOrElse((s, cid), subs(s))).toSeq)
+      }
+    }
+    cb
+  }
+
+  /** Round count of the REGISTERED frozen PQ training (p56) — part of
+    * the semantics, mirrored by the oracle's unrolled CTE rounds.
+    */
+  private[operators] val PqTrainedRounds = 2
+
   /** Squared L2 distance via the dot identity ‖a−b‖² =
     * ((a·a − 2(a·b)) + b·b), in exactly that association order — three
     * [[dot]] calls (the established bit-exact cross-engine primitive)
@@ -1653,17 +1707,86 @@ object Pipeline6 {
        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
-  /** p56 (rows-only by design, the trainIvfCentroids precedent): PQ
-    * codes + reconstruction error under the TRAINED codebook. Float
-    * mean aggregation is partition-order dependent, so code
-    * assignments near cell boundaries are not bit-stable across
-    * cluster layouts — the driver records the row contract (one row
-    * per vector, the encode is total) and Pipeline6Spec pins the Lloyd
-    * guarantee: total trained error ≤ total coreset error.
+  /** p56 (GRADUATED from rows-only in round 15, the p124 precedent):
+    * PQ codes + reconstruction error under the FROZEN-trained codebook
+    * ([[trainPqCodebookFrozen]] — exact integer micro-unit means make
+    * the trained model a deterministic function of corpus content, so
+    * the full differential the float form could not carry becomes
+    * possible: the oracle re-derives the seed, both Lloyd rounds and
+    * the final encode from first principles). The float `eps`-budgeted
+    * form ([[trainPqCodebook]]) remains for callers that want the
+    * early-exit; Pipeline6Spec still pins its Lloyd guarantee.
     */
   def pqCodesTrained(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    pqEncode(trainPqCodebook(emb, iters = 3), emb).orderBy(col("vec_id"))
+    pqEncode(trainPqCodebookFrozen(emb), emb).orderBy(col("vec_id"))
+  }
+
+  /** p56 oracle: the frozen per-subspace Lloyd chain re-derived from
+    * first principles — the seed codebook is [[pqCodebook]]'s coreset
+    * (the first nCodes vectors, sliced per subspace), each round is
+    * the argmin assignment under the dot-identity distance (the p47
+    * CTE device) followed by the exact integer micro-mean
+    * (`sum(round(pv·10⁶)) // count`, truncating on BIGINTs like Java
+    * long division), and the final SELECT is p47's encode pivot under
+    * the last round's codebook. One SQL definition of a PQ Lloyd round
+    * (the Pipeline14.lloydRoundCte discipline on the subspace grid).
+    */
+  val pqTrainedOracle: String = {
+    val sub = 16 // PqDim / PqM — pinned by the registered (8, 4) instance
+    def vs(e: String, s: String) = s"$e.embedding[$s*$sub+1 : $s*$sub+$sub]"
+    def pqRound(t: Int): String = {
+      val prev = s"pqcb${t - 1}"
+      val v = vs("e", "b.s")
+      s"""pqd$t AS (
+         |  SELECT e.vec_id, b.s, b.code,
+         |         ((${duckDot(v, v)} - 2.0 * ${duckDot(v, "b.cv")})
+         |           + ${duckDot("b.cv", "b.cv")}) AS dist
+         |  FROM embeddings e CROSS JOIN $prev b),
+         |pqa$t AS MATERIALIZED (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |           row_number() OVER (PARTITION BY vec_id, s
+         |                              ORDER BY dist, code) AS rn
+         |    FROM pqd$t) WHERE rn = 1),
+         |pqm$t AS (
+         |  SELECT a.s, a.code, u.i AS pos,
+         |         CAST(sum(round(CAST(e.embedding[a.s*$sub + u.i + 1]
+         |              AS DOUBLE) * 1000000)) AS BIGINT) AS ms,
+         |         count(*) AS c
+         |  FROM pqa$t a JOIN embeddings e USING (vec_id),
+         |       unnest(range(0, $sub)) AS u(i)
+         |  GROUP BY 1, 2, 3),
+         |pqcb$t AS MATERIALIZED (
+         |  SELECT p.s, p.code, coalesce(n.cv, p.cv) AS cv
+         |  FROM pqcb${t - 1} p LEFT JOIN (
+         |    SELECT s, code,
+         |           list(CAST(CAST(ms // c AS DOUBLE) / 1000000 AS REAL)
+         |                ORDER BY pos) AS cv
+         |    FROM pqm$t GROUP BY 1, 2) n USING (s, code))""".stripMargin
+    }
+    val fv = vs("e", "b.s")
+    val errFold = (0 until PqM).map(s => s"max(CASE WHEN s = $s THEN dist END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val codePivot = (0 until PqM)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")
+    s"""WITH pqcb0 AS MATERIALIZED (
+       |  SELECT CAST(sp.s AS INTEGER) AS s, CAST(c.vec_id AS INTEGER) AS code,
+       |         CAST(${vs("c", "sp.s")} AS REAL[]) AS cv
+       |  FROM embeddings c CROSS JOIN range(0, $PqM) sp(s)
+       |  WHERE c.vec_id < $PqNCodes),
+       |${(1 to PqTrainedRounds).map(pqRound).mkString(",\n")},
+       |fin AS (
+       |  SELECT e.vec_id, b.s, b.code,
+       |         ((${duckDot(fv, fv)} - 2.0 * ${duckDot(fv, "b.cv")})
+       |           + ${duckDot("b.cv", "b.cv")}) AS dist,
+       |         row_number() OVER (PARTITION BY e.vec_id, b.s
+       |                            ORDER BY ((${duckDot(fv, fv)}
+       |              - 2.0 * ${duckDot(fv, "b.cv")})
+       |              + ${duckDot("b.cv", "b.cv")}), b.code) AS rn
+       |  FROM embeddings e CROSS JOIN pqcb$PqTrainedRounds b)
+       |SELECT vec_id, $codePivot, round($errFold, 6) AS err
+       |FROM fin WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1692,6 +1815,10 @@ object Pipeline6 {
     "p46_hybrid_rrf"   -> hybridRrfOracle,
     "p47_pq_codes"     -> pqCodesOracle,
     "p48_pq_adc"       -> pqAdcTopKOracle,
+    // GRADUATED round 15: the frozen integer-micro training (the p124
+    // device on the subspace grid) made the trained codebook — and with
+    // it the full encode — first-principles re-derivable
+    "p56_pq_trained"   -> pqTrainedOracle,
     "p49_ivfpq_stored" -> ivfPqStoredOracle,
     "p55_ivfpq_refine" -> ivfPqRefinedOracle,
     "p57_phrase_topk"  -> phraseTopKOracle,

@@ -37,12 +37,12 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     // p15 left this set in round 7: the raster decode carries a full
     // differential oracle now that the payload format is self-describing.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // p69 graduated in round 10: the per-round argmax unrolls as
-    // materialized CTEs (Pipeline5.bpeMergesOracle), shrinking this
-    // list to six.
+    // p69 graduated in round 10 (unrolled argmax CTEs); p56 graduated
+    // in round 15 (frozen integer-micro PQ training, the p124 device),
+    // shrinking this list to five.
     assert(noOracle === Set("p16_approx_stats",
       "q61_sliding_distinct_hll", "q62_heavy_hitters", "p39_weighted_sample",
-      "p42_weighted_sample_by", "p56_pq_trained"))
+      "p42_weighted_sample_by"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {
