@@ -1606,9 +1606,9 @@ object StreamingOps {
     * identically (affected components recontract NOW — labels must
     * never serve withdrawn rows); the retracted vec_ids then land in
     * the store's tombstone zone, every stored ANN reader anti-joins
-    * the pending set ([[graft.operators.Similarity]]'s storedScan —
-    * top-k, filtered, near-dup probes — plus the compressed codes
-    * probe `Pipeline6.ivfPqTopKStored`), so a withdrawn vector stops
+    * the pending set ([[graft.operators.Similarity]]'s top-k, filtered
+    * and near-dup stored probes, plus the compressed codes probe
+    * `Pipeline6.ivfPqTopKStored`), so a withdrawn vector stops
     * ranking IMMEDIATELY, and the physical rewrite rides whichever
     * full rewrite comes first on the maintenance cadence: the
     * zone-count-triggered compaction ([[compactIfDue]] over the
