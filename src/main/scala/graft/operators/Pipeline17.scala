@@ -457,36 +457,37 @@ object Pipeline17 {
     * (verdict r14 item 3): between the deferred takedown and its
     * applying compaction the withdrawn vectors' rows are still
     * physically present in the cell layout (only queued in the zone),
-    * yet the τ-contraction recomputed ENTIRELY from store reads — the
-    * survivor id set from the tombstone-aware cell scan, the pair
-    * relation from the stored ANN near-dup probe
-    * ([[Similarity.ivfProbeNearDup]] at full fan-out, the p73 witness
-    * relation answered from the store) — must hash-match the
+    * yet the τ-contraction recomputed ENTIRELY from tombstone-aware
+    * store reads — survivor ids AND embeddings from the cell scan,
+    * their pair relation through the cell-blocked exact pass
+    * ([[Similarity.cellBlockedTauPairs]] at full fan-out — p140's own
+    * evidence device, whose candidate join is hash-partitioned by
+    * cell, never a corpus-sized broadcast; the batch-sized stored
+    * probe `ivfProbeNearDup` shares the same tombstone-aware corpus
+    * side, PlanSpec/RetractionSpec-pinned) — must hash-match the
     * from-scratch τ-contraction of the surviving vectors (p140's
-    * oracle, reused verbatim). A stored reader that forgot the
-    * anti-join would let withdrawn vectors re-enter as pair endpoints
-    * AND as label ids, and the differential catches both.
+    * oracle, reused verbatim). A store read that forgot the anti-join
+    * would let withdrawn vectors re-enter as pair endpoints AND as
+    * label ids, and the differential catches both.
     *
     * Scale shape: the store + deferred takedown build once (memoized);
-    * the entry prices the steady-state deferred read — the DPP-pruned
-    * cell probe plus one broadcast anti-join against the
-    * takedown-bounded pending set — and the label contraction over
-    * the component-bounded pair relation.
+    * the entry prices the steady-state deferred read — the cell scan
+    * plus one broadcast anti-join against the takedown-bounded pending
+    * set — and the cell-blocked pair pass + contraction over the
+    * survivors.
     */
   def deferredRetractionVectorLabels(s: SparkSession, d: String): DataFrame = {
     val root = deferredVectorRoot(s, d)
     val ivf = s"$root/ivf"
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = Similarity.seedCentroids(emb, 8)
-    // survivors FROM the store (tombstone-aware scan), pairs FROM the
-    // stored probe (tombstone-aware on its corpus side)
+    // survivors FROM the store: the tombstone-aware scan is the read
+    // under test — ids and embeddings both come from the deferred state
     val surv = graft.sources.Maintenance.minusTombstones(s, ivf,
         s.read.parquet(ivf))
       .select(col("vec_id"), col("embedding"))
-    val pairs = Similarity.ivfProbeNearDup(s, ivf, surv, cents,
-        Pipeline14.VecTau, nProbe = cents.length)
-      .filter(col("qid") < col("cid"))
-      .select(col("qid").as("d1"), col("cid").as("d2"))
+    val pairs = Similarity.cellBlockedTauPairs(surv, cents,
+      Pipeline14.VecTau, nProbe = cents.length)
     LabelStore.labelsFor(surv.select(col("vec_id").as("doc_id")), pairs)
       .orderBy(col("doc_id"))
   }

@@ -1396,9 +1396,18 @@ object Pipeline6 {
       .join(broadcast(centFrame(spark, cents)), Seq("cell"))
       .select(pid.as("vec_id"),
         zip_with(col("embedding"), col("cvec"), (a, b) => a - b).as("embedding"))
-    val cands = spark.read.parquet(path)
+    val joined = spark.read.parquet(path)
       .join(broadcast(probes), Seq("cell"))
       .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
+    // tombstone-aware like the plain-codes twin (the deferred-takedown
+    // reader invariant: EVERY cell-layout codes reader anti-joins the
+    // pending set, above the probe join so DPP survives) — without
+    // this, a deferred takedown queued against a residual store would
+    // keep the withdrawn vector's code rows ranking until compaction
+    val alive = graft.sources.Maintenance.tombstones(spark, path)
+      .fold(joined)(ts =>
+        joined.join(broadcast(ts), Seq("vec_id"), "left_anti"))
+    val cands = alive
       .select(pid.as("qid") +: col("vec_id").as("cid") +:
         (0 until m).map(s => col(s"c$s").cast("int").as(s"c$s")): _*)
     adcJoinLut(pqLutFrame(cb, qres), cands, m)

@@ -61,10 +61,19 @@ object Bucketed {
     * tombstone zone) live, invisible to table scans exactly like the
     * hive stores' `_model`/`_graft_tombstones` paths.
     */
-  def tableLocation(spark: SparkSession, table: String): String =
+  def tableLocation(spark: SparkSession, table: String): String = {
+    // key on the QUALIFIED lowercase identifier: a bare name resolves
+    // against the session's current database, so two databases' tables
+    // sharing a name must not share a cache slot (the zone would be
+    // read under the wrong store), and the catalog itself is
+    // case-insensitive
+    val qualified =
+      if (table.contains(".")) table.toLowerCase
+      else s"${spark.catalog.currentDatabase.toLowerCase}.${table.toLowerCase}"
     locationCache.computeIfAbsent(
-      spark.conf.get("spark.sql.warehouse.dir") + "#" + table,
+      spark.conf.get("spark.sql.warehouse.dir") + "#" + qualified,
       _ => describeLocation(spark, table))
+  }
 
   /** Location lookups are cached per (warehouse, table): a managed
     * table's directory is `<warehouse>/<name>` and the rename-based

@@ -330,7 +330,15 @@ object Maintenance {
     def transient(t: Throwable): Boolean =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists {
         case _: java.io.FileNotFoundException => true
-        case _: org.apache.spark.sql.AnalysisException => true
+        // only the NOT-FOUND analysis classes are swap-transient — a
+        // blanket AnalysisException match would retry a permanent
+        // error (missing column, bad function) to exhaustion before
+        // surfacing it
+        case e: org.apache.spark.sql.AnalysisException =>
+          val ec = Option(e.getCondition).getOrElse("")
+          ec.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+            ec.contains("PATH_NOT_FOUND") ||
+            ec.contains("UNABLE_TO_INFER_SCHEMA")
         case e: IllegalArgumentException =>
           e.getMessage != null && e.getMessage.contains("update stage")
         case _ => false

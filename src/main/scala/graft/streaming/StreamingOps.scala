@@ -2318,6 +2318,17 @@ object StreamingOps {
     * interleaving harness); XOR is equally order-free, cannot
     * overflow, and the post-distinct input means no id can cancel
     * itself out.
+    *
+    * MIGRATION NOTE for persisted deployments: the formula IS the id
+    * namespace — changing it (as the round-15 SUM→XOR fix did) orphans
+    * commit records written under the old formula: a retry of an old
+    * batch computes a fresh id and re-decrements, and an old STRANDED
+    * record can never be retried to completion (the admission guard
+    * would refuse all future takedowns on that table). A store whose
+    * `_stats` table predates a formula change must first drain: verify
+    * `unfinishedRetractions` is empty under the old build, then
+    * upgrade. This repo's stores rebuild per JVM, so no migration was
+    * owed here.
     */
   def retractIdFor(removeIds: DataFrame): Long = {
     val s = removeIds.select(col("doc_id")).distinct()

@@ -725,6 +725,23 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     Pipeline6.ivfPqWrite(cents, cb, emb.join(rm, Seq("vec_id"), "left_anti"), ref)
     assert(got.toSeq === Pipeline6.ivfPqTopKStored(spark, ref, qs, cents,
       cb, k = 1000, nProbe = 8).collect().toSeq)
+
+    // the RESIDUAL codes twin honors the same reader invariant (it was
+    // the one cell-layout codes reader the round-15 self-review caught
+    // without the anti-join)
+    val rcb = Pipeline6.pqResidualCodebook(cents, emb)
+    val rstore = java.nio.file.Files.createTempDirectory("cdef_res_").toString
+    val rref = java.nio.file.Files.createTempDirectory("cdef_rref_").toString
+    Pipeline6.ivfPqResidualWrite(cents, rcb, emb, rstore)
+    Maintenance.tombstoneAppend(spark, rstore, rm, "vec_id")
+    Pipeline6.ivfPqResidualWrite(cents, rcb,
+      emb.join(rm, Seq("vec_id"), "left_anti"), rref)
+    val rgot = Pipeline6.ivfPqResidualTopKStored(spark, rstore, qs, cents,
+      rcb, k = 1000, nProbe = 8).collect()
+    assert(!rgot.exists(_.getLong(1) % 10L === 3L),
+      "tombstoned residual code rows still rank")
+    assert(rgot.toSeq === Pipeline6.ivfPqResidualTopKStored(spark, rref,
+      qs, cents, rcb, k = 1000, nProbe = 8).collect().toSeq)
   }
 
   test("Engine.takedownVectors clears the embedding AND codes stores; withdrawn vectors unrankable") {
