@@ -269,4 +269,120 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
   test("random ingest/retract/compact interleavings keep the posting store equal to a from-scratch survivor rebuild") {
     runAll(runLexSequence)
   }
+
+  // ---- VECTOR IVF + LABEL family (round 15's deferred stores) ----
+
+  /** 8 groups × 3 exact copies on disjoint one-hot directions (zero
+    * cross-group cosine, within-group cosine 1 ≥ τ) — like the text
+    * universe, the structure only makes pairs interesting; the model
+    * recomputes from scratch with the handlers' own batch functions.
+    */
+  private val vecUniverse: Seq[(Long, Seq[Float])] =
+    (0 until 24).map { i =>
+      val g = i / 3
+      (i.toLong + 1L, Seq.tabulate(8)(d => if (d == g) 1f else 0f))
+    }
+
+  private def vecsOf(ids: Set[Long]): DataFrame =
+    vecUniverse.filter(v => ids.contains(v._1)).toDF("vec_id", "embedding")
+
+  private val VecTau = 0.95
+
+  /** Frozen at store build (the ivfAppend contract), shared by every
+    * sequence and the model.
+    */
+  private lazy val vecCents =
+    graft.operators.Similarity.seedCentroids(
+      vecUniverse.toDF("vec_id", "embedding"), 4)
+
+  private val vecModel =
+    collection.mutable.Map.empty[Set[Long], Seq[String]]
+
+  private def vecExpected(live: Set[Long]): Seq[String] =
+    vecModel.synchronized(vecModel.getOrElseUpdate(live, {
+      val v = vecsOf(live).localCheckpoint()
+      rows(LabelStore.labelsFor(v.select(col("vec_id").as("doc_id")),
+        graft.operators.Similarity.cellBlockedTauPairs(v, vecCents, VecTau,
+          nProbe = vecCents.length)))
+    }))
+
+  private def checkVec(ivf: String, lbl: String, live: Set[Long],
+                       ctx: String): Unit = {
+    assert(rows(LabelStore.read(spark, lbl)) === vecExpected(live),
+      s"$ctx: labels diverged from the from-scratch survivor contraction")
+    val stored = Maintenance.minusTombstones(spark, ivf,
+        spark.read.parquet(ivf))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(stored === live,
+      s"$ctx: the tombstone-aware cell scan's id set diverged from the " +
+        "survivors")
+  }
+
+  private def runVecSequence(seed: Int): Unit = {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(seed)
+    val ivf = tmp("ivf"); val lbl = tmp("vlbl"); val stage = tmp("vstg")
+    var live = vecUniverse.take(6).map(_._1).toSet
+    var pool = vecUniverse.drop(6).map(_._1)
+    var everRetracted = Set.empty[Long]
+    var nextBatch = 0L
+    val init = vecsOf(live).localCheckpoint()
+    Similarity.ivfWrite(init, vecCents, ivf)
+    LabelStore.write(
+      LabelStore.labelsFor(init.select(col("vec_id").as("doc_id")),
+        Similarity.cellBlockedTauPairs(init, vecCents, VecTau,
+          nProbe = vecCents.length)), lbl)
+    checkVec(ivf, lbl, live, s"vec seed=$seed init")
+
+    (0 until nSteps).foreach { step =>
+      val ctx = s"vec seed=$seed step=$step"
+      def retractTargets(): Set[Long] = {
+        val cand = (live ++ everRetracted).toSeq.sorted
+        rnd.shuffle(cand).take(1 + rnd.nextInt(2)).toSet
+      }
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 if pool.nonEmpty => // ingest via the live handler
+          val take = 1 + rnd.nextInt(math.min(3, pool.size))
+          val ids = pool.take(take).toSet; pool = pool.drop(take)
+          StreamingOps.vectorDedupMaintainBatch(spark, ivf, lbl, stage,
+            vecCents, VecTau, nProbe = vecCents.length)(
+            vecsOf(ids), { nextBatch += 1; nextBatch })
+          live ++= ids
+        case 0 | 1 | 2 => // pool exhausted: compact instead
+          Maintenance.compactPartitioned(spark, ivf, s"${ivf}__compact",
+            "cell")
+          StreamingOps.swapInCompacted(spark, ivf)
+        case 3 | 4 => // eager retraction (cell-pruned rewrite)
+          val ids = retractTargets()
+          StreamingOps.vectorRetractBatch(spark, ivf, lbl, vecCents,
+            VecTau, nProbe = vecCents.length)(ids.toSeq.toDF("vec_id"))
+          everRetracted ++= ids; live --= ids
+        case 5 | 6 => // deferred retraction (zone persists until compact)
+          val ids = retractTargets()
+          StreamingOps.vectorRetractDeferred(spark, ivf, lbl, vecCents,
+            VecTau, nProbe = vecCents.length)(ids.toSeq.toDF("vec_id"))
+          everRetracted ++= ids; live --= ids
+        case 7 => // the applying compaction (tombstone-aware rewrite)
+          Maintenance.compactPartitioned(spark, ivf, s"${ivf}__compact",
+            "cell")
+          StreamingOps.swapInCompacted(spark, ivf)
+      }
+      checkVec(ivf, lbl, live, ctx)
+    }
+  }
+
+  test("random ingest/retract/compact interleavings keep the IVF store equal to a from-scratch survivor rebuild") {
+    // the vector family joined the deferred design this round (p151);
+    // fewer sequences than the two text families keep the suite's wall
+    // clock bounded while still randomizing the NEW family's lifecycle
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val n = math.max(20, nSeqs * 2 / 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until n).map(s => Future(runVecSequence(s)))),
+      45.minutes)
+    finally pool.shutdown()
+  }
 }
