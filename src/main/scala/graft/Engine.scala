@@ -1195,9 +1195,18 @@ object Engine {
     val n = retract(removeIds)
     codesStorePath.foreach { p =>
       val ids = removeIds.select(org.apache.spark.sql.functions.col("vec_id"))
-      if (deferred)
+      if (deferred) {
         graft.sources.Maintenance.tombstoneAppend(spark, p, ids, "vec_id")
-      else graft.sources.Maintenance.removeIvfRows(spark, p, ids)
+        // the codes store has no ingest handler of its own running the
+        // zone-count trigger, so the takedown checks it inline exactly
+        // as vectorRetractDeferred does for the embedding store — a
+        // deployment taking only deferred takedowns must still have its
+        // read tax bounded (listing-only until the trigger fires)
+        graft.streaming.StreamingOps.compactIfDue(spark, p, "cell",
+          graft.streaming.StreamingOps.DefaultCompactMaxFiles)(
+          (src, dst) => graft.sources.Maintenance.compactPartitioned(
+            spark, src, dst, "cell"))
+      } else graft.sources.Maintenance.removeIvfRows(spark, p, ids)
     }
     n
   }

@@ -107,6 +107,16 @@ object LabelStore {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The DEDICATED torn-read failure class of [[requireClean]] — a TYPE,
+    * not a message substring, so the reader-retry contract
+    * ([[graft.sources.Maintenance.retryOnSwap]] classifies this as
+    * swap-transient) cannot silently decouple from a reworded error
+    * text. Extends IllegalArgumentException so callers that matched the
+    * old `require` failure keep working.
+    */
+  final class TornReadException(message: String)
+    extends IllegalArgumentException(message)
+
   /** Fail loudly on a leftover update stage: the store may be
     * half-rewritten (a crash mid-overwrite), and silently reading or
     * re-folding over it would compound the damage. [[recover]] heals.
@@ -121,11 +131,12 @@ object LabelStore {
     */
   private def requireClean(spark: SparkSession, path: String): Unit = {
     val stage = stageDirOf(path)
-    require(!fsOf(spark, stage).exists(stage),
-      s"label store $path has an update stage ($stage): either a fold " +
-        "is IN FLIGHT (retry after it completes — reads overlapping a " +
-        "fold would not be snapshot-consistent anyway) or a previous " +
-        "update CRASHED mid-overwrite (run LabelStore.recover(path))")
+    if (fsOf(spark, stage).exists(stage))
+      throw new TornReadException(
+        s"label store $path has an update stage ($stage): either a fold " +
+          "is IN FLIGHT (retry after it completes — reads overlapping a " +
+          "fold would not be snapshot-consistent anyway) or a previous " +
+          "update CRASHED mid-overwrite (run LabelStore.recover(path))")
   }
 
   /** Repair a store whose [[update]] crashed mid-flight. Three cases,

@@ -60,6 +60,16 @@ object Bucketed {
     * store's underscore-prefixed sidecars (the deferred-takedown
     * tombstone zone) live, invisible to table scans exactly like the
     * hive stores' `_model`/`_graft_tombstones` paths.
+    *
+    * CONTRACT: valid for MANAGED tables mutated through this module's
+    * own devices — the catalog resolves a managed name to
+    * `<warehouse>/<name>` and both swap devices here restore exactly
+    * that name (and invalidate the entry at their DROP anyway, belt
+    * and braces). A writer that dropped a table and recreated it at a
+    * DIFFERENT location (an `path`-option external table, or a changed
+    * database resolution mid-session) outside these devices must call
+    * [[invalidateLocation]] or the stale mapping would serve the old
+    * directory's tombstone zone.
     */
   def tableLocation(spark: SparkSession, table: String): String = {
     // key on the QUALIFIED lowercase identifier: a bare name resolves
@@ -85,6 +95,20 @@ object Bucketed {
     */
   private val locationCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop `table`'s cached location — called by both swap devices at
+    * their DROP TABLE (the one point where the name→directory mapping
+    * could in principle change hands), and the escape hatch of the
+    * [[tableLocation]] contract for external writers that recreate a
+    * same-named table at a different location.
+    */
+  def invalidateLocation(spark: SparkSession, table: String): Unit = {
+    val qualified =
+      if (table.contains(".")) table.toLowerCase
+      else s"${spark.catalog.currentDatabase.toLowerCase}.${table.toLowerCase}"
+    locationCache.remove(
+      spark.conf.get("spark.sql.warehouse.dir") + "#" + qualified)
+  }
 
   private def describeLocation(spark: SparkSession, table: String): String = {
     import org.apache.spark.sql.functions.col
@@ -121,6 +145,7 @@ object Bucketed {
         .repartition(n, col(key)), tmp, key, n)
     graft.CrashPoints.hit("bucketedSwap.staged")
     spark.sql(s"DROP TABLE $table")
+    invalidateLocation(spark, table)
     graft.CrashPoints.hit("bucketedSwap.dropped")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
@@ -171,6 +196,7 @@ object Bucketed {
       tmp, key, n)
     graft.CrashPoints.hit("bucketedSwap.staged")
     spark.sql(s"DROP TABLE $table")
+    invalidateLocation(spark, table)
     graft.CrashPoints.hit("bucketedSwap.dropped")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

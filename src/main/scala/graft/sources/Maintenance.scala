@@ -339,8 +339,10 @@ object Maintenance {
           ec.contains("TABLE_OR_VIEW_NOT_FOUND") ||
             ec.contains("PATH_NOT_FOUND") ||
             ec.contains("UNABLE_TO_INFER_SCHEMA")
-        case e: IllegalArgumentException =>
-          e.getMessage != null && e.getMessage.contains("update stage")
+        // the label store's torn-read refusal is a dedicated TYPE
+        // (thrown for the duration of a fold), so this classification
+        // cannot decouple from a reworded message
+        case _: graft.operators.LabelStore.TornReadException => true
         case _ => false
       }
     var attempt = 0

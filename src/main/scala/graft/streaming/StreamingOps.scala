@@ -1254,8 +1254,20 @@ object StreamingOps {
     * takedown batches are rare and large, deferred when they are
     * frequent and the compaction cadence already runs.
     */
+  /** `compactMaxFiles`/`maxTombstoneFiles` wire the shared compaction
+    * trigger ([[compactIfDue]]) into the takedown itself: a store that
+    * only ever takes deferred takedowns has no ingest handler running
+    * the trigger for it, so without this the zone files — and with
+    * them every reader's broadcast anti-join tax — would accumulate
+    * unboundedly until some unrelated maintenance call happened by.
+    * Past `maxTombstoneFiles` queued batches the handler pays the
+    * applying compaction inline (the lexical deferred twin's
+    * discipline); 0 disables.
+    */
   def dedupRetractDeferred(spark: org.apache.spark.sql.SparkSession,
-                           lshStorePath: String, labelPath: String)(
+                           lshStorePath: String, labelPath: String,
+                           compactMaxFiles: Int = DefaultCompactMaxFiles,
+                           maxTombstoneFiles: Int = 16)(
                            removeIds: DataFrame): Long = {
     recoverStoreSwap(spark, lshStorePath)
     graft.operators.LabelStore.recover(spark, labelPath)
@@ -1264,6 +1276,9 @@ object StreamingOps {
     graft.CrashPoints.hit("dedupRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, lshStorePath,
       rm, "doc_id")
+    compactIfDue(spark, lshStorePath, "band", compactMaxFiles,
+      maxTombstoneFiles)(
+      (src, dst) => graft.operators.Dedup.lshStoreCompact(spark, src, dst))
     before
   }
 
@@ -1313,7 +1328,9 @@ object StreamingOps {
   def multimodalRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                                 txtStorePath: String, imgStorePath: String,
                                 audStorePath: String, vidStorePath: String,
-                                labelPath: String, maxHamming: Int = 3)(
+                                labelPath: String, maxHamming: Int = 3,
+                                compactMaxFiles: Int = DefaultCompactMaxFiles,
+                                maxTombstoneFiles: Int = 16)(
                                 removeIds: DataFrame): Long = {
     import graft.operators.LabelStore
     val stores = Seq(txtStorePath, imgStorePath, audStorePath, vidStorePath)
@@ -1326,6 +1343,14 @@ object StreamingOps {
     stores.foreach { store =>
       graft.sources.Maintenance.tombstoneAppend(spark, store, rm, "doc_id")
       graft.CrashPoints.hit("multimodalRetractDeferred.zone")
+    }
+    // the dedupRetractDeferred rationale, per store: a label space fed
+    // only by takedowns has no ingest handler running the trigger
+    stores.foreach { store =>
+      compactIfDue(spark, store, "band_i", compactMaxFiles,
+        maxTombstoneFiles)(
+        (src, dst) =>
+          graft.operators.Multimodal.frameStoreCompact(spark, src, dst))
     }
     before
   }
@@ -1447,7 +1472,10 @@ object StreamingOps {
     */
   def videoRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                            frameStorePath: String, labelPath: String,
-                           maxHamming: Int = 3)(removeIds: DataFrame): Long = {
+                           maxHamming: Int = 3,
+                           compactMaxFiles: Int = DefaultCompactMaxFiles,
+                           maxTombstoneFiles: Int = 16)(
+                           removeIds: DataFrame): Long = {
     recoverStoreSwap(spark, frameStorePath)
     graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
@@ -1456,6 +1484,12 @@ object StreamingOps {
     graft.CrashPoints.hit("videoRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, frameStorePath,
       rm, "doc_id")
+    // takedown-only stores have no ingest handler running the trigger
+    // (the dedupRetractDeferred rationale)
+    compactIfDue(spark, frameStorePath, "band_i", compactMaxFiles,
+      maxTombstoneFiles)(
+      (src, dst) =>
+        graft.operators.Multimodal.frameStoreCompact(spark, src, dst))
     before
   }
 
@@ -1516,7 +1550,10 @@ object StreamingOps {
     */
   def audioRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                            fpStorePath: String, labelPath: String,
-                           maxHamming: Int = 3)(removeIds: DataFrame): Long = {
+                           maxHamming: Int = 3,
+                           compactMaxFiles: Int = DefaultCompactMaxFiles,
+                           maxTombstoneFiles: Int = 16)(
+                           removeIds: DataFrame): Long = {
     recoverStoreSwap(spark, fpStorePath)
     graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("doc_id")).distinct().localCheckpoint()
@@ -1525,6 +1562,11 @@ object StreamingOps {
     graft.CrashPoints.hit("audioRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, fpStorePath,
       rm, "doc_id")
+    // takedown-only stores have no ingest handler running the trigger
+    compactIfDue(spark, fpStorePath, "band_i", compactMaxFiles,
+      maxTombstoneFiles)(
+      (src, dst) =>
+        graft.operators.Multimodal.frameStoreCompact(spark, src, dst))
     before
   }
 
@@ -1628,7 +1670,10 @@ object StreamingOps {
   def vectorRetractDeferred(spark: org.apache.spark.sql.SparkSession,
                             ivfStorePath: String, labelPath: String,
                             cents: Array[(Int, Seq[Float])], tau: Double,
-                            nProbe: Int)(removeIds: DataFrame): Long = {
+                            nProbe: Int,
+                            compactMaxFiles: Int = DefaultCompactMaxFiles,
+                            maxTombstoneFiles: Int = 16)(
+                            removeIds: DataFrame): Long = {
     recoverStoreSwap(spark, ivfStorePath)
     graft.operators.LabelStore.recover(spark, labelPath)
     val rm = removeIds.select(col("vec_id").as("doc_id")).distinct()
@@ -1638,6 +1683,14 @@ object StreamingOps {
     graft.CrashPoints.hit("vectorRetractDeferred.labels")
     graft.sources.Maintenance.tombstoneAppend(spark, ivfStorePath,
       rm.select(col("doc_id").as("vec_id")), "vec_id")
+    // mirror the lexical deferred handler: a store that only ever takes
+    // deferred takedowns has no ingest handler running the zone-count
+    // trigger for it, so the read tax would grow unboundedly without
+    // this inline check (listing-only until the trigger actually fires)
+    compactIfDue(spark, ivfStorePath, "cell", compactMaxFiles,
+      maxTombstoneFiles)(
+      (src, dst) => graft.sources.Maintenance.compactPartitioned(
+        spark, src, dst, "cell"))
     before
   }
 
@@ -2327,8 +2380,12 @@ object StreamingOps {
     * would refuse all future takedowns on that table). A store whose
     * `_stats` table predates a formula change must first drain: verify
     * `unfinishedRetractions` is empty under the old build, then
-    * upgrade. This repo's stores rebuild per JVM, so no migration was
-    * owed here.
+    * upgrade. The LEDGER itself has the same class of migration: a
+    * store whose stats commits predate the `_retract_done` table looks
+    * all-stranded to the guard — run [[adoptRetractionLedger]] ONCE
+    * (after verifying the store is healthy) to backfill completion
+    * records for the historical batches. This repo's stores rebuild
+    * per JVM, so no migration was owed here.
     */
   def retractIdFor(removeIds: DataFrame): Long = {
     val s = removeIds.select(col("doc_id")).distinct()
@@ -2390,6 +2447,30 @@ object StreamingOps {
           "(crashed between the halves) — retry them to completion " +
           s"before admitting $retractId, or shared ids would " +
           "double-decrement")
+  }
+
+  /** LEDGER ADOPTION for persisted stores that predate the
+    * `_retract_done` table (it shipped after the stats commit-record
+    * discipline): such a store carries stats commit records
+    * (`batch_id <= -2`) for takedowns that completed long ago under
+    * the ledger-less build, so [[unfinishedRetractions]] would report
+    * every one of them as stranded and [[guardRetractAdmission]] would
+    * refuse all new takedowns until each historical batch was
+    * individually replayed. This is a DELIBERATE admin migration call,
+    * not an automatic backfill: the operator asserts the store is
+    * healthy (no takedown actually in flight or crashed — on a
+    * ledger-era store the missing records ARE the stranded set, and
+    * backfilling them would erase the exact protection the guard
+    * exists for). Run once, after verifying by the old build's
+    * operational record that every committed takedown finished; from
+    * then on the guard operates normally. Returns the backfilled ids
+    * (empty when the ledger already covers every commit record).
+    */
+  def adoptRetractionLedger(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Seq[Long] = {
+    val open = unfinishedRetractions(spark, table)
+    open.foreach(markRetractDone(spark, table, _))
+    open
   }
 
   /** Append `retractId`'s completion record (idempotent — a retry that

@@ -304,6 +304,43 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     assert(st.getLong(1) === sWs.getLong(1))
   }
 
+  test("ledger adoption: a pre-ledger store's historical commit records stop refusing admissions after the one-time migration") {
+    val t = "graft_spec_lexadopt"
+    Pipeline6.postingsWrite(corpus, t, nBuckets = 4)
+    // a LEGACY store: two takedowns completed under a ledger-less build
+    // — their stats commit records exist, their posting rows are gone,
+    // and there is no _retract_done table. Emulated by running the
+    // takedowns and then dropping the ledger the current build wrote.
+    assert(StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+      retractId = -2L)(Seq(7L).toDF("doc_id")) === 1L)
+    assert(StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+      retractId = -3L)(Seq(10L).toDF("doc_id")) === 1L)
+    spark.sql(s"DROP TABLE ${t}_retract_done")
+    // upgraded as-is, the guard sees every historical batch as stranded
+    // and refuses ALL new takedowns — the migration hazard, pinned
+    assert(StreamingOps.unfinishedRetractions(spark, t).toSet
+      === Set(-2L, -3L))
+    intercept[IllegalStateException] {
+      StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+        retractId = -4L)(Seq(9L).toDF("doc_id"))
+    }
+    // the one-time adoption backfills exactly the historical ids...
+    assert(StreamingOps.adoptRetractionLedger(spark, t).toSet
+      === Set(-2L, -3L))
+    assert(StreamingOps.unfinishedRetractions(spark, t).isEmpty)
+    // ...and is idempotent
+    assert(StreamingOps.adoptRetractionLedger(spark, t).isEmpty)
+    // new takedowns admit and stay exactly-once
+    assert(StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+      retractId = -4L)(Seq(9L).toDF("doc_id")) === 1L)
+    val st = spark.table(s"${t}_stats").agg(sum("n"), sum("sdl")).head()
+    val sWs = corpus.filter(!col("doc_id").isin(7L, 10L, 9L))
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === sWs.getLong(0))
+    assert(st.getLong(1) === sWs.getLong(1))
+  }
+
   test("sidecar retraction is bucket-pruned and the verified gate stops confirming withdrawn docs") {
     // ids chosen so doc 19 is ALONE in its bucket (19 mod 8 = 3): its
     // retraction must DELETE the bucket directory outright
@@ -702,6 +739,49 @@ class RetractionSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(dIvf).join(rm, Seq("vec_id"), "left_semi").isEmpty)
     assert(!new java.io.File(s"$dIvf/_graft_tombstones").exists())
     assert(gotIds(dIvf) === gotIds(eIvf), "post-compaction probe parity")
+  }
+
+  test("a takedown-ONLY store bounds its own read tax: the deferred handlers run the zone-count trigger inline") {
+    // the round-15 advisory gap: a store that only ever takes deferred
+    // takedowns has no ingest handler consulting compactIfDue, so the
+    // zone (and the readers' anti-join tax) grew unboundedly. The
+    // deferred handlers now check the trigger themselves — drive one
+    // takedown per batch past the bound with NO ingest in sight and the
+    // handler itself must pay the applying compaction.
+    import graft.operators.LabelStore
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val cents = Similarity.seedCentroids(emb, 8)
+    val ivf = java.nio.file.Files.createTempDirectory("vdef_trig_i_").toString
+    val lbl = java.nio.file.Files.createTempDirectory("vdef_trig_l_").toString
+    Similarity.ivfWrite(emb, cents, ivf)
+    LabelStore.write(
+      LabelStore.labelsFor(emb.select(col("vec_id").as("doc_id")),
+        Similarity.cellBlockedTauPairs(emb, cents, 0.3,
+          nProbe = cents.length)),
+      lbl)
+    val zone = new java.io.File(s"$ivf/_graft_tombstones")
+    def zoneFiles: Int =
+      if (!zone.exists()) 0
+      else zone.listFiles().count(_.getName.endsWith(".parquet"))
+    // one zone file per takedown batch: the queue must never exceed the
+    // bound by more than the one batch that crosses it — each crossing
+    // pays the applying compaction INSIDE the handler
+    (0 until 7).foreach { i =>
+      StreamingOps.vectorRetractDeferred(spark, ivf, lbl, cents,
+        tau = 0.3, nProbe = cents.length, maxTombstoneFiles = 2)(
+        Seq(10L + i).toDF("vec_id"))
+      assert(zoneFiles <= 2,
+        s"takedown $i left ${zoneFiles} zone files past the bound — " +
+          "the handler never fired the zone-count trigger")
+    }
+    // 7 takedowns at bound 2 → the trigger fired at batches 3 and 6,
+    // physically applying everything queued up to each crossing
+    assert(zoneFiles === 1, "expected exactly the post-crossing batch queued")
+    assert(spark.read.parquet(ivf)
+      .filter(col("vec_id").isin(10L, 11L, 12L, 13L, 14L, 15L)).isEmpty,
+      "the applying compaction left queued rows behind")
   }
 
   test("deferred codes takedown: a withdrawn vector stops ranking through the compressed index immediately") {
