@@ -21,8 +21,7 @@ import graft.streaming.StreamingOps
 class CrashSweepSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  private def tmp(tag: String) =
-    java.nio.file.Files.createTempDirectory(s"crash_${tag}_").toString
+  private def tmp(tag: String) = SparkTestBase.tmpDir(s"crash_$tag")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq

@@ -28,6 +28,24 @@ import graft.streaming.StreamingOps
   * run serially (the one-maintenance-scheduler contract). Sequence
   * count is env-tunable: SPARK_GRAFT_INTERLEAVE_SEQS (default 50 per
   * family — 100 total), SPARK_GRAFT_INTERLEAVE_STEPS (default 4).
+  *
+  * ROUND-16 COMPOSITION — crashes UNDER random interleaving: the crash
+  * sweep kills every boundary on ONE hand-picked operation order and
+  * this harness randomizes order with NO crashes; each device found a
+  * real bug alone (tombstone resurrection; the retractIdFor ANSI
+  * overflow), and their PRODUCT — a crash at a random instrumented
+  * boundary mid-sequence, healed by re-running the same handler, then
+  * MORE random operations — is the state a deployment actually lives
+  * in. The `crashes = true` variants run every mutation through
+  * [[step]]: a random boundary index arms ([[graft.CrashPoints]] is
+  * thread-scoped, so the 8 concurrent sequences inject independently),
+  * the op may die mid-handler, the SAME call re-runs as the heal (the
+  * per-handler sweeps prove that retry converges on a fresh store;
+  * here it must converge MID-LIFECYCLE), and the from-scratch survivor
+  * oracle is asserted after the step exactly as in the crash-free
+  * runs — including every later step of the sequence. Crash variants
+  * also force the compaction triggers low (`compactMaxFiles = 2`), so
+  * ingest steps cross swap boundaries too, not just takedowns.
   */
 class InterleavingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -37,6 +55,33 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
   private val nSteps =
     sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_STEPS", "4").toInt
 
+  /** Run one mutation as a lifecycle step, optionally injecting a crash
+    * at a random instrumented boundary: arm boundary k ∈ [0, 8) — an op
+    * crossing fewer boundaries completes uncrashed, keeping the
+    * generator unbiased toward crash-free steps — and when the op dies,
+    * re-run the SAME call as the heal (every handler is entry-healed
+    * and crash-idempotent; the op closures for raw compactions carry
+    * their own recoverStoreSwap prefix for the same reason). Returns
+    * whether a crash was injected, for the suite's coverage counter.
+    */
+  private def step(rnd: scala.util.Random, crashes: Boolean)(
+      op: () => Unit): Boolean = {
+    if (!crashes) { op(); return false }
+    val k = rnd.nextInt(8)
+    val died =
+      try { CrashPoints.arm(k); op(); false }
+      catch { case _: CrashPoints.InjectedCrash => true }
+      finally CrashPoints.disarm()
+    if (died) op() // the crash retry: the next handler entry heals
+    died
+  }
+
+  /** Total crashes injected across a composed run — asserted non-zero so
+    * a silently boundary-free regression (e.g. hit() calls dropped)
+    * cannot pass as "all sequences survived their crashes".
+    */
+  private val crashCount = new java.util.concurrent.atomic.AtomicInteger
+
   /** Sequences run CONCURRENTLY (8 at a time): each owns its stores,
     * stage and tables, so the one-maintenance-scheduler contract —
     * which is per store — still holds within every sequence, while the
@@ -44,19 +89,25 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
     * caches are the only shared state and are computed under their own
     * locks.
     */
-  private def runAll(run: Int => Unit): Unit = {
+  private def runAll(run: Int => Unit, n: Int = nSeqs): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(
-      Future.sequence((0 until nSeqs).map(s => Future(run(s)))),
+      Future.sequence((0 until n).map(s => Future(run(s)))),
       45.minutes)
     finally pool.shutdown()
   }
 
-  private def tmp(tag: String) =
-    java.nio.file.Files.createTempDirectory(s"ileave_${tag}_").toString
+  /** Composed (crash-injecting) runs use fewer sequences than the
+    * crash-free sweeps — each crashed step pays a partial run plus its
+    * heal retry — while still randomizing well past the hand-picked
+    * orders the per-handler sweeps cover.
+    */
+  private def nComposed: Int = math.max(10, nSeqs * 3 / 5)
+
+  private def tmp(tag: String) = SparkTestBase.tmpDir(s"ileave_$tag")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
@@ -106,7 +157,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
       s"$ctx: labels diverged from the from-scratch survivor contraction")
   }
 
-  private def runTextSequence(seed: Int): Unit = {
+  private def runTextSequence(crashes: Boolean)(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val lsh = tmp("lsh"); val lbl = tmp("lbl"); val stage = tmp("stg")
     var live = universe.take(6).map(_._1).toSet
@@ -121,44 +172,68 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
         n = 5, numHashes = 16, bands = 4)), lbl)
     checkText(lsh, lbl, live, s"text seed=$seed init")
 
-    (0 until nSteps).foreach { step =>
-      val ctx = s"text seed=$seed step=$step"
+    (0 until nSteps).foreach { stepNo =>
+      val ctx = s"text seed=$seed step=$stepNo crashes=$crashes"
       def retractTargets(): Set[Long] = {
         // 1-2 ids from live ∪ already-retracted: overlap and
         // gone-id replay are part of the contract under test
         val cand = (live ++ everRetracted).toSeq.sorted
         rnd.shuffle(cand).take(1 + rnd.nextInt(2)).toSet
       }
-      rnd.nextInt(8) match {
+      // crash variants force the trigger low so ingest steps cross the
+      // compaction swap boundaries too
+      val cmf = if (crashes) 2 else StreamingOps.DefaultCompactMaxFiles
+      def compactOp(): Unit = {
+        // raw compactions are not entry-healed handlers, so the retry
+        // closure heals first (a .mid crash leaves the path renamed away)
+        StreamingOps.recoverStoreSwap(spark, lsh)
+        Dedup.lshStoreCompact(spark, lsh, s"${lsh}__compact")
+        StreamingOps.swapInCompacted(spark, lsh)
+      }
+      val injected = rnd.nextInt(8) match {
         case 0 | 1 | 2 if pool.nonEmpty => // ingest via the live handler
           val take = 1 + rnd.nextInt(math.min(3, pool.size))
           val ids = pool.take(take).toSet; pool = pool.drop(take)
-          StreamingOps.dedupMaintainBatch(spark, lsh, lbl, stage)(
-            docsOf(ids), { nextBatch += 1; nextBatch })
-          live ++= ids
+          nextBatch += 1; val id = nextBatch // retry reuses the SAME id
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.dedupMaintainBatch(spark, lsh, lbl, stage,
+              compactMaxFiles = cmf)(docsOf(ids), id))
+          live ++= ids; c
         case 0 | 1 | 2 => // pool exhausted: compact instead
-          Dedup.lshStoreCompact(spark, lsh, s"${lsh}__compact")
-          StreamingOps.swapInCompacted(spark, lsh)
+          step(rnd, crashes)(() => compactOp())
         case 3 | 4 => // eager retraction
           val ids = retractTargets()
-          StreamingOps.dedupRetractBatch(spark, lsh, lbl)(
-            ids.toSeq.toDF("doc_id"))
-          everRetracted ++= ids; live --= ids
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.dedupRetractBatch(spark, lsh, lbl)(
+              ids.toSeq.toDF("doc_id")))
+          everRetracted ++= ids; live --= ids; c
         case 5 | 6 => // deferred retraction (zone persists until compact)
           val ids = retractTargets()
-          StreamingOps.dedupRetractDeferred(spark, lsh, lbl)(
-            ids.toSeq.toDF("doc_id"))
-          everRetracted ++= ids; live --= ids
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.dedupRetractDeferred(spark, lsh, lbl,
+              compactMaxFiles = cmf)(ids.toSeq.toDF("doc_id")))
+          everRetracted ++= ids; live --= ids; c
         case 7 => // the applying compaction
-          Dedup.lshStoreCompact(spark, lsh, s"${lsh}__compact")
-          StreamingOps.swapInCompacted(spark, lsh)
+          step(rnd, crashes)(() => compactOp())
       }
+      if (injected) crashCount.incrementAndGet()
       checkText(lsh, lbl, live, ctx)
     }
   }
 
   test("random ingest/retract/compact interleavings keep the text LSH store equal to a from-scratch survivor rebuild") {
-    runAll(runTextSequence)
+    runAll(runTextSequence(crashes = false))
+  }
+
+  test("text LSH interleavings survive crashes injected at random boundaries mid-sequence") {
+    // distinct seed range from the crash-free run: different orders AND
+    // different crash positions
+    crashCount.set(0)
+    runAll(s => runTextSequence(crashes = true)(10000 + s), nComposed)
+    assert(crashCount.get() > 0,
+      "no crash was ever injected — did the handlers lose their " +
+        "instrumented boundaries?")
+    info(s"text composed run: ${crashCount.get()} crashes injected and healed")
   }
 
   // ---- LEXICAL posting-store family ----
@@ -216,7 +291,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
       s"$ctx: folded stats diverged from the survivors' exact (n, sdl)")
   }
 
-  private def runLexSequence(seed: Int): Unit = {
+  private def runLexSequence(crashes: Boolean)(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val t = s"graft_ileave_lex_$seed"
     val stage = tmp("lstg")
@@ -227,38 +302,50 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
     Pipeline6.postingsWrite(lexDocsOf(live), t, nBuckets = 4)
     checkLex(t, live, s"lex seed=$seed init")
 
-    (0 until nSteps).foreach { step =>
-      val ctx = s"lex seed=$seed step=$step"
+    (0 until nSteps).foreach { stepNo =>
+      val ctx = s"lex seed=$seed step=$stepNo crashes=$crashes"
       def retractTargets(): Set[Long] = {
         val cand = (live ++ everRetracted).toSeq.sorted
         rnd.shuffle(cand).take(1 + rnd.nextInt(2)).toSet
       }
-      rnd.nextInt(8) match {
+      // crash variants force the trigger low so the staged merge can
+      // cross the bucketed-swap boundaries mid-sequence too
+      val cmf = if (crashes) 2 else 0
+      val injected = rnd.nextInt(8) match {
         case 0 | 1 | 2 if pool.nonEmpty => // staged ingest + merge
           val take = 1 + rnd.nextInt(math.min(3, pool.size))
           val ids = pool.take(take).toSet; pool = pool.drop(take)
-          StreamingOps.lexicalIngestBatch(stage)(
-            lexDocsOf(ids), { nextBatch += 1; nextBatch })
-          StreamingOps.lexicalMergeStaged(spark, stage, t, nBuckets = 4,
-            compactMaxFiles = 0)
-          live ++= ids
+          nextBatch += 1; val id = nextBatch // retry reuses the SAME id
+          val c = step(rnd, crashes) { () =>
+            StreamingOps.lexicalIngestBatch(stage)(lexDocsOf(ids), id)
+            StreamingOps.lexicalMergeStaged(spark, stage, t, nBuckets = 4,
+              compactMaxFiles = cmf)
+          }
+          live ++= ids; c
         case 0 | 1 | 2 => // pool exhausted: compact instead
-          Bucketed.compactBucketed(spark, t, "term", 4)
+          step(rnd, crashes)(() =>
+            Bucketed.compactBucketed(spark, t, "term", 4))
         case 3 | 4 => // eager retraction (content-derived retractId)
           val ids = retractTargets()
           val rm = ids.toSeq.toDF("doc_id")
-          StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
-            StreamingOps.retractIdFor(rm))(rm)
-          everRetracted ++= ids; live --= ids
+          val rid = StreamingOps.retractIdFor(rm)
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.lexicalRetractBatch(spark, t, nBuckets = 4,
+              rid)(rm))
+          everRetracted ++= ids; live --= ids; c
         case 5 | 6 => // deferred retraction (zone persists until compact)
           val ids = retractTargets()
           val rm = ids.toSeq.toDF("doc_id")
-          StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
-            StreamingOps.retractIdFor(rm), compactMaxFiles = 0)(rm)
-          everRetracted ++= ids; live --= ids
+          val rid = StreamingOps.retractIdFor(rm)
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.lexicalRetractDeferred(spark, t, nBuckets = 4,
+              rid, compactMaxFiles = cmf)(rm))
+          everRetracted ++= ids; live --= ids; c
         case 7 => // the applying compaction
-          Bucketed.compactBucketed(spark, t, "term", 4)
+          step(rnd, crashes)(() =>
+            Bucketed.compactBucketed(spark, t, "term", 4))
       }
+      if (injected) crashCount.incrementAndGet()
       checkLex(t, live, ctx)
     }
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -267,7 +354,22 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("random ingest/retract/compact interleavings keep the posting store equal to a from-scratch survivor rebuild") {
-    runAll(runLexSequence)
+    runAll(runLexSequence(crashes = false))
+  }
+
+  test("posting-store interleavings survive crashes injected at random boundaries mid-sequence") {
+    // this is where the guard earns its keep mid-lifecycle: a deferred
+    // takedown killed between its stats commit and its zone append is
+    // healed by the SAME batch's retry (always admitted), and the
+    // sequence's later overlapping takedowns must still land
+    // exactly-once stats — the survivors' (n, sdl) is re-derived from
+    // scratch after every step
+    crashCount.set(0)
+    runAll(s => runLexSequence(crashes = true)(20000 + s), nComposed)
+    assert(crashCount.get() > 0,
+      "no crash was ever injected — did the handlers lose their " +
+        "instrumented boundaries?")
+    info(s"lex composed run: ${crashCount.get()} crashes injected and healed")
   }
 
   // ---- VECTOR IVF + LABEL family (round 15's deferred stores) ----
@@ -318,7 +420,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
         "survivors")
   }
 
-  private def runVecSequence(seed: Int): Unit = {
+  private def runVecSequence(crashes: Boolean)(seed: Int): Unit = {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(seed)
     val ivf = tmp("ivf"); val lbl = tmp("vlbl"); val stage = tmp("vstg")
@@ -334,55 +436,69 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
           nProbe = vecCents.length)), lbl)
     checkVec(ivf, lbl, live, s"vec seed=$seed init")
 
-    (0 until nSteps).foreach { step =>
-      val ctx = s"vec seed=$seed step=$step"
+    (0 until nSteps).foreach { stepNo =>
+      val ctx = s"vec seed=$seed step=$stepNo crashes=$crashes"
       def retractTargets(): Set[Long] = {
         val cand = (live ++ everRetracted).toSeq.sorted
         rnd.shuffle(cand).take(1 + rnd.nextInt(2)).toSet
       }
-      rnd.nextInt(8) match {
+      val cmf = if (crashes) 2 else StreamingOps.DefaultCompactMaxFiles
+      def compactOp(): Unit = {
+        StreamingOps.recoverStoreSwap(spark, ivf)
+        Maintenance.compactPartitioned(spark, ivf, s"${ivf}__compact",
+          "cell")
+        StreamingOps.swapInCompacted(spark, ivf)
+      }
+      val injected = rnd.nextInt(8) match {
         case 0 | 1 | 2 if pool.nonEmpty => // ingest via the live handler
           val take = 1 + rnd.nextInt(math.min(3, pool.size))
           val ids = pool.take(take).toSet; pool = pool.drop(take)
-          StreamingOps.vectorDedupMaintainBatch(spark, ivf, lbl, stage,
-            vecCents, VecTau, nProbe = vecCents.length)(
-            vecsOf(ids), { nextBatch += 1; nextBatch })
-          live ++= ids
+          nextBatch += 1; val id = nextBatch // retry reuses the SAME id
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.vectorDedupMaintainBatch(spark, ivf, lbl, stage,
+              vecCents, VecTau, nProbe = vecCents.length,
+              compactMaxFiles = cmf)(vecsOf(ids), id))
+          live ++= ids; c
         case 0 | 1 | 2 => // pool exhausted: compact instead
-          Maintenance.compactPartitioned(spark, ivf, s"${ivf}__compact",
-            "cell")
-          StreamingOps.swapInCompacted(spark, ivf)
+          step(rnd, crashes)(() => compactOp())
         case 3 | 4 => // eager retraction (cell-pruned rewrite)
           val ids = retractTargets()
-          StreamingOps.vectorRetractBatch(spark, ivf, lbl, vecCents,
-            VecTau, nProbe = vecCents.length)(ids.toSeq.toDF("vec_id"))
-          everRetracted ++= ids; live --= ids
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.vectorRetractBatch(spark, ivf, lbl, vecCents,
+              VecTau, nProbe = vecCents.length)(ids.toSeq.toDF("vec_id")))
+          everRetracted ++= ids; live --= ids; c
         case 5 | 6 => // deferred retraction (zone persists until compact)
           val ids = retractTargets()
-          StreamingOps.vectorRetractDeferred(spark, ivf, lbl, vecCents,
-            VecTau, nProbe = vecCents.length)(ids.toSeq.toDF("vec_id"))
-          everRetracted ++= ids; live --= ids
+          val c = step(rnd, crashes)(() =>
+            StreamingOps.vectorRetractDeferred(spark, ivf, lbl, vecCents,
+              VecTau, nProbe = vecCents.length, compactMaxFiles = cmf)(
+              ids.toSeq.toDF("vec_id")))
+          everRetracted ++= ids; live --= ids; c
         case 7 => // the applying compaction (tombstone-aware rewrite)
-          Maintenance.compactPartitioned(spark, ivf, s"${ivf}__compact",
-            "cell")
-          StreamingOps.swapInCompacted(spark, ivf)
+          step(rnd, crashes)(() => compactOp())
       }
+      if (injected) crashCount.incrementAndGet()
       checkVec(ivf, lbl, live, ctx)
     }
   }
 
+  /** The vector family joined the deferred design in round 15 (p151);
+    * fewer sequences than the two text families keep the suite's wall
+    * clock bounded while still randomizing the family's lifecycle.
+    */
+  private def nVec: Int = math.max(20, nSeqs * 2 / 5)
+
   test("random ingest/retract/compact interleavings keep the IVF store equal to a from-scratch survivor rebuild") {
-    // the vector family joined the deferred design this round (p151);
-    // fewer sequences than the two text families keep the suite's wall
-    // clock bounded while still randomizing the NEW family's lifecycle
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    val n = math.max(20, nSeqs * 2 / 5)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(
-      Future.sequence((0 until n).map(s => Future(runVecSequence(s)))),
-      45.minutes)
-    finally pool.shutdown()
+    runAll(runVecSequence(crashes = false), nVec)
+  }
+
+  test("IVF interleavings survive crashes injected at random boundaries mid-sequence") {
+    crashCount.set(0)
+    runAll(s => runVecSequence(crashes = true)(30000 + s),
+      math.max(10, nVec * 3 / 5))
+    assert(crashCount.get() > 0,
+      "no crash was ever injected — did the handlers lose their " +
+        "instrumented boundaries?")
+    info(s"vec composed run: ${crashCount.get()} crashes injected and healed")
   }
 }

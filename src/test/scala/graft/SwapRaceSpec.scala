@@ -25,8 +25,7 @@ import graft.streaming.StreamingOps
 class SwapRaceSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  private def tmp(tag: String) =
-    java.nio.file.Files.createTempDirectory(s"race_${tag}_").toString
+  private def tmp(tag: String) = SparkTestBase.tmpDir(s"race_$tag")
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
