@@ -1181,6 +1181,13 @@ object StreamingOps {
     * folds through the one maintenance scheduler, like every store
     * mutation here. Returns the number of label rows actually
     * retracted (0 on a pure retry/no-op).
+    *
+    * NO ADMISSION GUARD is owed by this family (unlike
+    * [[lexicalRetractBatch]], whose `_stats` decrement is numeric): an
+    * overlapping batch admitted inside the labels→store crash window
+    * counts only the rows the labels still own and its store half is
+    * set-semantics — OverlapAdmissionSpec pins convergence for every
+    * label-half family across all eager/deferred form pairs.
     */
   def dedupRetractBatch(spark: org.apache.spark.sql.SparkSession,
                         lshStorePath: String, labelPath: String)(
