@@ -94,6 +94,34 @@ object Engine {
   def lshProbeStored(spark: SparkSession, path: String,
                      querySigs: Seq[(Long, Int, Long)]): DataFrame =
     Dedup.lshProbeStored(spark, path, querySigs)
+
+  /** The READER-vs-SWAP contract for every stored-probe facade here
+    * (`lshProbeStored`, `searchLexicalIndex`, `searchVectorIndex`,
+    * `frameProbeStored`, … — anything reading an at-rest store):
+    *
+    *  - reads issued from the ONE maintenance scheduler that also runs
+    *    the store mutations (the registered Verify/Bench paths, and any
+    *    deployment that serializes probes with maintenance) never race
+    *    a swap and need no wrapping — this is the default and the
+    *    common case, and it costs nothing;
+    *  - a reader running CONCURRENTLY with maintenance must wrap its
+    *    ENTIRE read — facade call through the terminal action — in
+    *    this retry: the facades return lazy frames, so a racing swap
+    *    can surface either at analysis (path/table resolution) or at
+    *    execution (file-level not-found mid-scan), and only a wrap
+    *    around the action covers both. Wrapping construction alone
+    *    inside each facade would protect half the window and mislead.
+    *
+    * Retries ONLY the three swap-transient classes (path/table
+    * NOT-FOUND, file-level not-found, the label store's typed
+    * torn-read refusal) with bounded backoff; permanent errors
+    * propagate immediately. SwapRaceSpec races probes under this wrap
+    * against repeated swaps on all three swap devices and asserts
+    * every read is exact; ContractSpec pins the facade's routing.
+    */
+  def withSwapRetry[T](attempts: Int = 8, backoffMs: Long = 50)(
+      body: => T): T =
+    graft.sources.Maintenance.retryOnSwap(attempts, backoffMs)(body)
   /** Persist the per-doc shingle-hash sets as the verification SIDECAR
     * beside the LSH store (p117's layout: doc_id-bucketed, sorted). */
   def shingleSidecarWrite(docs: DataFrame, id: String, text: String,

@@ -61,6 +61,35 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(dot.getDouble(0) - 11.0) < 1e-9)
   }
 
+  test("Engine.withSwapRetry: the registered-reader retry contract is pinned") {
+    // Registered Verify/Bench probes serialize through the one
+    // maintenance scheduler and never race a swap — they stay unwrapped
+    // by design. An EXTERNAL concurrent reader must wrap its whole
+    // read-to-action in Engine.withSwapRetry (Engine's scaladoc states
+    // the contract; SwapRaceSpec proves it under real races). This test
+    // pins the facade's routing: swap-transient classes retry to
+    // success, permanent errors propagate on the FIRST attempt.
+    var calls = 0
+    val got = Engine.withSwapRetry(attempts = 5, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) throw new java.io.FileNotFoundException("mid-swap")
+      42
+    }
+    assert(got === 42 && calls === 3,
+      "file-level not-found must retry through the swap window")
+
+    calls = 0
+    intercept[IllegalArgumentException] {
+      Engine.withSwapRetry(attempts = 5, backoffMs = 1) {
+        calls += 1
+        throw new IllegalArgumentException("permanent analysis error")
+      }
+    }
+    assert(calls === 1,
+      "a permanent error must propagate immediately, not retry to " +
+        "exhaustion")
+  }
+
   test("Engine facade: wordlist existence end-to-end") {
     import graft.operators.WordlistSearch._
     val ranges = Seq(ChunkRange(1, 'a', 'm'), ChunkRange(2, 'm', 'z'))
