@@ -14,6 +14,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // AQE right-sizing (guide §2.2): honor the advisory partition
+      // size when coalescing instead of pinning every reduce stage at
+      // the core count — tiny intermediate shuffles collapse to one
+      // task; corpus-sized ones stay advisory-sized (64 MB default), so
+      // at 100 TB nothing coalesces below the cluster's parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -580,8 +580,54 @@ object Dedup {
   @volatile private[graft] var lastRoundsMinLabel: Int = -1
   @volatile private[graft] var lastRoundsLogN: Int = -1
 
+  /** The shared driver fast path of both cluster devices: collect the
+    * (already checkpointed) pair list under the union-find bound,
+    * contract it locally ([[LabelStore.unionFindMin]] — min-root, so
+    * every component's label IS its minimum id), and label `docs` with
+    * one left join against the local relation. One collect job where
+    * the distributed loops pay ~2 jobs per round. Returns None when
+    * the evidence overflows the bound (the loops take over, output-
+    * identical). Ids pass through a long cast both ways so the output
+    * schema matches the loop's exactly whatever integral type the
+    * caller's id column has.
+    */
+  private def driverClusters(docs: DataFrame, idCol: String,
+                             p: DataFrame,
+                             bound: Long = LabelStore.MaxDriverEdges): Option[DataFrame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val arr = Prof.labeled(spark, "cc.collect") {
+      p.select(col("d1").cast("long"), col("d2").cast("long"))
+        .limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).collect()
+    }
+    if (arr.length > bound) return None
+    val mini = LabelStore.unionFindMin(
+      arr.iterator.map(r => (r.getLong(0), r.getLong(1))))
+    val buf = new Array[(Long, Long)](mini.size())
+    var i = 0
+    mini.forEach { (id, rt) => buf(i) = (id, rt); i += 1 }
+    val idType = docs.select(col(idCol)).schema.head.dataType
+    Some(docs.select(col(idCol).as("doc_id"))
+      .join(buf.toSeq.toDF("doc_id", "canonical")
+          .select(col("doc_id").cast(idType).as("doc_id"),
+            col("canonical").cast(idType).as("canonical")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical")))
+  }
+
+  /** PRECONDITION (shared by both cluster devices, made load-bearing by
+    * the driver fast path): pair endpoints are drawn from `docs`.
+    * Every in-repo caller derives its pairs from the same frame it
+    * labels. An endpoint outside `docs` would bridge or label
+    * components on the fast path where the distributed min-label loop
+    * ignored it (the loop propagates over the docs-induced subgraph);
+    * the logN device always bridged through outside nodes, so there
+    * the two paths agree unconditionally.
+    */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                    maxRounds: Int = 50): DataFrame = {
+                    maxRounds: Int = 50,
+                    maxDriverEdges: Long = LabelStore.MaxDriverEdges): DataFrame = {
     // materialize the pair pipeline before the symmetrizing union
     // consumes it twice. Locally this measures at parity (ReusedExchange
     // already shares the identical subtree under both branches), but the
@@ -589,6 +635,14 @@ object Dedup {
     // courtesy — the candidate generation upstream is the expensive
     // part, and the pair list being materialized is tiny.
     val p = pairs.localCheckpoint()
+    // DRIVER FAST PATH (guide §2 — the driver-bound fold pattern):
+    // pair evidence within the union-find bound contracts in
+    // microseconds on the driver, where the distributed loop pays
+    // ~2 jobs per propagation round. Identical labels (DedupSpec pins
+    // the loop against the union-find through the p123/p20 oracles);
+    // oversized evidence falls through to the loop unchanged.
+    val fast = driverClusters(docs, idCol, p, maxDriverEdges)
+    if (fast.isDefined) { lastRoundsMinLabel = 0; return fast.get }
     val e = p.select(col("d1").as("a"), col("d2").as("b"))
       .union(p.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint()
@@ -699,7 +753,8 @@ object Dedup {
     * every scale tested.
     */
   def dedupClustersLogN(docs: DataFrame, idCol: String, pairs: DataFrame,
-                        maxRounds: Int = 40): DataFrame = {
+                        maxRounds: Int = 40,
+                        maxDriverEdges: Long = LabelStore.MaxDriverEdges): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"),
@@ -711,7 +766,15 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+    // the same driver fast path as [[dedupClusters]] — here it is
+    // unconditionally exact: the star loop always bridged through
+    // nodes outside `docs` (components are computed over the raw edge
+    // graph, then restricted by the final left join), which is
+    // precisely what the union-find does
+    val p0 = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val fast = driverClusters(docs, idCol, p0, maxDriverEdges)
+    if (fast.isDefined) { lastRoundsLogN = 0; return fast.get }
+    var edges = canon(p0.select(col("d1").as("u"), col("d2").as("v")))
       .localCheckpoint()
     var sig = checksum(edges)
     var converged = false

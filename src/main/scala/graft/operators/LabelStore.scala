@@ -57,7 +57,8 @@ object LabelStore {
     * misroute lookups and batch rows without any error.
     */
   def write(labels: DataFrame, path: String,
-            nBuckets: Int = LabelBuckets): Unit = {
+            nBuckets: Int = LabelBuckets): Unit =
+    Prof.labeled(labels.sparkSession, "ls.write") {
     labels.select(col("doc_id"), col("canonical"))
       .withColumn("lb", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
       .repartition(col("lb"))
@@ -73,7 +74,7 @@ object LabelStore {
     // otherwise leave later update/recover calls on the stale modulus —
     // the exact misrouting the _meta readback exists to prevent
     bucketsMemo.put(path, nBuckets)
-  }
+    }
 
   /** The layout's bucket count, read back from `_meta` — memoized per
     * path (the update path is action-latency-bound, and the count is a
@@ -200,7 +201,7 @@ object LabelStore {
     * evidence. Above it the contraction falls back to the distributed
     * min-label device with identical output.
     */
-  private val MaxDriverEdges = 4000000L
+  private[graft] val MaxDriverEdges = 4000000L
 
   /** Min-label connected components of an edge list, labeling ONLY the
     * nodes that appear in an edge (isolated ids are the caller's
@@ -217,6 +218,33 @@ object LabelStore {
     *  - larger sets run the registered `Dedup.dedupClusters` min-label
     *    loop over the edge-involved nodes.
     */
+  /** Path-compressed min-root union-find over a driver-resident edge
+    * list: always points the larger root at the smaller, so every
+    * component's final root IS its minimum id. Returns id → min-root
+    * for exactly the edge-involved nodes. Shared by [[contractEdges]]'
+    * fast path and [[stageUpdate]]'s fully-driver-resolved fold.
+    */
+  private[graft] def unionFindMin(edges: Iterator[(Long, Long)]): java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def root(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        parent.put(x, parent.get(parent.get(x)))
+        x = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (root(a), root(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new java.util.HashMap[Long, Long](parent.size())
+    parent.keySet().forEach { id => out.put(id, root(id)) }
+    out
+  }
+
   private[graft] def contractEdges(e: DataFrame,
                                    maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     val spark = e.sparkSession
@@ -226,28 +254,15 @@ object LabelStore {
     // overflow row alone routes to the distributed path (which reads
     // the checkpoint, so nothing recomputes), and the common path
     // skips a separate count action
-    val arr = ec.limit(
-      math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    val arr = Prof.labeled(spark, "ls.contract") { ec.limit(
+      math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect() }
     if (arr.length <= maxDriverEdges) {
-      val parent = new java.util.HashMap[Long, Long]()
-      def root(x0: Long): Long = {
-        var x = x0
-        while (parent.get(x) != x) {
-          parent.put(x, parent.get(parent.get(x)))
-          x = parent.get(x)
-        }
-        x
-      }
-      arr.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val (ra, rb) = (root(a), root(b))
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
-      ids.map(id => (id.longValue, root(id))).toSeq
-        .toDF("doc_id", "canonical")
+      val mini = unionFindMin(
+        arr.iterator.map(r => (r.getLong(0), r.getLong(1))))
+      val out = new Array[(Long, Long)](mini.size())
+      var i = 0
+      mini.forEach { (id, rt) => out(i) = (id, rt); i += 1 }
+      out.toSeq.toDF("doc_id", "canonical")
     } else {
       val nodes = ec.select(col("d1").as("doc_id"))
         .union(ec.select(col("d2").as("doc_id"))).distinct()
@@ -317,84 +332,158 @@ object LabelStore {
     */
   private[graft] def stageUpdate(spark: SparkSession, path: String,
                                  batchIds: DataFrame,
-                                 pairs: DataFrame): Boolean = {
+                                 pairs: DataFrame,
+                                 maxFoldEdges: Long = MaxDriverEdges): Boolean = {
     requireClean(spark, path)
     // the layout's OWN bucket count — never a caller-supplied modulus
     // (a mismatch would silently misroute lookups and batch rows)
     val nBuckets = bucketsOf(spark, path)
-    // lazy checkpoints throughout (materialize on first use, reuse
-    // after): every eager one is a synchronous job on the driver loop,
-    // and the update path is action-latency-bound, not data-bound
+    import spark.implicits._
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(eager = false)
     val batch = batchIds.select(col("doc_id")).localCheckpoint(eager = false)
-    val ends = p.select(col("d1").as("doc_id"))
-      .union(p.select(col("d2").as("doc_id"))).distinct()
-      .localCheckpoint(eager = false)
-    // current labels of the pair endpoints: canonical when stored,
-    // self when arriving; `stored` distinguishes the two cases for the
-    // remap below. Endpoint sets within the probe-literal bound prune
-    // the lookup to THEIR buckets (doc-bucket partitioning makes the
-    // literal id set a literal partition set — the Dedup.MaxProbeLiterals
-    // discipline), so the common case reads endpoint buckets, not the
-    // table; oversized evidence degrades to the full label-table join.
-    val endIds = ends
-      .limit(Dedup.MaxProbeLiterals + 1).collect().map(_.getLong(0))
-    val lookup =
-      if (endIds.length <= Dedup.MaxProbeLiterals) {
-        // pmod semantics (matches the writer's bucket expression even
-        // for hypothetical negative ids)
-        val bks = endIds.map(i => (((i % nBuckets) + nBuckets) % nBuckets).toInt)
+    // ONE evidence job: collect the raw pair evidence under the driver
+    // union-find bound — the array yields the edges AND their endpoint
+    // set (no separate endpoint-distinct job), and the checkpoint
+    // materializes here so nothing downstream re-runs the evidence
+    // pipeline. The fold is action-latency-bound, not data-bound: when
+    // the evidence fits these model-sized bounds (every sane
+    // micro-batch; the pair list is three orders of magnitude smaller
+    // than the corpus it indexes), the endpoint-label mapping, the
+    // mini-graph contraction and the canonical remap all resolve ON
+    // THE DRIVER — replacing the previous ends-distinct, label-join
+    // and edge-mapping executions (each a separate AQE execution with
+    // its own checkpoint and shuffle stages) with local hash maps.
+    // Oversized evidence degrades to the distributed path below with
+    // identical output.
+    val rawEdges = Prof.labeled(spark, "ls.evidence") {
+      p.limit(math.min(maxFoldEdges + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+    }
+    val endIdSet: java.util.HashSet[Long] =
+      if (rawEdges.length <= maxFoldEdges) {
+        val s = new java.util.HashSet[Long](rawEdges.length * 2)
+        rawEdges.foreach { r => s.add(r.getLong(0)); s.add(r.getLong(1)) }
+        s
+      } else null
+    // (miniRel, remap, batchRows): the contracted mini graph as a local
+    // relation, the canonical-to-canonical remap of merged components,
+    // and the arriving batch's label rows
+    val (remap, batchRows) =
+      if (endIdSet != null && endIdSet.size <= Dedup.MaxProbeLiterals) {
+        // ---- fully driver-resolved fold ----
+        val endIds = {
+          val a = new Array[Long](endIdSet.size)
+          var i = 0
+          val it = endIdSet.iterator()
+          while (it.hasNext) { a(i) = it.next(); i += 1 }
+          a
+        }
+        // endpoint labels, bucket-pruned: the literal id set is a
+        // literal partition set (pmod matches the writer's bucket
+        // expression even for hypothetical negative ids), so the
+        // lookup reads endpoint buckets, not the table
+        val bks0 = endIds.map(i => (((i % nBuckets) + nBuckets) % nBuckets).toInt)
           .distinct.sorted
-        if (bks.isEmpty) read(spark, path).limit(0)
-        else spark.read.parquet(path)
-          .filter(col("lb").isin(bks.toIndexedSeq: _*) &&
-            col("doc_id").isin(endIds.toIndexedSeq: _*))
-          .select(col("doc_id"), col("canonical"))
-      } else read(spark, path)
-    val lbl = ends.join(lookup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("canonical").isNotNull.as("stored"),
-        coalesce(col("canonical"), col("doc_id")).as("lbl"))
-      .localCheckpoint(eager = false)
-    val e = p
-      .join(lbl.select(col("doc_id").as("d1"), col("lbl").as("l1")), Seq("d1"))
-      .join(lbl.select(col("doc_id").as("d2"), col("lbl").as("l2")), Seq("d2"))
-      .select(col("l1").as("d1"), col("l2").as("d2"))
-      .filter(col("d1") =!= col("d2"))
-    // contract only the EVIDENCE (edge-involved nodes): pairless batch
-    // docs and untouched canonicals label themselves through the
-    // left-join coalesces below
-    // no checkpoint: the fast path returns a local relation (free to
-    // reuse); the fallback is checkpointed inside dedupClusters
-    val mini = contractEdges(e)
-    // canonical-to-canonical remap of the merged components (an old
-    // canonical keeps itself unless this batch connected it to a
-    // smaller minimum)
-    val remap = lbl.filter(col("stored"))
-      .select(col("lbl").as("doc_id")).distinct()
-      .join(mini, Seq("doc_id"))
-      .filter(col("canonical") =!= col("doc_id"))
-      .select(col("doc_id").as("__old"), col("canonical").as("__new"))
-      .localCheckpoint(eager = false)
-    val batchRows = batch.join(mini, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("canonical"), col("doc_id")).as("canonical"))
-      .localCheckpoint(eager = false)
+        val lookupRows =
+          if (bks0.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else Prof.labeled(spark, "ls.lookup") {
+            spark.read.parquet(path)
+              .filter(col("lb").isin(bks0.toIndexedSeq: _*) &&
+                col("doc_id").isin(endIds.toIndexedSeq: _*))
+              .select(col("doc_id"), col("canonical")).collect()
+          }
+        val lblMap = new java.util.HashMap[Long, Long](lookupRows.length * 2)
+        lookupRows.foreach(r => lblMap.put(r.getLong(0), r.getLong(1)))
+        def lblOf(x: Long): Long =
+          if (lblMap.containsKey(x)) lblMap.get(x) else x
+        // mini graph over mapped labels: stored endpoints resolve to
+        // their current canonical, batch endpoints to themselves
+        val mini = unionFindMin(rawEdges.iterator
+          .map(r => (lblOf(r.getLong(0)), lblOf(r.getLong(1))))
+          .filter(t => t._1 != t._2))
+        // canonical-to-canonical remap of the merged components (an
+        // old canonical keeps itself unless this batch connected it to
+        // a smaller minimum)
+        val remapBuf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val oldCanon = new java.util.HashSet[Long](lblMap.values())
+        oldCanon.forEach { c =>
+          val n = mini.getOrDefault(c, c)
+          if (n != c) remapBuf += ((c, n))
+        }
+        val miniBuf = {
+          val a = new Array[(Long, Long)](mini.size())
+          var i = 0
+          mini.forEach { (id, rt) => a(i) = (id, rt); i += 1 }
+          a
+        }
+        val miniRel = miniBuf.toSeq.toDF("doc_id", "canonical")
+        (remapBuf.toSeq.toDF("__old", "__new"),
+          batch.join(miniRel, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("canonical"), col("doc_id")).as("canonical")))
+      } else {
+        // ---- distributed fallback (oversized evidence) ----
+        val ends = p.select(col("d1").as("doc_id"))
+          .union(p.select(col("d2").as("doc_id"))).distinct()
+          .localCheckpoint(eager = false)
+        val endIds = Prof.labeled(spark, "ls.endpoints") { ends
+          .limit(Dedup.MaxProbeLiterals + 1).collect().map(_.getLong(0)) }
+        val lookup =
+          if (endIds.length <= Dedup.MaxProbeLiterals) {
+            val bks = endIds.map(i => (((i % nBuckets) + nBuckets) % nBuckets).toInt)
+              .distinct.sorted
+            if (bks.isEmpty) read(spark, path).limit(0)
+            else spark.read.parquet(path)
+              .filter(col("lb").isin(bks.toIndexedSeq: _*) &&
+                col("doc_id").isin(endIds.toIndexedSeq: _*))
+              .select(col("doc_id"), col("canonical"))
+          } else read(spark, path)
+        val lbl = ends.join(lookup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("canonical").isNotNull.as("stored"),
+            coalesce(col("canonical"), col("doc_id")).as("lbl"))
+          .localCheckpoint(eager = false)
+        val e = p
+          .join(lbl.select(col("doc_id").as("d1"), col("lbl").as("l1")), Seq("d1"))
+          .join(lbl.select(col("doc_id").as("d2"), col("lbl").as("l2")), Seq("d2"))
+          .select(col("l1").as("d1"), col("l2").as("d2"))
+          .filter(col("d1") =!= col("d2"))
+        // contract only the EVIDENCE (edge-involved nodes): pairless
+        // batch docs and untouched canonicals label themselves through
+        // the left-join coalesces below
+        val mini = contractEdges(e)
+        (lbl.filter(col("stored"))
+          .select(col("lbl").as("doc_id")).distinct()
+          .join(mini, Seq("doc_id"))
+          .filter(col("canonical") =!= col("doc_id"))
+          .select(col("doc_id").as("__old"), col("canonical").as("__new"))
+          .localCheckpoint(eager = false),
+          batch.join(mini, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("canonical"), col("doc_id")).as("canonical"))
+            .localCheckpoint(eager = false))
+      }
     // buckets to rewrite: those holding a remapped row (one pushed
     // broadcast-join probe over the store — canonical-sorted row
     // groups make it skip) plus those receiving a batch row
     val lb = pmod(col("doc_id"), lit(nBuckets)).cast("int")
-    val affected = spark.read.parquet(path)
-      .join(broadcast(remap.select(col("__old").as("canonical"))),
-        Seq("canonical"))
-      .select(col("lb").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet ++
-      batchRows.select(lb.as("lb")).distinct()
+    val affected = Prof.labeled(spark, "ls.affected") {
+      spark.read.parquet(path)
+        .join(broadcast(remap.select(col("__old").as("canonical"))),
+          Seq("canonical"))
+        .select(col("lb").cast("int"))
+        .unionByName(batchRows.select(lb.as("lb")))
+        .distinct()
         .collect().map(_.getInt(0)).toSet
+    }
     val bks = affected.toSeq.sorted
     if (bks.isEmpty) return false
+    // no checkpoint: both consumers (the remap and the anti-join) read
+    // it inside the ONE stage-write execution, and a bucket-pruned
+    // parquet scan re-runs cheaper than a checkpoint's own execution +
+    // block write (the store cannot change underneath — it is only
+    // rewritten by applyStage, after this staging completes)
     val affectedRows = spark.read.parquet(path)
       .filter(col("lb").isin(bks: _*))
-      .localCheckpoint(eager = false) // feeds the remap AND the anti-join
     val existing = affectedRows
       .join(broadcast(remap), col("canonical") === col("__old"), "left")
       .select(col("doc_id"),
@@ -419,8 +508,10 @@ object LabelStore {
     // removed on success.
     val stage = stageDirOf(path)
     val fs = fsOf(spark, stage)
-    existing.unionByName(newRows)
-      .write.mode("overwrite").parquet(stage.toString)
+    Prof.labeled(spark, "ls.stage") {
+      existing.unionByName(newRows)
+        .write.mode("overwrite").parquet(stage.toString)
+    }
     fs.create(new org.apache.hadoop.fs.Path(stage, StagedMarker), true).close()
     true
   }
@@ -442,7 +533,7 @@ object LabelStore {
 
   private def applyStage(spark: SparkSession, path: String,
                          nBuckets: Int): Unit =
-    readStage(spark, path)
+    Prof.labeled(spark, "ls.apply") { readStage(spark, path)
       .withColumn("lb", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
       .repartition(col("lb"))
       .sortWithinPartitions(col("lb"), col("canonical"), col("doc_id"))
@@ -450,7 +541,7 @@ object LabelStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("lb")
       .option("parquet.block.size", 1 << 20)
-      .parquet(path)
+      .parquet(path) }
 
   /** [[applyStage]] plus the removal stages' emptied-bucket prune:
     * delete every bucket the manifest intends but the staged data does

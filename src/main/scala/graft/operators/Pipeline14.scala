@@ -247,7 +247,9 @@ object Pipeline14 {
     */
   private[operators] def cleanupAfter(result: DataFrame,
                                       dirs: String*): DataFrame = {
-    val out = result.localCheckpoint()
+    val out = Prof.labeled(result.sparkSession, "fold.result") {
+      result.localCheckpoint()
+    }
     deleteDirs(out.sparkSession, dirs: _*)
     out
   }

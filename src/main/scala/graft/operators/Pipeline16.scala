@@ -152,14 +152,18 @@ object Pipeline16 {
         val batch = docs
           .filter(pmod(col("doc_id"), lit(IncBatches.toLong)) === i.toLong)
         // ONE decode per modality per batch, three consumers each
-        val tf = Pipeline9.exactTextSigFrames(batch).localCheckpoint()
-        val dh = Multimodal.decodeRaster(Multimodal.attachRaster(batch))
-          .select(col("doc_id"), col("dhash")).localCheckpoint()
-        val af = Multimodal.decodeWave(Multimodal.attachWave(batch))
-          .select(col("doc_id"), col("afp")).localCheckpoint()
-        val vf = Multimodal.decodeVideoFrames(Multimodal.attachVideo(batch))
-          .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
-          .localCheckpoint()
+        val tf = Prof.labeled(s, "xm.decode.txt") {
+          Pipeline9.exactTextSigFrames(batch).localCheckpoint() }
+        val dh = Prof.labeled(s, "xm.decode.img") {
+          Multimodal.decodeRaster(Multimodal.attachRaster(batch))
+            .select(col("doc_id"), col("dhash")).localCheckpoint() }
+        val af = Prof.labeled(s, "xm.decode.aud") {
+          Multimodal.decodeWave(Multimodal.attachWave(batch))
+            .select(col("doc_id"), col("afp")).localCheckpoint() }
+        val vf = Prof.labeled(s, "xm.decode.vid") {
+          Multimodal.decodeVideoFrames(Multimodal.attachVideo(batch))
+            .select(col("doc_id"), col("frame"), col("n_frames"), col("fhash"))
+            .localCheckpoint() }
         val within = Pipeline9.exactTextPairsOf(batch)
           .union(Multimodal.perceptualNearDupPairs(dh, maxHamming = 3)
             .select(col("d1"), col("d2")))
@@ -177,12 +181,14 @@ object Pipeline16 {
           LabelStore.write(
             LabelStore.labelsFor(batch.select(col("doc_id")), within),
             labelPath)
-          Multimodal.frameStoreWrite(
-            tf.select(col("doc_id"), col("frame"), col("fhash")), txtStore)
-          Multimodal.frameStoreWrite(imgRows, imgStore)
-          Multimodal.frameStoreWrite(audRows, audStore)
-          Multimodal.frameStoreWrite(
-            vf.select(col("doc_id"), col("frame"), col("fhash")), vidStore)
+          Prof.labeled(s, "xm.store0") {
+            Multimodal.frameStoreWrite(
+              tf.select(col("doc_id"), col("frame"), col("fhash")), txtStore)
+            Multimodal.frameStoreWrite(imgRows, imgStore)
+            Multimodal.frameStoreWrite(audRows, audStore)
+            Multimodal.frameStoreWrite(
+              vf.select(col("doc_id"), col("frame"), col("fhash")), vidStore)
+          }
         } else {
           // the four published-corpus gates — batch ids are new by the
           // slice construction; the self-hit filters are the shared
@@ -205,15 +211,17 @@ object Pipeline16 {
             .select(col("doc_id").as("d1"), col("dup_of").as("d2"))
           LabelStore.update(s, labelPath, batch.select(col("doc_id")),
             within.union(gT).union(gI).union(gA).union(gV))
-          Seq((tf.select(col("doc_id"), col("frame"), col("fhash")), txtStore),
-              (imgRows, imgStore), (audRows, audStore),
-              (vf.select(col("doc_id"), col("frame"), col("fhash")), vidStore))
-            .foreach { case (rows, store) =>
-              graft.sources.Partitioned.appendBy(
-                Multimodal.bandFrames(rows)
-                  .withColumn("ingest_batch", lit(i.toLong)),
-                store, "band_i")
-            }
+          Prof.labeled(s, "xm.append") {
+            Seq((tf.select(col("doc_id"), col("frame"), col("fhash")), txtStore),
+                (imgRows, imgStore), (audRows, audStore),
+                (vf.select(col("doc_id"), col("frame"), col("fhash")), vidStore))
+              .foreach { case (rows, store) =>
+                graft.sources.Partitioned.appendBy(
+                  Multimodal.bandFrames(rows)
+                    .withColumn("ingest_batch", lit(i.toLong)),
+                  store, "band_i")
+              }
+          }
         }
       }
   }

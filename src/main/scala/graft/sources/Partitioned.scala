@@ -41,7 +41,17 @@ object Partitioned {
     * left as-is — the incremental-ingest form of [[writeBy]]. Small
     * appended files accumulate; compact with [[Maintenance]] when the
     * per-partition file count grows.
+    *
+    * Clusters by the partition column first (guide §6): a partitioned
+    * write opens one parquet writer per (task × partition value), so an
+    * un-clustered micro-batch append from an N-partition frame pays
+    * N × |values| writer inits and litters the store with N × |values|
+    * sliver files — which every later probe of the store then re-lists
+    * and re-opens. One tiny shuffle per append keeps it at ≤|values|
+    * files; the 100 TB case wants the same clustering (it is the
+    * many-small-files fix, not a local-mode tweak).
     */
   def appendBy(df: DataFrame, path: String, column: String): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(column).parquet(path)
+    df.repartition(col(column))
+      .write.mode(SaveMode.Append).partitionBy(column).parquet(path)
 }

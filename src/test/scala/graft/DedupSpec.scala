@@ -537,4 +537,54 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(fast(100L) === 2L && fast(50L) === 2L)
     assert(!fast.contains(999L) && fast.size === 9, "isolated ids must not be labeled")
   }
+
+  test("dedupClusters/dedupClustersLogN: driver fast path equals the distributed loops") {
+    // chain (diameter > 1), star, bridge-merged component, singletons —
+    // the shapes whose min labels a wrong contraction gets wrong
+    val vs = (0L to 40L).toDF("doc_id")
+    val pairs = Seq((9L, 4L), (4L, 7L), (30L, 31L), (31L, 32L),
+      (7L, 30L), (12L, 2L), (2L, 15L), (40L, 39L)).toDF("d1", "d2")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fastMin = canon(Dedup.dedupClusters(vs, "doc_id", pairs))
+    val loopMin = canon(Dedup.dedupClusters(vs, "doc_id", pairs,
+      maxDriverEdges = 0L))
+    assert(fastMin === loopMin, "dedupClusters fast path diverged from the loop")
+    val fastLog = canon(Dedup.dedupClustersLogN(vs, "doc_id", pairs))
+    val loopLog = canon(Dedup.dedupClustersLogN(vs, "doc_id", pairs,
+      maxDriverEdges = 0L))
+    assert(fastLog === loopLog, "dedupClustersLogN fast path diverged from the loop")
+    assert(fastMin === fastLog, "the two cluster devices disagree")
+    assert(fastMin(32L) === 4L && fastMin(15L) === 2L && fastMin(39L) === 39L
+      && fastMin(0L) === 0L, "expected min labels")
+  }
+
+  test("stageUpdate: the driver-resolved fold equals the distributed fallback") {
+    import graft.operators.LabelStore
+    val b0 = Seq(0L, 3L, 7L, 10L).toDF("doc_id")
+    val p0 = Seq((7L, 3L)).toDF("d1", "d2")
+    // batch 1 merges into stored component {3,7} through a stored
+    // endpoint AND creates a fresh component — both remap shapes
+    val b1 = Seq(20L, 21L, 22L).toDF("doc_id")
+    val p1 = Seq((20L, 7L), (21L, 22L), (20L, 1L), (1L, 3L)).toDF("d1", "d2")
+    def foldWith(maxFoldEdges: Long): Map[Long, Long] = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_fold_eq_").toString
+      LabelStore.write(LabelStore.labelsFor(b0, p0), path)
+      assert(LabelStore.stageUpdate(spark, path, b1, p1, maxFoldEdges))
+      LabelStore.recover(spark, path) // apply the stage like update does
+      val got = LabelStore.read(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      got
+    }
+    val fast = foldWith(LabelStore.MaxDriverEdges)
+    val dist = foldWith(0L)
+    assert(fast === dist, "driver-resolved fold diverged from the fallback")
+    // evidence bridges through id 1 (outside both batches): stored {3,7}
+    // and arriving 20 merge to canonical 1's component minimum — the
+    // same closure both paths must produce
+    assert(fast(20L) === fast(7L) && fast(21L) === 21L && fast(22L) === 21L)
+  }
 }
