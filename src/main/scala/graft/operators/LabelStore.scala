@@ -203,6 +203,17 @@ object LabelStore {
     */
   private[graft] val MaxDriverEdges = 4000000L
 
+  /** Endpoint bound of [[stageUpdate]]'s fully-driver-resolved fold:
+    * up to this many evidence endpoints the endpoint-label lookup is
+    * collected (2M × ~16 B ≈ 32 MB — the same model-sized-collect
+    * class as [[MaxDriverEdges]]' 64 MB). Within
+    * [[Dedup.MaxProbeLiterals]] the lookup scan prunes by literal ids
+    * (row-group skip); between the two bounds it prunes by bucket and
+    * broadcast-joins the endpoint set (one job either way). Above it
+    * the fold degrades to the distributed path.
+    */
+  private[graft] val MaxDriverEndpoints = 2000000
+
   /** Min-label connected components of an edge list, labeling ONLY the
     * nodes that appear in an edge (isolated ids are the caller's
     * left-join-coalesce-self case — excluding them keeps the
@@ -369,7 +380,7 @@ object LabelStore {
     // relation, the canonical-to-canonical remap of merged components,
     // and the arriving batch's label rows
     val (remap, batchRows) =
-      if (endIdSet != null && endIdSet.size <= Dedup.MaxProbeLiterals) {
+      if (endIdSet != null && endIdSet.size <= MaxDriverEndpoints) {
         // ---- fully driver-resolved fold ----
         val endIds = {
           val a = new Array[Long](endIdSet.size)
@@ -386,10 +397,20 @@ object LabelStore {
           .distinct.sorted
         val lookupRows =
           if (bks0.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else if (endIds.length <= Dedup.MaxProbeLiterals)
+            Prof.labeled(spark, "ls.lookup") {
+              spark.read.parquet(path)
+                .filter(col("lb").isin(bks0.toIndexedSeq: _*) &&
+                  col("doc_id").isin(endIds.toIndexedSeq: _*))
+                .select(col("doc_id"), col("canonical")).collect()
+            }
           else Prof.labeled(spark, "ls.lookup") {
+            // beyond the literal bound (an unbounded Catalyst IN list
+            // is its own plan-size hazard): bucket-prune the scan and
+            // broadcast the endpoint set instead — one job either way
             spark.read.parquet(path)
-              .filter(col("lb").isin(bks0.toIndexedSeq: _*) &&
-                col("doc_id").isin(endIds.toIndexedSeq: _*))
+              .filter(col("lb").isin(bks0.toIndexedSeq: _*))
+              .join(broadcast(endIds.toSeq.toDF("doc_id")), Seq("doc_id"))
               .select(col("doc_id"), col("canonical")).collect()
           }
         val lblMap = new java.util.HashMap[Long, Long](lookupRows.length * 2)

@@ -210,6 +210,15 @@ object Pipeline11 {
     var bestErr = Long.MaxValue
     var bestW = w.toSeq
     var fixed = false
+    // round shape evaluated and kept as-is this round: a window-over-
+    // doc_id variant (margin via window, no self-join) halves the
+    // exchange count but ships the full FEATURE table through the
+    // doc_id exchange every round (measured 6.4 → 72 MB shuffled per
+    // rep at sf0.1) — guide §2.3 says shuffle fewer bytes first, and
+    // the join shape moves doc-level aggregates, not feature rows. A
+    // doc_id-partitioned .cache() of feats was also measured and
+    // rejected (cache build/decompress cost 130+ s of CPU per rep and
+    // AQE forgets cached-plan partitioning, so the exchanges stayed).
     for (t <- 1 to PcPocketRounds + 1 if !fixed) {
       val wDf = w.toSeq.toDF("b", "w")
       val margins = feats.join(broadcast(wDf), Seq("b"), "left")

@@ -29,6 +29,16 @@ object Pipeline12 {
     * here.
     */
   def annRecall(s: SparkSession, d: String): DataFrame = {
+    // composition shape evaluated and kept as-is this round:
+    // checkpointing the exact ranking and each method's (qid, cid)
+    // output to split the union into five small executions was
+    // measured 3× SLOWER at sf0.1 (min-of-5 6.2 s vs 2.0 s) — the
+    // checkpoints serialize the four method pipelines into sequential
+    // executions and forfeit the one-execution plan's subtree reuse,
+    // and the giant-plan planning cost they were meant to cut is small
+    // next to that loss. The round-16 driver's 16 s reading for this
+    // entry was co-tenant load (quiet profile: 2.0 s, jobWallSum
+    // 0.44 s), not plan cost.
     val exact = PipelineQueries.simTopK(s, d)
       .select(col("qid").cast("int").as("qid"), col("cid"))
     val methods: Seq[(String, DataFrame)] = Seq(

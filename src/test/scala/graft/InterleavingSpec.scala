@@ -26,8 +26,12 @@ import graft.streaming.StreamingOps
   * overlap earlier ones and may name already-gone ids (the handlers'
   * replay/overlap semantics are part of what composes), and mutations
   * run serially (the one-maintenance-scheduler contract). Sequence
-  * count is env-tunable: SPARK_GRAFT_INTERLEAVE_SEQS (default 50 per
-  * family — 100 total), SPARK_GRAFT_INTERLEAVE_STEPS (default 4).
+  * count is env-tunable: SPARK_GRAFT_INTERLEAVE_SEQS (default 16 per
+  * family), SPARK_GRAFT_INTERLEAVE_STEPS (default 4). The default is a
+  * CI/driver budget (round-16 verdict item 2: the full randomized
+  * defaults pushed `sbt test` past the verification gate's wall-clock
+  * and the gate killed it mid-suite); deep sweeps raise the env knobs
+  * in a dedicated session.
   *
   * ROUND-16 COMPOSITION — crashes UNDER random interleaving: the crash
   * sweep kills every boundary on ONE hand-picked operation order and
@@ -51,7 +55,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private val nSeqs =
-    sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_SEQS", "50").toInt
+    sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_SEQS", "16").toInt
   private val nSteps =
     sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_STEPS", "4").toInt
 
@@ -105,7 +109,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
     * heal retry — while still randomizing well past the hand-picked
     * orders the per-handler sweeps cover.
     */
-  private def nComposed: Int = math.max(10, nSeqs * 3 / 5)
+  private def nComposed: Int = math.max(8, nSeqs * 3 / 5)
 
   private def tmp(tag: String) = SparkTestBase.tmpDir(s"ileave_$tag")
 
@@ -486,7 +490,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
     * fewer sequences than the two text families keep the suite's wall
     * clock bounded while still randomizing the family's lifecycle.
     */
-  private def nVec: Int = math.max(20, nSeqs * 2 / 5)
+  private def nVec: Int = math.max(8, nSeqs * 2 / 5)
 
   test("random ingest/retract/compact interleavings keep the IVF store equal to a from-scratch survivor rebuild") {
     runAll(runVecSequence(crashes = false), nVec)
@@ -495,7 +499,7 @@ class InterleavingSpec extends AnyFunSuite with SparkTestBase {
   test("IVF interleavings survive crashes injected at random boundaries mid-sequence") {
     crashCount.set(0)
     runAll(s => runVecSequence(crashes = true)(30000 + s),
-      math.max(10, nVec * 3 / 5))
+      math.max(6, nVec * 3 / 5))
     assert(crashCount.get() > 0,
       "no crash was ever injected — did the handlers lose their " +
         "instrumented boundaries?")

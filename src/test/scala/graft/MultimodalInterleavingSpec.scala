@@ -35,7 +35,7 @@ class MultimodalInterleavingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private val nSeqs =
-    sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_SEQS", "50").toInt
+    sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_SEQS", "16").toInt
   private val nSteps =
     sys.env.getOrElse("SPARK_GRAFT_INTERLEAVE_STEPS", "4").toInt
 
@@ -189,7 +189,7 @@ class MultimodalInterleavingSpec extends AnyFunSuite with SparkTestBase {
           compactMaxFiles = 2),
       payloadOf = Multimodal.attachVideo,
       expected = videoExpected),
-      n = math.max(12, nSeqs * 2 / 5))
+      n = math.max(8, nSeqs * 2 / 5))
     info(s"video composed run: ${crashCount.get()} crashes injected and healed")
   }
 
@@ -229,7 +229,7 @@ class MultimodalInterleavingSpec extends AnyFunSuite with SparkTestBase {
           compactMaxFiles = 2),
       payloadOf = Multimodal.attachWave,
       expected = audioExpected),
-      n = math.max(12, nSeqs * 2 / 5))
+      n = math.max(8, nSeqs * 2 / 5))
     info(s"audio composed run: ${crashCount.get()} crashes injected and healed")
   }
 
@@ -358,7 +358,7 @@ class MultimodalInterleavingSpec extends AnyFunSuite with SparkTestBase {
 
   test("cross-modal unified-label interleavings (with injected crashes) equal a from-scratch survivor rebuild after every step") {
     crashCount.set(0)
-    runAll(s => runXSequence(60000 + s), n = math.max(8, nSeqs / 5))
+    runAll(s => runXSequence(60000 + s), n = math.max(6, nSeqs / 5))
     info(s"xmodal composed run: ${crashCount.get()} crashes injected and healed")
   }
 }

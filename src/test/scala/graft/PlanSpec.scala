@@ -363,17 +363,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "a LUT join degraded to sort-merge")
   }
 
-  test("p118: weights ride ONE window shuffle on canonical — no join, no broadcast of the cluster table") {
+  test("p118: weights ride ONE window shuffle on canonical; only the driver-contracted label relation may broadcast") {
     val p = plan("p118_soft_dedup")
-    // the contraction happens before this plan (checkpointed labels);
-    // the weight layer itself must be window-over-canonical + sort only
+    // the contraction happens before this plan (the driver union-find
+    // fast path yields a LOCAL relation of edge-involved nodes, bounded
+    // by LabelStore.MaxDriverEdges); the weight layer itself must be
+    // window-over-canonical + sort only
     assert(p.contains("Window"), "the per-cluster count left the window form")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       "expected exactly the window's canonical shuffle")
-    // a broadcast of the (corpus-order) cluster-size table would pass
-    // locally and OOM the driver at 100 TB
-    assert(!p.contains("BroadcastHashJoin"),
-      "a size-table broadcast join crept into p118")
+    // what must never broadcast is a CORPUS-ORDER table (the per-doc
+    // size table, or the docs side of the label attach) — that would
+    // pass locally and OOM the driver at 100 TB. The evidence-bounded
+    // contraction's LocalTableScan is the one permitted build side;
+    // oversized evidence degrades it to a non-broadcast join upstream.
+    assert("BroadcastExchange[^\n]*\n[^\n]*FileScan".r.findFirstIn(p).isEmpty,
+      "a corpus-side scan is being broadcast in p118")
+    if (p.contains("BroadcastHashJoin"))
+      assert(p.contains("LocalTableScan"),
+        "p118's broadcast build side is not the driver-contracted local relation")
   }
 
   test("p119: the scoring pass broadcasts the B-bounded weights; the band roll-up aggregates map-side") {
